@@ -1,0 +1,302 @@
+"""Epoch orchestration: one epoch = one Ray Data pipeline.
+
+    read_parquet(events)                         # bounded epoch slice
+      -> map_batches(NormalizeEvents)            # stateless, zero-copy Arrow
+      -> groupby(_part).map_groups(apply)        # THE one shuffle per epoch
+           (HWM replay filter -> in-partition dedup+LWW reduce
+            -> pyarrow join vs snapshot partition -> staging write)
+      -> metrics rows (P small rows)             # driver-side finalize
+    finalize: promote staging -> data, write lineage, atomic manifest swap.
+
+Reference lifecycle analog (SURVEY.md §3.3): fetch -> normalize ->
+alias-match -> priority-merge -> ON CONFLICT upsert -> processing_stats.
+
+Scale notes (100 TB design): the only all-to-all exchange is the
+hash-partition groupby on ``_part``; partition count P is fixed per table
+so events co-locate with their snapshot partition; per-partition state is
+loaded once per epoch inside the group task (not per batch); hot repos
+spread across partitions because the hash covers the full (repo, path)
+key; blocks stay Arrow end-to-end.
+
+NOTE (driver contract): no ray.init()/ray.shutdown() in this module.
+"""
+
+from __future__ import annotations
+
+import base64
+import os
+from typing import Any
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray.data
+
+from laketide import schema as S
+from laketide.stages.apply import ApplyMetrics, apply_partition, reduce_events
+from laketide.stages.normalize import NormalizeEvents
+from laketide.stages.partition import DEFAULT_NUM_PARTITIONS
+from laketide.state import manifest as M
+
+__all__ = ["LakeTable"]
+
+_METRIC_FIELDS = [
+    "events_in",
+    "dupes_dropped",
+    "replays_dropped",
+    "malformed",
+    "stale_dropped",
+    "inserts",
+    "updates",
+    "deletes",
+    "noop_deletes",
+    "noops",
+    "rows_out",
+]
+
+
+def _schema_to_b64(schema: pa.Schema) -> str:
+    return base64.b64encode(schema.serialize().to_pybytes()).decode()
+
+
+def _schema_from_b64(s: str) -> pa.Schema:
+    return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
+
+
+def _make_group_fn(
+    table_dir: str,
+    epoch_id: int,
+    hwms: dict[int, tuple[str, int]],
+    part_files: dict[int, str | None],
+    hwm_filter: bool,
+):
+    """Build the per-partition apply function run by map_groups.
+
+    Writes its staging file as a deterministic, truncate-on-write side
+    effect (safe under Ray task retries) and returns one metrics row.
+    """
+    staging_dir = os.path.join(table_dir, "_staging", f"epoch-{epoch_id:06d}")
+
+    def apply_group(group: pa.Table) -> pa.Table:
+        part = group[S.PART_COLUMN][0].as_py()
+        m = ApplyMetrics(events_in=group.num_rows)
+        mal = group[S.MALFORMED_COLUMN]
+        m.malformed = int(pc.sum(mal).as_py() or 0)
+        ev = group.filter(pc.invert(mal)).drop_columns(
+            [S.PART_COLUMN, S.MALFORMED_COLUMN]
+        )
+
+        # Replay dedup via the partition high-water mark (I3/I4). Safe
+        # under the WAL-tail assumption: cross-epoch delivery is
+        # partition-ordered; in-epoch order is arbitrary.
+        hwm_c, hwm_s = hwms.get(part, ("", -1))
+        if hwm_filter and hwm_c and ev.num_rows:
+            fresh = pc.or_(
+                pc.greater(ev["commit"], hwm_c),
+                pc.and_(pc.equal(ev["commit"], hwm_c), pc.greater(ev["seq"], hwm_s)),
+            )
+            fresh = pc.fill_null(fresh, False)
+            m.replays_dropped = ev.num_rows - int(pc.sum(fresh).as_py() or 0)
+            ev = ev.filter(fresh)
+
+        # Advance the HWM over everything delivered this epoch.
+        new_c, new_s = hwm_c, hwm_s
+        if ev.num_rows:
+            max_c = pc.max(ev["commit"]).as_py()
+            at_max = pc.equal(ev["commit"], max_c)
+            max_s = pc.max(pc.if_else(at_max, ev["seq"], pa.scalar(None, pa.int64()))).as_py()
+            if (max_c, max_s) > (new_c, new_s):
+                new_c, new_s = max_c, int(max_s)
+        m.hwm_commit, m.hwm_seq = new_c, new_s
+
+        winners = reduce_events(ev, m)
+
+        cur = None
+        cur_file = part_files.get(part)
+        if cur_file:
+            cur = pq.read_table(os.path.join(table_dir, cur_file))
+
+        out = apply_partition(cur, winners, epoch_id, m)
+        m.rows_out = out.num_rows
+        changed = (m.inserts + m.updates + m.deletes) > 0
+
+        staged = ""
+        if changed:
+            os.makedirs(staging_dir, exist_ok=True)
+            staged = os.path.join(staging_dir, f"part-{part:05d}.parquet")
+            tmp = staged + f".tmp-{os.getpid()}"
+            pq.write_table(out, tmp)
+            os.replace(tmp, staged)  # truncate-on-write; retry-safe
+
+        row: dict[str, Any] = {"part": [part], "changed": [changed], "staged_file": [staged]}
+        for f in _METRIC_FIELDS:
+            row[f] = [getattr(m, f)]
+        row["hwm_commit"] = [m.hwm_commit]
+        row["hwm_seq"] = [m.hwm_seq]
+        row["schema_b64"] = [_schema_to_b64(out.schema)]
+        return pa.table(row)
+
+    return apply_group
+
+
+class LakeTable:
+    """A hash-partitioned Parquet lake table maintained by CDC replay.
+
+    The Ray-native counterpart of the reference's ``vulnerabilities``
+    master table + sync job (SURVEY.md §1.4).
+    """
+
+    def __init__(self, table_dir: str, num_partitions: int = DEFAULT_NUM_PARTITIONS):
+        self.table_dir = table_dir
+        os.makedirs(table_dir, exist_ok=True)
+        man = M.load_current(table_dir)
+        self.num_partitions = man.num_partitions if man else num_partitions
+
+    # ------------------------------------------------------------------ state
+    def current_manifest(self) -> M.Manifest | None:
+        return M.load_current(self.table_dir)
+
+    def current_epoch(self) -> int:
+        man = self.current_manifest()
+        return man.epoch if man else 0
+
+    def _unified_schema(self, man: M.Manifest) -> pa.Schema | None:
+        s = man.stats.get("schema_b64")
+        return _schema_from_b64(s) if s else None
+
+    # ------------------------------------------------------------------ apply
+    def apply_epoch(
+        self,
+        events: "ray.data.Dataset | str | list[str]",
+        epoch_id: int | None = None,
+        hwm_filter: bool = True,
+    ) -> dict[str, Any]:
+        """Apply one bounded changelog slice. Idempotent: re-applying an
+        already-committed epoch id is a no-op returning its stored lineage."""
+        man = M.load_current(self.table_dir)
+        committed = man.epoch if man else 0
+        if epoch_id is None:
+            epoch_id = committed + 1
+        if epoch_id <= committed:
+            lineage = M.load_lineage(self.table_dir, epoch_id) or {}
+            return {
+                "epoch": epoch_id,
+                "already_applied": True,
+                "totals": (lineage.get("totals") if isinstance(lineage, dict) else None) or {},
+            }
+
+        if isinstance(events, (str, list)):
+            ds = ray.data.read_parquet(events)
+        else:
+            ds = events
+
+        payload = S.payload_columns_of(ds.schema().base_schema)
+        norm = ds.map_batches(
+            NormalizeEvents(self.num_partitions, payload),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        hwms = {int(k): (v.get("hwm_commit", ""), v.get("hwm_seq", -1)) for k, v in (man.partitions if man else {}).items()}
+        part_files = {int(k): v.get("file") for k, v in (man.partitions if man else {}).items()}
+
+        fn = _make_group_fn(self.table_dir, epoch_id, hwms, part_files, hwm_filter)
+        metric_rows = (
+            norm.groupby(S.PART_COLUMN)
+            .map_groups(fn, batch_format="pyarrow")
+            .take_all()
+        )
+        return self._finalize(epoch_id, man, metric_rows)
+
+    # A test hook: overridable to inject a crash between staging and commit.
+    def _pre_commit_hook(self, epoch_id: int) -> None:  # pragma: no cover
+        pass
+
+    def _finalize(self, epoch_id: int, parent: M.Manifest | None, metric_rows: list[dict]) -> dict[str, Any]:
+        p = M.paths(self.table_dir)
+        os.makedirs(p["data"], exist_ok=True)
+
+        partitions = dict(parent.partitions) if parent else {}
+        schemas = []
+        if parent and parent.stats.get("schema_b64"):
+            schemas.append(_schema_from_b64(parent.stats["schema_b64"]))
+        totals = {f: 0 for f in _METRIC_FIELDS}
+        lineage_rows = []
+        for row in sorted(metric_rows, key=lambda r: r["part"]):
+            part = int(row["part"])
+            for f in _METRIC_FIELDS:
+                totals[f] += int(row[f])
+            entry = dict(partitions.get(str(part), {}))
+            entry["hwm_commit"] = row["hwm_commit"]
+            entry["hwm_seq"] = int(row["hwm_seq"])
+            if row["changed"]:
+                dst_rel = os.path.join("data", f"part-{part:05d}-e{epoch_id:06d}.parquet")
+                os.replace(row["staged_file"], os.path.join(self.table_dir, dst_rel))
+                entry["file"] = dst_rel
+                entry["rows"] = int(row["rows_out"])
+            partitions[str(part)] = entry
+            schemas.append(_schema_from_b64(row["schema_b64"]))
+            lrow = {f: int(row[f]) for f in _METRIC_FIELDS}
+            lrow.update(part=part, changed=bool(row["changed"]), hwm_commit=row["hwm_commit"], hwm_seq=int(row["hwm_seq"]))
+            lineage_rows.append(lrow)
+
+        unified = schemas[0] if schemas else S.snapshot_schema()
+        for sch in schemas[1:]:
+            unified = S.unify(unified, sch)
+
+        self._pre_commit_hook(epoch_id)
+
+        man = M.Manifest(
+            epoch=epoch_id,
+            parent=parent.epoch if parent else None,
+            num_partitions=self.num_partitions,
+            partitions=partitions,
+            schema_names=unified.names,
+            stats={
+                "totals": totals,
+                "schema_b64": _schema_to_b64(unified),
+                "rows": sum(int(v.get("rows", 0)) for v in partitions.values()),
+            },
+        )
+        M.write_lineage(self.table_dir, epoch_id, lineage_rows)
+        M.commit_manifest(self.table_dir, man)
+        # GC the staging dir for this epoch (post-commit, best-effort).
+        import shutil
+
+        shutil.rmtree(os.path.join(self.table_dir, "_staging", f"epoch-{epoch_id:06d}"), ignore_errors=True)
+        return {"epoch": epoch_id, "already_applied": False, "totals": totals, "rows": man.stats["rows"]}
+
+    # ------------------------------------------------------------------- read
+    def read(self) -> "ray.data.Dataset":
+        """Current committed snapshot as a streaming Dataset."""
+        man = M.load_current(self.table_dir)
+        if not man:
+            return ray.data.from_arrow(S.snapshot_schema().empty_table())
+        files = [f for f in man.data_files(self.table_dir) if f]
+        if not files:
+            return ray.data.from_arrow(S.snapshot_schema().empty_table())
+        schema = self._unified_schema(man)
+        ds = ray.data.read_parquet(files)
+        if schema is not None:
+            ds = ds.map_batches(
+                lambda t, s=schema: S.conform(t, s),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        return ds
+
+    def state_table(self) -> pa.Table:
+        """Whole snapshot as one Arrow table — tests / small tables only."""
+        man = M.load_current(self.table_dir)
+        if not man:
+            return S.snapshot_schema().empty_table()
+        schema = self._unified_schema(man) or S.snapshot_schema()
+        parts = []
+        for f in man.data_files(self.table_dir):
+            if f and os.path.exists(f):
+                parts.append(S.conform(pq.read_table(f), schema))
+        if not parts:
+            return schema.empty_table()
+        out = pa.concat_tables(parts)
+        return out.sort_by([("repo", "ascending"), ("path", "ascending")])

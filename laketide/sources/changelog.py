@@ -1,0 +1,194 @@
+"""Deterministic synthetic CDC changelog generator + expected-state oracle.
+
+Shapes follow FIXTURES.md §2 / BASELINE.json ``input_hint``: events over a
+source-code lake table ``(repo, path, commit, lang, content)`` keyed by
+``(repo, path)`` with zero-padded monotonically increasing ``commit``.
+
+Controlled impairments (reference analogs in SURVEY.md §2.8):
+- duplicate replays of the same ``(repo, path, commit, seq)`` within an
+  epoch (reference: idempotent re-sync, test/test_merge_prevention.go:58-66)
+- out-of-order delivery *within* an epoch (reference: no cross-source
+  arrival ordering, internal/jobs/server.go:886-904)
+- tombstone deletes (reference: DeleteVulnerability,
+  sql/vulnerabilities.sql:101-102)
+- hot-key skew: Zipf-ish distribution over repos
+- additive schema evolution: the ``lang`` column only exists in epoch
+  files >= ``lang_from_epoch`` (reference: nullable-summary migration,
+  migrations/002_fix_nullable_summary.up.sql:1-6)
+
+Everything is seeded — same arguments, same bytes — so tests, the DuckDB
+oracle and the benchmark all agree without any external data.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+__all__ = ["generate_changelog", "expected_state", "changelog_dir_for"]
+
+
+def _content_for(repo: str, path: str, commit: str, salt: int) -> str:
+    """Deterministic pseudo-source-code body for a (key, version)."""
+    h = (salt * 1103515245 + 12345) & 0x7FFFFFFF
+    lines = [f"// {repo}/{path} @ {commit}"]
+    for i in range(3 + (h % 5)):
+        h = (h * 1103515245 + 12345) & 0x7FFFFFFF
+        lines.append(f"fn f_{h % 100000}(x) {{ return x * {h % 997} + {i}; }}")
+    return "\n".join(lines)
+
+
+def generate_changelog(
+    out_dir: str,
+    n_events: int = 10_000,
+    seed: int = 42,
+    n_repos: int = 20,
+    paths_per_repo: int = 60,
+    n_epochs: int = 4,
+    dup_frac: float = 0.05,
+    shuffle_frac: float = 1.0,
+    delete_frac: float = 0.08,
+    lang_from_epoch: int | None = None,
+    langs: tuple[str, ...] = ("py", "go", "rs", "js", "c"),
+) -> list[str]:
+    """Write ``epoch-%03d.parquet`` files under ``out_dir``; return paths.
+
+    Epoch files < ``lang_from_epoch`` have NO ``lang`` column at all
+    (additive schema evolution mid-stream).
+    """
+    if lang_from_epoch is None:
+        lang_from_epoch = n_epochs // 2
+    rng = np.random.RandomState(seed)
+    os.makedirs(out_dir, exist_ok=True)
+
+    repos = [f"org{i % 7}/repo{i:03d}" for i in range(n_repos)]
+    paths = [f"src/dir{j % 9}/file{j:04d}.x" for j in range(paths_per_repo)]
+
+    # Zipf-ish skew over repos: p(rank r) ~ 1 / (r+1)^1.1  (hot repo 0).
+    ranks = np.arange(n_repos, dtype=np.float64)
+    probs = 1.0 / np.power(ranks + 1.0, 1.1)
+    probs /= probs.sum()
+
+    repo_idx = rng.choice(n_repos, size=n_events, p=probs)
+    path_idx = rng.randint(0, paths_per_repo, size=n_events)
+    del_draw = rng.rand(n_events)
+    salts = rng.randint(0, 1 << 30, size=n_events)
+    lang_idx = rng.randint(0, len(langs), size=n_events)
+
+    alive: set[tuple[int, int]] = set()
+    rows_repo: list[str] = []
+    rows_path: list[str] = []
+    rows_commit: list[str] = []
+    rows_seq: list[int] = []
+    rows_op: list[str] = []
+    rows_lang: list[str | None] = []
+    rows_content: list[str | None] = []
+
+    for i in range(n_events):
+        key = (int(repo_idx[i]), int(path_idx[i]))
+        repo, path = repos[key[0]], paths[key[1]]
+        commit = f"c{i:010d}"
+        if key not in alive:
+            op = "insert"
+            alive.add(key)
+        elif del_draw[i] < delete_frac:
+            op = "delete"
+            alive.discard(key)
+        else:
+            op = "update"
+        rows_repo.append(repo)
+        rows_path.append(path)
+        rows_commit.append(commit)
+        rows_seq.append(i)
+        rows_op.append(op)
+        if op == "delete":
+            rows_lang.append(None)
+            rows_content.append(None)
+        else:
+            rows_lang.append(langs[lang_idx[i]])
+            rows_content.append(_content_for(repo, path, commit, int(salts[i])))
+
+    # Slice into epochs, inject in-epoch duplicates, shuffle within epoch.
+    files: list[str] = []
+    per_epoch = max(1, n_events // n_epochs)
+    for e in range(n_epochs):
+        lo = e * per_epoch
+        hi = n_events if e == n_epochs - 1 else (e + 1) * per_epoch
+        idx = np.arange(lo, hi)
+        n_dup = int(len(idx) * dup_frac)
+        if n_dup:
+            dups = rng.choice(idx, size=n_dup, replace=True)
+            idx = np.concatenate([idx, dups])
+        if shuffle_frac > 0:
+            rng.shuffle(idx)
+
+        cols: dict[str, pa.Array] = {
+            "repo": pa.array([rows_repo[i] for i in idx], pa.string()),
+            "path": pa.array([rows_path[i] for i in idx], pa.string()),
+            "commit": pa.array([rows_commit[i] for i in idx], pa.string()),
+            "seq": pa.array([rows_seq[i] for i in idx], pa.int64()),
+            "op": pa.array([rows_op[i] for i in idx], pa.string()),
+        }
+        if e >= lang_from_epoch:
+            cols["lang"] = pa.array([rows_lang[i] for i in idx], pa.string())
+        cols["content"] = pa.array([rows_content[i] for i in idx], pa.string())
+        table = pa.table(cols)
+        out = os.path.join(out_dir, f"epoch-{e:03d}.parquet")
+        tmp = out + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, out)
+        files.append(out)
+    return files
+
+
+def expected_state(epoch_files: list[str]) -> pa.Table:
+    """Single-threaded oracle: last-writer-wins per key over all epochs,
+    tombstones dropped; exact in-epoch duplicates collapse naturally.
+
+    Equivalent DuckDB:
+      SELECT * EXCLUDE rn FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY repo, path ORDER BY commit DESC, seq DESC) rn
+        FROM events) WHERE rn = 1 AND op != 'delete'
+    """
+    import duckdb
+
+    con = duckdb.connect()
+    files_sql = ", ".join(f"'{f}'" for f in epoch_files)
+    q = f"""
+        SELECT repo, path, commit, seq, lang, content
+        FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY repo, path ORDER BY commit DESC, seq DESC) rn
+          FROM read_parquet([{files_sql}], union_by_name=true)
+        ) WHERE rn = 1 AND op != 'delete'
+        ORDER BY repo, path
+    """
+    return con.execute(q).arrow().cast(
+        pa.schema(
+            [
+                ("repo", pa.string()),
+                ("path", pa.string()),
+                ("commit", pa.string()),
+                ("seq", pa.int64()),
+                ("lang", pa.string()),
+                ("content", pa.string()),
+            ]
+        )
+    )
+
+
+def changelog_dir_for(tag: str, n_events: int, seed: int = 42, **kw) -> str:
+    """Generate (once, cached) a changelog under /tmp keyed by parameters."""
+    d = f"/tmp/laketide_changelog/{tag}-n{n_events}-s{seed}"
+    done = os.path.join(d, "_DONE")
+    if not os.path.exists(done):
+        generate_changelog(d, n_events=n_events, seed=seed, **kw)
+        with open(done, "w") as f:
+            f.write("ok")
+    import glob
+
+    return d

@@ -1,0 +1,189 @@
+"""Per-partition last-writer-wins apply — the core "upsert" operator.
+
+This is the Ray-native re-expression of the reference's
+``INSERT ... ON CONFLICT (id) DO UPDATE`` apply loop plus its merge rules
+(semantics only; cited for parity):
+
+- keyed idempotent upsert: /root/reference/sql/vulnerabilities.sql:66-90,
+  caller /root/reference/internal/jobs/server.go:760-832 (S8)
+- lookup join against current state (alias cache / DB probe):
+  /root/reference/internal/merger/merger.go:74-105 (J1) — here a
+  co-partitioned pyarrow hash join events ⟕⟖ snapshot partition
+- hash short-circuit (equal data hash => no-op update):
+  /root/reference/internal/merger/merger.go:126-137 (R1)
+- priority/LWW winner selection:
+  /root/reference/internal/merger/merger.go:124-204 (R2/R3) — priority
+  replaced by ``(commit, seq)`` version order, so out-of-order delivery
+  reconciles to the same final state (commutative reduce, I2)
+- delete: /root/reference/sql/vulnerabilities.sql:101-102 (S11) —
+  tombstone events drop the row
+
+Everything here is vectorized pyarrow.compute over one partition's Arrow
+tables; ordering is partition-local (no global sort — SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from laketide import schema as S
+
+__all__ = ["reduce_events", "apply_partition", "ApplyMetrics"]
+
+
+@dataclass
+class ApplyMetrics:
+    events_in: int = 0
+    dupes_dropped: int = 0
+    replays_dropped: int = 0  # dropped by the high-water-mark filter
+    malformed: int = 0
+    stale_dropped: int = 0  # lost to a newer snapshot version (out-of-order)
+    inserts: int = 0
+    updates: int = 0
+    deletes: int = 0
+    noop_deletes: int = 0  # delete for a key that does not exist
+    noops: int = 0  # content_sha256 unchanged -> row untouched (R1)
+    rows_out: int = 0
+    hwm_commit: str = ""
+    hwm_seq: int = -1
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+def _version_newer(
+    commit_a, seq_a, commit_b, seq_b
+) -> pa.ChunkedArray:
+    """(commit_a, seq_a) > (commit_b, seq_b); zero-padded commits compare
+    lexicographically (reference analog: source-priority rank R3)."""
+    return pc.or_(
+        pc.greater(commit_a, commit_b),
+        pc.and_(pc.equal(commit_a, commit_b), pc.greater(seq_a, seq_b)),
+    )
+
+
+def reduce_events(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
+    """Within-partition reduce: sort by (repo, path, commit, seq), collapse
+    exact duplicate replays, keep the last (winning) event per key.
+
+    Partition-local sort only; counts exact-duplicate drops."""
+    if ev.num_rows == 0:
+        return ev
+    ev = ev.sort_by(
+        [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending"), ("seq", "ascending")]
+    )
+    n = ev.num_rows
+    repo = ev["repo"].combine_chunks().to_numpy(zero_copy_only=False)
+    path = ev["path"].combine_chunks().to_numpy(zero_copy_only=False)
+    commit = ev["commit"].combine_chunks().to_numpy(zero_copy_only=False)
+    seq = ev["seq"].combine_chunks().to_numpy(zero_copy_only=False)
+
+    same_key = (repo[1:] == repo[:-1]) & (path[1:] == path[:-1])
+    exact_dup = same_key & (commit[1:] == commit[:-1]) & (seq[1:] == seq[:-1])
+    metrics.dupes_dropped += int(exact_dup.sum())
+
+    last = np.ones(n, dtype=bool)
+    last[:-1] = ~same_key
+    return ev.filter(pa.array(last))
+
+
+def _bool(mask) -> pa.ChunkedArray:
+    return pc.fill_null(mask, False)
+
+
+def apply_partition(
+    cur: pa.Table | None,
+    winners: pa.Table,
+    epoch_id: int,
+    metrics: ApplyMetrics,
+) -> pa.Table:
+    """Merge per-key winning events onto the current snapshot partition.
+
+    Returns the new partition table (sorted by key, deterministic).
+    ``winners`` must have unique (repo, path) keys (from ``reduce_events``).
+    """
+    ev_payload = S.payload_columns_of(winners.schema)
+    cur_payload = S.payload_columns_of(cur.schema) if cur is not None else {}
+    payload = dict(cur_payload)
+    payload.update({k: t for k, t in ev_payload.items() if k not in payload})
+    snap_schema = S.snapshot_schema(payload)
+
+    if cur is None or cur.num_rows == 0:
+        is_del = pc.equal(winners[S.OP_COLUMN], "delete")
+        metrics.noop_deletes += int(pc.sum(is_del).as_py() or 0)
+        kept = winners.filter(pc.invert(is_del))
+        metrics.inserts += kept.num_rows
+        kept = kept.append_column(
+            S.APPLIED_EPOCH_COLUMN, pa.array([epoch_id] * kept.num_rows, pa.int64())
+        )
+        out = S.conform(kept, snap_schema)
+        return out.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+    cur = S.conform(cur, snap_schema)
+    # Event side: conform to snapshot payload + op (schema evolution:
+    # missing payload columns become nulls; new ones were added above).
+    ev_schema = pa.schema(
+        [pa.field(c, S.CORE_TYPES[c]) for c in S.CORE_COLUMNS]
+        + [pa.field(c, t) for c, t in payload.items()]
+        + [pa.field(S.SHA_COLUMN, pa.string())]
+    )
+    ev = S.conform(winners, ev_schema)
+
+    j = ev.join(
+        cur,
+        keys=list(S.KEY_COLUMNS),
+        join_type="full outer",
+        right_suffix="_cur",
+    )
+
+    has_ev = pc.is_valid(j[S.OP_COLUMN])
+    has_cur = pc.is_valid(j[S.APPLIED_EPOCH_COLUMN])
+    # Null-safe version compare: a missing side sorts below every real
+    # version ("" < "c..." lexicographically, -1 < any seq). pc.and_/or_
+    # propagate nulls (they are not Kleene), so never feed them nulls.
+    ev_c = pc.coalesce(j["commit"], pa.scalar("", pa.string()))
+    ev_s = pc.coalesce(j["seq"], pa.scalar(-1, pa.int64()))
+    cur_c = pc.coalesce(j["commit_cur"], pa.scalar("", pa.string()))
+    cur_s = pc.coalesce(j["seq_cur"], pa.scalar(-1, pa.int64()))
+    newer = _bool(pc.and_(has_ev, _version_newer(ev_c, ev_s, cur_c, cur_s)))
+    is_del = _bool(pc.equal(j[S.OP_COLUMN], "delete"))
+    same_sha = _bool(pc.equal(j[S.SHA_COLUMN], j[S.SHA_COLUMN + "_cur"]))
+
+    applied_del = pc.and_(pc.and_(newer, is_del), has_cur)
+    noop_del = pc.and_(pc.and_(newer, is_del), pc.invert(has_cur))
+    noop_upd = pc.and_(pc.and_(pc.and_(newer, pc.invert(is_del)), has_cur), same_sha)
+    take_ev = pc.and_(pc.and_(newer, pc.invert(is_del)), pc.invert(noop_upd))
+    stale = pc.and_(has_ev, pc.invert(newer))
+    drop = pc.or_(applied_del, noop_del)
+    keep = pc.invert(drop)
+
+    metrics.inserts += int(pc.sum(pc.and_(take_ev, pc.invert(has_cur))).as_py() or 0)
+    metrics.updates += int(pc.sum(pc.and_(take_ev, has_cur)).as_py() or 0)
+    metrics.deletes += int(pc.sum(applied_del).as_py() or 0)
+    metrics.noop_deletes += int(pc.sum(noop_del).as_py() or 0)
+    metrics.noops += int(pc.sum(noop_upd).as_py() or 0)
+    metrics.stale_dropped += int(pc.sum(stale).as_py() or 0)
+
+    cols = []
+    for fld in snap_schema:
+        name = fld.name
+        if name in S.KEY_COLUMNS:
+            col = j[name]  # coalesced join keys
+        elif name == S.APPLIED_EPOCH_COLUMN:
+            col = pc.if_else(
+                take_ev,
+                pa.scalar(epoch_id, pa.int64()),
+                j[S.APPLIED_EPOCH_COLUMN],
+            )
+        else:
+            col = pc.if_else(take_ev, j[name], j[name + "_cur"])
+        if col.type != fld.type:
+            col = col.cast(fld.type)
+        cols.append(col)
+    out = pa.Table.from_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols], schema=snap_schema)
+    out = out.filter(keep)
+    return out.sort_by([("repo", "ascending"), ("path", "ascending")])

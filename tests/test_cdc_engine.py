@@ -1,0 +1,237 @@
+"""End-to-end CDC engine tests, mirroring the reference's test strategy
+(SURVEY.md §5 / FIXTURES.md §5):
+
+1. final-state equality vs a DuckDB window-function oracle (sha256 per row)
+2. idempotent replay (same epoch id -> no-op; replay as new epoch -> HWM
+   drops everything, state byte-identical)
+3. out-of-order delivery reconciles to the same final state
+4. tombstone deletes
+5. additive schema evolution (lang appears mid-stream)
+6. crash-resume (die after staging, before manifest swap)
+7. determinism invariants (same content -> same sha; distinct -> distinct)
+8. malformed-record tolerance (bad rows counted + dropped, epoch commits)
+"""
+
+import hashlib
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from laketide.pipelines.cdc import LakeTable
+from laketide.sources.changelog import expected_state, generate_changelog
+from laketide.stages.normalize import sha256_hex_column
+
+
+def _keymap(tbl: pa.Table) -> dict:
+    m = {}
+    for i in range(tbl.num_rows):
+        ct = tbl["content"][i].as_py()
+        sha = hashlib.sha256(ct.encode()).hexdigest() if ct is not None else None
+        m[(tbl["repo"][i].as_py(), tbl["path"][i].as_py())] = (
+            tbl["commit"][i].as_py(),
+            sha,
+        )
+    return m
+
+
+def _replay_all(table_dir, files, **kw) -> LakeTable:
+    t = LakeTable(table_dir, num_partitions=8)
+    for f in files:
+        t.apply_epoch(f, **kw)
+    return t
+
+
+def test_final_state_matches_oracle(changelog, tmp_table):
+    t = _replay_all(tmp_table, changelog)
+    state = t.state_table()
+    exp = expected_state(changelog)
+    assert state.num_rows == exp.num_rows
+    assert _keymap(state) == _keymap(exp)
+    # per-row invariant: stored content_sha256 == sha256(content)
+    for i in range(state.num_rows):
+        assert (
+            state["content_sha256"][i].as_py()
+            == hashlib.sha256(state["content"][i].as_py().encode()).hexdigest()
+        )
+
+
+def test_idempotent_reapply_same_epoch(changelog, tmp_table):
+    t = _replay_all(tmp_table, changelog)
+    before = _keymap(t.state_table())
+    epoch = t.current_epoch()
+    r = t.apply_epoch(changelog[-1], epoch_id=epoch)
+    assert r["already_applied"] is True
+    assert t.current_epoch() == epoch
+    assert _keymap(t.state_table()) == before
+
+
+def test_replay_as_new_epoch_is_noop_via_hwm(changelog, tmp_table):
+    t = _replay_all(tmp_table, changelog)
+    before = _keymap(t.state_table())
+    man_before = t.current_manifest()
+    r = t.apply_epoch(changelog[-1])  # re-deliver the whole last epoch
+    assert r["totals"]["replays_dropped"] > 0
+    assert r["totals"]["inserts"] + r["totals"]["updates"] + r["totals"]["deletes"] == 0
+    assert _keymap(t.state_table()) == before
+    # no partition files were rewritten
+    man_after = t.current_manifest()
+    assert {k: v["file"] for k, v in man_before.partitions.items() if "file" in v} == {
+        k: v["file"] for k, v in man_after.partitions.items() if "file" in v
+    }
+
+
+def test_out_of_order_reconciles_to_same_state(tmp_path):
+    # Same events, two different in-epoch orders -> identical final state.
+    d1 = str(tmp_path / "log1")
+    d2 = str(tmp_path / "log2")
+    f1 = generate_changelog(d1, n_events=1500, n_epochs=2, seed=11, shuffle_frac=0.0)
+    f2_dir = str(tmp_path / "log2s")
+    # rewrite each epoch reversed
+    os.makedirs(f2_dir, exist_ok=True)
+    f2 = []
+    for f in f1:
+        tbl = pq.read_table(f)
+        rev = tbl.take(pa.array(range(tbl.num_rows - 1, -1, -1)))
+        out = os.path.join(f2_dir, os.path.basename(f))
+        pq.write_table(rev, out)
+        f2.append(out)
+    t1 = _replay_all(str(tmp_path / "t1"), f1)
+    t2 = _replay_all(str(tmp_path / "t2"), f2)
+    assert _keymap(t1.state_table()) == _keymap(t2.state_table())
+
+
+def test_tombstones_drop_rows(tmp_path):
+    ev = pa.table(
+        {
+            "repo": ["r", "r", "r"],
+            "path": ["a", "b", "a"],
+            "commit": ["c0000000001", "c0000000002", "c0000000003"],
+            "seq": pa.array([1, 2, 3], pa.int64()),
+            "op": ["insert", "insert", "delete"],
+            "content": ["x", "y", None],
+        }
+    )
+    f = str(tmp_path / "e0.parquet")
+    pq.write_table(ev, f)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    r = t.apply_epoch(f)
+    state = t.state_table()
+    assert state.num_rows == 1
+    assert state["path"][0].as_py() == "b"
+    assert r["totals"]["deletes"] + r["totals"]["noop_deletes"] == 1
+
+
+def test_schema_evolution_lang_added_mid_stream(changelog, tmp_table):
+    # epoch-000 has no lang column; epoch-001+ do (generator default).
+    first = pq.read_schema(changelog[0])
+    assert "lang" not in first.names
+    later = pq.read_schema(changelog[1])
+    assert "lang" in later.names
+    t = _replay_all(tmp_table, changelog)
+    state = t.state_table()
+    assert "lang" in state.schema.names
+    # rows only ever touched by epoch 0 keep null lang
+    langs = state["lang"].to_pylist()
+    epochs = state["applied_epoch"].to_pylist()
+    for lang, ep in zip(langs, epochs):
+        if ep == 1:
+            assert lang is None
+        else:
+            assert lang is not None
+
+
+def test_noop_update_leaves_row_untouched(tmp_path):
+    e1 = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["a"],
+            "commit": ["c0000000001"],
+            "seq": pa.array([1], pa.int64()),
+            "op": ["insert"],
+            "content": ["same-content"],
+        }
+    )
+    e2 = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["a"],
+            "commit": ["c0000000002"],
+            "seq": pa.array([2], pa.int64()),
+            "op": ["update"],
+            "content": ["same-content"],  # identical content => no-op (R1)
+        }
+    )
+    f1, f2 = str(tmp_path / "e1.parquet"), str(tmp_path / "e2.parquet")
+    pq.write_table(e1, f1)
+    pq.write_table(e2, f2)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2)
+    t.apply_epoch(f1)
+    r = t.apply_epoch(f2)
+    assert r["totals"]["noops"] == 1
+    state = t.state_table()
+    assert state["applied_epoch"][0].as_py() == 1  # untouched
+    assert state["commit"][0].as_py() == "c0000000001"
+
+
+def test_crash_between_staging_and_commit_resumes(changelog, tmp_table):
+    t = LakeTable(tmp_table, num_partitions=8)
+    t.apply_epoch(changelog[0])
+
+    class Boom(RuntimeError):
+        pass
+
+    t._pre_commit_hook = lambda epoch: (_ for _ in ()).throw(Boom())
+    with pytest.raises(Boom):
+        t.apply_epoch(changelog[1])
+    # crashed: still at epoch 1
+    assert t.current_epoch() == 1
+
+    # fresh process analog: new LakeTable object, retry the epoch
+    t2 = LakeTable(tmp_table)
+    r = t2.apply_epoch(changelog[1])
+    assert r["epoch"] == 2
+    t3_dir = tmp_table + "_clean"
+    t3 = _replay_all(t3_dir, changelog[:2])
+    assert _keymap(t2.state_table()) == _keymap(t3.state_table())
+
+
+def test_malformed_rows_counted_and_dropped(tmp_path):
+    ev = pa.table(
+        {
+            "repo": ["r", None, "r"],
+            "path": ["a", "b", "c"],
+            "commit": ["c0000000001", "c0000000002", None],
+            "seq": pa.array([1, 2, 3], pa.int64()),
+            "op": ["insert", "insert", "badop"],
+            "content": ["x", "y", "z"],
+        }
+    )
+    f = str(tmp_path / "e.parquet")
+    pq.write_table(ev, f)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2)
+    r = t.apply_epoch(f)
+    assert r["totals"]["malformed"] == 2
+    assert t.state_table().num_rows == 1  # epoch still commits (I6)
+
+
+def test_sha256_determinism_and_uniqueness():
+    col = pa.array(["alpha", "alpha", "beta", None])
+    h = sha256_hex_column(col).to_pylist()
+    assert h[0] == h[1] == hashlib.sha256(b"alpha").hexdigest()
+    assert h[2] != h[0]
+    assert h[3] is None
+
+
+def test_lineage_metrics_written(changelog, tmp_table):
+    t = _replay_all(tmp_table, changelog)
+    from laketide.state.manifest import load_lineage
+
+    for epoch in (1, 2, 3):
+        lin = load_lineage(tmp_table, epoch)
+        assert lin is not None and lin["epoch"] == epoch
+        parts = lin["partitions"]
+        assert len(parts) >= 1
+        assert all("events_in" in p and "hwm_commit" in p for p in parts)
