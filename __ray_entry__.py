@@ -1,44 +1,227 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay over sf0.001; ``queries()`` maps
+every implemented operator (SURVEY.md §2 + training-data extras) to a
+callable over ``sf_dir``; ``oracle_sql()`` gives the DuckDB equivalent
+for each SQL-expressible operator (others get rows-only checks).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in laketide) calls ``ray.init()`` / ``ray.shutdown()``.
+
+Numeric-compare convention: monetary/float aggregates are summed as
+integer cents (``CAST(ROUND(x*100) AS BIGINT)``) on BOTH sides so float
+summation order can never flip the value hash; DuckDB ``SUM(BIGINT)``
+returns HUGEINT, so every SQL SUM is wrapped in ``CAST(... AS BIGINT)``.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+_SF001 = "/root/testdata/sf0.001"
+
+
+def _flagship(sf_dir: str) -> Any:
+    """Flagship: treat the driver's events table as a CDC changelog
+    (key=(user partition, event_type), version=(ts->commit, event_id)),
+    replay it through the LakeTable engine, return the final state."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from laketide import LakeTable
+
+    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    df = ev.to_pandas()
+    log = pa.table(
+        {
+            "repo": pa.array([f"user{u:06d}" for u in df["user_id"]], pa.string()),
+            "path": pa.array(df["event_type"].tolist(), pa.string()),
+            "commit": pa.array(
+                ["c" + t.strftime("%Y%m%d%H%M%S%f") for t in df["ts"]], pa.string()
+            ),
+            "seq": pa.array(df["event_id"].tolist(), pa.int64()),
+            "op": pa.array(
+                ["update"] * len(df), pa.string()
+            ),
+            "lang": pa.array(df["event_type"].tolist(), pa.string()),
+            "content": pa.array(df["props"].tolist(), pa.string()),
+        }
+    )
+    work = tempfile.mkdtemp(prefix="laketide_entry_", dir="/tmp")
+    log_path = os.path.join(work, "epoch-000.parquet")
+    pq.write_table(log, log_path)
+    table = LakeTable(os.path.join(work, "table"), num_partitions=8)
+    table.apply_epoch(log_path)
+    return table.read()
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    return _flagship(_SF001)
+
+
+def _cdc_replay_final(sf_dir: str) -> Any:
+    """Full engine replay of a deterministic synthetic changelog sized to
+    the scale factor (rows-only driver check; pytest checks it against the
+    DuckDB window oracle)."""
+    from laketide.pipelines.cdc import LakeTable
+    from laketide.sources.changelog import changelog_dir_for
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    n_events = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}.get(sf_tag, 5_000)
+    log_dir = changelog_dir_for(sf_tag, n_events)
+    import glob
+
+    files = sorted(glob.glob(os.path.join(log_dir, "epoch-*.parquet")))
+    work = tempfile.mkdtemp(prefix="laketide_replay_", dir="/tmp")
+    table = LakeTable(os.path.join(work, "table"), num_partitions=32)
+    for f in files:
+        table.apply_epoch(f)
+    return table.read()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from laketide.functions import dedup, multimodal, relational as R, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- CDC / events (SURVEY §2.5, §2.8) ---
+        "cdc_lww_latest": R.cdc_lww_latest,
+        "cdc_first_event_per_user_type": R.cdc_first_event_per_user_type,
+        "hwm_per_user": R.hwm_per_user,
+        "count_events": R.count_events,
+        "count_by_type": R.count_by_type,
+        "events_stats_view": R.events_stats_view,
+        "recent_events": R.recent_events,
+        "window_counts": R.window_counts,
+        "value_cents_by_user_type": R.value_cents_by_user_type,
+        "cdc_replay_final": _cdc_replay_final,
+        # --- relational (SURVEY §2.4, §2.6, §2.7) ---
+        "q1_pricing": R.q1_pricing,
+        "top_orders": R.top_orders,
+        "orders_by_status": R.orders_by_status,
+        "join_customer_orders": R.join_customer_orders,
+        "join_orders_lineitem_revenue": R.join_orders_lineitem_revenue,
+        "top_customers_by_spend": R.top_customers_by_spend,
+        "lineitem_multikey_sort": R.lineitem_multikey_sort,
+        # --- text analysis ---
+        "doc_sha256": text.doc_sha256,
+        "docs_by_lang": text.docs_by_lang,
+        "exact_dedup_docs": text.exact_dedup_docs,
+        "token_counts": text.token_counts,
+        "top_tokens": text.top_tokens,
+        "doc_quality": text.doc_quality,
+        "langid_ngram": text.langid_ngram,
+        "doc_fingerprint": text.doc_fingerprint,
+        # --- dedup suite ---
+        "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
+        "minhash_dedup_verified": dedup.minhash_dedup_verified,
+        "simhash_dedup": dedup.simhash_dedup,
+        # --- similarity search ---
+        "knn_cosine": similarity.knn_cosine,
+        "knn_lsh": similarity.knn_lsh,
+        "embedding_label_count": similarity.embedding_label_count,
+        # --- multimodal ---
+        "blob_meta": multimodal.blob_meta,
+        "multimodal_decode": multimodal.multimodal_decode,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from laketide.functions.similarity import query_vector_sql_literal
+
+    qvec = query_vector_sql_literal()
+    return {
+        "cdc_lww_latest": (
+            "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "cdc_first_event_per_user_type": (
+            "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1"
+        ),
+        "hwm_per_user": (
+            "SELECT user_id, max(ts) AS hwm_ts, count(*) AS n_events FROM events GROUP BY user_id"
+        ),
+        "count_events": "SELECT count(*) AS n FROM events",
+        "count_by_type": "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+        "events_stats_view": (
+            "SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users, "
+            "min(ts) AS min_ts, max(ts) AS max_ts, "
+            "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_value_cents FROM events"
+        ),
+        "recent_events": "SELECT * FROM events ORDER BY ts DESC, event_id DESC LIMIT 100",
+        "window_counts": (
+            "SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "value_cents_by_user_type": (
+            "SELECT user_id, event_type, "
+            "CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS total_value_cents, "
+            "count(*) AS n FROM events GROUP BY 1, 2"
+        ),
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
+        ),
+        "top_orders": "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+        "orders_by_status": "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1",
+        "join_customer_orders": (
+            "SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS c_mktsegment, "
+            "CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents, "
+            "count(*) AS n_orders FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1"
+        ),
+        "join_orders_lineitem_revenue": (
+            "SELECT o.o_orderstatus, "
+            "CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey GROUP BY 1"
+        ),
+        "top_customers_by_spend": (
+            "SELECT c.c_custkey, c.c_name, "
+            "CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents, "
+            "count(*) AS n_orders FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "GROUP BY 1, 2 ORDER BY total_cents DESC, c_custkey LIMIT 20"
+        ),
+        "lineitem_multikey_sort": (
+            "SELECT l_orderkey, l_linenumber, l_shipdate, l_returnflag, l_quantity "
+            "FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 50"
+        ),
+        "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
+        "docs_by_lang": (
+            "SELECT lang, count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+            "FROM documents GROUP BY 1"
+        ),
+        "exact_dedup_docs": (
+            "SELECT doc_id, sha256(text) AS sha FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "top_tokens": (
+            "SELECT token, count(*) AS n FROM "
+            "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+            "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+            "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "CAST(length(text) - length(regexp_replace(text, '[,.;:!?]', '', 'g')) AS BIGINT) AS n_punct, "
+            "CAST(length(text) - length(regexp_replace(text, '[,.;:!?]', '', 'g')) AS DOUBLE) "
+            "/ GREATEST(length(text), 1) AS punct_ratio FROM documents"
+        ),
+        "blob_meta": (
+            "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+        ),
+        "knn_cosine": (
+            "SELECT vec_id FROM embeddings "
+            f"ORDER BY list_cosine_similarity(embedding, {qvec}) DESC, vec_id LIMIT 10"
+        ),
+        "embedding_label_count": "SELECT label, count(*) AS n FROM embeddings GROUP BY 1",
+    }

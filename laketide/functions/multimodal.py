@@ -1,0 +1,85 @@
+"""Multimodal (binary-payload) plumbing: opaque ``binary`` columns with
+typed metadata, decoded / feature-extracted by actor-pool stages.
+
+The image/audio decode libraries are NOT in this container, so the decode
+kernel is STUBBED with a clearly-marked deterministic fake (and a
+``NotImplementedError`` path for the real codec); everything Ray-side —
+schema, batch sizing, actor signature, output layout — is real and
+tested. Payload bytes here come from encoding ``documents.text`` (no
+external data).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+FEATURE_DIM = 16
+
+
+def blob_table(sf_dir: str) -> rd.Dataset:
+    """documents -> (doc_id, payload: binary, n_bytes) — the opaque-blob
+    column layout used for image/audio payloads."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        payload = pc.cast(t["text"], pa.binary())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "payload": payload,
+                "n_bytes": pc.cast(pc.binary_length(payload), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def blob_meta(sf_dir: str) -> rd.Dataset:
+    """Typed metadata projection of the blob column (SQL-checkable)."""
+    return blob_table(sf_dir).select_columns(["doc_id", "n_bytes"])
+
+
+class StubDecoder:
+    """Actor-pool decode/feature-extract stage (model-load-once pattern,
+    ST1). ``real_codec=True`` raises NotImplementedError — the marked stub
+    for the absent image/audio libraries; the default produces a
+    deterministic fake feature vector from the payload bytes so the
+    distributed plumbing (batch size, actor signature, list<float> output
+    schema) is exercised end-to-end."""
+
+    def __init__(self, real_codec: bool = False, feature_dim: int = FEATURE_DIM):
+        if real_codec:
+            raise NotImplementedError(
+                "image/audio codecs are not available in this environment; "
+                "run with real_codec=False for the deterministic stub"
+            )
+        self.feature_dim = feature_dim
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        # STUB: blake2b(payload) bytes -> bounded floats. Deterministic.
+        digest = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
+        return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        feats = [self._features(p.as_py()) for p in t["payload"]]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bytes": t["n_bytes"],
+                "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+            }
+        )
+
+
+def multimodal_decode(sf_dir: str) -> rd.Dataset:
+    """Decode pipeline: blob table -> actor-pool StubDecoder -> features.
+    Small batch_size on purpose — binary payloads are wide rows."""
+    return blob_table(sf_dir).map_batches(
+        StubDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
+    )

@@ -1,0 +1,380 @@
+"""Relational query operators (SURVEY.md §2.4, §2.6, §2.7 analogs).
+
+Every callable takes ``sf_dir`` and returns a Dataset / Arrow table;
+column names match the registered DuckDB oracle SQL exactly (driver
+contract). Monetary aggregates are summed as integer cents
+(``CAST(ROUND(x*100) AS BIGINT)``) so the float summation order cannot
+produce hash mismatches between Ray and DuckDB; per-row double math is
+IEEE-identical in both engines.
+
+Reference analogs:
+- grouped counts: sql/vulnerabilities.sql:104-120 (A1, A3)
+- explode-then-group (unnest + GROUP BY): sql/vulnerabilities.sql:107-113 (A2)
+- stats view multi-aggregate: migrations/001_initial_schema.up.sql:132-144 (A4)
+- sort + limit listings: sql/vulnerabilities.sql:22-32,122-132 (O1, O2)
+- lookup/hash joins: internal/merger/merger.go:74-105 (J1)
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Min, Sum
+
+_CENTS = dict(ndigits=0, round_mode="half_towards_infinity")  # == DuckDB ROUND
+
+
+def _cents(expr) -> pa.ChunkedArray:
+    """CAST(ROUND(x*100) AS BIGINT) — DuckDB ROUND is half-away-from-zero."""
+    return pc.cast(pc.round(pc.multiply(expr, pa.scalar(100.0)), **_CENTS), pa.int64())
+
+
+def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- events CDC
+def cdc_lww_latest(sf_dir: str) -> rd.Dataset:
+    """Last-writer-wins row per user_id (version = (ts, event_id)) — the
+    LWW reduce of the CDC engine applied to the driver's events table.
+    Partial reduce per batch, then per-group final reduce (one shuffle)."""
+    ds = _read(sf_dir, "events")
+
+    def last_per_user(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        return df.groupby("user_id", as_index=False).tail(1)
+
+    return (
+        ds.map_batches(last_per_user, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(last_per_user, batch_format="pandas")
+    )
+
+
+def cdc_first_event_per_user_type(sf_dir: str) -> rd.Dataset:
+    """Exact dedup: keep the first event per (user_id, event_type) by
+    (ts, event_id) — hash-partition + per-group first (reference analog:
+    deterministic-key dedup, SURVEY.md §2.5 R1)."""
+    ds = _read(sf_dir, "events")
+
+    def first_per(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
+        return df.groupby(["user_id", "event_type"], as_index=False).head(1)
+
+    return (
+        ds.map_batches(first_per, batch_format="pandas")
+        .groupby(["user_id", "event_type"])
+        .map_groups(first_per, batch_format="pandas")
+    )
+
+
+def hwm_per_user(sf_dir: str) -> rd.Dataset:
+    """Per-key high-water mark (max ts) + delivered-event count (I3/I4)."""
+    return (
+        _read(sf_dir, "events", columns=["user_id", "ts"])
+        .groupby("user_id")
+        .aggregate(Max("ts", alias_name="hwm_ts"), Count(alias_name="n_events"))
+    )
+
+
+def count_events(sf_dir: str) -> pa.Table:
+    n = _read(sf_dir, "events", columns=["event_id"]).count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+def count_by_type(sf_dir: str) -> rd.Dataset:
+    return (
+        _read(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def events_stats_view(sf_dir: str) -> pa.Table:
+    """Multi-aggregate stats view (A4): totals, distinct users, ts range,
+    value total in cents."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "min_ts": pa.array([pc.min(t["ts"]).as_py()], t.schema.field("ts").type),
+                "max_ts": pa.array([pc.max(t["ts"]).as_py()], t.schema.field("ts").type),
+                "cents": pa.array([pc.sum(_cents(t["value"])).as_py() or 0], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(pre, batch_format="pyarrow").take_all()
+    n_users = ds.groupby("user_id").aggregate(Count(alias_name="c")).count()
+    return pa.table(
+        {
+            "n_events": pa.array([sum(p["n"] for p in partials)], pa.int64()),
+            "n_users": pa.array([n_users], pa.int64()),
+            "min_ts": pa.array([min(p["min_ts"] for p in partials)], pa.timestamp("us")),
+            "max_ts": pa.array([max(p["max_ts"] for p in partials)], pa.timestamp("us")),
+            "total_value_cents": pa.array([sum(p["cents"] for p in partials)], pa.int64()),
+        }
+    )
+
+
+def recent_events(sf_dir: str) -> rd.Dataset:
+    """ORDER BY ts DESC, event_id DESC LIMIT 100 (O1/O2 recency listing)."""
+    return _read(sf_dir, "events").sort(["ts", "event_id"], descending=True).limit(100)
+
+
+def window_counts(sf_dir: str) -> rd.Dataset:
+    """Tumbling 1h event-time window counts per event_type (O5 / I1 analog:
+    epoch batching as time windows). Pre-aggregated per batch before the
+    small groupby shuffle."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def pre(df: pd.DataFrame) -> pd.DataFrame:
+        df["window_start"] = df["ts"].dt.floor("h")
+        out = (
+            df.groupby(["event_type", "window_start"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out
+
+    return (
+        ds.map_batches(pre, batch_format="pandas")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
+def value_cents_by_user_type(sf_dir: str) -> rd.Dataset:
+    """Pre-aggregated grouped sum (A5 partial+final pattern): per-batch
+    partial sums, then the small shuffle."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("value"), "value", pc.cast(_cents(t["value"]), pa.float64())
+        )
+        df = t.to_pandas()
+        out = df.groupby(["user_id", "event_type"], as_index=False).agg(
+            partial=("value", "sum"), cnt=("value", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("partial", alias_name="total_value_cents_f"), Sum("cnt", alias_name="n"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "total_value_cents": pc.cast(t["total_value_cents_f"], pa.int64()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------- TPC-H-ish
+def q1_pricing(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q1-style pricing summary over lineitem (integer-cents exact)."""
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        tmp = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc.cast(qty, pa.float64()),
+                "rev": pc.cast(rev, pa.float64()),
+            }
+        )
+        df = tmp.to_pandas()
+        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty=("qty", "sum"), rev=("rev", "sum"), cnt=("qty", "size")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty_f"),
+            Sum("rev", alias_name="rev_f"),
+            Sum("cnt", alias_name="n_f"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": pc.cast(t["sum_qty_f"], pa.int64()),
+                "revenue_cents": pc.cast(t["rev_f"], pa.int64()),
+                "count_order": pc.cast(t["n_f"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_orders(sf_dir: str) -> rd.Dataset:
+    """ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 (O1 top-k)."""
+    return (
+        _read(sf_dir, "orders")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def orders_by_status(sf_dir: str) -> rd.Dataset:
+    return (
+        _read(sf_dir, "orders", columns=["o_orderstatus"])
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def join_customer_orders(sf_dir: str) -> rd.Dataset:
+    """Broadcast lookup join (J1 pattern: small side shipped once, probed
+    per batch) — orders ⟕ customer on custkey, grouped by market segment."""
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+        .to_pandas()
+        .set_index("c_custkey")["c_mktsegment"]
+    )
+    import ray
+
+    cust_ref = ray.put(cust)
+
+    class Probe:
+        def __init__(self):
+            self.cust = ray.get(cust_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            seg = (
+                pd.Series(t["o_custkey"].to_pandas()).map(self.cust).fillna("UNKNOWN").to_numpy()
+            )
+            cents = pc.cast(_cents(t["o_totalprice"]), pa.float64())
+            df = pd.DataFrame({"c_mktsegment": seg, "cents": cents.to_numpy(), "one": 1})
+            out = df.groupby("c_mktsegment", as_index=False).agg(
+                cents=("cents", "sum"), n=("one", "sum")
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(Probe, batch_format="pyarrow", concurrency=2)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("cents", alias_name="cents_f"), Sum("n", alias_name="n_f"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_mktsegment": t["c_mktsegment"],
+                "total_cents": pc.cast(t["cents_f"], pa.int64()),
+                "n_orders": pc.cast(t["n_f"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
+    """Large-large hash join: lineitem ⋈ orders on orderkey (Ray Dataset
+    hash join, partitioned on the key), revenue per order status."""
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        df = pd.DataFrame(
+            {"o_orderstatus": t["o_orderstatus"].to_pandas(), "rev": pc.cast(rev, pa.float64()).to_numpy()}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_orderstatus", as_index=False).agg(rev=("rev", "sum")),
+            preserve_index=False,
+        )
+
+    agg = (
+        joined.map_batches(pre, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Sum("rev", alias_name="rev_f"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"o_orderstatus": t["o_orderstatus"], "revenue_cents": pc.cast(t["rev_f"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_customers_by_spend(sf_dir: str) -> rd.Dataset:
+    """Grouped sum -> broadcast name lookup -> top-20 (O1 + J1 + A5)."""
+    spend = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {"o_custkey": t["o_custkey"], "cents": pc.cast(_cents(t["o_totalprice"]), pa.float64())}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="cents_f"), Count(alias_name="n_f"))
+    )
+    cust = (
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+        .to_pandas()
+        .set_index("c_custkey")["c_name"]
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        keys = t["o_custkey"].to_pandas()
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "c_name": pa.array(keys.map(cust).tolist(), pa.string()),
+                "total_cents": pc.cast(t["cents_f"], pa.int64()),
+                "n_orders": pc.cast(t["n_f"], pa.int64()),
+            }
+        )
+
+    return (
+        spend.map_batches(finish, batch_format="pyarrow")
+        .sort(["total_cents", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def lineitem_multikey_sort(sf_dir: str) -> rd.Dataset:
+    """Multi-key sort + limit (O4 queue-ordering analog)."""
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            columns=["l_orderkey", "l_linenumber", "l_shipdate", "l_returnflag", "l_quantity"],
+        )
+        .sort(["l_shipdate", "l_orderkey", "l_linenumber"], descending=[True, False, False])
+        .limit(50)
+    )

@@ -1,0 +1,188 @@
+"""Text-analysis operators over the ``documents`` table — the
+training-data-pipeline companions of the normalizers (SURVEY.md §2.2):
+sha256 fingerprints (M10/M11), token counting, quality scoring,
+n-gram language ID, rolling-hash document fingerprints.
+
+All hot paths are vectorized (pyarrow.compute / pandas str kernels);
+stateful pieces (compiled regexes, frequency tables) live in actor-pool
+classes (``__init__`` once per actor).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from laketide.stages.normalize import sha256_hex_column
+
+
+def _docs(sf_dir: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def doc_sha256(sf_dir: str) -> rd.Dataset:
+    """Per-row content hash (M11 analog — the per-row oracle invariant)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "sha": sha256_hex_column(t["text"])})
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def docs_by_lang(sf_dir: str) -> rd.Dataset:
+    """Grouped counts by lang (A3 ecosystem-count analog)."""
+    return (
+        _docs(sf_dir, columns=["lang", "n_chars"])
+        .groupby("lang")
+        .aggregate(Count(alias_name="n"), Sum("n_chars", alias_name="total_chars"))
+    )
+
+
+def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
+    """Exact dedup: hash content, keep min doc_id per hash — the
+    hash-partition + per-group-first pattern (reference analog: data-hash
+    short-circuit R1 + deterministic identity M10)."""
+    ds = doc_sha256(sf_dir)
+
+    def first(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values("doc_id").groupby("sha", as_index=False).head(1)
+
+    return (
+        ds.map_batches(first, batch_format="pandas")
+        .groupby("sha")
+        .map_groups(first, batch_format="pandas")
+    )
+
+
+def token_counts(sf_dir: str) -> rd.Dataset:
+    """Whitespace token count per doc (split on single space to match the
+    SQL oracle ``len(string_split(text, ' '))`` exactly)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        return pa.table(
+            {"doc_id": t["doc_id"], "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def top_tokens(sf_dir: str) -> rd.Dataset:
+    """Explode-then-group (A2: ``unnest(source) GROUP BY``): flatten
+    tokens, pre-count per batch, small shuffle, top-50."""
+    ds = _docs(sf_dir, columns=["text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        vc = pd.Series(toks.to_pandas()).value_counts()
+        return pa.table(
+            {"token": pa.array(vc.index.tolist(), pa.string()), "c": pa.array(vc.to_numpy(), pa.int64())}
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(50)
+    )
+
+
+_PUNCT_RE = r"[,.;:!?]"
+
+
+def doc_quality(sf_dir: str) -> rd.Dataset:
+    """Quality-scoring features: char/token counts, punctuation count and
+    ratio (deterministic int-derived double, bit-identical to the SQL
+    oracle's division)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
+        n_tokens = pc.cast(pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64())
+        stripped = pc.replace_substring_regex(t["text"], _PUNCT_RE, "")
+        n_punct = pc.subtract(n_chars, pc.cast(pc.utf8_length(stripped), pa.int64()))
+        ratio = pc.divide(
+            pc.cast(n_punct, pa.float64()),
+            pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())), pa.float64()),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": n_chars,
+                "n_tokens": n_tokens,
+                "n_punct": n_punct,
+                "punct_ratio": ratio,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class LangIdNgram:
+    """Character-n-gram heuristic language ID — a stateful actor-pool stage
+    (profiles built once per actor in __init__, ST1 pattern). Deterministic;
+    no oracle (non-SQL op) — driver records a rows-only check."""
+
+    PROFILES = {
+        "en": ["the", "and", "ing", "ion", " th", "er ", " of", "is "],
+        "de": ["der", "ein", "ich", "sch", "und", "die", "en ", "ung"],
+        "fr": ["les", "ent", "de ", "que", "ion", "une", " le", "eur"],
+        "es": ["que", "de ", "la ", "cion", "os ", "ent", " el", "ado"],
+    }
+
+    def __init__(self):
+        self.profiles = {k: list(v) for k, v in self.PROFILES.items()}
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        text = df["text"].str.lower()
+        scores = {}
+        for lang, grams in self.profiles.items():
+            s = np.zeros(len(df), dtype=np.int64)
+            for g in grams:
+                s += text.str.count(re.escape(g)).to_numpy()
+            scores[lang] = s
+        mat = np.stack([scores[k] for k in sorted(scores)], axis=1)
+        langs = np.array(sorted(scores))
+        best = langs[mat.argmax(axis=1)]
+        best = np.where(mat.max(axis=1) == 0, "und", best)
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "lang_pred": best, "lang_score": mat.max(axis=1)}
+        )
+
+
+def langid_ngram(sf_dir: str) -> rd.Dataset:
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        LangIdNgram, batch_format="pandas", concurrency=2
+    )
+
+
+def doc_fingerprint(sf_dir: str) -> rd.Dataset:
+    """Rolling polynomial hash fingerprint over tokens (document
+    fingerprinting for fast similarity bucketing). Deterministic,
+    no SQL oracle."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    MOD = (1 << 61) - 1
+    BASE = 1_000_003
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        fps = []
+        for text in df["text"]:
+            h = 0
+            for tok in text.split():
+                th = 0
+                for ch in tok.encode():
+                    th = (th * 131 + ch) % MOD
+                h = (h * BASE + th) % MOD
+            fps.append(f"{h:016x}")
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "fingerprint": fps})
+
+    return ds.map_batches(f, batch_format="pandas")
