@@ -55,6 +55,12 @@ _METRIC_FIELDS = [
     "rows_out",
 ]
 
+METRICS_SCHEMA = pa.schema(
+    [("part", pa.int64()), ("changed", pa.bool_()), ("staged_file", pa.string())]
+    + [(f, pa.int64()) for f in _METRIC_FIELDS]
+    + [("hwm_commit", pa.string()), ("hwm_seq", pa.int64()), ("schema_b64", pa.string())]
+)
+
 
 def _schema_to_b64(schema: pa.Schema) -> str:
     return base64.b64encode(schema.serialize().to_pybytes()).decode()
@@ -79,6 +85,9 @@ def _make_group_fn(
     staging_dir = os.path.join(table_dir, "_staging", f"epoch-{epoch_id:06d}")
 
     def apply_group(group: pa.Table) -> pa.Table:
+        from laketide.stages.apply import limit_arrow_threads
+
+        limit_arrow_threads(1)
         part = group[S.PART_COLUMN][0].as_py()
         m = ApplyMetrics(events_in=group.num_rows)
         mal = group[S.MALFORMED_COLUMN]
@@ -135,9 +144,85 @@ def _make_group_fn(
         row["hwm_commit"] = [m.hwm_commit]
         row["hwm_seq"] = [m.hwm_seq]
         row["schema_b64"] = [_schema_to_b64(out.schema)]
-        return pa.table(row)
+        return pa.table(row).cast(METRICS_SCHEMA)
 
     return apply_group
+
+
+class _SpillShards:
+    """Map side of the storage-backed exchange: sort each block by
+    ``_part`` and write it as one spill file whose ROW GROUPS align
+    exactly with partition boundaries, so the reduce side reads only its
+    partition's row groups (parquet min/max pruning — no object-store
+    all-to-all, no sort of the full epoch).
+
+    Retry-safe: files are written tmp-then-rename, and only files
+    returned by *successful* tasks (the summary rows) are read back, so a
+    retried task can never double-contribute.
+
+    On a multi-node cluster ``ex_dir`` must be shared storage (S3/NFS) —
+    same requirement the two-phase sink already has.
+    """
+
+    def __init__(self, ex_dir: str):
+        os.makedirs(ex_dir, exist_ok=True)
+        self.ex_dir = ex_dir
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import uuid
+
+        from laketide.stages.apply import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        if batch.num_rows == 0:
+            return pa.table({"file": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+        batch = batch.sort_by([(S.PART_COLUMN, "ascending")])
+        parts = batch[S.PART_COLUMN].to_numpy()
+        import numpy as np
+
+        boundaries = [0] + (np.nonzero(parts[1:] != parts[:-1])[0] + 1).tolist() + [len(parts)]
+        path = os.path.join(self.ex_dir, f"map-{uuid.uuid4().hex}.parquet")
+        tmp = path + ".tmp"
+        with pq.ParquetWriter(tmp, batch.schema) as w:
+            for lo, hi in zip(boundaries[:-1], boundaries[1:]):
+                w.write_table(batch.slice(lo, hi - lo))
+        os.replace(tmp, path)
+        return pa.table({"file": [path], "rows": [batch.num_rows]})
+
+
+def _make_reduce_fn(files: list[str], apply_fn):
+    """Reduce side: one task per partition id; reads only that partition's
+    row groups from every spill file."""
+
+    def reduce(batch: pa.Table) -> pa.Table:
+        from laketide.stages.apply import limit_arrow_threads
+
+        limit_arrow_threads(1)
+        wanted = batch["part"].to_pylist()
+        want = set(wanted)
+        # One footer read per file; row groups are partition-aligned and
+        # sorted, so min==max==part per group — index them directly.
+        per_part: dict[int, list[pa.Table]] = {p: [] for p in wanted}
+        for f in files:
+            pf = pq.ParquetFile(f)
+            meta = pf.metadata
+            col_idx = pf.schema_arrow.names.index(S.PART_COLUMN)
+            hits = []
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(col_idx).statistics
+                if st is not None and st.min == st.max and st.min in want:
+                    hits.append((rg, st.min))
+            for rg, p in hits:
+                per_part[p].append(pf.read_row_group(rg))
+        outs = []
+        for p in wanted:
+            if per_part[p]:
+                outs.append(apply_fn(pa.concat_tables(per_part[p])))
+        if not outs:
+            return METRICS_SCHEMA.empty_table()
+        return pa.concat_tables(outs)
+
+    return reduce
 
 
 class LakeTable:
@@ -171,9 +256,17 @@ class LakeTable:
         events: "ray.data.Dataset | str | list[str]",
         epoch_id: int | None = None,
         hwm_filter: bool = True,
+        exchange: str = "auto",
     ) -> dict[str, Any]:
         """Apply one bounded changelog slice. Idempotent: re-applying an
-        already-committed epoch id is a no-op returning its stored lineage."""
+        already-committed epoch id is a no-op returning its stored lineage.
+
+        ``exchange``: "groupby" (Ray Data sort-based groupby — lowest
+        latency for small epochs), "storage" (partition-pruned spill-file
+        exchange — avoids sorting the full epoch's wide rows, the scale
+        path), or "auto" (by epoch size). Override with env
+        ``LAKETIDE_EXCHANGE``.
+        """
         man = M.load_current(self.table_dir)
         committed = man.epoch if man else 0
         if epoch_id is None:
@@ -186,8 +279,31 @@ class LakeTable:
                 "totals": (lineage.get("totals") if isinstance(lineage, dict) else None) or {},
             }
 
+        total = 0
         if isinstance(events, (str, list)):
-            ds = ray.data.read_parquet(events)
+            # Size read blocks to the cluster: tiny blocks drown the
+            # pipeline in scheduling overhead, huge ones starve it.
+            # ~1 block per CPU, but never below ~32 MiB of input each.
+            import ray as _ray
+
+            paths = [events] if isinstance(events, str) else list(events)
+            for p in paths:
+                if os.path.isdir(p):
+                    for root, _, names in os.walk(p):
+                        total += sum(
+                            os.path.getsize(os.path.join(root, n))
+                            for n in names
+                            if n.endswith(".parquet")
+                        )
+                elif os.path.exists(p):
+                    total += os.path.getsize(p)
+            cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
+            # Aim for ~16 MiB (compressed) per block: enough tasks to use
+            # the CPUs on big epochs, few enough that scheduling doesn't
+            # dominate on small ones (floor cpus/2 tasks).
+            by_size = total // (16 << 20) + 1
+            blocks = min(max(by_size, cpus // 2), 512)
+            ds = ray.data.read_parquet(events, override_num_blocks=int(blocks))
         else:
             ds = events
 
@@ -202,12 +318,34 @@ class LakeTable:
         part_files = {int(k): v.get("file") for k, v in (man.partitions if man else {}).items()}
 
         fn = _make_group_fn(self.table_dir, epoch_id, hwms, part_files, hwm_filter)
-        metric_rows = (
-            norm.groupby(S.PART_COLUMN)
-            .map_groups(fn, batch_format="pyarrow")
-            .take_all()
-        )
+        metric_rows = self._exchange(norm, fn, epoch_id, total, exchange)
         return self._finalize(epoch_id, man, metric_rows)
+
+    def _exchange(self, norm, fn, epoch_id: int, total_bytes: int, mode: str) -> list[dict]:
+        mode = os.environ.get("LAKETIDE_EXCHANGE", mode)
+        if mode == "auto":
+            mode = "storage" if total_bytes >= (192 << 20) else "groupby"
+        if mode == "groupby":
+            return (
+                norm.groupby(S.PART_COLUMN).map_groups(fn, batch_format="pyarrow").take_all()
+            )
+        ex_dir = os.path.join(
+            self.table_dir, "_staging", f"epoch-{epoch_id:06d}", "exchange"
+        )
+        summaries = norm.map_batches(
+            _SpillShards(ex_dir),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            batch_size=262_144,  # bigger spill files => fewer footers downstream
+        ).take_all()
+        files = sorted(r["file"] for r in summaries)
+        parts = ray.data.from_items(
+            [{"part": i} for i in range(self.num_partitions)],
+            override_num_blocks=self.num_partitions,
+        )
+        return parts.map_batches(
+            _make_reduce_fn(files, fn), batch_format="pyarrow", batch_size=None
+        ).take_all()
 
     # A test hook: overridable to inject a crash between staging and commit.
     def _pre_commit_hook(self, epoch_id: int) -> None:  # pragma: no cover

@@ -41,6 +41,23 @@ def _content_for(repo: str, path: str, commit: str, salt: int) -> str:
     return "\n".join(lines)
 
 
+def _body_pool(pool_size: int, body_lines: int, seed: int) -> list[str]:
+    """Precomputed deterministic code bodies: lets the generator emit
+    realistically-sized (KB) contents at millions of events/sec. Each
+    event's content stays version-unique via its header line."""
+    out = []
+    h = (seed * 2654435761 + 1) & 0x7FFFFFFF
+    for _ in range(pool_size):
+        lines = []
+        for i in range(body_lines):
+            h = (h * 1103515245 + 12345) & 0x7FFFFFFF
+            lines.append(
+                f"fn f_{h % 100000}(x, y) {{ let v = x * {h % 997} + y - {i}; return v ^ {h % 8191}; }}"
+            )
+        out.append("\n".join(lines))
+    return out
+
+
 def generate_changelog(
     out_dir: str,
     n_events: int = 10_000,
@@ -53,10 +70,18 @@ def generate_changelog(
     delete_frac: float = 0.08,
     lang_from_epoch: int | None = None,
     langs: tuple[str, ...] = ("py", "go", "rs", "js", "c"),
+    shards_per_epoch: int = 1,
+    body_lines: int = 0,
+    body_pool: int = 1024,
 ) -> list[str]:
-    """Write ``epoch-%03d.parquet`` files under ``out_dir``; return paths.
+    """Write one changelog slice per epoch under ``out_dir``; return paths.
 
-    Epoch files < ``lang_from_epoch`` have NO ``lang`` column at all
+    ``shards_per_epoch == 1``: a single ``epoch-%03d.parquet`` file.
+    ``> 1``: a directory ``epoch-%03d/`` of shard files — the realistic
+    WAL-segment layout, and required for parallel reads at scale (a
+    single Parquet file is one read task).
+
+    Epoch slices < ``lang_from_epoch`` have NO ``lang`` column at all
     (additive schema evolution mid-stream).
     """
     if lang_from_epoch is None:
@@ -78,6 +103,7 @@ def generate_changelog(
     salts = rng.randint(0, 1 << 30, size=n_events)
     lang_idx = rng.randint(0, len(langs), size=n_events)
 
+    pool = _body_pool(body_pool, body_lines, seed) if body_lines > 0 else None
     alive: set[tuple[int, int]] = set()
     rows_repo: list[str] = []
     rows_path: list[str] = []
@@ -107,6 +133,11 @@ def generate_changelog(
         if op == "delete":
             rows_lang.append(None)
             rows_content.append(None)
+        elif pool is not None:
+            rows_lang.append(langs[lang_idx[i]])
+            rows_content.append(
+                f"// {repo}/{path} @ {commit} #{salts[i]}\n" + pool[salts[i] % len(pool)]
+            )
         else:
             rows_lang.append(langs[lang_idx[i]])
             rows_content.append(_content_for(repo, path, commit, int(salts[i])))
@@ -136,10 +167,22 @@ def generate_changelog(
             cols["lang"] = pa.array([rows_lang[i] for i in idx], pa.string())
         cols["content"] = pa.array([rows_content[i] for i in idx], pa.string())
         table = pa.table(cols)
-        out = os.path.join(out_dir, f"epoch-{e:03d}.parquet")
-        tmp = out + ".tmp"
-        pq.write_table(table, tmp)
-        os.replace(tmp, out)
+        if shards_per_epoch <= 1:
+            out = os.path.join(out_dir, f"epoch-{e:03d}.parquet")
+            tmp = out + ".tmp"
+            pq.write_table(table, tmp)
+            os.replace(tmp, out)
+        else:
+            out = os.path.join(out_dir, f"epoch-{e:03d}")
+            os.makedirs(out, exist_ok=True)
+            n = table.num_rows
+            for s in range(shards_per_epoch):
+                lo = n * s // shards_per_epoch
+                hi = n * (s + 1) // shards_per_epoch
+                shard = table.slice(lo, hi - lo)
+                sp = os.path.join(out, f"shard-{s:04d}.parquet")
+                pq.write_table(shard, sp + ".tmp")
+                os.replace(sp + ".tmp", sp)
         files.append(out)
     return files
 
@@ -155,9 +198,16 @@ def expected_state(epoch_files: list[str]) -> pa.Table:
         FROM events) WHERE rn = 1 AND op != 'delete'
     """
     import duckdb
+    import glob as _glob
 
+    paths: list[str] = []
+    for f in epoch_files:
+        if os.path.isdir(f):
+            paths.extend(sorted(_glob.glob(os.path.join(f, "*.parquet"))))
+        else:
+            paths.append(f)
     con = duckdb.connect()
-    files_sql = ", ".join(f"'{f}'" for f in epoch_files)
+    files_sql = ", ".join(f"'{f}'" for f in paths)
     q = f"""
         SELECT repo, path, commit, seq, lang, content
         FROM (
@@ -183,12 +233,19 @@ def expected_state(epoch_files: list[str]) -> pa.Table:
 
 def changelog_dir_for(tag: str, n_events: int, seed: int = 42, **kw) -> str:
     """Generate (once, cached) a changelog under /tmp keyed by parameters."""
-    d = f"/tmp/laketide_changelog/{tag}-n{n_events}-s{seed}"
+    extra = "".join(f"-{k[:2]}{v}" for k, v in sorted(kw.items()) if not callable(v))
+    d = f"/tmp/laketide_changelog/{tag}-n{n_events}-s{seed}{extra}"
     done = os.path.join(d, "_DONE")
     if not os.path.exists(done):
         generate_changelog(d, n_events=n_events, seed=seed, **kw)
         with open(done, "w") as f:
             f.write("ok")
-    import glob
-
     return d
+
+
+def epoch_paths(changelog_dir: str) -> list[str]:
+    """Epoch slices (files or shard directories) in order."""
+    import glob as _glob
+
+    out = sorted(_glob.glob(os.path.join(changelog_dir, "epoch-*")))
+    return [p for p in out if os.path.isdir(p) or p.endswith(".parquet")]

@@ -32,7 +32,23 @@ import pyarrow.compute as pc
 
 from laketide import schema as S
 
-__all__ = ["reduce_events", "apply_partition", "ApplyMetrics"]
+__all__ = ["reduce_events", "apply_partition", "ApplyMetrics", "limit_arrow_threads"]
+
+_ARROW_LIMITED = False
+
+
+def limit_arrow_threads(n: int = 1) -> None:
+    """Pin pyarrow's per-process thread pool inside Ray workers.
+
+    Every worker process gets an Arrow pool sized to ALL machine cores by
+    default, so K concurrent tasks spawn K x cores threads and the sort /
+    join kernels thrash. One Arrow thread per task is right when Ray
+    already runs one task per CPU."""
+    global _ARROW_LIMITED
+    if not _ARROW_LIMITED:
+        pa.set_cpu_count(n)
+        pa.set_io_thread_count(max(2, n))
+        _ARROW_LIMITED = True
 
 
 @dataclass

@@ -56,6 +56,9 @@ class NormalizeEvents:
         self.payload_columns = dict(payload_columns)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from laketide.stages.apply import limit_arrow_threads
+
+        limit_arrow_threads(1)
         n = batch.num_rows
         target = pa.schema(
             [pa.field(c, S.CORE_TYPES[c]) for c in S.CORE_COLUMNS]

@@ -235,3 +235,16 @@ def test_lineage_metrics_written(changelog, tmp_table):
         parts = lin["partitions"]
         assert len(parts) >= 1
         assert all("events_in" in p and "hwm_commit" in p for p in parts)
+
+
+def test_storage_exchange_matches_groupby_and_oracle(changelog, tmp_path):
+    """The storage-backed exchange (spill files + partition-pruned reads)
+    must produce the exact same committed state as the groupby path."""
+    t1 = LakeTable(str(tmp_path / "a"), num_partitions=8)
+    t2 = LakeTable(str(tmp_path / "b"), num_partitions=8)
+    for f in changelog:
+        t1.apply_epoch(f, exchange="storage")
+        t2.apply_epoch(f, exchange="groupby")
+    exp = expected_state(changelog)
+    assert _keymap(t1.state_table()) == _keymap(exp)
+    assert _keymap(t1.state_table()) == _keymap(t2.state_table())
