@@ -107,6 +107,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_orders_lineitem_revenue": R.join_orders_lineitem_revenue,
         "top_customers_by_spend": R.top_customers_by_spend,
         "lineitem_multikey_sort": R.lineitem_multikey_sort,
+        "distinct_event_types": R.distinct_event_types,
+        "events_since": R.events_since,
+        "orders_union": R.orders_union,
+        "lww_longest_props": R.lww_longest_props,
         # --- text analysis ---
         "doc_sha256": text.doc_sha256,
         "docs_by_lang": text.docs_by_lang,
@@ -114,6 +118,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text.token_counts,
         "top_tokens": text.top_tokens,
         "doc_quality": text.doc_quality,
+        "docs_filter_en": text.docs_filter_en,
+        "docs_by_source": text.docs_by_source,
+        "doc_sample_hash": text.doc_sample_hash,
         "langid_ngram": text.langid_ngram,
         "doc_fingerprint": text.doc_fingerprint,
         # --- dedup suite ---
@@ -191,6 +198,29 @@ def oracle_sql() -> dict[str, str]:
         "lineitem_multikey_sort": (
             "SELECT l_orderkey, l_linenumber, l_shipdate, l_returnflag, l_quantity "
             "FROM lineitem ORDER BY l_shipdate DESC, l_orderkey, l_linenumber LIMIT 50"
+        ),
+        "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+        "events_since": (
+            "SELECT event_id, ts, user_id, event_type FROM events "
+            "WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-15 00:00:00' "
+            "ORDER BY ts DESC, event_id DESC LIMIT 50"
+        ),
+        "orders_union": (
+            "SELECT o_orderkey FROM orders WHERE o_totalprice > 150000 "
+            "UNION ALL SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'"
+        ),
+        "lww_longest_props": (
+            "SELECT event_id, ts, user_id, event_type, value, props FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY length(props) DESC, ts DESC, event_id DESC) = 1"
+        ),
+        "docs_filter_en": (
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "WHERE lang = 'en' AND n_chars > 200"
+        ),
+        "docs_by_source": "SELECT source, count(*) AS n FROM documents GROUP BY 1",
+        "doc_sample_hash": (
+            "SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 5"
         ),
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "docs_by_lang": (

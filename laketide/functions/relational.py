@@ -378,3 +378,70 @@ def lineitem_multikey_sort(sf_dir: str) -> rd.Dataset:
         .sort(["l_shipdate", "l_orderkey", "l_linenumber"], descending=[True, False, False])
         .limit(50)
     )
+
+
+# ------------------------------------------------- projections / set ops
+def distinct_event_types(sf_dir: str) -> rd.Dataset:
+    """DISTINCT via groupby (A4 COUNT(DISTINCT ...) building block)."""
+    return (
+        _read(sf_dir, "events", columns=["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["event_type"])
+    )
+
+
+def events_since(sf_dir: str) -> rd.Dataset:
+    """Time-window + predicate filter + recency listing (O2 analog:
+    'updated since T'). Predicate is pushed into the parquet scan."""
+    import pyarrow.dataset as pds
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=(pds.field("event_type") == "purchase"),
+    )
+
+    def since(t: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(pd.Timestamp("2024-01-15 00:00:00"), pa.timestamp("us"))
+        return t.filter(pc.greater_equal(t["ts"], cutoff))
+
+    return (
+        ds.map_batches(since, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["ts", "event_id"], descending=True)
+        .limit(50)
+    )
+
+
+def orders_union(sf_dir: str) -> rd.Dataset:
+    """Dataset.union of two filtered scans (multiset semantics, like SQL
+    UNION ALL)."""
+    big = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    a = big.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 150000.0)).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    b = big.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_orderkey"]),
+        batch_format="pyarrow",
+    )
+    return a.union(b)
+
+
+def lww_longest_props(sf_dir: str) -> rd.Dataset:
+    """Alternate pluggable merge strategy (reference R6: longer-details
+    wins, then recency): winner per user_id = longest props, tie-broken
+    by (ts, event_id) recency."""
+    ds = _read(sf_dir, "events")
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.assign(_l=df["props"].str.len())
+        df = df.sort_values(["user_id", "_l", "ts", "event_id"])
+        out = df.groupby("user_id", as_index=False).tail(1)
+        return out.drop(columns=["_l"])
+
+    return (
+        ds.map_batches(best, batch_format="pandas")
+        .groupby("user_id")
+        .map_groups(best, batch_format="pandas")
+    )

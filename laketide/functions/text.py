@@ -186,3 +186,36 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
         return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "fingerprint": fps})
 
     return ds.map_batches(f, batch_format="pandas")
+
+
+def docs_filter_en(sf_dir: str) -> rd.Dataset:
+    """Predicate filter + projection pushdown (M2/M6 ecosystem/state
+    filter analog): the lang predicate is evaluated by the parquet scan."""
+    import pyarrow.dataset as pds
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "source", "n_chars"],
+        filter=(pds.field("lang") == "en") & (pds.field("n_chars") > 200),
+    )
+
+
+def docs_by_source(sf_dir: str) -> rd.Dataset:
+    """Grouped counts by source (A2 count-by-source analog)."""
+    return (
+        _docs(sf_dir, columns=["source"]).groupby("source").aggregate(Count(alias_name="n"))
+    )
+
+
+def doc_sample_hash(sf_dir: str) -> rd.Dataset:
+    """Deterministic hash-based 5% sampling (reproducible sampling for
+    training-data pipelines — NOT random_sample, which is seed+layout
+    dependent)."""
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy()
+        keep = (ids * np.int64(2654435761)) % 100 < 5
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
