@@ -76,6 +76,7 @@ def _make_group_fn(
     hwms: dict[int, tuple[str, int]],
     part_files: dict[int, str | None],
     hwm_filter: bool,
+    strategy: str = "lww",
 ):
     """Build the per-partition apply function run by map_groups.
 
@@ -119,14 +120,14 @@ def _make_group_fn(
                 new_c, new_s = max_c, int(max_s)
         m.hwm_commit, m.hwm_seq = new_c, new_s
 
-        winners = reduce_events(ev, m)
+        winners = reduce_events(ev, m, strategy)
 
         cur = None
         cur_file = part_files.get(part)
         if cur_file:
             cur = pq.read_table(os.path.join(table_dir, cur_file))
 
-        out = apply_partition(cur, winners, epoch_id, m)
+        out = apply_partition(cur, winners, epoch_id, m, strategy)
         m.rows_out = out.num_rows
         changed = (m.inserts + m.updates + m.deletes) > 0
 
@@ -232,11 +233,26 @@ class LakeTable:
     master table + sync job (SURVEY.md §1.4).
     """
 
-    def __init__(self, table_dir: str, num_partitions: int = DEFAULT_NUM_PARTITIONS):
+    def __init__(
+        self,
+        table_dir: str,
+        num_partitions: int = DEFAULT_NUM_PARTITIONS,
+        merge: str = "lww",
+    ):
+        """``merge``: pluggable merge strategy (reference E4) — "lww"
+        (version order, R2 analog) or "longest" (longer content wins,
+        R6 analog). Pinned in the manifest on first commit; a mismatch
+        on an existing table raises."""
         self.table_dir = table_dir
         os.makedirs(table_dir, exist_ok=True)
         man = M.load_current(table_dir)
         self.num_partitions = man.num_partitions if man else num_partitions
+        committed = (man.stats.get("merge") if man else None) or None
+        if committed and merge != "lww" and merge != committed:
+            raise ValueError(f"table committed with merge={committed!r}, got {merge!r}")
+        self.merge = committed or merge
+        if self.merge not in ("lww", "longest"):
+            raise ValueError(f"unknown merge strategy {self.merge!r}")
 
     # ------------------------------------------------------------------ state
     def current_manifest(self) -> M.Manifest | None:
@@ -317,7 +333,9 @@ class LakeTable:
         hwms = {int(k): (v.get("hwm_commit", ""), v.get("hwm_seq", -1)) for k, v in (man.partitions if man else {}).items()}
         part_files = {int(k): v.get("file") for k, v in (man.partitions if man else {}).items()}
 
-        fn = _make_group_fn(self.table_dir, epoch_id, hwms, part_files, hwm_filter)
+        fn = _make_group_fn(
+            self.table_dir, epoch_id, hwms, part_files, hwm_filter, self.merge
+        )
         metric_rows = self._exchange(norm, fn, epoch_id, total, exchange)
         return self._finalize(epoch_id, man, metric_rows)
 
@@ -394,6 +412,7 @@ class LakeTable:
             stats={
                 "totals": totals,
                 "schema_b64": _schema_to_b64(unified),
+                "merge": self.merge,
                 "rows": sum(int(v.get("rows", 0)) for v in partitions.values()),
             },
         )

@@ -82,16 +82,49 @@ def _version_newer(
     )
 
 
-def reduce_events(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
-    """Within-partition reduce: sort by (repo, path, commit, seq), collapse
-    exact duplicate replays, keep the last (winning) event per key.
+# Pluggable merge strategies (reference E4: the engine ships two merge
+# rules — priority-coalesce R2 and longer-content-wins R6,
+# /root/reference/internal/merger/merger.go:173-204 and
+# /root/reference/internal/merger/normalizer.go:375-428).
+#
+# "lww": winner = max (commit, seq) — version order.
+# "longest": winner = max (len(content), commit, seq) — R6 analog;
+#   tombstones (null content) rank as length -1, so a delete only wins
+#   against an empty row history.
+MERGE_STRATEGIES = ("lww", "longest")
+
+
+def _content_rank(t: pa.Table) -> pa.ChunkedArray:
+    if "content" in t.column_names:
+        return pc.fill_null(pc.cast(pc.utf8_length(t["content"]), pa.int64()), -1)
+    return pa.chunked_array([pa.nulls(t.num_rows, pa.int64())]).combine_chunks()
+
+
+def reduce_events(
+    ev: pa.Table, metrics: ApplyMetrics, strategy: str = "lww"
+) -> pa.Table:
+    """Within-partition reduce: sort by (repo, path, <strategy rank>,
+    commit, seq), collapse exact duplicate replays, keep the last
+    (winning) event per key.
 
     Partition-local sort only; counts exact-duplicate drops."""
     if ev.num_rows == 0:
         return ev
-    ev = ev.sort_by(
-        [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending"), ("seq", "ascending")]
-    )
+    if strategy == "longest":
+        ev = ev.append_column("_rank", _content_rank(ev))
+        ev = ev.sort_by(
+            [
+                ("repo", "ascending"),
+                ("path", "ascending"),
+                ("_rank", "ascending"),
+                ("commit", "ascending"),
+                ("seq", "ascending"),
+            ]
+        ).drop_columns(["_rank"])
+    else:
+        ev = ev.sort_by(
+            [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending"), ("seq", "ascending")]
+        )
     n = ev.num_rows
     repo = ev["repo"].combine_chunks().to_numpy(zero_copy_only=False)
     path = ev["path"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -116,6 +149,7 @@ def apply_partition(
     winners: pa.Table,
     epoch_id: int,
     metrics: ApplyMetrics,
+    strategy: str = "lww",
 ) -> pa.Table:
     """Merge per-key winning events onto the current snapshot partition.
 
@@ -165,7 +199,33 @@ def apply_partition(
     ev_s = pc.coalesce(j["seq"], pa.scalar(-1, pa.int64()))
     cur_c = pc.coalesce(j["commit_cur"], pa.scalar("", pa.string()))
     cur_s = pc.coalesce(j["seq_cur"], pa.scalar(-1, pa.int64()))
-    newer = _bool(pc.and_(has_ev, _version_newer(ev_c, ev_s, cur_c, cur_s)))
+    version_newer = _version_newer(ev_c, ev_s, cur_c, cur_s)
+    if strategy == "longest" and "content" in winners.column_names:
+        # R6 analog: longer content wins; ties broken by version order.
+        # Missing cur ranks -2 so any event (rank >= -1) beats it.
+        r_ev = pc.coalesce(
+            pc.cast(pc.utf8_length(j["content"]), pa.int64()), pa.scalar(-1, pa.int64())
+        )
+        r_ev = pc.if_else(has_ev, r_ev, pa.scalar(-1, pa.int64()))
+        r_cur = pc.if_else(
+            has_cur,
+            pc.coalesce(
+                pc.cast(pc.utf8_length(j["content_cur"]), pa.int64()),
+                pa.scalar(-1, pa.int64()),
+            ),
+            pa.scalar(-2, pa.int64()),
+        )
+        newer = _bool(
+            pc.and_(
+                has_ev,
+                pc.or_(
+                    pc.greater(r_ev, r_cur),
+                    pc.and_(pc.equal(r_ev, r_cur), version_newer),
+                ),
+            )
+        )
+    else:
+        newer = _bool(pc.and_(has_ev, version_newer))
     is_del = _bool(pc.equal(j[S.OP_COLUMN], "delete"))
     same_sha = _bool(pc.equal(j[S.SHA_COLUMN], j[S.SHA_COLUMN + "_cur"]))
 

@@ -248,3 +248,34 @@ def test_storage_exchange_matches_groupby_and_oracle(changelog, tmp_path):
     exp = expected_state(changelog)
     assert _keymap(t1.state_table()) == _keymap(exp)
     assert _keymap(t1.state_table()) == _keymap(t2.state_table())
+
+
+def test_pluggable_merge_strategy_longest(tmp_path):
+    """Reference E4/R6: 'longer content wins' merge strategy, checked
+    against a DuckDB window oracle ordering by content length."""
+    import duckdb
+
+    d = str(tmp_path / "log")
+    files = generate_changelog(d, n_events=2000, n_epochs=2, seed=13, delete_frac=0.0)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4, merge="longest")
+    for f in files:
+        t.apply_epoch(f)
+    state = t.state_table()
+    con = duckdb.connect()
+    fs = ", ".join(f"'{f}'" for f in files)
+    exp = con.execute(
+        f"""
+        SELECT repo, path, commit, content FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY repo, path
+            ORDER BY coalesce(length(content), -1) DESC, commit DESC, seq DESC) rn
+          FROM read_parquet([{fs}], union_by_name=true)
+        ) WHERE rn = 1 AND op != 'delete'
+        """
+    ).arrow()
+    assert _keymap(state) == _keymap(exp)
+    # strategy is pinned in the manifest
+    t2 = LakeTable(str(tmp_path / "t"))
+    assert t2.merge == "longest"
+    with pytest.raises(ValueError):
+        LakeTable(str(tmp_path / "t"), merge="longest" if False else "nope")
