@@ -457,3 +457,126 @@ class LakeTable:
             return schema.empty_table()
         out = pa.concat_tables(parts)
         return out.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+    # ------------------------------------------------------------ operations
+    def replay(self, changelog_dir: str, **kw) -> list[dict[str, Any]]:
+        """Incremental catch-up (reference I4: pull only new commits):
+        apply every epoch slice in ``changelog_dir`` newer than the
+        committed epoch. Resuming after a crash picks up exactly where
+        the last committed manifest left off."""
+        from laketide.sources.changelog import epoch_paths
+
+        results = []
+        files = epoch_paths(changelog_dir)
+        start = self.current_epoch()
+        for i, f in enumerate(files):
+            epoch_id = i + 1
+            if epoch_id <= start:
+                continue
+            results.append(self.apply_epoch(f, epoch_id=epoch_id, **kw))
+        return results
+
+    def get(self, repo: str, path: str) -> pa.Table:
+        """Point lookup (reference J3 GetVulnerabilityByID): hash the key
+        to its partition, read ONLY that partition file, filter."""
+        from laketide.stages.partition import key_hash
+        import numpy as np
+
+        man = M.load_current(self.table_dir)
+        if not man:
+            return S.snapshot_schema().empty_table()
+        h = key_hash(pa.array([repo]), pa.array([path]))[0]
+        part = int(h % np.uint64(self.num_partitions))
+        info = man.partitions.get(str(part))
+        if not info or not info.get("file"):
+            return S.snapshot_schema().empty_table()
+        t = pq.read_table(os.path.join(self.table_dir, info["file"]))
+        mask = pc.and_(pc.equal(t["repo"], repo), pc.equal(t["path"], path))
+        return t.filter(mask)
+
+    def export_snapshot(self, export_dir: str) -> dict[str, Any]:
+        """Versioned snapshot export with checksum manifest (reference
+        S10: the ``exports`` table —
+        /root/reference/migrations/001_initial_schema.up.sql:95-108).
+        Two-phase: stage into a temp dir, atomically rename; re-export of
+        the same epoch is a no-op returning the existing manifest."""
+        import hashlib
+        import json as _json
+        import shutil as _shutil
+
+        man = M.load_current(self.table_dir)
+        if not man:
+            raise ValueError("nothing committed to export")
+        name = f"snapshot-{man.epoch:06d}"
+        final = os.path.join(export_dir, name)
+        meta_path = os.path.join(final, "EXPORT.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                return _json.load(fh)
+        os.makedirs(export_dir, exist_ok=True)
+        tmp = final + ".tmp"
+        _shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        files = []
+        rows = 0
+        for key, info in sorted(man.partitions.items(), key=lambda kv: int(kv[0])):
+            rel = info.get("file")
+            if not rel:
+                continue
+            src = os.path.join(self.table_dir, rel)
+            base = f"part-{int(key):05d}.parquet"
+            _shutil.copyfile(src, os.path.join(tmp, base))
+            with open(src, "rb") as fh:
+                sha = hashlib.sha256(fh.read()).hexdigest()
+            files.append(
+                {
+                    "name": base,
+                    "bytes": os.path.getsize(src),
+                    "sha256": sha,
+                    "rows": int(info.get("rows", 0)),
+                }
+            )
+            rows += int(info.get("rows", 0))
+        meta = {
+            "version": man.epoch,
+            "rows": rows,
+            "files": files,
+            "status": "completed",
+            "merge": self.merge,
+        }
+        with open(os.path.join(tmp, "EXPORT.json"), "w") as fh:
+            fh.write(_json.dumps(meta, sort_keys=True, indent=1))
+        os.replace(tmp, final)
+        return meta
+
+    def gc(self, keep_last: int = 2) -> dict[str, Any]:
+        """Retention cleanup (reference I7: delete rows older than a
+        cutoff / job retention —
+        /root/reference/internal/jobs/server.go:690-727): drop manifests
+        older than the newest ``keep_last`` and any data file no kept
+        manifest references. Never touches the live manifest."""
+        import glob as _glob
+
+        p = M.paths(self.table_dir)
+        manifests = sorted(_glob.glob(os.path.join(p["manifests"], "manifest-*.json")))
+        keep = manifests[-keep_last:] if keep_last > 0 else manifests[-1:]
+        referenced: set[str] = set()
+        for mf in keep:
+            with open(mf) as fh:
+                man = M.Manifest.from_json(fh.read())
+            for info in man.partitions.values():
+                if info.get("file"):
+                    referenced.add(os.path.join(self.table_dir, info["file"]))
+        removed_files = 0
+        for f in _glob.glob(os.path.join(p["data"], "*.parquet")):
+            if f not in referenced:
+                os.remove(f)
+                removed_files += 1
+        removed_manifests = 0
+        for mf in manifests[: -len(keep)] if keep else []:
+            os.remove(mf)
+            removed_manifests += 1
+        import shutil as _shutil
+
+        _shutil.rmtree(p["staging"], ignore_errors=True)
+        return {"removed_files": removed_files, "removed_manifests": removed_manifests}

@@ -1,0 +1,104 @@
+"""Pluggable source registry — the rebuild of the reference's fetcher
+interface (E1/E2):
+
+- every source implements ``New(cfg)`` + ``FetchAll`` in the reference
+  (/root/reference/internal/fetchers/{osv,gitlab,cve}/fetcher.go); here a
+  ``Source`` = (reader, normalizer) pair registered under a name.
+- ``ENABLED_SOURCES`` env-driven selection
+  (/root/reference/internal/config/config.go:171-187) maps to
+  ``enabled_sources()``.
+
+Three formats ship (the reference also consumes three: OSV JSON, GitLab
+YAML, CVE JSON): parquet (native), jsonl, csv. Each reader returns a
+``ray.data.Dataset``; each normalizer is a vectorized ``map_batches``
+transform projecting the source's shape onto the canonical event schema
+(reference normalizers M7-M9,
+/root/reference/internal/merger/normalizer.go:28-310). The scalar->list
+/ type-promotion coercions of the reference's FlexibleStringArray
+(/root/reference/internal/types/types.go:247-271) map to the cast rules
+in ``laketide.schema.conform``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from laketide import schema as S
+
+__all__ = ["Source", "register", "get", "enabled_sources", "read_source"]
+
+
+@dataclass(frozen=True)
+class Source:
+    name: str
+    reader: Callable[[str], "rd.Dataset"]  # path(s) -> Dataset
+    normalizer: Callable[[pa.Table], pa.Table] | None = None  # batch projection
+
+    def read(self, path: str) -> "rd.Dataset":
+        ds = self.reader(path)
+        if self.normalizer is not None:
+            ds = ds.map_batches(self.normalizer, batch_format="pyarrow")
+        return ds
+
+
+_REGISTRY: dict[str, Source] = {}
+
+
+def register(source: Source) -> Source:
+    _REGISTRY[source.name] = source
+    return source
+
+
+def get(name: str) -> Source:
+    try:
+        return _REGISTRY[name]
+    except KeyError:
+        raise KeyError(f"unknown source {name!r}; registered: {sorted(_REGISTRY)}") from None
+
+
+def enabled_sources() -> list[str]:
+    """ENABLED_SOURCES env selection (reference E2); default: all."""
+    env = os.environ.get("LAKETIDE_ENABLED_SOURCES", "").strip()
+    if not env:
+        return sorted(_REGISTRY)
+    return [s.strip() for s in env.split(",") if s.strip() in _REGISTRY]
+
+
+def read_source(name: str, path: str) -> "rd.Dataset":
+    return get(name).read(path)
+
+
+# --------------------------------------------------------------- normalizers
+_CANON = pa.schema(
+    [pa.field(c, S.CORE_TYPES[c]) for c in S.CORE_COLUMNS]
+    + [pa.field("lang", pa.string()), pa.field("content", pa.string())]
+)
+
+
+def _canonical_normalizer(batch: pa.Table) -> pa.Table:
+    """Project a loosely-typed batch onto the canonical event shape:
+    add missing columns as nulls, cast (e.g. csv int-as-string seq),
+    default op (the upsert rule)."""
+    batch = S.conform(batch, _CANON)
+    # CSV represents missing as "" (not null): promote both to the
+    # default op (the reference's scalar-coercion rule, M4 analog).
+    op = pc.fill_null(batch[S.OP_COLUMN], S.DEFAULT_OP)
+    op = pc.if_else(pc.equal(op, ""), pa.scalar(S.DEFAULT_OP), op)
+    return batch.set_column(batch.column_names.index(S.OP_COLUMN), S.OP_COLUMN, op)
+
+
+register(Source("parquet", lambda p: rd.read_parquet(p), None))
+register(Source("jsonl", lambda p: rd.read_json(p), _canonical_normalizer))
+register(
+    Source(
+        "csv",
+        lambda p: rd.read_csv(p),
+        _canonical_normalizer,
+    )
+)

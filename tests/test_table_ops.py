@@ -1,0 +1,142 @@
+"""Table operations: incremental replay/resume (I4), point lookup (J3),
+snapshot export (S10), retention GC (I7), source registry (E1/E2), and
+hot-repo skew spreading (the salting invariant)."""
+
+import glob
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from laketide.pipelines.cdc import LakeTable
+from laketide.sources import registry
+from laketide.sources.changelog import expected_state, generate_changelog
+
+
+def test_replay_resumes_from_committed_epoch(changelog, tmp_path):
+    d = os.path.dirname(changelog[0])
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    t.apply_epoch(changelog[0])  # partially applied already
+    results = t.replay(d)
+    assert [r["epoch"] for r in results] == [2, 3]
+    assert t.current_epoch() == 3
+    # replay again: nothing to do
+    assert t.replay(d) == []
+    exp = expected_state(changelog)
+    assert t.state_table().num_rows == exp.num_rows
+
+
+def test_point_lookup_reads_single_partition(changelog, tmp_path):
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    t.replay(os.path.dirname(changelog[0]))
+    state = t.state_table()
+    repo = state["repo"][0].as_py()
+    path = state["path"][0].as_py()
+    row = t.get(repo, path)
+    assert row.num_rows == 1
+    assert row["commit"][0].as_py() == state["commit"][0].as_py()
+    assert t.get("no-such-repo", "nope").num_rows == 0
+
+
+def test_export_snapshot_versioned_with_checksums(changelog, tmp_path):
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    t.replay(os.path.dirname(changelog[0]))
+    meta = t.export_snapshot(str(tmp_path / "exports"))
+    assert meta["version"] == 3 and meta["status"] == "completed"
+    exp_dir = str(tmp_path / "exports" / "snapshot-000003")
+    assert os.path.exists(os.path.join(exp_dir, "EXPORT.json"))
+    total = 0
+    import hashlib
+
+    for f in meta["files"]:
+        p = os.path.join(exp_dir, f["name"])
+        assert os.path.getsize(p) == f["bytes"]
+        with open(p, "rb") as fh:
+            assert hashlib.sha256(fh.read()).hexdigest() == f["sha256"]
+        total += f["rows"]
+    assert total == meta["rows"] == t.state_table().num_rows
+    # idempotent re-export
+    again = t.export_snapshot(str(tmp_path / "exports"))
+    assert again == meta
+
+
+def test_gc_drops_superseded_files_keeps_state(changelog, tmp_path):
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    t.replay(os.path.dirname(changelog[0]))
+    before = t.state_table()
+    n_files_before = len(glob.glob(str(tmp_path / "t" / "data" / "*.parquet")))
+    r = t.gc(keep_last=1)
+    assert r["removed_files"] > 0
+    n_files_after = len(glob.glob(str(tmp_path / "t" / "data" / "*.parquet")))
+    assert n_files_after < n_files_before
+    after = LakeTable(str(tmp_path / "t")).state_table()
+    assert before.equals(after)
+
+
+def test_source_registry_jsonl_and_csv(tmp_path):
+    # same logical events through three formats -> identical final state
+    rows = [
+        {"repo": "r", "path": "a", "commit": "c0000000001", "seq": 1, "op": "insert", "content": "v1"},
+        {"repo": "r", "path": "a", "commit": "c0000000002", "seq": 2, "op": None, "content": "v2"},
+        {"repo": "r", "path": "b", "commit": "c0000000003", "seq": 3, "op": "insert", "content": "w"},
+    ]
+    import pandas as pd
+
+    df = pd.DataFrame(rows)
+    pq_path = str(tmp_path / "e.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), pq_path)
+    jsonl_path = str(tmp_path / "e.jsonl")
+    df.to_json(jsonl_path, orient="records", lines=True)
+    csv_path = str(tmp_path / "e.csv")
+    df.to_csv(csv_path, index=False)
+
+    states = {}
+    for fmt, path in [("parquet", pq_path), ("jsonl", jsonl_path), ("csv", csv_path)]:
+        ds = registry.read_source(fmt, path)
+        t = LakeTable(str(tmp_path / f"t_{fmt}"), num_partitions=4)
+        t.apply_epoch(ds)
+        st = t.state_table()
+        states[fmt] = {
+            (st["repo"][i].as_py(), st["path"][i].as_py()): st["content_sha256"][i].as_py()
+            for i in range(st.num_rows)
+        }
+    assert states["parquet"] == states["jsonl"] == states["csv"]
+    assert len(states["parquet"]) == 2
+    assert states["parquet"][("r", "a")] is not None
+
+
+def test_enabled_sources_env(monkeypatch):
+    monkeypatch.delenv("LAKETIDE_ENABLED_SOURCES", raising=False)
+    assert set(registry.enabled_sources()) >= {"parquet", "jsonl", "csv"}
+    monkeypatch.setenv("LAKETIDE_ENABLED_SOURCES", "parquet,csv,bogus")
+    assert registry.enabled_sources() == ["parquet", "csv"]
+
+
+def test_hot_repo_spreads_across_partitions(tmp_path):
+    """The salting invariant (north-star skew rule): the partitioner
+    hashes the FULL (repo, path) key, so a repo with 90% of traffic still
+    spreads across partitions, while no single key is ever split."""
+    d = str(tmp_path / "log")
+    # one dominant repo: crank Zipf by using few repos
+    files = generate_changelog(d, n_events=4000, n_epochs=1, seed=3, n_repos=2, paths_per_repo=64)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    t.apply_epoch(files[0])
+    from laketide.state.manifest import load_lineage
+
+    lin = load_lineage(str(tmp_path / "t"), 1)
+    counts = [p["events_in"] for p in lin["partitions"]]
+    assert len(counts) == 8  # every partition participated
+    assert max(counts) / (sum(counts) / len(counts)) < 2.0  # balanced
+    # and keys are never split: each (repo,path) in exactly one partition
+    seen = {}
+    man = t.current_manifest()
+    for key, info in man.partitions.items():
+        if not info.get("file"):
+            continue
+        tbl = pq.read_table(os.path.join(str(tmp_path / "t"), info["file"]), columns=["repo", "path"])
+        for r, p in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist()):
+            assert (r, p) not in seen
+            seen[(r, p)] = key
