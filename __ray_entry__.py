@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
         "embedding_label_count": similarity.embedding_label_count,
+        "embedding_near_dup": similarity.embedding_near_dup,
         # --- multimodal ---
         "blob_meta": multimodal.blob_meta,
         "multimodal_decode": multimodal.multimodal_decode,

@@ -1,0 +1,115 @@
+"""laketide CLI — the operational surface (reference E5 analog: the
+HTTP API's sync / export / stats endpoints,
+/root/reference/internal/api/server.go:44-70 — rebuilt as subcommands
+suitable for ``ray job submit -- python -m laketide ...``).
+
+This module OWNS the Ray session (guarded init + shutdown); the library
+never initialises Ray (driver contract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session():
+    import ray
+
+    started = False
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        started = True
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return started
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="laketide")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("replay", help="apply all new changelog epochs onto a table")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--changelog", required=True)
+    sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument("--merge", default="lww", choices=["lww", "longest"])
+    sp.add_argument("--exchange", default="auto", choices=["auto", "groupby", "storage"])
+
+    sp = sub.add_parser("status", help="print the current manifest summary")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("export", help="versioned snapshot export")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--out", required=True)
+
+    sp = sub.add_parser("gc", help="drop superseded manifests/data files")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--keep", type=int, default=2)
+
+    sp = sub.add_parser("gen", help="generate a deterministic synthetic changelog")
+    sp.add_argument("--out", required=True)
+    sp.add_argument("--events", type=int, default=10_000)
+    sp.add_argument("--epochs", type=int, default=4)
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--shards", type=int, default=1)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "gen":
+        from laketide.sources.changelog import generate_changelog
+
+        files = generate_changelog(
+            args.out,
+            n_events=args.events,
+            n_epochs=args.epochs,
+            seed=args.seed,
+            shards_per_epoch=args.shards,
+        )
+        print(json.dumps({"epochs": files}))
+        return 0
+
+    started = _ray_session()
+    try:
+        from laketide.pipelines.cdc import LakeTable
+
+        if args.cmd == "replay":
+            t = LakeTable(args.table, num_partitions=args.partitions, merge=args.merge)
+            results = t.replay(args.changelog, exchange=args.exchange)
+            print(json.dumps({"applied": results, "epoch": t.current_epoch()}))
+        elif args.cmd == "status":
+            t = LakeTable(args.table)
+            man = t.current_manifest()
+            if not man:
+                print(json.dumps({"epoch": 0, "rows": 0}))
+            else:
+                print(
+                    json.dumps(
+                        {
+                            "epoch": man.epoch,
+                            "rows": man.stats.get("rows"),
+                            "num_partitions": man.num_partitions,
+                            "merge": man.stats.get("merge"),
+                            "totals": man.stats.get("totals"),
+                            "schema": man.schema_names,
+                        }
+                    )
+                )
+        elif args.cmd == "export":
+            t = LakeTable(args.table)
+            print(json.dumps(t.export_snapshot(args.out)))
+        elif args.cmd == "gc":
+            t = LakeTable(args.table)
+            print(json.dumps(t.gc(keep_last=args.keep)))
+    finally:
+        if started:
+            import ray
+
+            ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -104,3 +104,68 @@ def embedding_label_count(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Count
 
     return _emb(sf_dir).select_columns(["label"]).groupby("label").aggregate(Count(alias_name="n"))
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.92, n_planes: int = 10) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
+    buckets candidate vectors (collision on the full signature), exact
+    cosine verifies. The bucket id is the shuffle key at scale — only
+    same-bucket pairs are compared. Deterministic (seeded planes)."""
+    rng = np.random.RandomState(4242)
+    planes = rng.standard_normal((n_planes, EMBED_DIM))
+    planes_ref = ray.put(planes)
+
+    class Sign:
+        def __init__(self):
+            self.planes = ray.get(planes_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+            bits = (mat @ self.planes.T > 0).astype(np.uint8)
+            sig = np.packbits(bits, axis=1, bitorder="little")[:, :2]
+            bucket = sig[:, 0].astype(np.int64) | (sig[:, 1].astype(np.int64) << 8)
+            norms = np.linalg.norm(mat, axis=1)
+            norms[norms == 0] = 1.0
+            unit = mat / norms[:, None]
+            return pa.table(
+                {
+                    "bucket": pa.array(bucket, pa.int64()),
+                    "vec_id": t["vec_id"],
+                    "unit": pa.array(list(unit), pa.list_(pa.float64())),
+                }
+            )
+
+    import pandas as pd
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("vec_id")
+        ids = df["vec_id"].to_numpy()
+        units = np.stack(df["unit"].to_numpy())
+        out_a, out_b, out_c = [], [], []
+        if len(ids) > 1:
+            sims = units @ units.T
+            iu = np.triu_indices(len(ids), k=1)
+            hits = sims[iu] >= threshold
+            out_a = ids[iu[0][hits]].tolist()
+            out_b = ids[iu[1][hits]].tolist()
+            out_c = sims[iu][hits].round(6).tolist()
+        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+
+    signed = _emb(sf_dir).map_batches(Sign, batch_format="pyarrow", concurrency=2)
+    out = signed.groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+    if out.empty or "vec_a" not in out.columns:
+        return pa.table(
+            {
+                "vec_a": pa.array([], pa.int64()),
+                "vec_b": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+    out = out.drop_duplicates(["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"])
+    return pa.table(
+        {
+            "vec_a": pa.array(out["vec_a"].astype("int64")),
+            "vec_b": pa.array(out["vec_b"].astype("int64")),
+            "cosine": pa.array(out["cosine"].astype("float64")),
+        }
+    )

@@ -102,3 +102,54 @@ register(
         _canonical_normalizer,
     )
 )
+
+
+def read_zip_jsonl(zip_path: str, max_member_bytes: int = 100 << 20) -> "rd.Dataset":
+    """ZIP-archive source (reference S3/S6: OSV/CVE zip expanders,
+    /root/reference/internal/fetchers/osv/fetcher.go:272-352 and
+    /root/reference/internal/fetchers/cve/fetcher.go:114-250): list the
+    archive's ``*.jsonl``/``*.json`` members, fan the member list out to
+    tasks, parse each member to canonical event batches.
+
+    Guards mirrored from the reference: per-member decompressed size cap
+    (100 MB decompression-bomb guard, cve/fetcher.go:22-24) and zip-slip
+    path check (cve/fetcher.go:205-214)."""
+    import json as _json
+    import zipfile
+
+    with zipfile.ZipFile(zip_path) as zf:
+        members = [
+            i.filename
+            for i in zf.infolist()
+            if i.filename.endswith((".json", ".jsonl"))
+            and not i.is_dir()
+            and i.file_size <= max_member_bytes
+            and ".." not in i.filename
+            and not i.filename.startswith("/")
+        ]
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        with zipfile.ZipFile(zip_path) as zf:
+            for member in batch["member"].to_pylist():
+                with zf.open(member) as fh:
+                    data = fh.read(max_member_bytes + 1)
+                if len(data) > max_member_bytes:
+                    continue  # bomb guard: skip, never fail the sync (I6)
+                for line in data.splitlines():
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rows.append(_json.loads(line))
+                    except Exception:
+                        continue  # one bad record never kills the sync
+        if not rows:
+            return _CANON.empty_table()
+        return _canonical_normalizer(pa.Table.from_pylist(rows))
+
+    ds = rd.from_items([{"member": m} for m in sorted(members)])
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=16)
+
+
+register(Source("zip-jsonl", read_zip_jsonl, None))

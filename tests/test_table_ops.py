@@ -140,3 +140,53 @@ def test_hot_repo_spreads_across_partitions(tmp_path):
         for r, p in zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist()):
             assert (r, p) not in seen
             seen[(r, p)] = key
+
+
+def test_zip_jsonl_source(tmp_path):
+    import zipfile
+
+    zp = str(tmp_path / "events.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr(
+            "batch1.jsonl",
+            '{"repo":"r","path":"a","commit":"c0000000001","seq":1,"op":"insert","content":"x"}\n'
+            "not-json-at-all\n"
+            '{"repo":"r","path":"b","commit":"c0000000002","seq":2,"op":"insert","content":"y"}\n',
+        )
+        zf.writestr("skipme.txt", "ignored")
+        zf.writestr("../evil.json", '{"repo":"z"}')  # zip-slip guarded
+    ds = registry.read_source("zip-jsonl", zp)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    r = t.apply_epoch(ds)
+    st = t.state_table()
+    assert st.num_rows == 2
+    assert sorted(st["path"].to_pylist()) == ["a", "b"]
+
+
+def test_embedding_near_dup_runs_deterministic():
+    from laketide.functions.similarity import embedding_near_dup
+
+    a = embedding_near_dup("/root/testdata/sf0.001")
+    b = embedding_near_dup("/root/testdata/sf0.001")
+    assert a.equals(b)
+    # self-pairs and reversed pairs never appear
+    for i in range(a.num_rows):
+        assert a["vec_a"][i].as_py() < a["vec_b"][i].as_py()
+
+
+def test_cli_end_to_end(tmp_path, changelog):
+    from laketide.__main__ import main
+
+    d = os.path.dirname(changelog[0])
+    table = str(tmp_path / "t")
+    assert main(["replay", "--table", table, "--changelog", d, "--partitions", "8"]) == 0
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["status", "--table", table])
+    status = json.loads(buf.getvalue())
+    assert status["epoch"] == 3 and status["rows"] > 0
+    assert main(["export", "--table", table, "--out", str(tmp_path / "ex")]) == 0
+    assert main(["gc", "--table", table, "--keep", "1"]) == 0
