@@ -246,6 +246,7 @@ class LakeTable:
         self.table_dir = table_dir
         os.makedirs(table_dir, exist_ok=True)
         man = M.load_current(table_dir)
+        self._actor_pool = None
         self.num_partitions = man.num_partitions if man else num_partitions
         committed = (man.stats.get("merge") if man else None) or None
         if committed and merge != "lww" and merge != committed:
@@ -357,6 +358,8 @@ class LakeTable:
             batch_size=262_144,  # bigger spill files => fewer footers downstream
         ).take_all()
         files = sorted(r["file"] for r in summaries)
+        if mode == "actor":
+            return self._actor_apply(epoch_id, files)
         parts = ray.data.from_items(
             [{"part": i} for i in range(self.num_partitions)],
             override_num_blocks=self.num_partitions,
@@ -364,6 +367,34 @@ class LakeTable:
         return parts.map_batches(
             _make_reduce_fn(files, fn), batch_format="pyarrow", batch_size=None
         ).take_all()
+
+    def _actor_apply(self, epoch_id: int, files: list[str]) -> list[dict]:
+        """Stateful actor-pool appliers (reference ST1): partitions route
+        to persistent actors (part % n_actors) that cache their shard's
+        snapshot table across epochs."""
+        import ray as _ray
+
+        man = M.load_current(self.table_dir)
+        hwms = {
+            int(k): (v.get("hwm_commit", ""), v.get("hwm_seq", -1))
+            for k, v in (man.partitions if man else {}).items()
+        }
+        cur_files = {int(k): v.get("file") for k, v in (man.partitions if man else {}).items()}
+        if self._actor_pool is None:
+            from laketide.state.appliers import make_pool
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+            n = max(1, min(self.num_partitions, cpus))
+            self._actor_pool = make_pool(self.table_dir, n, self.merge)
+        pool = self._actor_pool
+        staging_dir = os.path.join(self.table_dir, "_staging", f"epoch-{epoch_id:06d}")
+        futures = []
+        for i, actor in enumerate(pool):
+            parts = [p for p in range(self.num_partitions) if p % len(pool) == i]
+            futures.append(
+                actor.apply_many.remote(epoch_id, parts, files, hwms, cur_files, staging_dir)
+            )
+        return [row for rows in _ray.get(futures) for row in rows]
 
     # A test hook: overridable to inject a crash between staging and commit.
     def _pre_commit_hook(self, epoch_id: int) -> None:  # pragma: no cover

@@ -190,3 +190,23 @@ def test_cli_end_to_end(tmp_path, changelog):
     assert status["epoch"] == 3 and status["rows"] > 0
     assert main(["export", "--table", table, "--out", str(tmp_path / "ex")]) == 0
     assert main(["gc", "--table", table, "--keep", "1"]) == 0
+
+
+def test_actor_pool_appliers_match_and_cache(changelog, tmp_path):
+    """exchange='actor' (stateful shard appliers, reference ST1): same
+    final state as the task paths; snapshot cache reused across epochs."""
+    import ray
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    for f in changelog:
+        t.apply_epoch(f, exchange="actor")
+    ref = LakeTable(str(tmp_path / "ref"), num_partitions=8)
+    for f in changelog:
+        ref.apply_epoch(f, exchange="groupby")
+    assert t.state_table().equals(ref.state_table())
+    # actors hold cached shards
+    cached = [p for a in t._actor_pool for p in ray.get(a.cached_parts.remote())]
+    assert sorted(cached) == list(range(8))
+    # crash-recovery rule: a fresh handle (no pool) still reads committed
+    t2 = LakeTable(str(tmp_path / "t"))
+    assert t2.state_table().equals(ref.state_table())
