@@ -298,8 +298,22 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
     """Large-large hash join: lineitem ⋈ orders on orderkey (Ray Dataset
     hash join, partitioned on the key), revenue per order status."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def pre_li(t: pa.Table) -> pa.Table:
+        # partial combiner BEFORE the join shuffle: collapse the ~4
+        # lineitems per order inside each batch (integer cents as f64)
+        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        df = pd.DataFrame(
+            {"l_orderkey": t["l_orderkey"].to_pandas(), "rev": pc.cast(rev, pa.float64()).to_numpy()}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum")),
+            preserve_index=False,
+        )
+
+    li_partial = li.map_batches(pre_li, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-    joined = li.join(
+    joined = li_partial.join(
         orders,
         join_type="inner",
         num_partitions=16,
@@ -308,9 +322,8 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
     )
 
     def pre(t: pa.Table) -> pa.Table:
-        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
         df = pd.DataFrame(
-            {"o_orderstatus": t["o_orderstatus"].to_pandas(), "rev": pc.cast(rev, pa.float64()).to_numpy()}
+            {"o_orderstatus": t["o_orderstatus"].to_pandas(), "rev": t["rev"].to_numpy(zero_copy_only=False)}
         )
         return pa.Table.from_pandas(
             df.groupby("o_orderstatus", as_index=False).agg(rev=("rev", "sum")),
