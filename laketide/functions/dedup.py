@@ -118,16 +118,17 @@ def minhash_dedup_verified(sf_dir: str, threshold: float = 0.7) -> pa.Table:
              "jaccard": pa.array([], pa.float64())}
         )
     need = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
-    need_ref = ray.put(set(need))
+    need_ref = ray.put(pa.array(need, pa.int64()))
 
-    def collect(df: pd.DataFrame) -> pd.DataFrame:
+    def collect(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         needed = ray.get(need_ref)
-        df = df[df["doc_id"].isin(needed)]
-        return df[["doc_id", "text"]]
+        return t.filter(pc.is_in(t["doc_id"], value_set=needed))
 
     docs = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(collect, batch_format="pandas")
+        .map_batches(collect, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()
     )
     sets = {int(r.doc_id): set(_shingles(r.text).tolist()) for r in docs.itertuples()}
