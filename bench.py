@@ -120,8 +120,12 @@ def run_bench() -> dict:
 
     timings: dict[str, float] = {}
 
-    work = tempfile.mkdtemp(prefix="laketide_bench_", dir="/tmp")
-    table = LakeTable(os.path.join(work, "table"), num_partitions=max(32, NUM_CPUS * 2))
+    layout = os.environ.get("GRAFT_BENCH_LAYOUT", "mor")
+    workdir = os.environ.get("GRAFT_BENCH_WORKDIR", "/tmp")
+    work = tempfile.mkdtemp(prefix="laketide_bench_", dir=workdir)
+    table = LakeTable(
+        os.path.join(work, "table"), num_partitions=max(32, NUM_CPUS * 2), layout=layout
+    )
     t0 = time.perf_counter()
     for f in files:
         table.apply_epoch(f)

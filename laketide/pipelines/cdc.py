@@ -56,7 +56,7 @@ _METRIC_FIELDS = [
 ]
 
 METRICS_SCHEMA = pa.schema(
-    [("part", pa.int64()), ("changed", pa.bool_()), ("staged_file", pa.string())]
+    [("part", pa.int64()), ("changed", pa.bool_()), ("staged_file", pa.string()), ("kind", pa.string())]
     + [(f, pa.int64()) for f in _METRIC_FIELDS]
     + [("hwm_commit", pa.string()), ("hwm_seq", pa.int64()), ("schema_b64", pa.string())]
 )
@@ -74,9 +74,11 @@ def _make_group_fn(
     table_dir: str,
     epoch_id: int,
     hwms: dict[int, tuple[str, int]],
-    part_files: dict[int, str | None],
+    part_info: dict[int, dict],
     hwm_filter: bool,
     strategy: str = "lww",
+    layout: str = "cow",
+    compact_threshold: int = 8,
 ):
     """Build the per-partition apply function run by map_groups.
 
@@ -122,32 +124,132 @@ def _make_group_fn(
 
         winners = reduce_events(ev, m, strategy)
 
-        cur = None
-        cur_file = part_files.get(part)
-        if cur_file:
-            cur = pq.read_table(os.path.join(table_dir, cur_file))
+        info = part_info.get(part) or {}
+        base_rel = info.get("file")
+        delta_rels = info.get("deltas") or []
+        prev_rows = int(info.get("rows", 0))
 
-        out = apply_partition(cur, winners, epoch_id, m, strategy)
-        m.rows_out = out.num_rows
+        kind = "base"
+        if layout == "mor" and (len(delta_rels) + 1) <= compact_threshold and (
+            base_rel or delta_rels or True
+        ):
+            # ---- merge-on-read fast path: classify vs the key INDEX
+            # (never reads `content` of the base), append a delta file.
+            out, m2 = _mor_delta(
+                table_dir, base_rel, delta_rels, winners, epoch_id, m
+            )
+            kind = "delta"
+            m.rows_out = prev_rows + m.inserts - m.deletes
+        else:
+            # ---- copy-on-write (or mor compaction): full merge, new base
+            from laketide.stages.apply import merge_partition
+
+            cur = None
+            if layout == "mor" and (base_rel or delta_rels):
+                base_t = (
+                    pq.read_table(os.path.join(table_dir, base_rel)) if base_rel else None
+                )
+                deltas_t = [
+                    pq.read_table(os.path.join(table_dir, r)) for r in delta_rels
+                ]
+                cur = merge_partition(base_t, deltas_t, strategy)
+            elif base_rel:
+                cur = pq.read_table(os.path.join(table_dir, base_rel))
+
+            out = apply_partition(cur, winners, epoch_id, m, strategy)
+            m.rows_out = out.num_rows
+
         changed = (m.inserts + m.updates + m.deletes) > 0
+        if layout == "mor" and kind == "base" and delta_rels:
+            changed = True  # compaction must commit even with zero mutations
 
         staged = ""
         if changed:
             os.makedirs(staging_dir, exist_ok=True)
-            staged = os.path.join(staging_dir, f"part-{part:05d}.parquet")
+            suffix = "-delta" if kind == "delta" else ""
+            staged = os.path.join(staging_dir, f"part-{part:05d}{suffix}.parquet")
             tmp = staged + f".tmp-{os.getpid()}"
             pq.write_table(out, tmp)
             os.replace(tmp, staged)  # truncate-on-write; retry-safe
 
-        row: dict[str, Any] = {"part": [part], "changed": [changed], "staged_file": [staged]}
+        row: dict[str, Any] = {"part": [part], "changed": [changed], "staged_file": [staged], "kind": [kind]}
         for f in _METRIC_FIELDS:
             row[f] = [getattr(m, f)]
         row["hwm_commit"] = [m.hwm_commit]
         row["hwm_seq"] = [m.hwm_seq]
-        row["schema_b64"] = [_schema_to_b64(out.schema)]
+        # Manifest schema describes the MATERIALIZED state: the delta
+        # file's op column is write-side only (merge_partition drops it).
+        state_schema = pa.schema([f for f in out.schema if f.name != S.OP_COLUMN])
+        row["schema_b64"] = [_schema_to_b64(state_schema)]
         return pa.table(row).cast(METRICS_SCHEMA)
 
     return apply_group
+
+
+_IDX_COLS = ["repo", "path", "commit", "seq", S.SHA_COLUMN]
+
+
+def _mor_delta(table_dir, base_rel, delta_rels, winners, epoch_id, m):
+    """Merge-on-read delta append: classify the epoch's winners against
+    the partition's key index (base read WITHOUT content + prior deltas),
+    return the delta table to stage. The read-side ``merge_partition``
+    fold guarantees correctness; the classification exists for metrics,
+    no-op skip (R1) and tombstone-for-absent-key suppression."""
+    from laketide.stages.apply import _bool, _version_newer, reduce_events
+
+    idx_tables = []
+    if base_rel:
+        t0 = pq.read_table(os.path.join(table_dir, base_rel), columns=_IDX_COLS)
+        t0 = t0.append_column(S.OP_COLUMN, pa.array(["insert"] * t0.num_rows, pa.string()))
+        idx_tables.append(t0)
+    for rel in delta_rels:
+        t1 = pq.read_table(os.path.join(table_dir, rel), columns=_IDX_COLS + [S.OP_COLUMN])
+        idx_tables.append(t1.select(_IDX_COLS + [S.OP_COLUMN]))
+    cur_idx = None
+    if idx_tables:
+        idx = pa.concat_tables([t.select(_IDX_COLS + [S.OP_COLUMN]) for t in idx_tables])
+        idx_w = reduce_events(idx, ApplyMetrics())
+        live = pc.invert(pc.fill_null(pc.equal(idx_w[S.OP_COLUMN], "delete"), False))
+        cur_idx = idx_w.filter(live).drop_columns([S.OP_COLUMN])
+
+    if cur_idx is None or cur_idx.num_rows == 0:
+        is_del = _bool(pc.equal(winners[S.OP_COLUMN], "delete"))
+        m.noop_deletes += int(pc.sum(is_del).as_py() or 0)
+        applied = winners.filter(pc.invert(is_del))
+        m.inserts += applied.num_rows
+    else:
+        j = winners.join(cur_idx, keys=list(S.KEY_COLUMNS), join_type="left outer", right_suffix="_cur")
+        has_cur = pc.is_valid(j["commit_cur"])
+        ev_c = pc.coalesce(j["commit"], pa.scalar("", pa.string()))
+        ev_s = pc.coalesce(j["seq"], pa.scalar(-1, pa.int64()))
+        cur_c = pc.coalesce(j["commit_cur"], pa.scalar("", pa.string()))
+        cur_s = pc.coalesce(j["seq_cur"], pa.scalar(-1, pa.int64()))
+        newer = _bool(_version_newer(ev_c, ev_s, cur_c, cur_s))
+        is_del = _bool(pc.equal(j[S.OP_COLUMN], "delete"))
+        same_sha = _bool(pc.equal(j[S.SHA_COLUMN], j[S.SHA_COLUMN + "_cur"]))
+        m.stale_dropped += int(pc.sum(pc.invert(newer)).as_py() or 0)
+        m.inserts += int(pc.sum(pc.and_(pc.and_(newer, pc.invert(is_del)), pc.invert(has_cur))).as_py() or 0)
+        upd = pc.and_(pc.and_(newer, pc.invert(is_del)), pc.and_(has_cur, pc.invert(same_sha)))
+        m.updates += int(pc.sum(upd).as_py() or 0)
+        m.noops += int(pc.sum(pc.and_(pc.and_(newer, pc.invert(is_del)), pc.and_(has_cur, same_sha))).as_py() or 0)
+        m.deletes += int(pc.sum(pc.and_(pc.and_(newer, is_del), has_cur)).as_py() or 0)
+        m.noop_deletes += int(pc.sum(pc.and_(pc.and_(newer, is_del), pc.invert(has_cur))).as_py() or 0)
+        apply_mask = pc.and_(
+            newer,
+            pc.and_(
+                pc.or_(pc.invert(is_del), has_cur),  # no tombstones for absent keys
+                pc.or_(is_del, pc.or_(pc.invert(has_cur), pc.invert(same_sha))),  # no-op skip
+            ),
+        )
+        applied = j.filter(apply_mask).drop_columns(
+            [c for c in j.column_names if c.endswith("_cur")]
+        )
+        applied = applied.select(winners.column_names)
+
+    out = applied.append_column(
+        S.APPLIED_EPOCH_COLUMN, pa.array([epoch_id] * applied.num_rows, pa.int64())
+    )
+    return out, m
 
 
 class _SpillShards:
@@ -238,11 +340,22 @@ class LakeTable:
         table_dir: str,
         num_partitions: int = DEFAULT_NUM_PARTITIONS,
         merge: str = "lww",
+        layout: str = "cow",
+        compact_threshold: int = 8,
     ):
         """``merge``: pluggable merge strategy (reference E4) — "lww"
         (version order, R2 analog) or "longest" (longer content wins,
         R6 analog). Pinned in the manifest on first commit; a mismatch
-        on an existing table raises."""
+        on an existing table raises.
+
+        ``layout``: "cow" rewrites a partition file per epoch (simple,
+        read-optimal); "mor" (merge-on-read) appends per-epoch DELTA
+        files — stale/no-op checks run against a content-free key index,
+        and a partition compacts inline once it accumulates
+        ``compact_threshold`` deltas. At lake scale, cow's full-partition
+        rewrite per epoch is the dominant write cost; mor turns it into
+        O(delta) writes (Hudi/Iceberg MOR analog of the reference's
+        row-level UPDATE vs full-table rewrite trade)."""
         self.table_dir = table_dir
         os.makedirs(table_dir, exist_ok=True)
         man = M.load_current(table_dir)
@@ -254,6 +367,17 @@ class LakeTable:
         self.merge = committed or merge
         if self.merge not in ("lww", "longest"):
             raise ValueError(f"unknown merge strategy {self.merge!r}")
+        committed_layout = (man.stats.get("layout") if man else None) or None
+        if committed_layout and layout != "cow" and layout != committed_layout:
+            raise ValueError(
+                f"table committed with layout={committed_layout!r}, got {layout!r}"
+            )
+        self.layout = committed_layout or layout
+        if self.layout not in ("cow", "mor"):
+            raise ValueError(f"unknown layout {self.layout!r}")
+        if self.layout == "mor" and self.merge == "longest":
+            raise ValueError("layout='mor' supports merge='lww' only")
+        self.compact_threshold = compact_threshold
 
     # ------------------------------------------------------------------ state
     def current_manifest(self) -> M.Manifest | None:
@@ -332,10 +456,17 @@ class LakeTable:
         )
 
         hwms = {int(k): (v.get("hwm_commit", ""), v.get("hwm_seq", -1)) for k, v in (man.partitions if man else {}).items()}
-        part_files = {int(k): v.get("file") for k, v in (man.partitions if man else {}).items()}
+        part_info = {int(k): dict(v) for k, v in (man.partitions if man else {}).items()}
 
         fn = _make_group_fn(
-            self.table_dir, epoch_id, hwms, part_files, hwm_filter, self.merge
+            self.table_dir,
+            epoch_id,
+            hwms,
+            part_info,
+            hwm_filter,
+            self.merge,
+            self.layout,
+            self.compact_threshold,
         )
         metric_rows = self._exchange(norm, fn, epoch_id, total, exchange)
         return self._finalize(epoch_id, man, metric_rows)
@@ -360,13 +491,21 @@ class LakeTable:
         files = sorted(r["file"] for r in summaries)
         if mode == "actor":
             return self._actor_apply(epoch_id, files)
-        parts = ray.data.from_items(
-            [{"part": i} for i in range(self.num_partitions)],
-            override_num_blocks=self.num_partitions,
-        )
-        return parts.map_batches(
-            _make_reduce_fn(files, fn), batch_format="pyarrow", batch_size=None
-        ).take_all()
+        # Reduce side as raw Ray tasks (one per partition): a fixed
+        # fan-out with no data-plane streaming — raw tasks start in
+        # milliseconds where a second Dataset pipeline costs ~1s of
+        # fixed latency per epoch.
+        import ray as _ray
+
+        reduce_fn = _make_reduce_fn(files, fn)
+
+        @_ray.remote(num_cpus=1)
+        def _reduce_task(part: int):
+            t = reduce_fn(pa.table({"part": pa.array([part], pa.int64())}))
+            return t.to_pylist()
+
+        futures = [_reduce_task.remote(p) for p in range(self.num_partitions)]
+        return [row for rows in _ray.get(futures) for row in rows]
 
     def _actor_apply(self, epoch_id: int, files: list[str]) -> list[dict]:
         """Stateful actor-pool appliers (reference ST1): partitions route
@@ -374,6 +513,8 @@ class LakeTable:
         snapshot table across epochs."""
         import ray as _ray
 
+        if self.layout == "mor":
+            raise ValueError("exchange='actor' supports layout='cow' only")
         man = M.load_current(self.table_dir)
         hwms = {
             int(k): (v.get("hwm_commit", ""), v.get("hwm_seq", -1))
@@ -418,10 +559,19 @@ class LakeTable:
             entry["hwm_commit"] = row["hwm_commit"]
             entry["hwm_seq"] = int(row["hwm_seq"])
             if row["changed"]:
-                dst_rel = os.path.join("data", f"part-{part:05d}-e{epoch_id:06d}.parquet")
-                os.replace(row["staged_file"], os.path.join(self.table_dir, dst_rel))
-                entry["file"] = dst_rel
-                entry["rows"] = int(row["rows_out"])
+                if row.get("kind") == "delta":
+                    dst_rel = os.path.join(
+                        "data", f"part-{part:05d}-e{epoch_id:06d}-d.parquet"
+                    )
+                    os.replace(row["staged_file"], os.path.join(self.table_dir, dst_rel))
+                    entry.setdefault("deltas", []).append(dst_rel)
+                    entry["rows"] = int(row["rows_out"])
+                else:
+                    dst_rel = os.path.join("data", f"part-{part:05d}-e{epoch_id:06d}.parquet")
+                    os.replace(row["staged_file"], os.path.join(self.table_dir, dst_rel))
+                    entry["file"] = dst_rel
+                    entry["deltas"] = []
+                    entry["rows"] = int(row["rows_out"])
             partitions[str(part)] = entry
             schemas.append(_schema_from_b64(row["schema_b64"]))
             lrow = {f: int(row[f]) for f in _METRIC_FIELDS}
@@ -444,6 +594,7 @@ class LakeTable:
                 "totals": totals,
                 "schema_b64": _schema_to_b64(unified),
                 "merge": self.merge,
+                "layout": self.layout,
                 "rows": sum(int(v.get("rows", 0)) for v in partitions.values()),
             },
         )
@@ -457,33 +608,83 @@ class LakeTable:
 
     # ------------------------------------------------------------------- read
     def read(self) -> "ray.data.Dataset":
-        """Current committed snapshot as a streaming Dataset."""
+        """Current committed snapshot as a streaming Dataset. For the
+        merge-on-read layout, partitions with outstanding deltas are
+        folded on the fly (one task per partition)."""
         man = M.load_current(self.table_dir)
         if not man:
             return ray.data.from_arrow(S.snapshot_schema().empty_table())
-        files = [f for f in man.data_files(self.table_dir) if f]
-        if not files:
-            return ray.data.from_arrow(S.snapshot_schema().empty_table())
+        has_deltas = any(v.get("deltas") for v in man.partitions.values())
         schema = self._unified_schema(man)
-        ds = ray.data.read_parquet(files)
-        if schema is not None:
-            ds = ds.map_batches(
-                lambda t, s=schema: S.conform(t, s),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-        return ds
+        if not has_deltas:
+            files = [f for f in man.data_files(self.table_dir) if f]
+            if not files:
+                return ray.data.from_arrow(S.snapshot_schema().empty_table())
+            ds = ray.data.read_parquet(files)
+            if schema is not None:
+                ds = ds.map_batches(
+                    lambda t, s=schema: S.conform(t, s),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+            return ds
+        table_dir = self.table_dir
+        strategy = self.merge
+        infos = [
+            dict(v) for _, v in sorted(man.partitions.items(), key=lambda kv: int(kv[0]))
+            if v.get("file") or v.get("deltas")
+        ]
+
+        def load(batch: pa.Table) -> pa.Table:
+            from laketide.stages.apply import limit_arrow_threads, merge_partition
+
+            limit_arrow_threads(1)
+            outs = []
+            for i in batch["i"].to_pylist():
+                info = infos[i]
+                base = (
+                    pq.read_table(os.path.join(table_dir, info["file"]))
+                    if info.get("file")
+                    else None
+                )
+                deltas = [
+                    pq.read_table(os.path.join(table_dir, r))
+                    for r in info.get("deltas") or []
+                ]
+                t = merge_partition(base, deltas, strategy)
+                if schema is not None:
+                    t = S.conform(t, schema)
+                outs.append(t)
+            if not outs:
+                return (schema or S.snapshot_schema()).empty_table()
+            return pa.concat_tables(outs)
+
+        parts = ray.data.from_items(
+            [{"i": i} for i in range(len(infos))], override_num_blocks=len(infos)
+        )
+        return parts.map_batches(load, batch_format="pyarrow", batch_size=None)
 
     def state_table(self) -> pa.Table:
         """Whole snapshot as one Arrow table — tests / small tables only."""
+        from laketide.stages.apply import merge_partition
+
         man = M.load_current(self.table_dir)
         if not man:
             return S.snapshot_schema().empty_table()
         schema = self._unified_schema(man) or S.snapshot_schema()
         parts = []
-        for f in man.data_files(self.table_dir):
-            if f and os.path.exists(f):
-                parts.append(S.conform(pq.read_table(f), schema))
+        for _, info in sorted(man.partitions.items(), key=lambda kv: int(kv[0])):
+            base = None
+            if info.get("file"):
+                base = pq.read_table(os.path.join(self.table_dir, info["file"]))
+            deltas = [
+                pq.read_table(os.path.join(self.table_dir, r))
+                for r in info.get("deltas") or []
+            ]
+            if base is None and not deltas:
+                continue
+            t = merge_partition(base, deltas, self.merge) if deltas else base
+            parts.append(S.conform(t, schema))
         if not parts:
             return schema.empty_table()
         out = pa.concat_tables(parts)
@@ -519,9 +720,20 @@ class LakeTable:
         h = key_hash(pa.array([repo]), pa.array([path]))[0]
         part = int(h % np.uint64(self.num_partitions))
         info = man.partitions.get(str(part))
-        if not info or not info.get("file"):
+        if not info or (not info.get("file") and not info.get("deltas")):
             return S.snapshot_schema().empty_table()
-        t = pq.read_table(os.path.join(self.table_dir, info["file"]))
+        from laketide.stages.apply import merge_partition
+
+        base = (
+            pq.read_table(os.path.join(self.table_dir, info["file"]))
+            if info.get("file")
+            else None
+        )
+        deltas = [
+            pq.read_table(os.path.join(self.table_dir, r))
+            for r in info.get("deltas") or []
+        ]
+        t = merge_partition(base, deltas, self.merge) if deltas else base
         mask = pc.and_(pc.equal(t["repo"], repo), pc.equal(t["path"], path))
         return t.filter(mask)
 
@@ -548,26 +760,40 @@ class LakeTable:
         tmp = final + ".tmp"
         _shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
+        from laketide.stages.apply import merge_partition
+
         files = []
         rows = 0
         for key, info in sorted(man.partitions.items(), key=lambda kv: int(kv[0])):
             rel = info.get("file")
-            if not rel:
+            deltas = info.get("deltas") or []
+            if not rel and not deltas:
                 continue
-            src = os.path.join(self.table_dir, rel)
             base = f"part-{int(key):05d}.parquet"
-            _shutil.copyfile(src, os.path.join(tmp, base))
-            with open(src, "rb") as fh:
+            dst = os.path.join(tmp, base)
+            if deltas:
+                base_t = (
+                    pq.read_table(os.path.join(self.table_dir, rel)) if rel else None
+                )
+                delta_ts = [pq.read_table(os.path.join(self.table_dir, r)) for r in deltas]
+                merged = merge_partition(base_t, delta_ts, self.merge)
+                pq.write_table(merged, dst)
+                n_rows = merged.num_rows
+            else:
+                src = os.path.join(self.table_dir, rel)
+                _shutil.copyfile(src, dst)
+                n_rows = int(info.get("rows", 0))
+            with open(dst, "rb") as fh:
                 sha = hashlib.sha256(fh.read()).hexdigest()
             files.append(
                 {
                     "name": base,
-                    "bytes": os.path.getsize(src),
+                    "bytes": os.path.getsize(dst),
                     "sha256": sha,
-                    "rows": int(info.get("rows", 0)),
+                    "rows": n_rows,
                 }
             )
-            rows += int(info.get("rows", 0))
+            rows += n_rows
         meta = {
             "version": man.epoch,
             "rows": rows,
@@ -598,6 +824,8 @@ class LakeTable:
             for info in man.partitions.values():
                 if info.get("file"):
                     referenced.add(os.path.join(self.table_dir, info["file"]))
+                for r in info.get("deltas") or []:
+                    referenced.add(os.path.join(self.table_dir, r))
         removed_files = 0
         for f in _glob.glob(os.path.join(p["data"], "*.parquet")):
             if f not in referenced:
@@ -611,3 +839,68 @@ class LakeTable:
 
         _shutil.rmtree(p["staging"], ignore_errors=True)
         return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+
+    def compact(self) -> dict[str, Any]:
+        """Fold every partition's outstanding deltas into a fresh base
+        file and commit a maintenance manifest (same epoch, new name).
+        The read path needs no compaction for correctness — this trades
+        one write for faster subsequent reads (Hudi/Iceberg compaction
+        analog; reference analog: snapshot export consolidations S10)."""
+        from laketide.stages.apply import merge_partition
+
+        man = M.load_current(self.table_dir)
+        if not man:
+            return {"compacted": 0}
+        partitions = {k: dict(v) for k, v in man.partitions.items()}
+        compacted = 0
+        for key, info in partitions.items():
+            deltas = info.get("deltas") or []
+            if not deltas:
+                continue
+            part = int(key)
+            base = (
+                pq.read_table(os.path.join(self.table_dir, info["file"]))
+                if info.get("file")
+                else None
+            )
+            delta_ts = [pq.read_table(os.path.join(self.table_dir, r)) for r in deltas]
+            merged = merge_partition(base, delta_ts, self.merge)
+            n = 0
+            while True:
+                rel = os.path.join(
+                    "data", f"part-{part:05d}-e{man.epoch:06d}-c{n}.parquet"
+                )
+                if not os.path.exists(os.path.join(self.table_dir, rel)):
+                    break
+                n += 1
+            tmp = os.path.join(self.table_dir, rel) + ".tmp"
+            pq.write_table(merged, tmp)
+            os.replace(tmp, os.path.join(self.table_dir, rel))
+            info["file"] = rel
+            info["deltas"] = []
+            info["rows"] = merged.num_rows
+            compacted += 1
+        if not compacted:
+            return {"compacted": 0}
+        new_man = M.Manifest(
+            epoch=man.epoch,
+            parent=man.parent,
+            num_partitions=man.num_partitions,
+            partitions=partitions,
+            schema_names=man.schema_names,
+            stats=dict(
+                man.stats,
+                rows=sum(int(v.get("rows", 0)) for v in partitions.values()),
+            ),
+        )
+        p = M.paths(self.table_dir)
+        os.makedirs(p["manifests"], exist_ok=True)
+        n = 0
+        while True:
+            name = f"manifest-{man.epoch:06d}-c{n}.json"
+            if not os.path.exists(os.path.join(p["manifests"], name)):
+                break
+            n += 1
+        M._atomic_write(os.path.join(p["manifests"], name), new_man.to_json())
+        M._atomic_write(p["current"], name)
+        return {"compacted": compacted, "manifest": name}

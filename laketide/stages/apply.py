@@ -263,3 +263,45 @@ def apply_partition(
     out = pa.Table.from_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols], schema=snap_schema)
     out = out.filter(keep)
     return out.sort_by([("repo", "ascending"), ("path", "ascending")])
+
+
+def index_columns(t: pa.Table) -> pa.Table:
+    """Key+version+hash projection used by merge-on-read stale/no-op
+    checks — reads metadata-sized columns, never ``content``."""
+    cols = ["repo", "path", "commit", "seq", S.SHA_COLUMN]
+    return t.select([c for c in cols if c in t.column_names])
+
+
+def merge_partition(
+    base: pa.Table | None, deltas: list[pa.Table], strategy: str = "lww"
+) -> pa.Table:
+    """Read-side merge for merge-on-read partitions: fold base + delta
+    files into the materialized rows (winner per key, tombstones dropped).
+
+    Base rows have no ``op`` column (they are materialized state); delta
+    rows carry ``op`` (tombstones included). The fold is the same
+    commutative reduce as the write path, so merge-on-read and
+    copy-on-write layouts are observationally identical."""
+    tables = []
+    if base is not None and base.num_rows:
+        b = base
+        if S.OP_COLUMN not in b.column_names:
+            b = b.append_column(
+                S.OP_COLUMN, pa.array(["insert"] * b.num_rows, pa.string())
+            )
+        tables.append(b)
+    for d in deltas:
+        if d.num_rows:
+            tables.append(d)
+    if not tables:
+        return S.snapshot_schema().empty_table()
+    schema = tables[0].schema
+    for t in tables[1:]:
+        schema = S.unify(schema, t.schema)
+    tables = [S.conform(t, schema) for t in tables]
+    merged = pa.concat_tables(tables)
+    m = ApplyMetrics()
+    winners = reduce_events(merged, m, strategy)
+    keep = pc.invert(pc.fill_null(pc.equal(winners[S.OP_COLUMN], "delete"), False))
+    out = winners.filter(keep).drop_columns([S.OP_COLUMN])
+    return out.sort_by([("repo", "ascending"), ("path", "ascending")])

@@ -210,3 +210,59 @@ def test_actor_pool_appliers_match_and_cache(changelog, tmp_path):
     # crash-recovery rule: a fresh handle (no pool) still reads committed
     t2 = LakeTable(str(tmp_path / "t"))
     assert t2.state_table().equals(ref.state_table())
+
+
+def test_mor_layout_matches_cow_and_compacts(changelog, tmp_path):
+    """Merge-on-read layout: delta appends + read-side fold produce the
+    exact same state as copy-on-write; compaction folds deltas and
+    preserves state; inline compaction triggers at the threshold."""
+    cow = LakeTable(str(tmp_path / "cow"), num_partitions=8)
+    mor = LakeTable(str(tmp_path / "mor"), num_partitions=8, layout="mor")
+    for f in changelog:
+        cow.apply_epoch(f)
+        mor.apply_epoch(f)
+    assert mor.state_table().equals(cow.state_table())
+    man = mor.current_manifest()
+    assert man.stats["layout"] == "mor"
+    assert any(v.get("deltas") for v in man.partitions.values())
+    # manifest rows bookkeeping matches reality
+    assert man.stats["rows"] == mor.state_table().num_rows
+    # point lookup + export + read() all fold deltas
+    st = mor.state_table()
+    r0 = mor.get(st["repo"][0].as_py(), st["path"][0].as_py())
+    assert r0.num_rows == 1 and r0["commit"][0].as_py() == st["commit"][0].as_py()
+    meta = mor.export_snapshot(str(tmp_path / "ex"))
+    assert meta["rows"] == st.num_rows
+    assert mor.read().count() == st.num_rows
+    # explicit compaction
+    r = mor.compact()
+    assert r["compacted"] > 0
+    mor2 = LakeTable(str(tmp_path / "mor"))
+    assert mor2.state_table().equals(cow.state_table())
+    assert not any(v.get("deltas") for v in mor2.current_manifest().partitions.values())
+
+
+def test_mor_inline_compaction_threshold(tmp_path):
+    import pyarrow.parquet as _pq
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2, layout="mor", compact_threshold=3)
+    # 5 epochs of updates to the same key -> deltas must fold inline
+    for e in range(1, 6):
+        ev = pa.table(
+            {
+                "repo": ["r"],
+                "path": ["a"],
+                "commit": [f"c{e:010d}"],
+                "seq": pa.array([e], pa.int64()),
+                "op": ["insert" if e == 1 else "update"],
+                "content": [f"v{e}"],
+            }
+        )
+        f = str(tmp_path / f"e{e}.parquet")
+        _pq.write_table(ev, f)
+        t.apply_epoch(f)
+    st = t.state_table()
+    assert st.num_rows == 1 and st["content"][0].as_py() == "v5"
+    man = t.current_manifest()
+    n_deltas = max(len(v.get("deltas") or []) for v in man.partitions.values())
+    assert n_deltas <= 3  # inline compaction kept the pile bounded
