@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_stats_view": R.events_stats_view,
         "recent_events": R.recent_events,
         "window_counts": R.window_counts,
+        "session_counts": R.session_counts,
         "value_cents_by_user_type": R.value_cents_by_user_type,
         "cdc_replay_final": _cdc_replay_final,
         # --- relational (SURVEY §2.4, §2.6, §2.7) ---
@@ -135,6 +136,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- multimodal ---
         "blob_meta": multimodal.blob_meta,
         "multimodal_decode": multimodal.multimodal_decode,
+        "frame_sample": multimodal.frame_sample,
     }
 
 
@@ -165,6 +167,12 @@ def oracle_sql() -> dict[str, str]:
         "window_counts": (
             "SELECT event_type, date_trunc('hour', ts) AS window_start, count(*) AS n "
             "FROM events GROUP BY 1, 2"
+        ),
+        "session_counts": (
+            "SELECT user_id, CAST(1 + SUM(CASE WHEN gap THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions, "
+            "count(*) AS n_events FROM ("
+            "SELECT user_id, (ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+            " > INTERVAL 30 MINUTE) AS gap FROM events) GROUP BY user_id"
         ),
         "value_cents_by_user_type": (
             "SELECT user_id, event_type, "

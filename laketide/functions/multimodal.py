@@ -83,3 +83,33 @@ def multimodal_decode(sf_dir: str) -> rd.Dataset:
     return blob_table(sf_dir).map_batches(
         StubDecoder, batch_format="pyarrow", batch_size=256, concurrency=2
     )
+
+
+def frame_sample(sf_dir: str, n_frames: int = 4, frame_bytes: int = 32) -> rd.Dataset:
+    """Frame-sampling plumbing for video-like payloads: slice each opaque
+    blob into ``n_frames`` evenly-spaced fixed-width windows ("frames")
+    and emit one row per frame with its blake2b checksum — the real
+    decode would replace ``_frame_of``; the Ray-side layout (explode to
+    per-frame rows, binary slicing, actor-friendly batch shape) is what
+    a production video pipeline needs. Deterministic; rows-only check."""
+    ds = blob_table(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        doc_ids, idxs, checksums = [], [], []
+        for doc_id, payload in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
+            n = len(payload)
+            for i in range(n_frames):
+                off = 0 if n <= frame_bytes else (i * max(1, (n - frame_bytes)) // max(1, n_frames - 1))
+                frame = payload[off : off + frame_bytes]
+                doc_ids.append(doc_id)
+                idxs.append(i)
+                checksums.append(hashlib.blake2b(frame, digest_size=8).hexdigest())
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.int64()),
+                "frame_idx": pa.array(idxs, pa.int64()),
+                "frame_sha": pa.array(checksums, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=256)

@@ -458,3 +458,36 @@ def lww_longest_props(sf_dir: str) -> rd.Dataset:
         .groupby("user_id")
         .map_groups(best, batch_format="pandas")
     )
+
+
+def session_counts(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
+    """Session windows (streaming-shaped op): per user, consecutive
+    events within ``gap_minutes`` belong to one session. Returns
+    (user_id, n_sessions, n_events). Ordering is partition-local: events
+    sort by (ts, event_id) inside each user's group only."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["ts", "event_id"])
+        gaps = df["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        n_sessions = int(gaps.sum()) + 1 if len(df) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [df["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(df)],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
