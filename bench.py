@@ -30,7 +30,7 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Changelog sizing per scale factor (deterministic, cached under /tmp).
-_EVENTS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 1_000_000}
+_EVENTS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 16_000_000}
 _KEYS = {"sf0.001": (20, 60), "sf0.01": (60, 120), "sf0.1": (200, 300)}
 
 
@@ -50,8 +50,8 @@ def _changelog() -> list[str]:
 
     tag = _sf_tag()
     n = int(os.environ.get("GRAFT_BENCH_EVENTS", _EVENTS.get(tag, 1_000_000)))
-    epochs = int(os.environ.get("GRAFT_BENCH_EPOCHS", "4"))
-    body_lines = int(os.environ.get("GRAFT_BENCH_BODY_LINES", "0"))
+    epochs = int(os.environ.get("GRAFT_BENCH_EPOCHS", "2"))
+    body_lines = int(os.environ.get("GRAFT_BENCH_BODY_LINES", "2"))
     repos, paths = _KEYS.get(tag, (200, 300))
     if n > 1_000_000:
         repos, paths = 300, 400
