@@ -152,12 +152,15 @@ def _make_group_fn(
                 deltas_t = [
                     pq.read_table(os.path.join(table_dir, r)) for r in delta_rels
                 ]
-                cur = merge_partition(base_t, deltas_t, strategy)
+                # keep tombstones through compaction: they must keep
+                # shadowing late-arriving older events
+                cur = merge_partition(base_t, deltas_t, strategy, keep_tombstones=True)
             elif base_rel:
                 cur = pq.read_table(os.path.join(table_dir, base_rel))
 
             out = apply_partition(cur, winners, epoch_id, m, strategy)
-            m.rows_out = out.num_rows
+            live = pc.fill_null(out[S.DELETED_COLUMN], False) if S.DELETED_COLUMN in out.column_names else None
+            m.rows_out = out.num_rows - (int(pc.sum(live).as_py() or 0) if live is not None else 0)
 
         changed = (m.inserts + m.updates + m.deletes) > 0
         if layout == "mor" and kind == "base" and delta_rels:
@@ -186,7 +189,7 @@ def _make_group_fn(
     return apply_group
 
 
-_IDX_COLS = ["repo", "path", "commit", "seq", S.SHA_COLUMN]
+_IDX_COLS = ["repo", "path", "commit", "seq", S.SHA_COLUMN, S.APPLIED_EPOCH_COLUMN]
 
 
 def _mor_delta(table_dir, base_rel, delta_rels, winners, epoch_id, m):
@@ -208,17 +211,22 @@ def _mor_delta(table_dir, base_rel, delta_rels, winners, epoch_id, m):
     cur_idx = None
     if idx_tables:
         idx = pa.concat_tables([t.select(_IDX_COLS + [S.OP_COLUMN]) for t in idx_tables])
-        idx_w = reduce_events(idx, ApplyMetrics())
-        live = pc.invert(pc.fill_null(pc.equal(idx_w[S.OP_COLUMN], "delete"), False))
-        cur_idx = idx_w.filter(live).drop_columns([S.OP_COLUMN])
+        # keep DEAD keys in the index: their tombstone version must
+        # shadow late-arriving older events
+        cur_idx = reduce_events(idx, ApplyMetrics())
 
     if cur_idx is None or cur_idx.num_rows == 0:
         is_del = _bool(pc.equal(winners[S.OP_COLUMN], "delete"))
         m.noop_deletes += int(pc.sum(is_del).as_py() or 0)
-        applied = winners.filter(pc.invert(is_del))
-        m.inserts += applied.num_rows
+        m.inserts += winners.num_rows - int(pc.sum(is_del).as_py() or 0)
+        applied = winners  # tombstones for unseen keys are retained
     else:
-        j = winners.join(cur_idx, keys=list(S.KEY_COLUMNS), join_type="left outer", right_suffix="_cur")
+        j = winners.join(
+            cur_idx,
+            keys=list(S.KEY_COLUMNS),
+            join_type="left outer",
+            right_suffix="_cur",
+        )
         has_cur = pc.is_valid(j["commit_cur"])
         ev_c = pc.coalesce(j["commit"], pa.scalar("", pa.string()))
         ev_s = pc.coalesce(j["seq"], pa.scalar(-1, pa.int64()))
@@ -226,25 +234,41 @@ def _mor_delta(table_dir, base_rel, delta_rels, winners, epoch_id, m):
         cur_s = pc.coalesce(j["seq_cur"], pa.scalar(-1, pa.int64()))
         newer = _bool(_version_newer(ev_c, ev_s, cur_c, cur_s))
         is_del = _bool(pc.equal(j[S.OP_COLUMN], "delete"))
+        cur_live = pc.and_(
+            has_cur,
+            pc.invert(_bool(pc.equal(j[S.OP_COLUMN + "_cur"], "delete"))),
+        )
         same_sha = _bool(pc.equal(j[S.SHA_COLUMN], j[S.SHA_COLUMN + "_cur"]))
+        noop_upd = pc.and_(pc.and_(newer, pc.invert(is_del)), pc.and_(cur_live, same_sha))
         m.stale_dropped += int(pc.sum(pc.invert(newer)).as_py() or 0)
-        m.inserts += int(pc.sum(pc.and_(pc.and_(newer, pc.invert(is_del)), pc.invert(has_cur))).as_py() or 0)
-        upd = pc.and_(pc.and_(newer, pc.invert(is_del)), pc.and_(has_cur, pc.invert(same_sha)))
-        m.updates += int(pc.sum(upd).as_py() or 0)
-        m.noops += int(pc.sum(pc.and_(pc.and_(newer, pc.invert(is_del)), pc.and_(has_cur, same_sha))).as_py() or 0)
-        m.deletes += int(pc.sum(pc.and_(pc.and_(newer, is_del), has_cur)).as_py() or 0)
-        m.noop_deletes += int(pc.sum(pc.and_(pc.and_(newer, is_del), pc.invert(has_cur))).as_py() or 0)
-        apply_mask = pc.and_(
-            newer,
-            pc.and_(
-                pc.or_(pc.invert(is_del), has_cur),  # no tombstones for absent keys
-                pc.or_(is_del, pc.or_(pc.invert(has_cur), pc.invert(same_sha))),  # no-op skip
-            ),
+        noop_mask = noop_upd
+        m.inserts += int(pc.sum(pc.and_(pc.and_(newer, pc.invert(is_del)), pc.invert(cur_live))).as_py() or 0)
+        m.updates += int(pc.sum(pc.and_(pc.and_(newer, pc.invert(is_del)), pc.and_(cur_live, pc.invert(same_sha)))).as_py() or 0)
+        m.noops += int(pc.sum(noop_upd).as_py() or 0)
+        m.deletes += int(pc.sum(pc.and_(pc.and_(newer, is_del), cur_live)).as_py() or 0)
+        m.noop_deletes += int(pc.sum(pc.and_(pc.and_(newer, is_del), pc.invert(cur_live))).as_py() or 0)
+        # version-advance rule: noop rows are still appended (new
+        # commit/seq) but carry the OLD applied_epoch from the index
+        apply_mask = newer
+        # winners carry no applied_epoch, so the index's column joins in
+        # UNSUFFIXED (suffixes apply only to colliding names)
+        ae_col = (
+            S.APPLIED_EPOCH_COLUMN + "_cur"
+            if S.APPLIED_EPOCH_COLUMN + "_cur" in j.column_names
+            else S.APPLIED_EPOCH_COLUMN
         )
-        applied = j.filter(apply_mask).drop_columns(
-            [c for c in j.column_names if c.endswith("_cur")]
+        kept_epoch = pc.if_else(noop_mask, j[ae_col], pa.scalar(None, pa.int64()))
+        j2 = j.append_column("_keep_epoch", kept_epoch.combine_chunks() if isinstance(kept_epoch, pa.ChunkedArray) else kept_epoch)
+        applied = j2.filter(apply_mask).drop_columns(
+            [c for c in j2.column_names if c.endswith("_cur")]
         )
+        keep_epochs = applied["_keep_epoch"]
         applied = applied.select(winners.column_names)
+        out = applied.append_column(
+            S.APPLIED_EPOCH_COLUMN,
+            pc.coalesce(keep_epochs, pa.scalar(epoch_id, pa.int64())).combine_chunks(),
+        )
+        return out, m
 
     out = applied.append_column(
         S.APPLIED_EPOCH_COLUMN, pa.array([epoch_id] * applied.num_rows, pa.int64())
@@ -621,13 +645,19 @@ class LakeTable:
             if not files:
                 return ray.data.from_arrow(S.snapshot_schema().empty_table())
             ds = ray.data.read_parquet(files)
-            if schema is not None:
-                ds = ds.map_batches(
-                    lambda t, s=schema: S.conform(t, s),
-                    batch_format="pyarrow",
-                    zero_copy_batch=True,
-                )
-            return ds
+
+            def conv(t: pa.Table, s=schema) -> pa.Table:
+                # filter tombstones BEFORE conform (conform may drop the
+                # deleted column when the unified schema lacks it)
+                if S.DELETED_COLUMN in t.column_names:
+                    t = t.filter(
+                        pc.invert(pc.fill_null(t[S.DELETED_COLUMN], False))
+                    ).drop_columns([S.DELETED_COLUMN])
+                if s is not None:
+                    t = S.conform(t, s)
+                return t
+
+            return ds.map_batches(conv, batch_format="pyarrow", zero_copy_batch=True)
         table_dir = self.table_dir
         strategy = self.merge
         infos = [
@@ -652,6 +682,10 @@ class LakeTable:
                     for r in info.get("deltas") or []
                 ]
                 t = merge_partition(base, deltas, strategy)
+                if S.DELETED_COLUMN in t.column_names:
+                    t = t.filter(
+                        pc.invert(pc.fill_null(t[S.DELETED_COLUMN], False))
+                    ).drop_columns([S.DELETED_COLUMN])
                 if schema is not None:
                     t = S.conform(t, schema)
                 outs.append(t)
@@ -684,10 +718,16 @@ class LakeTable:
             if base is None and not deltas:
                 continue
             t = merge_partition(base, deltas, self.merge) if deltas else base
+            if S.DELETED_COLUMN in t.column_names:
+                t = t.filter(pc.invert(pc.fill_null(t[S.DELETED_COLUMN], False)))
             parts.append(S.conform(t, schema))
         if not parts:
+            if S.DELETED_COLUMN in schema.names:
+                schema = pa.schema([f for f in schema if f.name != S.DELETED_COLUMN])
             return schema.empty_table()
         out = pa.concat_tables(parts)
+        if S.DELETED_COLUMN in out.column_names:
+            out = out.drop_columns([S.DELETED_COLUMN])
         return out.sort_by([("repo", "ascending"), ("path", "ascending")])
 
     # ------------------------------------------------------------ operations
@@ -734,6 +774,8 @@ class LakeTable:
             for r in info.get("deltas") or []
         ]
         t = merge_partition(base, deltas, self.merge) if deltas else base
+        if S.DELETED_COLUMN in t.column_names:
+            t = t.filter(pc.invert(pc.fill_null(t[S.DELETED_COLUMN], False)))
         mask = pc.and_(pc.equal(t["repo"], repo), pc.equal(t["path"], path))
         return t.filter(mask)
 
@@ -771,18 +813,17 @@ class LakeTable:
                 continue
             base = f"part-{int(key):05d}.parquet"
             dst = os.path.join(tmp, base)
-            if deltas:
-                base_t = (
-                    pq.read_table(os.path.join(self.table_dir, rel)) if rel else None
-                )
-                delta_ts = [pq.read_table(os.path.join(self.table_dir, r)) for r in deltas]
-                merged = merge_partition(base_t, delta_ts, self.merge)
-                pq.write_table(merged, dst)
-                n_rows = merged.num_rows
-            else:
-                src = os.path.join(self.table_dir, rel)
-                _shutil.copyfile(src, dst)
-                n_rows = int(info.get("rows", 0))
+            base_t = (
+                pq.read_table(os.path.join(self.table_dir, rel)) if rel else None
+            )
+            delta_ts = [pq.read_table(os.path.join(self.table_dir, r)) for r in deltas]
+            merged = merge_partition(base_t, delta_ts, self.merge)
+            if S.DELETED_COLUMN in merged.column_names:
+                merged = merged.filter(
+                    pc.invert(pc.fill_null(merged[S.DELETED_COLUMN], False))
+                ).drop_columns([S.DELETED_COLUMN])
+            pq.write_table(merged, dst)
+            n_rows = merged.num_rows
             with open(dst, "rb") as fh:
                 sha = hashlib.sha256(fh.read()).hexdigest()
             files.append(
@@ -864,7 +905,7 @@ class LakeTable:
                 else None
             )
             delta_ts = [pq.read_table(os.path.join(self.table_dir, r)) for r in deltas]
-            merged = merge_partition(base, delta_ts, self.merge)
+            merged = merge_partition(base, delta_ts, self.merge, keep_tombstones=True)
             n = 0
             while True:
                 rel = os.path.join(
@@ -878,7 +919,12 @@ class LakeTable:
             os.replace(tmp, os.path.join(self.table_dir, rel))
             info["file"] = rel
             info["deltas"] = []
-            info["rows"] = merged.num_rows
+            dead = (
+                int(pc.sum(pc.fill_null(merged[S.DELETED_COLUMN], False)).as_py() or 0)
+                if S.DELETED_COLUMN in merged.column_names
+                else 0
+            )
+            info["rows"] = merged.num_rows - dead
             compacted += 1
         if not compacted:
             return {"compacted": 0}

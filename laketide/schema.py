@@ -25,6 +25,13 @@ CORE_COLUMNS = KEY_COLUMNS + VERSION_COLUMNS + (OP_COLUMN,)
 
 SHA_COLUMN = "content_sha256"
 APPLIED_EPOCH_COLUMN = "applied_epoch"
+# Tombstone retention marker: deleted keys stay in the partition as
+# flagged rows (filtered from every read surface) so a late-arriving
+# OLDER event can never resurrect a deleted key, even under fully
+# arbitrary cross-epoch delivery. Purged only by explicit maintenance
+# (purge_tombstones) — the Hudi/Delta tombstone-retention analog of the
+# reference's hard DELETE (sql/vulnerabilities.sql:101-102).
+DELETED_COLUMN = "deleted"
 
 # Internal helper columns added by the normalize stage.
 PART_COLUMN = "_part"
@@ -59,6 +66,7 @@ def snapshot_schema(payload_columns: dict[str, pa.DataType] | None = None) -> pa
     fields += [pa.field(c, t) for c, t in payload.items()]
     fields.append(pa.field(SHA_COLUMN, pa.string()))
     fields.append(pa.field(APPLIED_EPOCH_COLUMN, pa.int64()))
+    fields.append(pa.field(DELETED_COLUMN, pa.bool_()))
     return pa.schema(fields)
 
 
@@ -68,7 +76,7 @@ def payload_columns_of(schema: pa.Schema) -> dict[str, pa.DataType]:
     This is what makes schema evolution *additive by construction*: a new
     column arriving in the event stream is simply a new payload column.
     """
-    skip = set(CORE_COLUMNS) | set(HELPER_COLUMNS) | {SHA_COLUMN, APPLIED_EPOCH_COLUMN}
+    skip = set(CORE_COLUMNS) | set(HELPER_COLUMNS) | {SHA_COLUMN, APPLIED_EPOCH_COLUMN, DELETED_COLUMN}
     return {f.name: f.type for f in schema if f.name not in skip}
 
 

@@ -163,13 +163,16 @@ def apply_partition(
     snap_schema = S.snapshot_schema(payload)
 
     if cur is None or cur.num_rows == 0:
-        is_del = pc.equal(winners[S.OP_COLUMN], "delete")
+        is_del = _bool(pc.equal(winners[S.OP_COLUMN], "delete"))
         metrics.noop_deletes += int(pc.sum(is_del).as_py() or 0)
-        kept = winners.filter(pc.invert(is_del))
-        metrics.inserts += kept.num_rows
-        kept = kept.append_column(
-            S.APPLIED_EPOCH_COLUMN, pa.array([epoch_id] * kept.num_rows, pa.int64())
+        metrics.inserts += winners.num_rows - int(pc.sum(is_del).as_py() or 0)
+        # Tombstones for never-seen keys are RETAINED as deleted rows:
+        # a late-arriving OLDER insert must lose to them (global LWW
+        # under arbitrary cross-epoch reordering).
+        kept = winners.append_column(
+            S.APPLIED_EPOCH_COLUMN, pa.array([epoch_id] * winners.num_rows, pa.int64())
         )
+        kept = kept.append_column(S.DELETED_COLUMN, is_del)
         out = S.conform(kept, snap_schema)
         return out.sort_by([("repo", "ascending"), ("path", "ascending")])
 
@@ -229,21 +232,31 @@ def apply_partition(
     is_del = _bool(pc.equal(j[S.OP_COLUMN], "delete"))
     same_sha = _bool(pc.equal(j[S.SHA_COLUMN], j[S.SHA_COLUMN + "_cur"]))
 
-    applied_del = pc.and_(pc.and_(newer, is_del), has_cur)
-    noop_del = pc.and_(pc.and_(newer, is_del), pc.invert(has_cur))
-    noop_upd = pc.and_(pc.and_(pc.and_(newer, pc.invert(is_del)), has_cur), same_sha)
-    take_ev = pc.and_(pc.and_(newer, pc.invert(is_del)), pc.invert(noop_upd))
-    stale = pc.and_(has_ev, pc.invert(newer))
-    drop = pc.or_(applied_del, noop_del)
-    keep = pc.invert(drop)
+    cur_deleted = _bool(j.column(S.DELETED_COLUMN + "_cur") if S.DELETED_COLUMN + "_cur" in j.column_names else j[S.DELETED_COLUMN])
+    cur_live = pc.and_(has_cur, pc.invert(cur_deleted))
 
-    metrics.inserts += int(pc.sum(pc.and_(take_ev, pc.invert(has_cur))).as_py() or 0)
-    metrics.updates += int(pc.sum(pc.and_(take_ev, has_cur)).as_py() or 0)
+    applied_del = pc.and_(pc.and_(newer, is_del), cur_live)
+    noop_del = pc.and_(pc.and_(newer, is_del), pc.invert(cur_live))
+    noop_upd = pc.and_(pc.and_(pc.and_(newer, pc.invert(is_del)), cur_live), same_sha)
+    # A content-identical update still ADVANCES the version (commit/seq):
+    # without that, a late event between the old and new versions would
+    # wrongly win a future LWW compare. Only applied_epoch is preserved
+    # ("when did content last actually change" — the R1 observable).
+    take_ev = newer
+    stale = pc.and_(has_ev, pc.invert(newer))
+
+    metrics.inserts += int(
+        pc.sum(pc.and_(pc.and_(take_ev, pc.invert(is_del)), pc.invert(cur_live))).as_py() or 0
+    )
+    metrics.updates += int(
+        pc.sum(pc.and_(pc.and_(take_ev, pc.invert(is_del)), cur_live)).as_py() or 0
+    )
     metrics.deletes += int(pc.sum(applied_del).as_py() or 0)
     metrics.noop_deletes += int(pc.sum(noop_del).as_py() or 0)
     metrics.noops += int(pc.sum(noop_upd).as_py() or 0)
     metrics.stale_dropped += int(pc.sum(stale).as_py() or 0)
 
+    new_deleted = pc.if_else(take_ev, is_del, cur_deleted)
     cols = []
     for fld in snap_schema:
         name = fld.name
@@ -251,17 +264,18 @@ def apply_partition(
             col = j[name]  # coalesced join keys
         elif name == S.APPLIED_EPOCH_COLUMN:
             col = pc.if_else(
-                take_ev,
+                pc.and_(take_ev, pc.invert(noop_upd)),
                 pa.scalar(epoch_id, pa.int64()),
                 j[S.APPLIED_EPOCH_COLUMN],
             )
+        elif name == S.DELETED_COLUMN:
+            col = new_deleted
         else:
             col = pc.if_else(take_ev, j[name], j[name + "_cur"])
         if col.type != fld.type:
             col = col.cast(fld.type)
         cols.append(col)
     out = pa.Table.from_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols], schema=snap_schema)
-    out = out.filter(keep)
     return out.sort_by([("repo", "ascending"), ("path", "ascending")])
 
 
@@ -273,7 +287,10 @@ def index_columns(t: pa.Table) -> pa.Table:
 
 
 def merge_partition(
-    base: pa.Table | None, deltas: list[pa.Table], strategy: str = "lww"
+    base: pa.Table | None,
+    deltas: list[pa.Table],
+    strategy: str = "lww",
+    keep_tombstones: bool = False,
 ) -> pa.Table:
     """Read-side merge for merge-on-read partitions: fold base + delta
     files into the materialized rows (winner per key, tombstones dropped).
@@ -286,9 +303,16 @@ def merge_partition(
     if base is not None and base.num_rows:
         b = base
         if S.OP_COLUMN not in b.column_names:
-            b = b.append_column(
-                S.OP_COLUMN, pa.array(["insert"] * b.num_rows, pa.string())
-            )
+            # base tombstone rows (deleted=True) re-enter the fold as
+            # delete versions so they keep shadowing older events
+            if S.DELETED_COLUMN in b.column_names:
+                was_del = pc.fill_null(b[S.DELETED_COLUMN], False)
+                ops = pc.if_else(was_del, pa.scalar("delete"), pa.scalar("insert"))
+                b = b.append_column(S.OP_COLUMN, ops.combine_chunks())
+            else:
+                b = b.append_column(
+                    S.OP_COLUMN, pa.array(["insert"] * b.num_rows, pa.string())
+                )
         tables.append(b)
     for d in deltas:
         if d.num_rows:
@@ -302,6 +326,18 @@ def merge_partition(
     merged = pa.concat_tables(tables)
     m = ApplyMetrics()
     winners = reduce_events(merged, m, strategy)
-    keep = pc.invert(pc.fill_null(pc.equal(winners[S.OP_COLUMN], "delete"), False))
-    out = winners.filter(keep).drop_columns([S.OP_COLUMN])
+    is_del = pc.fill_null(pc.equal(winners[S.OP_COLUMN], "delete"), False)
+    if keep_tombstones:
+        out = winners.drop_columns([S.OP_COLUMN])
+        if S.DELETED_COLUMN in out.column_names:
+            out = out.set_column(
+                out.column_names.index(S.DELETED_COLUMN), S.DELETED_COLUMN,
+                is_del if isinstance(is_del, pa.ChunkedArray) else pa.chunked_array([is_del]),
+            )
+        else:
+            out = out.append_column(S.DELETED_COLUMN, is_del)
+    else:
+        out = winners.filter(pc.invert(is_del)).drop_columns([S.OP_COLUMN])
+        if S.DELETED_COLUMN in out.column_names:
+            out = out.drop_columns([S.DELETED_COLUMN])
     return out.sort_by([("repo", "ascending"), ("path", "ascending")])

@@ -172,8 +172,12 @@ def test_noop_update_leaves_row_untouched(tmp_path):
     r = t.apply_epoch(f2)
     assert r["totals"]["noops"] == 1
     state = t.state_table()
-    assert state["applied_epoch"][0].as_py() == 1  # untouched
-    assert state["commit"][0].as_py() == "c0000000001"
+    # content unchanged => applied_epoch (content-change marker) stays,
+    # but the VERSION still advances so later out-of-order events can
+    # never mis-win an LWW compare against a stale version.
+    assert state["applied_epoch"][0].as_py() == 1
+    assert state["commit"][0].as_py() == "c0000000002"
+    assert state["content"][0].as_py() == "same-content"
 
 
 def test_crash_between_staging_and_commit_resumes(changelog, tmp_table):
