@@ -950,3 +950,65 @@ class LakeTable:
         M._atomic_write(os.path.join(p["manifests"], name), new_man.to_json())
         M._atomic_write(p["current"], name)
         return {"compacted": compacted, "manifest": name}
+
+    def purge_tombstones(self, older_than_epochs: int = 16) -> dict[str, Any]:
+        """Maintenance: rewrite partitions dropping tombstone rows whose
+        version is older than ``older_than_epochs`` committed epochs
+        (retention horizon). Safe only once no event older than the
+        horizon can still arrive — the operator's call, like Hudi/Delta
+        tombstone retention windows. Commits a maintenance manifest."""
+        man = M.load_current(self.table_dir)
+        if not man:
+            return {"purged": 0}
+        cutoff = man.epoch - older_than_epochs
+        partitions = {k: dict(v) for k, v in man.partitions.items()}
+        purged = 0
+        for key, info in partitions.items():
+            if not info.get("file") or info.get("deltas"):
+                continue  # compact first for delta partitions
+            t = pq.read_table(os.path.join(self.table_dir, info["file"]))
+            if S.DELETED_COLUMN not in t.column_names:
+                continue
+            dead = pc.fill_null(t[S.DELETED_COLUMN], False)
+            old = pc.less_equal(
+                pc.fill_null(t[S.APPLIED_EPOCH_COLUMN], 0), pa.scalar(cutoff, pa.int64())
+            )
+            drop = pc.and_(dead, old)
+            n_drop = int(pc.sum(drop).as_py() or 0)
+            if not n_drop:
+                continue
+            out = t.filter(pc.invert(drop))
+            part = int(key)
+            n = 0
+            while True:
+                rel = os.path.join(
+                    "data", f"part-{part:05d}-e{man.epoch:06d}-p{n}.parquet"
+                )
+                if not os.path.exists(os.path.join(self.table_dir, rel)):
+                    break
+                n += 1
+            tmp = os.path.join(self.table_dir, rel) + ".tmp"
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(self.table_dir, rel))
+            info["file"] = rel
+            purged += n_drop
+        if not purged:
+            return {"purged": 0}
+        new_man = M.Manifest(
+            epoch=man.epoch,
+            parent=man.parent,
+            num_partitions=man.num_partitions,
+            partitions=partitions,
+            schema_names=man.schema_names,
+            stats=dict(man.stats),
+        )
+        p = M.paths(self.table_dir)
+        n = 0
+        while True:
+            name = f"manifest-{man.epoch:06d}-p{n}.json"
+            if not os.path.exists(os.path.join(p["manifests"], name)):
+                break
+            n += 1
+        M._atomic_write(os.path.join(p["manifests"], name), new_man.to_json())
+        M._atomic_write(p["current"], name)
+        return {"purged": purged, "manifest": name}

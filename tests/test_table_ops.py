@@ -266,3 +266,49 @@ def test_mor_inline_compaction_threshold(tmp_path):
     man = t.current_manifest()
     n_deltas = max(len(v.get("deltas") or []) for v in man.partitions.values())
     assert n_deltas <= 3  # inline compaction kept the pile bounded
+
+
+def test_purge_tombstones(tmp_path):
+    import pyarrow.parquet as _pq
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2)
+    e1 = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["a", "b"],
+            "commit": ["c0000000001", "c0000000002"],
+            "seq": pa.array([1, 2], pa.int64()),
+            "op": ["insert", "insert"],
+            "content": ["x", "y"],
+        }
+    )
+    e2 = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["a"],
+            "commit": ["c0000000003"],
+            "seq": pa.array([3], pa.int64()),
+            "op": ["delete"],
+            "content": pa.array([None], pa.string()),
+        }
+    )
+    _pq.write_table(e1, str(tmp_path / "e1.parquet"))
+    _pq.write_table(e2, str(tmp_path / "e2.parquet"))
+    t.apply_epoch(str(tmp_path / "e1.parquet"))
+    t.apply_epoch(str(tmp_path / "e2.parquet"))
+    assert t.state_table().num_rows == 1
+    # tombstone still physically present (retention)
+    man = t.current_manifest()
+    raw = pa.concat_tables(
+        [_pq.read_table(f) for f in man.data_files(str(tmp_path / "t"))]
+    )
+    assert raw.num_rows == 2
+    # purge with horizon 0: tombstones older than current epoch - 0 drop
+    r = t.purge_tombstones(older_than_epochs=0)
+    assert r["purged"] == 1
+    man2 = t.current_manifest()
+    raw2 = pa.concat_tables(
+        [_pq.read_table(f) for f in man2.data_files(str(tmp_path / "t"))]
+    )
+    assert raw2.num_rows == 1
+    assert t.state_table().num_rows == 1  # live state unchanged
