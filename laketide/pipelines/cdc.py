@@ -135,7 +135,7 @@ def _make_group_fn(
         ):
             # ---- merge-on-read fast path: classify vs the key INDEX
             # (never reads `content` of the base), append a delta file.
-            out, m2 = _mor_delta(
+            out, _ = _mor_delta(
                 table_dir, base_rel, delta_rels, winners, epoch_id, m
             )
             kind = "delta"
@@ -640,6 +640,10 @@ class LakeTable:
             return ray.data.from_arrow(S.snapshot_schema().empty_table())
         has_deltas = any(v.get("deltas") for v in man.partitions.values())
         schema = self._unified_schema(man)
+        if schema is not None and S.DELETED_COLUMN in schema.names:
+            # the deleted marker is write-side bookkeeping, never part of
+            # the read surface
+            schema = pa.schema([f for f in schema if f.name != S.DELETED_COLUMN])
         if not has_deltas:
             files = [f for f in man.data_files(self.table_dir) if f]
             if not files:
