@@ -312,3 +312,17 @@ def test_purge_tombstones(tmp_path):
     )
     assert raw2.num_rows == 1
     assert t.state_table().num_rows == 1  # live state unchanged
+
+
+def test_time_travel_reads(changelog, tmp_path):
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    states = {}
+    for i, f in enumerate(changelog, start=1):
+        t.apply_epoch(f)
+        states[i] = t.state_table()
+    hist = t.history()
+    assert [h["epoch"] for h in hist] == [1, 2, 3]
+    for e in (1, 2, 3):
+        assert t.state_table_at(e).equals(states[e])
+    with pytest.raises(ValueError):
+        t.state_table_at(99)
