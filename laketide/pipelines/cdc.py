@@ -502,6 +502,9 @@ class LakeTable:
         path), or "auto" (by epoch size). Override with env
         ``LAKETIDE_EXCHANGE``.
         """
+        import time as _time
+
+        t_start = _time.perf_counter()
         man = M.load_current(self.table_dir)
         committed = man.epoch if man else 0
         if epoch_id is None:
@@ -563,7 +566,8 @@ class LakeTable:
             self.compact_threshold,
         )
         metric_rows = self._exchange(norm, fn, epoch_id, total, exchange)
-        return self._finalize(epoch_id, man, metric_rows)
+        duration = __import__("time").perf_counter() - t_start
+        return self._finalize(epoch_id, man, metric_rows, duration)
 
     def _exchange(self, norm, fn, epoch_id: int, total_bytes: int, mode: str) -> list[dict]:
         mode = os.environ.get("LAKETIDE_EXCHANGE", mode)
@@ -635,7 +639,13 @@ class LakeTable:
     def _pre_commit_hook(self, epoch_id: int) -> None:  # pragma: no cover
         pass
 
-    def _finalize(self, epoch_id: int, parent: M.Manifest | None, metric_rows: list[dict]) -> dict[str, Any]:
+    def _finalize(
+        self,
+        epoch_id: int,
+        parent: M.Manifest | None,
+        metric_rows: list[dict],
+        duration: float = 0.0,
+    ) -> dict[str, Any]:
         p = M.paths(self.table_dir)
         os.makedirs(p["data"], exist_ok=True)
 
@@ -678,6 +688,16 @@ class LakeTable:
 
         self._pre_commit_hook(epoch_id)
 
+        # throughput metrics per commit epoch (north-star requirement;
+        # reference analog: processing_stats rows A5/ST2)
+        events_in = totals.get("events_in", 0)
+        throughput = {
+            "duration_sec": round(duration, 3),
+            "events_in": events_in,
+            "events_per_sec": round(events_in / duration, 1) if duration > 0 else None,
+        }
+        man_stats_extra = throughput
+
         man = M.Manifest(
             epoch=epoch_id,
             parent=parent.epoch if parent else None,
@@ -686,19 +706,28 @@ class LakeTable:
             schema_names=unified.names,
             stats={
                 "totals": totals,
+                "throughput": man_stats_extra,
                 "schema_b64": _schema_to_b64(unified),
                 "merge": self.merge,
                 "layout": self.layout,
                 "rows": sum(int(v.get("rows", 0)) for v in partitions.values()),
             },
         )
-        M.write_lineage(self.table_dir, epoch_id, lineage_rows)
+        M.write_lineage(
+            self.table_dir, epoch_id, lineage_rows, throughput=throughput
+        )
         M.commit_manifest(self.table_dir, man)
         # GC the staging dir for this epoch (post-commit, best-effort).
         import shutil
 
         shutil.rmtree(os.path.join(self.table_dir, "_staging", f"epoch-{epoch_id:06d}"), ignore_errors=True)
-        return {"epoch": epoch_id, "already_applied": False, "totals": totals, "rows": man.stats["rows"]}
+        return {
+            "epoch": epoch_id,
+            "already_applied": False,
+            "totals": totals,
+            "rows": man.stats["rows"],
+            "throughput": throughput,
+        }
 
     # ------------------------------------------------------------------- read
     def read(self) -> "ray.data.Dataset":
@@ -1086,3 +1115,25 @@ class LakeTable:
         M._atomic_write(os.path.join(p["manifests"], name), new_man.to_json())
         M._atomic_write(p["current"], name)
         return {"purged": purged, "manifest": name}
+
+    def lineage_dataset(self) -> "ray.data.Dataset":
+        """Per-epoch, per-partition lineage/metrics as a queryable
+        Dataset (the reference's ``processing_stats`` table, A5/ST2)."""
+        import glob as _glob
+        import json as _json
+
+        p = M.paths(self.table_dir)
+        rows = []
+        for f in sorted(_glob.glob(os.path.join(p["lineage"], "epoch-*.json"))):
+            with open(f) as fh:
+                doc = _json.load(fh)
+            tp = doc.get("throughput") or {}
+            for part_row in doc.get("partitions", []):
+                r = dict(part_row)
+                r["epoch"] = doc["epoch"]
+                r["epoch_duration_sec"] = tp.get("duration_sec")
+                r["epoch_events_per_sec"] = tp.get("events_per_sec")
+                rows.append(r)
+        if not rows:
+            return ray.data.from_items([])
+        return ray.data.from_items(rows)

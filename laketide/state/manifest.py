@@ -130,13 +130,19 @@ def commit_manifest(table_dir: str, manifest: Manifest) -> str:
     return name
 
 
-def write_lineage(table_dir: str, epoch: int, rows: list[dict]) -> str:
-    """Per-partition lineage/metrics for the epoch (reference analog:
-    ``processing_stats``, /root/reference/migrations/001_initial_schema.up.sql:75-88)."""
+def write_lineage(
+    table_dir: str, epoch: int, rows: list[dict], throughput: dict | None = None
+) -> str:
+    """Per-partition lineage + per-epoch throughput metrics (reference
+    analog: ``processing_stats``,
+    /root/reference/migrations/001_initial_schema.up.sql:75-88)."""
     p = paths(table_dir)
     os.makedirs(p["lineage"], exist_ok=True)
     out = os.path.join(p["lineage"], f"epoch-{epoch:06d}.json")
-    _atomic_write(out, json.dumps({"epoch": epoch, "partitions": rows}, sort_keys=True))
+    doc = {"epoch": epoch, "partitions": rows}
+    if throughput:
+        doc["throughput"] = throughput
+    _atomic_write(out, json.dumps(doc, sort_keys=True))
     return out
 
 

@@ -326,3 +326,17 @@ def test_time_travel_reads(changelog, tmp_path):
         assert t.state_table_at(e).equals(states[e])
     with pytest.raises(ValueError):
         t.state_table_at(99)
+
+
+def test_lineage_throughput_and_dataset(changelog, tmp_path):
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    r = t.apply_epoch(changelog[0])
+    assert r["throughput"]["events_in"] > 0
+    assert r["throughput"]["duration_sec"] > 0
+    assert r["throughput"]["events_per_sec"] > 0
+    t.apply_epoch(changelog[1])
+    ds = t.lineage_dataset()
+    df = ds.to_pandas()
+    assert set(df["epoch"].unique()) == {1, 2}
+    assert (df["epoch_duration_sec"] > 0).all()
+    assert "events_in" in df.columns and "hwm_commit" in df.columns
