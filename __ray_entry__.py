@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "join_customer_orders": R.join_customer_orders,
         "join_orders_lineitem_revenue": R.join_orders_lineitem_revenue,
         "top_customers_by_spend": R.top_customers_by_spend,
+        "revenue_by_region": R.revenue_by_region,
         "lineitem_multikey_sort": R.lineitem_multikey_sort,
         "distinct_event_types": R.distinct_event_types,
         "events_since": R.events_since,
@@ -203,6 +204,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents, "
             "count(*) AS n_orders FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
             "GROUP BY 1, 2 ORDER BY total_cents DESC, c_custkey LIMIT 20"
+        ),
+        "revenue_by_region": (
+            "SELECT r.r_name, "
+            "CAST(SUM(CAST(ROUND(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY 1"
         ),
         "lineitem_multikey_sort": (
             "SELECT l_orderkey, l_linenumber, l_shipdate, l_returnflag, l_quantity "

@@ -491,3 +491,65 @@ def session_counts(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def revenue_by_region(sf_dir: str) -> rd.Dataset:
+    """TPC-H Q5-style multi-way join: lineitem ⋈ orders ⋈ customer ⋈
+    nation ⋈ region, revenue per region. Strategy mirrors a real planner:
+    the big-big join (lineitem ⋈ orders) uses the hash-partitioned
+    Dataset.join; the dimension chain (customer -> nation -> region) is a
+    broadcast map composed driver-side (J1 small-side pattern)."""
+    import ray
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
+        region, left_on="n_regionkey", right_on="r_regionkey"
+    )[["c_custkey", "r_name"]]
+    cust_to_region = ray.put(dim.set_index("c_custkey")["r_name"])
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def pre_li(t: pa.Table) -> pa.Table:
+        rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
+        df = pd.DataFrame(
+            {"l_orderkey": t["l_orderkey"].to_pandas(), "rev": pc.cast(rev, pa.float64()).to_numpy()}
+        )
+        return pa.Table.from_pandas(
+            df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum")),
+            preserve_index=False,
+        )
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
+    joined = li.map_batches(pre_li, batch_format="pyarrow", zero_copy_batch=True).join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def to_region(t: pa.Table) -> pa.Table:
+        # plain task (not an actor pool): join aggregator actors already
+        # hold CPUs, and ray.get on a broadcast ref is a cheap local
+        # object-store read per batch
+        mapping = ray.get(cust_to_region)
+        regions = pd.Series(t["o_custkey"].to_pandas()).map(mapping).to_numpy()
+        df = pd.DataFrame({"r_name": regions, "rev": t["rev"].to_numpy(zero_copy_only=False)})
+        return pa.Table.from_pandas(
+            df.groupby("r_name", as_index=False).agg(rev=("rev", "sum")),
+            preserve_index=False,
+        )
+
+    agg = (
+        joined.map_batches(to_region, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("rev", alias_name="rev_f"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"r_name": t["r_name"], "revenue_cents": pc.cast(t["rev_f"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

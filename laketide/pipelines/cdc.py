@@ -1137,3 +1137,111 @@ class LakeTable:
         if not rows:
             return ray.data.from_items([])
         return ray.data.from_items(rows)
+
+    def rescale(self, new_partitions: int) -> dict[str, Any]:
+        """Change the partition count via a full rewrite commit
+        (SURVEY.md §7.4 risk 5: P is pinned per table because event
+        partition i must co-locate with snapshot partition i; changing P
+        is a table-wide rewrite, exactly as in Hudi/Iceberg bucket
+        rescaling).
+
+        HWM safety: a new partition's high-water mark is the MIN over the
+        old partitions' marks — conservative (never drops an undelivered
+        event); anything re-delivered between the min and a key's true
+        mark is neutralized by the idempotent LWW apply.
+
+        Driver-side rewrite (reads every partition once); for a
+        multi-TB table run it as a distributed job instead.
+        """
+        from laketide.stages.apply import merge_partition
+        from laketide.stages.partition import assign_partitions
+
+        if new_partitions < 1:
+            raise ValueError("new_partitions must be >= 1")
+        man = M.load_current(self.table_dir)
+        if not man:
+            self.num_partitions = new_partitions
+            return {"rescaled": True, "rows": 0}
+
+        tables = []
+        hwms = []
+        for _, info in man.partitions.items():
+            if info.get("hwm_commit"):
+                hwms.append((info["hwm_commit"], int(info.get("hwm_seq", -1))))
+            base = (
+                pq.read_table(os.path.join(self.table_dir, info["file"]))
+                if info.get("file")
+                else None
+            )
+            deltas = [
+                pq.read_table(os.path.join(self.table_dir, r))
+                for r in info.get("deltas") or []
+            ]
+            if base is None and not deltas:
+                continue
+            t = (
+                merge_partition(base, deltas, self.merge, keep_tombstones=True)
+                if deltas
+                else base
+            )
+            tables.append(t)
+        hwm_c, hwm_s = min(hwms) if hwms else ("", -1)
+
+        partitions: dict[str, dict] = {}
+        total_live = 0
+        if tables:
+            schema = tables[0].schema
+            for t in tables[1:]:
+                schema = S.unify(schema, t.schema)
+            all_rows = pa.concat_tables([S.conform(t, schema) for t in tables])
+            parts = assign_partitions(all_rows, new_partitions)
+            all_rows = all_rows.append_column("_newpart", parts)
+            for p in range(new_partitions):
+                sub = all_rows.filter(pc.equal(all_rows["_newpart"], p)).drop_columns(
+                    ["_newpart"]
+                )
+                if sub.num_rows == 0:
+                    partitions[str(p)] = {"hwm_commit": hwm_c, "hwm_seq": hwm_s}
+                    continue
+                sub = sub.sort_by([("repo", "ascending"), ("path", "ascending")])
+                rel = os.path.join(
+                    "data", f"part-{p:05d}-e{man.epoch:06d}-r{new_partitions}.parquet"
+                )
+                tmp = os.path.join(self.table_dir, rel) + ".tmp"
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(self.table_dir, rel))
+                dead = (
+                    int(pc.sum(pc.fill_null(sub[S.DELETED_COLUMN], False)).as_py() or 0)
+                    if S.DELETED_COLUMN in sub.column_names
+                    else 0
+                )
+                live = sub.num_rows - dead
+                total_live += live
+                partitions[str(p)] = {
+                    "file": rel,
+                    "rows": live,
+                    "hwm_commit": hwm_c,
+                    "hwm_seq": hwm_s,
+                }
+
+        new_man = M.Manifest(
+            epoch=man.epoch,
+            parent=man.parent,
+            num_partitions=new_partitions,
+            partitions=partitions,
+            schema_names=man.schema_names,
+            stats=dict(man.stats, rows=total_live),
+        )
+        p_ = M.paths(self.table_dir)
+        os.makedirs(p_["manifests"], exist_ok=True)
+        n = 0
+        while True:
+            name = f"manifest-{man.epoch:06d}-r{n}.json"
+            if not os.path.exists(os.path.join(p_["manifests"], name)):
+                break
+            n += 1
+        M._atomic_write(os.path.join(p_["manifests"], name), new_man.to_json())
+        M._atomic_write(p_["current"], name)
+        self.num_partitions = new_partitions
+        self._actor_pool = None  # routing changed
+        return {"rescaled": True, "num_partitions": new_partitions, "rows": total_live}

@@ -283,3 +283,35 @@ def test_pluggable_merge_strategy_longest(tmp_path):
     assert t2.merge == "longest"
     with pytest.raises(ValueError):
         LakeTable(str(tmp_path / "t"), merge="longest" if False else "nope")
+
+
+def test_spill_task_retry_is_exactly_once(changelog, tmp_path, monkeypatch):
+    """I5/exactly-once: a spill task that crashes once (then succeeds on
+    Ray's automatic retry) must not double-contribute — only files from
+    SUCCESSFUL task attempts enter the exchange, and staging writes are
+    truncate-on-write."""
+    import laketide.pipelines.cdc as cdc
+
+    marker_dir = str(tmp_path / "markers")
+    os.makedirs(marker_dir, exist_ok=True)
+    orig_call = cdc._SpillShards.__call__
+
+    def flaky(self, batch):
+        # fail exactly once per worker process (retried task lands on a
+        # fresh or same worker; either way, at most a handful of crashes)
+        marker = os.path.join(marker_dir, f"pid-{os.getpid()}")
+        if not os.path.exists(marker):
+            with open(marker, "w") as fh:
+                fh.write("x")
+            raise RuntimeError("injected spill crash (retry me)")
+        return orig_call(self, batch)
+
+    monkeypatch.setattr(cdc._SpillShards, "__call__", flaky)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    for f in changelog:
+        t.apply_epoch(f, exchange="storage")
+    monkeypatch.setattr(cdc._SpillShards, "__call__", orig_call)
+    clean = LakeTable(str(tmp_path / "clean"), num_partitions=8)
+    for f in changelog:
+        clean.apply_epoch(f, exchange="storage")
+    assert _keymap(t.state_table()) == _keymap(clean.state_table())

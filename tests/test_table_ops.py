@@ -340,3 +340,28 @@ def test_lineage_throughput_and_dataset(changelog, tmp_path):
     assert set(df["epoch"].unique()) == {1, 2}
     assert (df["epoch_duration_sec"] > 0).all()
     assert "events_in" in df.columns and "hwm_commit" in df.columns
+
+
+def test_rescale_partitions(changelog, tmp_path):
+    """Partition-count change via rewrite commit: state identical, new
+    epochs keep applying correctly at the new P, replays still drop."""
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    t.apply_epoch(changelog[0])
+    t.apply_epoch(changelog[1])
+    before = t.state_table()
+    r = t.rescale(32)
+    assert r["num_partitions"] == 32 and r["rows"] == before.num_rows
+    assert t.state_table().equals(before)
+    # fresh handle picks up new P from the manifest
+    t2 = LakeTable(str(tmp_path / "t"))
+    assert t2.num_partitions == 32
+    # next epoch applies at the new partitioning and matches a clean run
+    t2.apply_epoch(changelog[2])
+    ref = LakeTable(str(tmp_path / "ref"), num_partitions=8)
+    for f in changelog:
+        ref.apply_epoch(f)
+    a, b = t2.state_table(), ref.state_table()
+    assert a.num_rows == b.num_rows and a.equals(b)
+    # replay after rescale still de-duplicates
+    rr = t2.apply_epoch(changelog[2])
+    assert rr["totals"]["inserts"] + rr["totals"]["updates"] + rr["totals"]["deletes"] == 0
