@@ -49,6 +49,27 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--keep", type=int, default=2)
 
+    sp = sub.add_parser("compact", help="fold merge-on-read deltas into bases")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("purge-tombstones", help="drop old tombstone rows")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--older-than-epochs", type=int, default=16)
+
+    sp = sub.add_parser("rescale", help="change the partition count (full rewrite)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--partitions", type=int, required=True)
+
+    sp = sub.add_parser("history", help="committed-epoch log")
+    sp.add_argument("--table", required=True)
+
+    sp = sub.add_parser("tail", help="follow a changelog dir, applying new epochs")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--changelog", required=True)
+    sp.add_argument("--poll-seconds", type=float, default=2.0)
+    sp.add_argument("--max-idle-polls", type=int, default=3)
+    sp.add_argument("--partitions", type=int, default=32)
+
     sp = sub.add_parser("gen", help="generate a deterministic synthetic changelog")
     sp.add_argument("--out", required=True)
     sp.add_argument("--events", type=int, default=10_000)
@@ -103,6 +124,26 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "gc":
             t = LakeTable(args.table)
             print(json.dumps(t.gc(keep_last=args.keep)))
+        elif args.cmd == "compact":
+            t = LakeTable(args.table)
+            print(json.dumps(t.compact()))
+        elif args.cmd == "purge-tombstones":
+            t = LakeTable(args.table)
+            print(json.dumps(t.purge_tombstones(older_than_epochs=args.older_than_epochs)))
+        elif args.cmd == "rescale":
+            t = LakeTable(args.table)
+            print(json.dumps(t.rescale(args.partitions)))
+        elif args.cmd == "history":
+            t = LakeTable(args.table)
+            print(json.dumps(t.history()))
+        elif args.cmd == "tail":
+            t = LakeTable(args.table, num_partitions=args.partitions)
+            out = t.tail(
+                args.changelog,
+                poll_seconds=args.poll_seconds,
+                max_idle_polls=args.max_idle_polls,
+            )
+            print(json.dumps({"applied": out, "epoch": t.current_epoch()}))
     finally:
         if started:
             import ray

@@ -1245,3 +1245,30 @@ class LakeTable:
         self.num_partitions = new_partitions
         self._actor_pool = None  # routing changed
         return {"rescaled": True, "num_partitions": new_partitions, "rows": total_live}
+
+    def tail(
+        self,
+        changelog_dir: str,
+        poll_seconds: float = 2.0,
+        max_idle_polls: int = 3,
+        **kw,
+    ) -> list[dict[str, Any]]:
+        """WAL-tail follower: poll ``changelog_dir`` for new epoch slices
+        and apply them as they appear; stop after ``max_idle_polls``
+        consecutive polls with nothing new (a daemon would loop forever).
+        The binlog-tail entry point of the north star, built on
+        ``replay`` (only-new-epochs) so restarts resume exactly."""
+        import time as _time
+
+        results: list[dict[str, Any]] = []
+        idle = 0
+        while idle < max_idle_polls:
+            got = self.replay(changelog_dir, **kw)
+            if got:
+                results.extend(got)
+                idle = 0
+            else:
+                idle += 1
+                if idle < max_idle_polls:
+                    _time.sleep(poll_seconds)
+        return results

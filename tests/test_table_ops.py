@@ -365,3 +365,31 @@ def test_rescale_partitions(changelog, tmp_path):
     # replay after rescale still de-duplicates
     rr = t2.apply_epoch(changelog[2])
     assert rr["totals"]["inserts"] + rr["totals"]["updates"] + rr["totals"]["deletes"] == 0
+
+
+def test_tail_follows_new_epochs(tmp_path):
+    import shutil
+
+    src = generate_changelog(str(tmp_path / "full"), n_events=1200, n_epochs=3, seed=21)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    # epoch 0 already present; epochs 1-2 "arrive" during the tail
+    shutil.copy(src[0], os.path.join(live, os.path.basename(src[0])))
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+
+    import threading, time
+
+    def feeder():
+        for f in src[1:]:
+            time.sleep(0.8)
+            shutil.copy(f, os.path.join(live, os.path.basename(f)))
+
+    th = threading.Thread(target=feeder)
+    th.start()
+    results = t.tail(live, poll_seconds=0.5, max_idle_polls=5)
+    th.join()
+    assert t.current_epoch() == 3
+    ref = LakeTable(str(tmp_path / "ref"), num_partitions=4)
+    for f in src:
+        ref.apply_epoch(f)
+    assert t.state_table().equals(ref.state_table())
