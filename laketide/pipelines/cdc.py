@@ -310,12 +310,17 @@ class _SpillShards:
         boundaries = [0] + (np.nonzero(parts[1:] != parts[:-1])[0] + 1).tolist() + [len(parts)]
         path = os.path.join(self.ex_dir, f"map-{uuid.uuid4().hex}.parquet")
         tmp = path + ".tmp"
-        # zstd-1: ~9% faster end-to-end than snappy on KB-content epochs
-        # and roughly halves exchange bytes (matters most when the
-        # exchange dir is remote shared storage on a real cluster)
-        with pq.ParquetWriter(
-            tmp, batch.schema, compression="zstd", compression_level=1
-        ) as w:
+        # Adaptive spill compression (measured on this engine): zstd-1 is
+        # ~9% faster end-to-end for KB-sized contents (halves exchange
+        # bytes), but costs ~20% on narrow rows where snappy's lower CPU
+        # wins. Threshold ~600 B/row.
+        wide = batch.num_rows > 0 and (batch.nbytes / batch.num_rows) > 600
+        kw = (
+            dict(compression="zstd", compression_level=1)
+            if wide
+            else dict(compression="snappy")
+        )
+        with pq.ParquetWriter(tmp, batch.schema, **kw) as w:
             for lo, hi in zip(boundaries[:-1], boundaries[1:]):
                 w.write_table(batch.slice(lo, hi - lo))
         os.replace(tmp, path)
