@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": text.docs_by_lang,
         "exact_dedup_docs": text.exact_dedup_docs,
         "token_counts": text.token_counts,
+        "token_counts_bpe": text.token_counts_bpe,
         "top_tokens": text.top_tokens,
         "doc_quality": text.doc_quality,
         "docs_filter_en": text.docs_filter_en,
@@ -138,6 +139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blob_meta": multimodal.blob_meta,
         "multimodal_decode": multimodal.multimodal_decode,
         "frame_sample": multimodal.frame_sample,
+        "blob_resize": multimodal.blob_resize,
     }
 
 
@@ -251,6 +253,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "token_counts": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "token_counts_bpe": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
         "top_tokens": (
             "SELECT token, count(*) AS n FROM "

@@ -113,3 +113,33 @@ def frame_sample(sf_dir: str, n_frames: int = 4, frame_bytes: int = 32) -> rd.Da
         )
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=256)
+
+
+def blob_resize(sf_dir: str, target_bytes: int = 64) -> rd.Dataset:
+    """Resize plumbing for image-like payloads: deterministically
+    down-sample each opaque blob to ``target_bytes`` evenly-spaced bytes
+    (the real image resize would replace the sampling kernel; the
+    Ray-side layout — fixed-width binary output column, batch shaping —
+    is real). Rows-only check."""
+    ds = blob_table(sf_dir)
+
+    def f(t: pa.Table) -> pa.Table:
+        outs = []
+        for payload in t["payload"].to_pylist():
+            n = len(payload)
+            if n == 0:
+                outs.append(b"\x00" * target_bytes)
+            elif n <= target_bytes:
+                outs.append(payload.ljust(target_bytes, b"\x00"))
+            else:
+                idx = [(i * (n - 1)) // (target_bytes - 1) for i in range(target_bytes)]
+                outs.append(bytes(payload[i] for i in idx))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "resized": pa.array(outs, pa.binary()),
+                "orig_bytes": t["n_bytes"],
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=512)

@@ -219,3 +219,28 @@ def doc_sample_hash(sf_dir: str) -> rd.Dataset:
         return t.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class BpeishTokenizer:
+    """BPE-ish regex tokenizer (actor-pool stage: pattern compiled once
+    per actor). ASCII-only classes so the Python and DuckDB (RE2) regex
+    engines agree exactly."""
+
+    PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+    def __init__(self):
+        self.pat = re.compile(self.PATTERN)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        counts = df["text"].map(lambda s: len(self.pat.findall(s)))
+        return pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "n_bpe_tokens": counts.astype("int64")}
+        )
+
+
+def token_counts_bpe(sf_dir: str) -> rd.Dataset:
+    """Sub-word-ish token counting with a compiled regex (the BPE-shaped
+    companion to whitespace ``token_counts``)."""
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        BpeishTokenizer, batch_format="pandas", concurrency=2
+    )
