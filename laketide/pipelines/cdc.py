@@ -327,6 +327,21 @@ class _SpillShards:
         return pa.table({"file": [path], "rows": [batch.num_rows]})
 
 
+def _read_partition_rows(files: list[str], part: int) -> list[pa.Table]:
+    """Read one partition's row groups from partition-aligned spill files
+    (one footer read per file; groups matched via min==max==part stats)."""
+    tbls = []
+    for f in files:
+        pf = pq.ParquetFile(f)
+        meta = pf.metadata
+        col_idx = pf.schema_arrow.names.index(S.PART_COLUMN)
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(col_idx).statistics
+            if st is not None and st.min == st.max == part:
+                tbls.append(pf.read_row_group(rg))
+    return tbls
+
+
 def _make_reduce_fn(files: list[str], apply_fn):
     """Reduce side: one task per partition id; reads only that partition's
     row groups from every spill file."""
@@ -336,25 +351,11 @@ def _make_reduce_fn(files: list[str], apply_fn):
 
         limit_arrow_threads(1)
         wanted = batch["part"].to_pylist()
-        want = set(wanted)
-        # One footer read per file; row groups are partition-aligned and
-        # sorted, so min==max==part per group — index them directly.
-        per_part: dict[int, list[pa.Table]] = {p: [] for p in wanted}
-        for f in files:
-            pf = pq.ParquetFile(f)
-            meta = pf.metadata
-            col_idx = pf.schema_arrow.names.index(S.PART_COLUMN)
-            hits = []
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(col_idx).statistics
-                if st is not None and st.min == st.max and st.min in want:
-                    hits.append((rg, st.min))
-            for rg, p in hits:
-                per_part[p].append(pf.read_row_group(rg))
         outs = []
         for p in wanted:
-            if per_part[p]:
-                outs.append(apply_fn(pa.concat_tables(per_part[p])))
+            tbls = _read_partition_rows(files, p)
+            if tbls:
+                outs.append(apply_fn(pa.concat_tables(tbls)))
         if not outs:
             return METRICS_SCHEMA.empty_table()
         return pa.concat_tables(outs)
@@ -570,9 +571,13 @@ class LakeTable:
             self.layout,
             self.compact_threshold,
         )
-        metric_rows = self._exchange(norm, fn, epoch_id, total, exchange)
-        duration = __import__("time").perf_counter() - t_start
-        return self._finalize(epoch_id, man, metric_rows, duration)
+        lock = self._acquire_lock()
+        try:
+            metric_rows = self._exchange(norm, fn, epoch_id, total, exchange)
+            duration = __import__("time").perf_counter() - t_start
+            return self._finalize(epoch_id, man, metric_rows, duration)
+        finally:
+            self._release_lock(lock)
 
     def _exchange(self, norm, fn, epoch_id: int, total_bytes: int, mode: str) -> list[dict]:
         mode = os.environ.get("LAKETIDE_EXCHANGE", mode)
@@ -643,6 +648,48 @@ class LakeTable:
     # A test hook: overridable to inject a crash between staging and commit.
     def _pre_commit_hook(self, epoch_id: int) -> None:  # pragma: no cover
         pass
+
+    # ------------------------------------------------------------ writer lock
+    def _acquire_lock(self):
+        """Single-writer advisory lock (the reference's single sync-job
+        analog): O_EXCL lock file holding the writer pid; a lock whose
+        pid is dead is stale and stolen. Concurrent LIVE writers raise —
+        two appliers racing the manifest swap could each commit a
+        manifest the other never saw."""
+        path = os.path.join(self.table_dir, "_LOCK")
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return path
+            except FileExistsError:
+                try:
+                    with open(path) as fh:
+                        pid = int(fh.read().strip() or "-1")
+                except (FileNotFoundError, ValueError):
+                    continue  # raced with a release; retry
+                alive = False
+                if pid > 0:
+                    try:
+                        os.kill(pid, 0)
+                        alive = True
+                    except (ProcessLookupError, PermissionError):
+                        alive = False
+                if alive and pid != os.getpid():
+                    raise RuntimeError(
+                        f"table {self.table_dir} is locked by live writer pid {pid}"
+                    )
+                try:
+                    os.remove(path)  # stale (or our own re-entry): steal
+                except FileNotFoundError:
+                    pass
+
+    def _release_lock(self, path: str) -> None:
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
 
     def _finalize(
         self,
@@ -1155,11 +1202,13 @@ class LakeTable:
         event); anything re-delivered between the min and a key's true
         mark is neutralized by the idempotent LWW apply.
 
-        Driver-side rewrite (reads every partition once); for a
-        multi-TB table run it as a distributed job instead.
+        Distributed: one Ray task per OLD partition spills rows sorted
+        by their NEW partition id (partition-aligned row groups), then
+        one task per NEW partition assembles its base — the same
+        storage-backed exchange the apply path uses, so it scales to
+        multi-TB tables.
         """
-        from laketide.stages.apply import merge_partition
-        from laketide.stages.partition import assign_partitions
+        import ray as _ray
 
         if new_partitions < 1:
             raise ValueError("new_partitions must be >= 1")
@@ -1168,66 +1217,86 @@ class LakeTable:
             self.num_partitions = new_partitions
             return {"rescaled": True, "rows": 0}
 
-        tables = []
-        hwms = []
-        for _, info in man.partitions.items():
-            if info.get("hwm_commit"):
-                hwms.append((info["hwm_commit"], int(info.get("hwm_seq", -1))))
+        hwms = [
+            (info["hwm_commit"], int(info.get("hwm_seq", -1)))
+            for info in man.partitions.values()
+            if info.get("hwm_commit")
+        ]
+        hwm_c, hwm_s = min(hwms) if hwms else ("", -1)
+
+        table_dir = self.table_dir
+        merge = self.merge
+        ex_dir = os.path.join(table_dir, "_staging", f"rescale-{man.epoch:06d}")
+        os.makedirs(ex_dir, exist_ok=True)
+
+        @_ray.remote(num_cpus=1)
+        def spill_old(info: dict) -> list[dict]:
+            from laketide.stages.apply import limit_arrow_threads, merge_partition
+            from laketide.stages.partition import assign_partitions
+
+            limit_arrow_threads(1)
             base = (
-                pq.read_table(os.path.join(self.table_dir, info["file"]))
+                pq.read_table(os.path.join(table_dir, info["file"]))
                 if info.get("file")
                 else None
             )
             deltas = [
-                pq.read_table(os.path.join(self.table_dir, r))
+                pq.read_table(os.path.join(table_dir, r))
                 for r in info.get("deltas") or []
             ]
             if base is None and not deltas:
-                continue
+                return []
             t = (
-                merge_partition(base, deltas, self.merge, keep_tombstones=True)
+                merge_partition(base, deltas, merge, keep_tombstones=True)
                 if deltas
                 else base
             )
-            tables.append(t)
-        hwm_c, hwm_s = min(hwms) if hwms else ("", -1)
+            t = t.append_column(S.PART_COLUMN, assign_partitions(t, new_partitions))
+            summary = _SpillShards(ex_dir)(t)
+            return summary.to_pylist()
+
+        summaries = _ray.get(
+            [spill_old.remote(dict(info)) for info in man.partitions.values()]
+        )
+        files = sorted(r["file"] for rows in summaries for r in rows)
+
+        @_ray.remote(num_cpus=1)
+        def build_new(p: int) -> dict:
+            from laketide.stages.apply import limit_arrow_threads
+
+            limit_arrow_threads(1)
+            tbls = _read_partition_rows(files, p)
+            if not tbls:
+                return {"part": p}
+            sub = pa.concat_tables(tbls).drop_columns([S.PART_COLUMN])
+            sub = sub.sort_by([("repo", "ascending"), ("path", "ascending")])
+            rel = os.path.join(
+                "data", f"part-{p:05d}-e{man.epoch:06d}-r{new_partitions}.parquet"
+            )
+            tmp = os.path.join(table_dir, rel) + f".tmp-{os.getpid()}"
+            pq.write_table(sub, tmp)
+            os.replace(tmp, os.path.join(table_dir, rel))
+            dead = (
+                int(pc.sum(pc.fill_null(sub[S.DELETED_COLUMN], False)).as_py() or 0)
+                if S.DELETED_COLUMN in sub.column_names
+                else 0
+            )
+            return {"part": p, "file": rel, "rows": sub.num_rows - dead}
+
+        results = _ray.get([build_new.remote(p) for p in range(new_partitions)])
 
         partitions: dict[str, dict] = {}
         total_live = 0
-        if tables:
-            schema = tables[0].schema
-            for t in tables[1:]:
-                schema = S.unify(schema, t.schema)
-            all_rows = pa.concat_tables([S.conform(t, schema) for t in tables])
-            parts = assign_partitions(all_rows, new_partitions)
-            all_rows = all_rows.append_column("_newpart", parts)
-            for p in range(new_partitions):
-                sub = all_rows.filter(pc.equal(all_rows["_newpart"], p)).drop_columns(
-                    ["_newpart"]
-                )
-                if sub.num_rows == 0:
-                    partitions[str(p)] = {"hwm_commit": hwm_c, "hwm_seq": hwm_s}
-                    continue
-                sub = sub.sort_by([("repo", "ascending"), ("path", "ascending")])
-                rel = os.path.join(
-                    "data", f"part-{p:05d}-e{man.epoch:06d}-r{new_partitions}.parquet"
-                )
-                tmp = os.path.join(self.table_dir, rel) + ".tmp"
-                pq.write_table(sub, tmp)
-                os.replace(tmp, os.path.join(self.table_dir, rel))
-                dead = (
-                    int(pc.sum(pc.fill_null(sub[S.DELETED_COLUMN], False)).as_py() or 0)
-                    if S.DELETED_COLUMN in sub.column_names
-                    else 0
-                )
-                live = sub.num_rows - dead
-                total_live += live
-                partitions[str(p)] = {
-                    "file": rel,
-                    "rows": live,
-                    "hwm_commit": hwm_c,
-                    "hwm_seq": hwm_s,
-                }
+        for r in results:
+            entry = {"hwm_commit": hwm_c, "hwm_seq": hwm_s}
+            if r.get("file"):
+                entry["file"] = r["file"]
+                entry["rows"] = int(r["rows"])
+                total_live += int(r["rows"])
+            partitions[str(r["part"])] = entry
+        import shutil as _shutil
+
+        _shutil.rmtree(ex_dir, ignore_errors=True)
 
         new_man = M.Manifest(
             epoch=man.epoch,

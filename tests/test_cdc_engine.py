@@ -315,3 +315,21 @@ def test_spill_task_retry_is_exactly_once(changelog, tmp_path, monkeypatch):
     for f in changelog:
         clean.apply_epoch(f, exchange="storage")
     assert _keymap(t.state_table()) == _keymap(clean.state_table())
+
+
+def test_single_writer_lock(changelog, tmp_path):
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t.apply_epoch(changelog[0])
+    lock = os.path.join(str(tmp_path / "t"), "_LOCK")
+    # live foreign writer (this test's own pid stands in) -> refused
+    with open(lock, "w") as fh:
+        fh.write("1")  # pid 1 is always alive (init) and not ours
+    with pytest.raises(RuntimeError):
+        t.apply_epoch(changelog[1])
+    os.remove(lock)
+    # stale lock (dead pid) -> stolen, apply proceeds
+    with open(lock, "w") as fh:
+        fh.write("999999999")
+    r = t.apply_epoch(changelog[1])
+    assert r["epoch"] == 2
+    assert not os.path.exists(lock)
