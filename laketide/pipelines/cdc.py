@@ -1044,6 +1044,15 @@ class LakeTable:
         analog; reference analog: snapshot export consolidations S10)."""
         from laketide.stages.apply import merge_partition
 
+        lock = self._acquire_lock()
+        try:
+            return self._compact_locked()
+        finally:
+            self._release_lock(lock)
+
+    def _compact_locked(self) -> dict[str, Any]:
+        from laketide.stages.apply import merge_partition
+
         man = M.load_current(self.table_dir)
         if not man:
             return {"compacted": 0}
@@ -1112,6 +1121,13 @@ class LakeTable:
         (retention horizon). Safe only once no event older than the
         horizon can still arrive — the operator's call, like Hudi/Delta
         tombstone retention windows. Commits a maintenance manifest."""
+        lock = self._acquire_lock()
+        try:
+            return self._purge_locked(older_than_epochs)
+        finally:
+            self._release_lock(lock)
+
+    def _purge_locked(self, older_than_epochs: int) -> dict[str, Any]:
         man = M.load_current(self.table_dir)
         if not man:
             return {"purged": 0}
@@ -1212,6 +1228,15 @@ class LakeTable:
 
         if new_partitions < 1:
             raise ValueError("new_partitions must be >= 1")
+        lock = self._acquire_lock()
+        try:
+            return self._rescale_locked(new_partitions)
+        finally:
+            self._release_lock(lock)
+
+    def _rescale_locked(self, new_partitions: int) -> dict[str, Any]:
+        import ray as _ray
+
         man = M.load_current(self.table_dir)
         if not man:
             self.num_partitions = new_partitions
