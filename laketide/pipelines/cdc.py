@@ -162,7 +162,12 @@ def _make_group_fn(
             live = pc.fill_null(out[S.DELETED_COLUMN], False) if S.DELETED_COLUMN in out.column_names else None
             m.rows_out = out.num_rows - (int(pc.sum(live).as_py() or 0) if live is not None else 0)
 
-        changed = (m.inserts + m.updates + m.deletes) > 0
+        # noops (content-identical version advances) and noop_deletes
+        # (retained tombstones for unseen keys) mutate persistent state:
+        # skipping them would leave the stored (commit, seq) stale, so a
+        # late intermediate event could wrongly win a future LWW compare
+        # (apply.py:241-245). They count as changes.
+        changed = (m.inserts + m.updates + m.deletes + m.noops + m.noop_deletes) > 0
         if layout == "mor" and kind == "base" and delta_rels:
             changed = True  # compaction must commit even with zero mutations
 
@@ -511,6 +516,21 @@ class LakeTable:
         import time as _time
 
         t_start = _time.perf_counter()
+        # The manifest load, epoch-id assignment and HWM snapshot all
+        # happen INSIDE the single-writer lock: loading before acquiring
+        # would let a concurrent committer slip a manifest in between,
+        # and this writer would commit over a stale parent (lost update).
+        lock = self._acquire_lock()
+        try:
+            return self._apply_epoch_locked(
+                events, epoch_id, hwm_filter, exchange, t_start
+            )
+        finally:
+            self._release_lock(lock)
+
+    def _apply_epoch_locked(
+        self, events, epoch_id, hwm_filter, exchange, t_start
+    ) -> dict[str, Any]:
         man = M.load_current(self.table_dir)
         committed = man.epoch if man else 0
         if epoch_id is None:
@@ -571,13 +591,9 @@ class LakeTable:
             self.layout,
             self.compact_threshold,
         )
-        lock = self._acquire_lock()
-        try:
-            metric_rows = self._exchange(norm, fn, epoch_id, total, exchange)
-            duration = __import__("time").perf_counter() - t_start
-            return self._finalize(epoch_id, man, metric_rows, duration)
-        finally:
-            self._release_lock(lock)
+        metric_rows = self._exchange(norm, fn, epoch_id, total, exchange)
+        duration = __import__("time").perf_counter() - t_start
+        return self._finalize(epoch_id, man, metric_rows, duration)
 
     def _exchange(self, norm, fn, epoch_id: int, total_bytes: int, mode: str) -> list[dict]:
         mode = os.environ.get("LAKETIDE_EXCHANGE", mode)
@@ -674,14 +690,27 @@ class LakeTable:
                     try:
                         os.kill(pid, 0)
                         alive = True
-                    except (ProcessLookupError, PermissionError):
+                    except ProcessLookupError:
                         alive = False
+                    except PermissionError:
+                        alive = True  # exists, owned by another uid
                 if alive and pid != os.getpid():
                     raise RuntimeError(
                         f"table {self.table_dir} is locked by live writer pid {pid}"
                     )
+                # Stale (or our own re-entry): steal by RENAME, not remove.
+                # Two contenders that both saw the dead pid would otherwise
+                # both os.remove() — the second remove deletes the first
+                # contender's freshly-created lock and both "win". rename
+                # to a unique name is atomic: exactly one renamer succeeds,
+                # the loser loops and re-reads.
+                steal = f"{path}.steal-{os.getpid()}"
                 try:
-                    os.remove(path)  # stale (or our own re-entry): steal
+                    os.rename(path, steal)
+                except (FileNotFoundError, OSError):
+                    continue  # lost the steal race; retry
+                try:
+                    os.remove(steal)
                 except FileNotFoundError:
                     pass
 
@@ -1007,12 +1036,33 @@ class LakeTable:
         cutoff / job retention —
         /root/reference/internal/jobs/server.go:690-727): drop manifests
         older than the newest ``keep_last`` and any data file no kept
-        manifest references. Never touches the live manifest."""
+        manifest references. Never touches the live manifest: the
+        manifest named in CURRENT is always in the keep set, and
+        recency is (epoch, mtime) — NOT the filename — because
+        maintenance manifests (``manifest-000005-c0.json``) sort
+        lexicographically BEFORE their base epoch ('-' < '.')."""
         import glob as _glob
+        import re as _re
 
         p = M.paths(self.table_dir)
-        manifests = sorted(_glob.glob(os.path.join(p["manifests"], "manifest-*.json")))
+
+        def _recency(path: str) -> tuple[int, float, str]:
+            mt = _re.match(r"manifest-(\d+)", os.path.basename(path))
+            epoch = int(mt.group(1)) if mt else -1
+            return (epoch, os.path.getmtime(path), path)
+
+        manifests = sorted(
+            _glob.glob(os.path.join(p["manifests"], "manifest-*.json")), key=_recency
+        )
         keep = manifests[-keep_last:] if keep_last > 0 else manifests[-1:]
+        # The live manifest is sacred regardless of keep_last.
+        try:
+            with open(p["current"]) as fh:
+                live = os.path.join(p["manifests"], fh.read().strip())
+            if live in manifests and live not in keep:
+                keep.append(live)
+        except FileNotFoundError:
+            pass
         referenced: set[str] = set()
         for mf in keep:
             with open(mf) as fh:
@@ -1028,9 +1078,11 @@ class LakeTable:
                 os.remove(f)
                 removed_files += 1
         removed_manifests = 0
-        for mf in manifests[: -len(keep)] if keep else []:
-            os.remove(mf)
-            removed_manifests += 1
+        keep_set = set(keep)
+        for mf in manifests:
+            if mf not in keep_set:
+                os.remove(mf)
+                removed_manifests += 1
         import shutil as _shutil
 
         _shutil.rmtree(p["staging"], ignore_errors=True)

@@ -98,8 +98,17 @@ class ApplierActor:
             cur = pq.read_table(os.path.join(self.table_dir, cur_file))
 
         out = apply_partition(cur, winners, epoch_id, m, self.strategy)
-        m.rows_out = out.num_rows
-        changed = (m.inserts + m.updates + m.deletes) > 0
+        # Live rows only: retained tombstones (deleted=True) are write-side
+        # bookkeeping, same accounting as the task path (cdc.py _finalize).
+        dead = (
+            int(pc.sum(pc.fill_null(out[S.DELETED_COLUMN], False)).as_py() or 0)
+            if S.DELETED_COLUMN in out.column_names
+            else 0
+        )
+        m.rows_out = out.num_rows - dead
+        # noop version advances and retained tombstones mutate state too —
+        # a noop-only partition must still commit (apply.py:241-245).
+        changed = (m.inserts + m.updates + m.deletes + m.noops + m.noop_deletes) > 0
 
         staged = ""
         if changed:

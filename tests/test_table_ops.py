@@ -76,6 +76,86 @@ def test_gc_drops_superseded_files_keeps_state(changelog, tmp_path):
     assert before.equals(after)
 
 
+def test_gc_after_maintenance_keeps_live_manifest(tmp_path):
+    """Regression: maintenance manifests (manifest-NNN-c0.json) sort
+    lexicographically BEFORE their base epoch ('-' < '.'), so a naive
+    name-sorted gc(keep_last=1) would delete the LIVE compacted manifest
+    and the data files only it references, destroying the table."""
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2, layout="mor")
+    for e in range(1, 3):
+        ev = pa.table(
+            {
+                "repo": ["r", "r"],
+                "path": ["a", "b"],
+                "commit": [f"c{e:010d}"] * 2,
+                "seq": pa.array([2 * e, 2 * e + 1], pa.int64()),
+                "op": ["insert" if e == 1 else "update"] * 2,
+                "content": [f"va{e}", f"vb{e}"],
+            }
+        )
+        f = str(tmp_path / f"e{e}.parquet")
+        pq.write_table(ev, f)
+        t.apply_epoch(f)
+    before = t.state_table()
+    r = t.compact()
+    assert r["compacted"] > 0  # live manifest is now manifest-000002-c0.json
+    t.gc(keep_last=1)
+    t2 = LakeTable(str(tmp_path / "t"))
+    assert t2.current_manifest() is not None
+    assert t2.state_table().equals(before)
+
+
+def test_noop_only_epoch_commits_version_advance(tmp_path):
+    """Regression: an epoch of ONLY content-identical version advances
+    must still commit — the stored (commit, seq) must move forward, or a
+    late intermediate event could wrongly win a future LWW compare."""
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2)
+    e1 = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["a"],
+            "commit": ["c0000000001"],
+            "seq": pa.array([1], pa.int64()),
+            "op": ["insert"],
+            "content": ["same"],
+        }
+    )
+    e2 = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["a"],
+            "commit": ["c0000000005"],
+            "seq": pa.array([5], pa.int64()),
+            "op": ["update"],
+            "content": ["same"],  # identical sha -> pure noop
+        }
+    )
+    pq.write_table(e1, str(tmp_path / "e1.parquet"))
+    pq.write_table(e2, str(tmp_path / "e2.parquet"))
+    t.apply_epoch(str(tmp_path / "e1.parquet"))
+    r = t.apply_epoch(str(tmp_path / "e2.parquet"), hwm_filter=False)
+    assert r["totals"]["noops"] == 1
+    st = t.state_table()
+    assert st["commit"][0].as_py() == "c0000000005"  # version advanced
+    assert st["seq"][0].as_py() == 5
+    # a late event BETWEEN the two versions must now lose
+    e3 = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["a"],
+            "commit": ["c0000000003"],
+            "seq": pa.array([3], pa.int64()),
+            "op": ["update"],
+            "content": ["intermediate"],
+        }
+    )
+    pq.write_table(e3, str(tmp_path / "e3.parquet"))
+    t.apply_epoch(str(tmp_path / "e3.parquet"), hwm_filter=False)
+    st = t.state_table()
+    assert st["content"][0].as_py() == "same"
+    assert st["commit"][0].as_py() == "c0000000005"
+
+
 def test_source_registry_jsonl_and_csv(tmp_path):
     # same logical events through three formats -> identical final state
     rows = [
