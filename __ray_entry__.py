@@ -24,39 +24,56 @@ from typing import Any
 _SF001 = "/root/testdata/sf0.001"
 
 
+def _events_to_changelog(batch: "Any") -> "Any":
+    """Vectorized Arrow projection: driver events -> CDC changelog rows.
+
+    key = (user, event_type); version = (ts -> zero-padded int64 micros,
+    event_id). Pure pyarrow.compute — no per-row Python, streams at any
+    scale."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    user = pc.utf8_lpad(pc.cast(batch["user_id"], pa.string()), 6, "0")
+    repo = pc.binary_join_element_wise(pa.array(["user"] * n), user, "")
+    ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
+    commit = pc.binary_join_element_wise(
+        pa.array(["c"] * n),
+        pc.utf8_lpad(pc.cast(ts_us, pa.string()), 20, "0"),
+        "",
+    )
+    return pa.table(
+        {
+            "repo": repo,
+            "path": batch["event_type"],
+            "commit": commit,
+            "seq": pc.cast(batch["event_id"], pa.int64()),
+            "op": pa.array(["update"] * n, pa.string()),
+            "lang": batch["event_type"],
+            "content": batch["props"],
+        }
+    )
+
+
 def _flagship(sf_dir: str) -> Any:
     """Flagship: treat the driver's events table as a CDC changelog
     (key=(user partition, event_type), version=(ts->commit, event_id)),
-    replay it through the LakeTable engine, return the final state."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    replay it through the LakeTable engine, return the final state.
+
+    Streaming end-to-end: read_parquet -> map_batches Arrow projection ->
+    write_parquet epoch shards -> apply_epoch. The driver never holds the
+    input in memory."""
     import ray.data as rd
 
     from laketide import LakeTable
 
-    ev = pq.read_table(os.path.join(sf_dir, "events.parquet"))
-    df = ev.to_pandas()
-    log = pa.table(
-        {
-            "repo": pa.array([f"user{u:06d}" for u in df["user_id"]], pa.string()),
-            "path": pa.array(df["event_type"].tolist(), pa.string()),
-            "commit": pa.array(
-                ["c" + t.strftime("%Y%m%d%H%M%S%f") for t in df["ts"]], pa.string()
-            ),
-            "seq": pa.array(df["event_id"].tolist(), pa.int64()),
-            "op": pa.array(
-                ["update"] * len(df), pa.string()
-            ),
-            "lang": pa.array(df["event_type"].tolist(), pa.string()),
-            "content": pa.array(df["props"].tolist(), pa.string()),
-        }
-    )
     work = tempfile.mkdtemp(prefix="laketide_entry_", dir="/tmp")
-    log_path = os.path.join(work, "epoch-000.parquet")
-    pq.write_table(log, log_path)
+    epoch_dir = os.path.join(work, "epoch-000")
+    rd.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
+        _events_to_changelog, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(epoch_dir)
     table = LakeTable(os.path.join(work, "table"), num_partitions=8)
-    table.apply_epoch(log_path)
+    table.apply_epoch(epoch_dir)
     return table.read()
 
 
@@ -64,16 +81,24 @@ def entry() -> Any:
     return _flagship(_SF001)
 
 
+def _replay_log_dir(sf_tag: str) -> str:
+    """Deterministic cached changelog for the flagship replay — shared by
+    the Ray query and the DuckDB oracle so both read identical bytes."""
+    from laketide.sources.changelog import changelog_dir_for
+
+    n_events = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}.get(sf_tag, 5_000)
+    return changelog_dir_for(sf_tag, n_events)
+
+
 def _cdc_replay_final(sf_dir: str) -> Any:
     """Full engine replay of a deterministic synthetic changelog sized to
-    the scale factor (rows-only driver check; pytest checks it against the
-    DuckDB window oracle)."""
+    the scale factor; final state checked against the DuckDB LWW window
+    oracle (reference: sql/vulnerabilities.sql:66-90)."""
     from laketide.pipelines.cdc import LakeTable
     from laketide.sources.changelog import changelog_dir_for
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    n_events = {"sf0.001": 5_000, "sf0.01": 50_000, "sf0.1": 500_000}.get(sf_tag, 5_000)
-    log_dir = changelog_dir_for(sf_tag, n_events)
+    log_dir = _replay_log_dir(sf_tag)
     import glob
 
     files = sorted(glob.glob(os.path.join(log_dir, "epoch-*.parquet")))
@@ -81,7 +106,9 @@ def _cdc_replay_final(sf_dir: str) -> Any:
     table = LakeTable(os.path.join(work, "table"), num_partitions=32)
     for f in files:
         table.apply_epoch(f)
-    return table.read()
+    return table.read().select_columns(
+        ["repo", "path", "commit", "seq", "lang", "content"]
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -147,7 +174,17 @@ def oracle_sql() -> dict[str, str]:
     from laketide.functions.similarity import query_vector_sql_literal
 
     qvec = query_vector_sql_literal()
+    # The flagship replay's oracle reads the SAME deterministic cached
+    # changelog the Ray query replays (correctness runs at sf0.01).
+    replay_glob = os.path.join(_replay_log_dir("sf0.01"), "epoch-*.parquet")
     return {
+        "cdc_replay_final": (
+            "SELECT repo, path, commit, seq, lang, content FROM ("
+            "SELECT *, row_number() OVER ("
+            "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
+            f"FROM read_parquet('{replay_glob}', union_by_name=true)"
+            ") WHERE rn = 1 AND op != 'delete'"
+        ),
         "cdc_lww_latest": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
