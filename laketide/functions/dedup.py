@@ -1,209 +1,466 @@
 """Near-duplicate detection over ``documents`` — MinHash+LSH, SimHash and
 exact-Jaccard verification, built the Ray-Data way:
 
-  shingle -> signature (vectorized map_batches)
+  shingle -> signature (vectorized numpy kernels in map_batches)
     -> explode to (band, band_hash, doc_id)  (flat projection)
     -> groupby(band, band_hash)              (ONE shuffle of tiny rows)
-    -> candidate pairs per bucket            (map_groups)
-    -> verify (exact Jaccard / hamming)      (broadcast shingle sets)
+    -> candidate pairs per bucket            (map_groups, hot-bucket capped)
+    -> verify (exact Jaccard)                (distributed: shingle-set
+                                              Dataset joined to pairs)
 
 At 100 TB the banded rows are a few dozen bytes each, so the shuffle is
-tiny relative to the corpus; the verify stage broadcasts only candidate
-doc shingle-sets. No oracle SQL (non-relational ops) — the driver records
+tiny relative to the corpus. The verify stage broadcasts ONLY the
+candidate id set (8 bytes/id); shingle sets stay distributed and meet the
+pairs through Dataset joins — nothing content-sized ever lands on the
+driver. No oracle SQL (non-relational ops) — the driver records
 rows-only checks; determinism is guaranteed by fixed hash seeds.
+
+Hash kernels are numpy-vectorized end-to-end: token hashes via pandas'
+C-level siphash (``hash_array``), k-gram shingles and 64-permutation
+multiply-shift MinHash as uint64 wraparound arithmetic (mod 2**64), never
+a per-shingle Python loop.
 """
 
 from __future__ import annotations
 
-import hashlib
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
-_MERSENNE = (1 << 61) - 1
+logger = logging.getLogger(__name__)
+
 _N_PERM = 64
 _BANDS = 16  # 16 bands x 4 rows
+_ROWS_PER_BAND = _N_PERM // _BANDS
+_SHINGLE_K = 3
+# Hot-bucket cap: an LSH bucket larger than this emits a STAR topology
+# (first id paired to every other member) instead of all pairs — O(n)
+# rows, same connected components for dedup, and the drop is logged
+# (no silent caps). A popular band hash at scale is otherwise O(n^2).
+_MAX_BUCKET = 256
+
+# Odd 64-bit mixing constants (splitmix64-derived); uint64 wraparound
+# arithmetic == arithmetic mod 2**64.
+_K = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0x2545F4914F6CDD1D],
+    dtype=np.uint64,
+)
 
 
 def _perm_params(n_perm: int = _N_PERM, seed: int = 12345):
+    """Multiply-shift universal-hash family params: odd multipliers."""
     rng = np.random.RandomState(seed)
-    a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.randint(1, 1 << 62, size=n_perm, dtype=np.int64).astype(np.uint64)
+    a |= np.uint64(1)  # odd
+    b = rng.randint(0, 1 << 62, size=n_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
-def _shingles(text: str, k: int = 3) -> np.ndarray:
-    """Word k-gram shingles -> stable uint64 hashes (blake2b-derived)."""
-    toks = text.split()
-    if len(toks) < k:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        out[i] = int.from_bytes(
-            hashlib.blake2b(g.encode(), digest_size=8).digest(), "little"
-        )
+def _token_hashes(texts: pa.ChunkedArray | pa.Array):
+    """Whitespace-split every text, hash every token (C-level siphash).
+
+    Returns ``(hashes uint64[total_tokens], lengths int64[n_docs])``.
+    """
+    toks = pc.utf8_split_whitespace(texts)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), lengths
+    # Arrow's split yields "" tokens for empty/edge-whitespace text where
+    # Python's str.split() yields none — drop them and fix the counts.
+    nonempty = flat != ""
+    if not nonempty.all():
+        offs = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+        empties = np.zeros(len(lengths), dtype=np.int64)
+        nz = lengths > 0
+        if nz.any():
+            empties[nz] = np.add.reduceat((~nonempty).astype(np.int64), offs[nz])
+        lengths = lengths - empties
+        flat = flat[nonempty]
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), lengths
+    # categorize=False: the categorize fast path is layout-dependent;
+    # plain elementwise siphash is deterministic across processes.
+    h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+    return h, lengths
+
+
+def _gram_hashes(texts, k: int = _SHINGLE_K):
+    """k-gram shingle hashes per doc, fully vectorized.
+
+    Docs shorter than ``k`` tokens produce ONE shingle over the available
+    tokens (missing positions hash as 0). Returns
+    ``(grams uint64[total_grams], gram_counts int64[n_docs])``.
+    """
+    h, lengths = _token_hashes(texts)
+    n_docs = len(lengths)
+    if n_docs == 0:
+        return np.empty(0, dtype=np.uint64), lengths
+    pad = k - 1
+    # Zero-pad k-1 slots between docs so windows never cross a boundary
+    # and short docs fall out of the same windowed formula.
+    padded = np.zeros(len(h) + pad * n_docs, dtype=np.uint64)
+    doc_of_token = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    padded[np.arange(len(h), dtype=np.int64) + pad * doc_of_token] = h
+    g = np.maximum(lengths - pad, np.minimum(lengths, 1))  # grams per doc
+    total_g = int(g.sum())
+    if total_g == 0:
+        return np.empty(0, dtype=np.uint64), g
+    new_off = np.concatenate([[0], np.cumsum(lengths + pad)[:-1]]).astype(np.int64)
+    g_off = np.concatenate([[0], np.cumsum(g)[:-1]]).astype(np.int64)
+    # grouped arange: window start index per gram
+    starts = (
+        np.arange(total_g, dtype=np.int64)
+        - np.repeat(g_off, g)
+        + np.repeat(new_off, g)
+    )
+    grams = np.zeros(total_g, dtype=np.uint64)
+    for j in range(k):
+        grams += padded[starts + j] * _K[j]
+    return grams, g
+
+
+def _minhash_signatures(grams: np.ndarray, gram_counts: np.ndarray, a, b):
+    """(n_docs, n_perm) MinHash matrix via multiply-shift + reduceat.
+
+    Chunked over docs so the (n_perm x grams) intermediate stays ~16 MB.
+    Docs with zero grams get an all-zeros signature."""
+    n_docs = len(gram_counts)
+    n_perm = len(a)
+    sig = np.zeros((n_docs, n_perm), dtype=np.uint64)
+    if len(grams) == 0:
+        return sig
+    g_off = np.concatenate([[0], np.cumsum(gram_counts)]).astype(np.int64)
+    chunk_grams = 32_768
+    d0 = 0
+    while d0 < n_docs:
+        d1 = d0
+        while d1 < n_docs and g_off[d1 + 1] - g_off[d0] <= chunk_grams:
+            d1 += 1
+        d1 = max(d1, d0 + 1)  # always take at least one doc
+        lo, hi = g_off[d0], g_off[d1]
+        if hi > lo:
+            sub = grams[lo:hi]
+            vals = a[:, None] * sub[None, :] + b[:, None]  # uint64 wrap
+            counts = gram_counts[d0:d1]
+            nz = counts > 0
+            offs = (g_off[d0:d1] - lo)[nz].astype(np.int64)
+            if offs.size:
+                mins = np.minimum.reduceat(vals, offs, axis=1)  # (n_perm, nz)
+                sig[np.arange(d0, d1)[nz]] = mins.T
+        d0 = d1
+    return sig
+
+
+def _band_hashes(sig: np.ndarray) -> np.ndarray:
+    """(n_docs, _BANDS) bucket keys: mix each band's rows (uint64 wrap)."""
+    n_docs = sig.shape[0]
+    banded = sig.reshape(n_docs, _BANDS, _ROWS_PER_BAND)
+    out = np.zeros((n_docs, _BANDS), dtype=np.uint64)
+    for j in range(_ROWS_PER_BAND):
+        out += (banded[:, :, j] + np.uint64(j + 1)) * _K[j % len(_K)]
     return out
 
 
 class MinHasher:
-    """Actor-pool stage: permutation parameters built once per actor."""
+    """Actor-pool stage: permutation parameters built once per actor;
+    emits the banded LSH rows (band, band_hash, doc_id) per input doc."""
 
-    def __init__(self, n_perm: int = _N_PERM, k: int = 3, seed: int = 12345):
+    def __init__(self, n_perm: int = _N_PERM, k: int = _SHINGLE_K, seed: int = 12345):
         self.a, self.b = _perm_params(n_perm, seed)
         self.n_perm = n_perm
         self.k = k
 
-    def signature(self, text: str) -> np.ndarray:
-        sh = _shingles(text, self.k)
-        if len(sh) == 0:
-            return np.zeros(self.n_perm, dtype=np.uint64)
-        # (a*h + b) mod p, min over shingles — vectorized (n_perm x n_shingles)
-        vals = (self.a[:, None] * sh[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
-        return vals.min(axis=1)
-
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        rows_band, rows_hash, rows_doc = [], [], []
-        rpb = self.n_perm // _BANDS
-        for doc_id, text in zip(df["doc_id"], df["text"]):
-            sig = self.signature(text)
-            for band in range(_BANDS):
-                chunk = sig[band * rpb : (band + 1) * rpb]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                rows_band.append(band)
-                rows_hash.append(h)
-                rows_doc.append(doc_id)
-        return pd.DataFrame({"band": rows_band, "band_hash": rows_hash, "doc_id": rows_doc})
+    def __call__(self, t: pa.Table) -> pa.Table:
+        grams, g_counts = _gram_hashes(t["text"], self.k)
+        sig = _minhash_signatures(grams, g_counts, self.a, self.b)
+        bh = _band_hashes(sig)
+        n = t.num_rows
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(_BANDS, dtype=np.int64), n)),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
+                "doc_id": pa.array(np.repeat(doc_ids, _BANDS)),
+            }
+        )
 
 
-def _pairs_from_bucket(df: pd.DataFrame) -> pd.DataFrame:
-    ids = sorted(set(df["doc_id"].tolist()))
-    a, b = [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            a.append(ids[i])
-            b.append(ids[j])
-    return pd.DataFrame({"doc_a": a, "doc_b": b})
+def _emit_pairs(ids: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs below the cap; star topology (O(n)) above it, logged."""
+    n = len(ids)
+    if n > _MAX_BUCKET:
+        dropped = n * (n - 1) // 2 - (n - 1)
+        logger.warning(
+            "%s hot bucket: %d members > cap %d; emitting %d star pairs, "
+            "dropping %d all-pairs (connected components preserved)",
+            what, n, _MAX_BUCKET, n - 1, dropped,
+        )
+        return np.repeat(ids[0], n - 1), ids[1:]
+    iu = np.triu_indices(n, k=1)
+    return ids[iu[0]], ids[iu[1]]
+
+
+def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    ids = np.unique(df["doc_id"].to_numpy())
+    a, b = _emit_pairs(ids, "minhash-lsh")
+    return pd.DataFrame({"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64)})
 
 
 def minhash_lsh_candidates(sf_dir: str) -> rd.Dataset:
     """Candidate near-dup pairs from MinHash-LSH banding (deduped)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    banded = docs.map_batches(MinHasher, batch_format="pandas", concurrency=2)
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _pairs_from_bucket, batch_format="pandas"
+    banded = docs.map_batches(
+        MinHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
     )
-    # dedup pairs found in multiple bands: keep first per (doc_a, doc_b)
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs, batch_format="pandas"
+    )
+
+    # dedup pairs found in multiple bands: pre-dedup per batch, then one
+    # grouped first — tiny rows, one shuffle
     def first(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["doc_a", "doc_b"])
 
-    return pairs.map_batches(first, batch_format="pandas").groupby(["doc_a", "doc_b"]).map_groups(
-        first, batch_format="pandas"
+    return pairs.map_batches(first, batch_format="pandas").groupby(
+        ["doc_a", "doc_b"]
+    ).map_groups(first, batch_format="pandas")
+
+
+class _ShingleSets:
+    """Per-doc sorted unique shingle sets for candidate docs only; the
+    candidate id set (ints) is broadcast via ray.put and read from the
+    local object store per call (cheap); a plain function, NOT an actor
+    pool — reserving actor CPUs here can deadlock small clusters when
+    combined with the join aggregator actors downstream."""
+
+    def __init__(self, need_ref):
+        self.need_ref = need_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray
+
+        needed = ray.get(self.need_ref)
+        t = t.filter(pc.is_in(t["doc_id"], value_set=needed))
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "sh": pa.array([], pa.binary()),
+                }
+            )
+        grams, g_counts = _gram_hashes(t["text"])
+        offs = np.concatenate([[0], np.cumsum(g_counts)]).astype(np.int64)
+        # packed as little-endian uint64 bytes: Arrow's hash join supports
+        # binary payloads but not list<> ones
+        sets = [
+            np.unique(grams[offs[i] : offs[i + 1]]).tobytes()
+            for i in range(t.num_rows)
+        ]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "sh": pa.array(sets, pa.binary()),
+            }
+        )
+
+
+def _exact_jaccard_batch(t: pa.Table) -> pa.Table:
+    """Exact n-gram Jaccard per candidate row from the two joined
+    packed sorted-unique shingle sets."""
+    sh_a = t["sh_a"].to_pylist()
+    sh_b = t["sh_b"].to_pylist()
+    jac = np.zeros(t.num_rows, dtype=np.float64)
+    for i in range(t.num_rows):
+        sa = np.frombuffer(sh_a[i] or b"", dtype=np.uint64)
+        sb = np.frombuffer(sh_b[i] or b"", dtype=np.uint64)
+        inter = np.intersect1d(sa, sb, assume_unique=True).size
+        union = sa.size + sb.size - inter
+        jac[i] = (inter / union) if union else 0.0
+    return pa.table(
+        {
+            "doc_a": pc.cast(t["doc_a"], pa.int64()),
+            "doc_b": pc.cast(t["doc_b"], pa.int64()),
+            "jaccard": pa.array(jac),
+        }
     )
 
 
-def minhash_dedup_verified(sf_dir: str, threshold: float = 0.7) -> pa.Table:
-    """LSH candidates verified with exact n-gram Jaccard. The shingle sets
-    of candidate docs only are fetched via a broadcast point-lookup
-    (semi-join pattern: candidate id set -> filter -> driver dict)."""
+def minhash_dedup_verified(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
+    """LSH candidates verified with exact n-gram Jaccard — distributed:
+
+    1. candidate id set (two int64 columns, tiny) -> broadcast via ray.put
+    2. shingle-set Dataset over ONLY candidate docs (semi-join filter in
+       map_batches; content never leaves the tasks)
+    3. pairs ⋈ shingles(doc_a) ⋈ shingles(doc_b) (Dataset joins)
+    4. exact Jaccard per pair in map_batches, filter by threshold
+
+    No driver-side dict of shingle sets; the only driver materialization
+    is the candidate id list."""
     import ray
 
-    cands = minhash_lsh_candidates(sf_dir).to_pandas()
-    if len(cands) == 0:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64()),
-             "jaccard": pa.array([], pa.float64())}
+    cands = minhash_lsh_candidates(sf_dir).materialize()
+    id_tbl = pa.concat_tables(
+        [ray.get(ref) for ref in cands.to_arrow_refs()]
+    )
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
+    )
+    if id_tbl.num_rows == 0:
+        return rd.from_arrow(empty)
+    need = pc.unique(
+        pa.concat_arrays(
+            [
+                pc.cast(id_tbl["doc_a"], pa.int64()).combine_chunks(),
+                pc.cast(id_tbl["doc_b"], pa.int64()).combine_chunks(),
+            ]
         )
-    need = sorted(set(cands["doc_a"]) | set(cands["doc_b"]))
-    need_ref = ray.put(pa.array(need, pa.int64()))
-
-    def collect(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        needed = ray.get(need_ref)
-        return t.filter(pc.is_in(t["doc_id"], value_set=needed))
-
-    docs = (
-        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-        .map_batches(collect, batch_format="pyarrow", zero_copy_batch=True)
-        .to_pandas()
     )
-    sets = {int(r.doc_id): set(_shingles(r.text).tolist()) for r in docs.itertuples()}
-    out_a, out_b, out_j = [], [], []
-    for r in cands.itertuples():
-        sa, sb = sets.get(int(r.doc_a), set()), sets.get(int(r.doc_b), set())
-        union = len(sa | sb)
-        j = (len(sa & sb) / union) if union else 0.0
-        if j >= threshold:
-            out_a.append(int(r.doc_a))
-            out_b.append(int(r.doc_b))
-            out_j.append(j)
-    return pa.table(
-        {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64()),
-         "jaccard": pa.array(out_j, pa.float64())}
+    need_ref = ray.put(need)
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # task-based stage (no reserved actors), computed ONCE and reused by
+    # both join sides
+    shingles = docs.map_batches(
+        _ShingleSets(need_ref), batch_format="pyarrow"
+    ).materialize()
+
+    def _ren(suffix):
+        def f(t: pa.Table) -> pa.Table:
+            return t.rename_columns([f"doc_{suffix}", f"sh_{suffix}"])
+
+        return f
+
+    sh_a = shingles.map_batches(_ren("a"), batch_format="pyarrow")
+    sh_b = shingles.map_batches(_ren("b"), batch_format="pyarrow")
+    # join fan-out sized to the cluster: hash-shuffle aggregator actors
+    # reserve a CPU each, and TWO joins run concurrently — oversizing
+    # deadlocks a small cluster (observed at num_cpus=4 with 8+8 actors)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = max(2, min(8, cpus // 2))
+    agg_args = {"num_cpus": 0.5}
+    joined = cands.join(
+        sh_a,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("doc_a",),
+        aggregator_ray_remote_args=agg_args,
+    ).join(
+        sh_b,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("doc_b",),
+        aggregator_ray_remote_args=agg_args,
     )
+    thr = float(threshold)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        out = _exact_jaccard_batch(t)
+        return out.filter(pc.greater_equal(out["jaccard"], thr))
+
+    return joined.map_batches(verify, batch_format="pyarrow")
 
 
 class SimHasher:
-    """64-bit SimHash over token hashes; bands 4x16 bits for bucketing."""
+    """64-bit SimHash over token hashes; bands 4x16 bits for bucketing.
+    Fully vectorized: token siphashes -> ±1 bit matrix -> per-doc
+    reduceat sums -> packed uint64."""
 
     def __init__(self):
-        pass
+        self.bit_idx = np.arange(64, dtype=np.uint64)
 
-    @staticmethod
-    def simhash(text: str) -> int:
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-            bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8))
-            acc += np.where(bits[:64] > 0, 1, -1)
-        out = 0
-        for i, v in enumerate(acc):
-            if v > 0:
-                out |= 1 << i
+    def simhash_batch(self, texts) -> np.ndarray:
+        h, lengths = _token_hashes(texts)
+        n_docs = len(lengths)
+        out = np.zeros(n_docs, dtype=np.uint64)
+        if len(h) == 0:
+            return out
+        bits = ((h[:, None] >> self.bit_idx[None, :]) & np.uint64(1)).astype(np.int32)
+        signed = 2 * bits - 1  # (n_tokens, 64) of ±1
+        offs = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+        nz = lengths > 0
+        if nz.any():
+            sums = np.add.reduceat(signed, offs[nz], axis=0)  # (nz_docs, 64)
+            packed = ((sums > 0).astype(np.uint64) << self.bit_idx[None, :]).sum(
+                axis=1, dtype=np.uint64
+            )
+            out[nz] = packed
         return out
 
-    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        hs = [self.simhash(t) for t in df["text"]]
-        rows = {
-            "doc_id": np.repeat(df["doc_id"].to_numpy(), 4),
-            "band": np.tile(np.arange(4), len(df)),
-            "band_val": np.array(
-                [(h >> (16 * b)) & 0xFFFF for h in hs for b in range(4)], dtype=np.int64
-            ),
-            "simhash": np.repeat(np.array(hs, dtype=np.uint64), 4),
-        }
-        return pd.DataFrame(rows)
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hs = self.simhash_batch(t["text"])
+        n = t.num_rows
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        band_val = ((hs[:, None] >> shifts) & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(doc_ids, 4)),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+                "band_val": pa.array(band_val.reshape(-1)),
+                "simhash": pa.array(np.repeat(hs, 4)),
+            }
+        )
 
 
 def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
     """Near-dup pairs whose 64-bit SimHashes differ by <= max_hamming bits;
-    candidates generated by 16-bit band collision (any band equal)."""
+    candidates generated by 16-bit band collision (any band equal).
+    Hot buckets are capped: all-pairs within the first ``_MAX_BUCKET``
+    members plus representative-vs-rest, with the drop logged."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    banded = docs.map_batches(SimHasher, batch_format="pandas", concurrency=2)
+    banded = docs.map_batches(
+        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
         rows = df.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        hs = rows["simhash"].to_numpy()
-        a, b, d = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                dist = bin(int(hs[i]) ^ int(hs[j])).count("1")
-                if dist <= max_hamming:
-                    a.append(int(ids[i]))
-                    b.append(int(ids[j]))
-                    d.append(dist)
-        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": d})
+        ids = rows["doc_id"].to_numpy().astype(np.int64)
+        hs = rows["simhash"].to_numpy().astype(np.uint64)
+        n = len(ids)
+        if n > _MAX_BUCKET:
+            head = _MAX_BUCKET
+            dropped = n * (n - 1) // 2 - (head * (head - 1) // 2 + (n - head))
+            logger.warning(
+                "simhash hot bucket: %d members > cap %d; verifying "
+                "all-pairs among first %d + rep-vs-rest, dropping %d pairs",
+                n, _MAX_BUCKET, head, dropped,
+            )
+            iu = np.triu_indices(head, k=1)
+            ia = np.concatenate([iu[0], np.zeros(n - head, dtype=np.int64)])
+            ib = np.concatenate([iu[1], np.arange(head, n, dtype=np.int64)])
+        else:
+            iu = np.triu_indices(n, k=1)
+            ia, ib = iu[0], iu[1]
+        xor = hs[ia] ^ hs[ib]
+        # vectorized popcount via byte-view + unpackbits
+        dist = (
+            np.unpackbits(xor.view(np.uint8).reshape(len(xor), 8), axis=1)
+            .sum(axis=1)
+            .astype(np.int64)
+            if len(xor)
+            else np.empty(0, dtype=np.int64)
+        )
+        keep = dist <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": dist[keep]}
+        )
 
     out = banded.groupby(["band", "band_val"]).map_groups(pairs, batch_format="pandas")
 
     def dedup(df: pd.DataFrame) -> pd.DataFrame:
         return df.drop_duplicates(["doc_a", "doc_b"])
 
-    return out.map_batches(dedup, batch_format="pandas").groupby(["doc_a", "doc_b"]).map_groups(
-        dedup, batch_format="pandas"
-    )
+    return out.map_batches(dedup, batch_format="pandas").groupby(
+        ["doc_a", "doc_b"]
+    ).map_groups(dedup, batch_format="pandas")

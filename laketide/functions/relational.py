@@ -26,6 +26,32 @@ from ray.data.aggregate import Count, Max, Min, Sum
 _CENTS = dict(ndigits=0, round_mode="half_towards_infinity")  # == DuckDB ROUND
 
 
+def keep_extreme(
+    t: pa.Table, keys: list[str], order: list[str], keep: str = "last"
+) -> pa.Table:
+    """Arrow-native per-key winner: sort by ``keys + order`` ascending and
+    keep the last (or first) row of each key group — the same sort+mask
+    idiom as the engine's ``reduce_events`` (stages/apply.py:103-140).
+    No pandas round-trip; works as both the per-batch pre-combiner and
+    the per-group final reduce."""
+    import numpy as np
+
+    if t.num_rows <= 1:
+        return t
+    t = t.sort_by([(c, "ascending") for c in [*keys, *order]])
+    n = t.num_rows
+    same = np.ones(n - 1, dtype=bool)
+    for k in keys:
+        col = t[k].combine_chunks().to_numpy(zero_copy_only=False)
+        same &= col[1:] == col[:-1]
+    mask = np.ones(n, dtype=bool)
+    if keep == "last":
+        mask[:-1] = ~same
+    else:
+        mask[1:] = ~same
+    return t.filter(pa.array(mask))
+
+
 def _cents(expr) -> pa.ChunkedArray:
     """CAST(ROUND(x*100) AS BIGINT) — DuckDB ROUND is half-away-from-zero."""
     return pc.cast(pc.round(pc.multiply(expr, pa.scalar(100.0)), **_CENTS), pa.int64())
@@ -42,14 +68,13 @@ def cdc_lww_latest(sf_dir: str) -> rd.Dataset:
     Partial reduce per batch, then per-group final reduce (one shuffle)."""
     ds = _read(sf_dir, "events")
 
-    def last_per_user(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "ts", "event_id"])
-        return df.groupby("user_id", as_index=False).tail(1)
+    def last_per_user(t: pa.Table) -> pa.Table:
+        return keep_extreme(t, ["user_id"], ["ts", "event_id"], keep="last")
 
     return (
-        ds.map_batches(last_per_user, batch_format="pandas")
+        ds.map_batches(last_per_user, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
-        .map_groups(last_per_user, batch_format="pandas")
+        .map_groups(last_per_user, batch_format="pyarrow")
     )
 
 
@@ -59,14 +84,13 @@ def cdc_first_event_per_user_type(sf_dir: str) -> rd.Dataset:
     deterministic-key dedup, SURVEY.md §2.5 R1)."""
     ds = _read(sf_dir, "events")
 
-    def first_per(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["user_id", "event_type", "ts", "event_id"])
-        return df.groupby(["user_id", "event_type"], as_index=False).head(1)
+    def first_per(t: pa.Table) -> pa.Table:
+        return keep_extreme(t, ["user_id", "event_type"], ["ts", "event_id"], keep="first")
 
     return (
-        ds.map_batches(first_per, batch_format="pandas")
+        ds.map_batches(first_per, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "event_type"])
-        .map_groups(first_per, batch_format="pandas")
+        .map_groups(first_per, batch_format="pyarrow")
     )
 
 
@@ -447,16 +471,17 @@ def lww_longest_props(sf_dir: str) -> rd.Dataset:
     by (ts, event_id) recency."""
     ds = _read(sf_dir, "events")
 
-    def best(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.assign(_l=df["props"].str.len())
-        df = df.sort_values(["user_id", "_l", "ts", "event_id"])
-        out = df.groupby("user_id", as_index=False).tail(1)
-        return out.drop(columns=["_l"])
+    def best(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "_l", pc.cast(pc.utf8_length(t["props"]), pa.int64()).combine_chunks()
+        )
+        out = keep_extreme(t, ["user_id"], ["_l", "ts", "event_id"], keep="last")
+        return out.drop_columns(["_l"])
 
     return (
-        ds.map_batches(best, batch_format="pandas")
+        ds.map_batches(best, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
-        .map_groups(best, batch_format="pandas")
+        .map_groups(best, batch_format="pyarrow")
     )
 
 

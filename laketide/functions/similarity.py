@@ -37,6 +37,35 @@ def _emb(sf_dir: str) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _local_topk(ids: np.ndarray, scores: np.ndarray, k: int):
+    """Top-k by (score desc, vec_id asc) — the same total order as the
+    final merge, so per-batch pruning is exact."""
+    if len(ids) > k:
+        # kth-largest score as threshold; keep ALL boundary ties so the
+        # vec_id tiebreak stays exact, then order and cut
+        thresh = np.partition(scores, len(scores) - k)[len(scores) - k]
+        cand = np.flatnonzero(scores >= thresh)
+        order = np.lexsort((ids[cand], -scores[cand]))[:k]
+        sel = cand[order]
+    else:
+        sel = np.lexsort((ids, -scores))
+    return ids[sel], scores[sel]
+
+
+def _merge_topk(scored: rd.Dataset, k: int) -> pa.Table:
+    """Driver merge of the per-batch top-k rows (k x num_blocks rows —
+    tiny), replacing a full sort shuffle."""
+    parts = [ray.get(r) for r in scored.to_arrow_refs()]
+    t = pa.concat_tables([p for p in parts if p.num_rows], promote_options="default") \
+        if any(p.num_rows for p in parts) else None
+    if t is None:
+        return pa.table({"vec_id": pa.array([], pa.int64())})
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    scores = t["score"].to_numpy(zero_copy_only=False)
+    ids, _ = _local_topk(ids, scores, k)
+    return pa.table({"vec_id": pa.array(ids, pa.int64())})
+
+
 def knn_cosine(sf_dir: str, k: int = 10) -> pa.Table:
     """Brute-force cosine top-k ids for the deterministic query vector.
     Returns ids only (float scores are engine-order-sensitive; the id
@@ -54,13 +83,16 @@ def knn_cosine(sf_dir: str, k: int = 10) -> pa.Table:
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             scores = (mat @ self.q) / norms
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            # per-batch top-k: only k rows leave each batch — no global
+            # sort shuffle for a 10-row answer
+            ids, scores = _local_topk(ids, scores, k)
             return pa.table(
-                {"vec_id": t["vec_id"], "score": pa.array(scores, pa.float64())}
+                {"vec_id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())}
             )
 
     scored = _emb(sf_dir).map_batches(Score, batch_format="pyarrow", concurrency=2)
-    top = scored.sort(["score", "vec_id"], descending=[True, False]).limit(k).to_pandas()
-    return pa.table({"vec_id": pa.array(top["vec_id"].tolist(), pa.int64())})
+    return _merge_topk(scored, k)
 
 
 def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 1) -> pa.Table:
@@ -92,12 +124,12 @@ def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 1)
             norms = np.linalg.norm(sub, axis=1)
             norms[norms == 0] = 1.0
             scores = (sub @ self.q) / norms
-            ids = t["vec_id"].to_numpy(zero_copy_only=False)[mask]
+            ids = t["vec_id"].to_numpy(zero_copy_only=False)[mask].astype(np.int64)
+            ids, scores = _local_topk(ids, scores, k)
             return pa.table({"vec_id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())})
 
     scored = _emb(sf_dir).map_batches(BucketScore, batch_format="pyarrow", concurrency=2)
-    top = scored.sort(["score", "vec_id"], descending=[True, False]).limit(k).to_pandas()
-    return pa.table({"vec_id": pa.array(top["vec_id"].tolist(), pa.int64())})
+    return _merge_topk(scored, k)
 
 
 def embedding_label_count(sf_dir: str) -> rd.Dataset:
@@ -106,13 +138,25 @@ def embedding_label_count(sf_dir: str) -> rd.Dataset:
     return _emb(sf_dir).select_columns(["label"]).groupby("label").aggregate(Count(alias_name="n"))
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.92, n_planes: int = 10) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs: random-hyperplane LSH
-    buckets candidate vectors (collision on the full signature), exact
-    cosine verifies. The bucket id is the shuffle key at scale — only
-    same-bucket pairs are compared. Deterministic (seeded planes)."""
+_ND_BANDS = 4
+_ND_PLANES_PER_BAND = 8
+_ND_MAX_BUCKET = 512
+
+
+def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: BANDED random-hyperplane
+    LSH (4 bands x 8 planes) buckets candidate vectors — a pair of
+    near-dups collides in >=1 band with high probability (recall ~0.9 at
+    cos 0.95, ~1.0 above 0.99), unlike single-signature collision.
+    Exact cosine verifies inside each bucket group; (band, band_val) is
+    the shuffle key at scale. Hot buckets are capped (logged). Cross-band
+    duplicate pairs collapse in a final grouped first. Deterministic
+    (seeded planes)."""
+    import logging
+
+    logger = logging.getLogger(__name__)
     rng = np.random.RandomState(4242)
-    planes = rng.standard_normal((n_planes, EMBED_DIM))
+    planes = rng.standard_normal((_ND_BANDS * _ND_PLANES_PER_BAND, EMBED_DIM))
     planes_ref = ray.put(planes)
 
     class Sign:
@@ -121,38 +165,67 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92, n_planes: int = 10)
 
         def __call__(self, t: pa.Table) -> pa.Table:
             mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
-            bits = (mat @ self.planes.T > 0).astype(np.uint8)
-            sig = np.packbits(bits, axis=1, bitorder="little")[:, :2]
-            bucket = sig[:, 0].astype(np.int64) | (sig[:, 1].astype(np.int64) << 8)
+            n = mat.shape[0]
+            bits = (mat @ self.planes.T > 0).astype(np.uint8)  # (n, 32)
+            sig = np.packbits(
+                bits.reshape(n, _ND_BANDS, _ND_PLANES_PER_BAND),
+                axis=2,
+                bitorder="little",
+            )[:, :, 0].astype(np.int64)  # (n, bands)
             norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
             unit = mat / norms[:, None]
+            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
             return pa.table(
                 {
-                    "bucket": pa.array(bucket, pa.int64()),
-                    "vec_id": t["vec_id"],
-                    "unit": pa.array(list(unit), pa.list_(pa.float64())),
+                    "band": pa.array(
+                        np.tile(np.arange(_ND_BANDS, dtype=np.int64), n)
+                    ),
+                    "band_val": pa.array(sig.reshape(-1)),
+                    "vec_id": pa.array(np.repeat(ids, _ND_BANDS)),
+                    "unit": pa.array(
+                        [unit[i].tobytes() for i in range(n) for _ in range(_ND_BANDS)],
+                        pa.binary(),
+                    ),
                 }
             )
 
     import pandas as pd
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values("vec_id")
-        ids = df["vec_id"].to_numpy()
-        units = np.stack(df["unit"].to_numpy())
-        out_a, out_b, out_c = [], [], []
-        if len(ids) > 1:
-            sims = units @ units.T
-            iu = np.triu_indices(len(ids), k=1)
-            hits = sims[iu] >= threshold
-            out_a = ids[iu[0][hits]].tolist()
-            out_b = ids[iu[1][hits]].tolist()
-            out_c = sims[iu][hits].round(6).tolist()
-        return pd.DataFrame({"vec_a": out_a, "vec_b": out_b, "cosine": out_c})
+        df = df.drop_duplicates("vec_id").sort_values("vec_id")
+        ids = df["vec_id"].to_numpy().astype(np.int64)
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        if n > _ND_MAX_BUCKET:
+            logger.warning(
+                "embedding_near_dup hot bucket: %d members > cap %d; "
+                "verifying only the first %d (dropping %d pairs)",
+                n, _ND_MAX_BUCKET, _ND_MAX_BUCKET,
+                n * (n - 1) // 2 - _ND_MAX_BUCKET * (_ND_MAX_BUCKET - 1) // 2,
+            )
+            df = df.head(_ND_MAX_BUCKET)
+            ids = ids[:_ND_MAX_BUCKET]
+            n = len(ids)
+        units = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["unit"]])
+        sims = units @ units.T
+        iu = np.triu_indices(n, k=1)
+        hits = sims[iu] >= threshold
+        return pd.DataFrame(
+            {
+                "vec_a": ids[iu[0][hits]],
+                "vec_b": ids[iu[1][hits]],
+                "cosine": sims[iu][hits].round(6),
+            }
+        )
 
     signed = _emb(sf_dir).map_batches(Sign, batch_format="pyarrow", concurrency=2)
-    out = signed.groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+    out = (
+        signed.groupby(["band", "band_val"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
     if out.empty or "vec_a" not in out.columns:
         return pa.table(
             {

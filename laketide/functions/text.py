@@ -49,15 +49,17 @@ def exact_dedup_docs(sf_dir: str) -> rd.Dataset:
     """Exact dedup: hash content, keep min doc_id per hash — the
     hash-partition + per-group-first pattern (reference analog: data-hash
     short-circuit R1 + deterministic identity M10)."""
+    from laketide.functions.relational import keep_extreme
+
     ds = doc_sha256(sf_dir)
 
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values("doc_id").groupby("sha", as_index=False).head(1)
+    def first(t: pa.Table) -> pa.Table:
+        return keep_extreme(t, ["sha"], ["doc_id"], keep="first")
 
     return (
-        ds.map_batches(first, batch_format="pandas")
+        ds.map_batches(first, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("sha")
-        .map_groups(first, batch_format="pandas")
+        .map_groups(first, batch_format="pyarrow")
     )
 
 
@@ -168,24 +170,44 @@ def langid_ngram(sf_dir: str) -> rd.Dataset:
 def doc_fingerprint(sf_dir: str) -> rd.Dataset:
     """Rolling polynomial hash fingerprint over tokens (document
     fingerprinting for fast similarity bucketing). Deterministic,
-    no SQL oracle."""
+    no SQL oracle.
+
+    Fully vectorized: token hashes via pandas' C-level siphash, then
+    h = sum(th[i] * BASE^(L-1-i)) mod 2^64 — numpy uint64 wraparound
+    gives the modulus for free; per-doc sums via add.reduceat. No
+    per-token (let alone per-character) Python."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    MOD = (1 << 61) - 1
-    BASE = 1_000_003
+    BASE = np.uint64(1_000_003)
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        fps = []
-        for text in df["text"]:
-            h = 0
-            for tok in text.split():
-                th = 0
-                for ch in tok.encode():
-                    th = (th * 131 + ch) % MOD
-                h = (h * BASE + th) % MOD
-            fps.append(f"{h:016x}")
-        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(), "fingerprint": fps})
+    def f(t: pa.Table) -> pa.Table:
+        from laketide.functions.dedup import _token_hashes
 
-    return ds.map_batches(f, batch_format="pandas")
+        th, lengths = _token_hashes(t["text"])
+        n_docs = t.num_rows
+        fp = np.zeros(n_docs, dtype=np.uint64)
+        if len(th):
+            max_len = int(lengths.max())
+            pw = np.ones(max_len, dtype=np.uint64)
+            np.multiply.accumulate(
+                np.full(max_len, BASE, dtype=np.uint64)[: max(max_len - 1, 0)],
+                out=pw[1:] if max_len > 1 else pw[:0],
+            )
+            offs = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+            local = np.arange(len(th), dtype=np.int64) - np.repeat(offs, lengths)
+            expo = np.repeat(lengths, lengths) - 1 - local
+            terms = th * pw[expo]
+            nz = lengths > 0
+            if nz.any():
+                fp[nz] = np.add.reduceat(terms, offs[nz])
+        hexes = np.char.mod("%016x", fp)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "fingerprint": pa.array(hexes.tolist(), pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def docs_filter_en(sf_dir: str) -> rd.Dataset:

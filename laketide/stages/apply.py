@@ -82,16 +82,26 @@ def _version_newer(
     )
 
 
-# Pluggable merge strategies (reference E4: the engine ships two merge
-# rules — priority-coalesce R2 and longer-content-wins R6,
-# /root/reference/internal/merger/merger.go:173-204 and
+# Pluggable merge strategies (reference E4: the engine ships three merge
+# rules — priority-coalesce R2, longer-content-wins R6, and field-wise
+# union/coalesce R4/R5,
+# /root/reference/internal/merger/merger.go:173-204,231-316 and
 # /root/reference/internal/merger/normalizer.go:375-428).
 #
-# "lww": winner = max (commit, seq) — version order.
+# "lww": winner = max (commit, seq) — version order, whole row.
 # "longest": winner = max (len(content), commit, seq) — R6 analog;
 #   tombstones (null content) rank as length -1, so a delete only wins
 #   against an empty row history.
-MERGE_STRATEGIES = ("lww", "longest")
+# "coalesce": FIELD-WISE merge (R4/R5 analog): per scalar column the
+#   newest NON-NULL value wins (primary-wins coalesce,
+#   merger.go:231-316); per list column the values union-dedup
+#   (array-union merge, merger.go:268-284). A delete tombstone clears
+#   accumulated state. Version still advances to the newest (commit,
+#   seq). Deterministic under partition-ordered delivery (the HWM
+#   guarantee replay/tail provide); under arbitrary cross-epoch
+#   reordering a stale row is dropped whole, same caveat class as the
+#   reference's priority merge.
+MERGE_STRATEGIES = ("lww", "longest", "coalesce")
 
 
 def _content_rank(t: pa.Table) -> pa.ChunkedArray:
@@ -105,11 +115,14 @@ def reduce_events(
 ) -> pa.Table:
     """Within-partition reduce: sort by (repo, path, <strategy rank>,
     commit, seq), collapse exact duplicate replays, keep the last
-    (winning) event per key.
+    (winning) event per key. The "coalesce" strategy instead FOLDS the
+    key's events field-wise (newest non-null scalar, list union).
 
     Partition-local sort only; counts exact-duplicate drops."""
     if ev.num_rows == 0:
         return ev
+    if strategy == "coalesce":
+        return _reduce_events_coalesce(ev, metrics)
     if strategy == "longest":
         ev = ev.append_column("_rank", _content_rank(ev))
         ev = ev.sort_by(
@@ -142,6 +155,116 @@ def reduce_events(
 
 def _bool(mask) -> pa.ChunkedArray:
     return pc.fill_null(mask, False)
+
+
+def _reduce_events_coalesce(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
+    """Field-wise fold per key (merge='coalesce', R4/R5 analog).
+
+    Events sort by (key, commit, seq); exact duplicate replays drop; then
+    per key the winner row is CONSTRUCTED: core version columns from the
+    newest event, each scalar payload column = newest non-null value
+    after the last tombstone, each list payload column = union-dedup of
+    values after the last tombstone. A key whose newest event is a
+    delete keeps that delete row whole (tombstone clears state)."""
+    ev = ev.sort_by(
+        [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending"), ("seq", "ascending")]
+    )
+    n = ev.num_rows
+    repo = ev["repo"].combine_chunks().to_numpy(zero_copy_only=False)
+    path = ev["path"].combine_chunks().to_numpy(zero_copy_only=False)
+    commit = ev["commit"].combine_chunks().to_numpy(zero_copy_only=False)
+    seq = ev["seq"].combine_chunks().to_numpy(zero_copy_only=False)
+    same_key = (repo[1:] == repo[:-1]) & (path[1:] == path[:-1])
+    exact_dup = same_key & (commit[1:] == commit[:-1]) & (seq[1:] == seq[:-1])
+    metrics.dupes_dropped += int(exact_dup.sum())
+    if exact_dup.any():
+        keep = np.ones(n, dtype=bool)
+        keep[1:] = ~exact_dup
+        ev = ev.filter(pa.array(keep))
+        n = ev.num_rows
+        repo = ev["repo"].combine_chunks().to_numpy(zero_copy_only=False)
+        path = ev["path"].combine_chunks().to_numpy(zero_copy_only=False)
+        same_key = (repo[1:] == repo[:-1]) & (path[1:] == path[:-1])
+
+    starts = np.concatenate([[0], np.flatnonzero(~same_key) + 1]).astype(np.int64)
+    ends = np.append(starts[1:], n) - 1  # last row index per group
+    n_groups = len(starts)
+    group_of = np.repeat(np.arange(n_groups, dtype=np.int64), np.diff(np.append(starts, n)))
+
+    is_del = _bool(pc.equal(ev[S.OP_COLUMN], "delete")).to_numpy(zero_copy_only=False)
+    idx = np.arange(n, dtype=np.int64)
+    del_idx = np.where(is_del, idx, np.int64(-1))
+    last_del = np.maximum.reduceat(del_idx, starts)  # -1 when no delete
+    del_wins = last_del == ends
+    # rows eligible for the field fold: strictly after their group's last
+    # tombstone (a delete clears accumulated state)
+    eligible = idx > last_del[group_of]
+
+    core = {"repo", "path", "commit", "seq", S.OP_COLUMN}
+    cols = []
+    for fld in ev.schema:
+        name = fld.name
+        col = ev[name].combine_chunks()
+        if name in core:
+            cols.append(col.take(pa.array(ends)))
+            continue
+        if pa.types.is_list(fld.type) or pa.types.is_large_list(fld.type):
+            cols.append(_union_lists_per_group(col, group_of, eligible, n_groups, fld.type))
+            continue
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False) & eligible
+        cand = np.where(valid, idx, np.int64(-1))
+        best = np.maximum.reduceat(cand, starts)
+        take_idx = pa.array(
+            [int(b) if b >= 0 else None for b in best], pa.int64()
+        )
+        cols.append(col.take(take_idx))
+    out = pa.Table.from_arrays(
+        [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
+        schema=ev.schema,
+    )
+    # groups whose newest event is the tombstone keep the raw delete row
+    if del_wins.any():
+        del_rows = ev.take(pa.array(ends[del_wins]))
+        keep_mask = pa.array(~del_wins)
+        out = pa.concat_tables([out.filter(keep_mask), del_rows]).sort_by(
+            [("repo", "ascending"), ("path", "ascending")]
+        )
+    return out
+
+
+def _union_lists_per_group(
+    col: pa.Array, group_of: np.ndarray, eligible: np.ndarray, n_groups: int, typ
+) -> pa.Array:
+    """Union-dedup a list column per key group (R4 array-union analog):
+    flatten once, tag every flat value with its parent's group, unique on
+    (group, value) — no per-row Python in the fold."""
+    flat_parent_group = group_of[
+        np.repeat(
+            np.arange(len(col), dtype=np.int64),
+            pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False),
+        )
+    ]
+    flat_parent_elig = eligible[
+        np.repeat(
+            np.arange(len(col), dtype=np.int64),
+            pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False),
+        )
+    ]
+    values = pc.list_flatten(col)
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"g": flat_parent_group, "v": values.to_numpy(zero_copy_only=False)}
+    )[flat_parent_elig]
+    df = df.dropna().drop_duplicates().sort_values(["g", "v"])
+    counts = np.zeros(n_groups, dtype=np.int64)
+    if len(df):
+        g_ids, g_counts = np.unique(df["g"].to_numpy(), return_counts=True)
+        counts[g_ids] = g_counts
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    value_type = typ.value_type
+    flat_out = pa.array(df["v"].tolist(), value_type)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_out)
 
 
 def apply_partition(
@@ -257,9 +380,12 @@ def apply_partition(
     metrics.stale_dropped += int(pc.sum(stale).as_py() or 0)
 
     new_deleted = pc.if_else(take_ev, is_del, cur_deleted)
+    fieldwise = strategy == "coalesce"
+    merge_upd = pc.and_(take_ev, pc.invert(is_del))  # live field-wise merge
     cols = []
     for fld in snap_schema:
         name = fld.name
+        is_payload = name in payload or name == S.SHA_COLUMN
         if name in S.KEY_COLUMNS:
             col = j[name]  # coalesced join keys
         elif name == S.APPLIED_EPOCH_COLUMN:
@@ -270,6 +396,25 @@ def apply_partition(
             )
         elif name == S.DELETED_COLUMN:
             col = new_deleted
+        elif fieldwise and is_payload and (
+            pa.types.is_list(fld.type) or pa.types.is_large_list(fld.type)
+        ):
+            # R4 array-union: winner row unions its list with the
+            # current row's; a tombstone takes the event's (null) value
+            col = _select_rows(
+                _row_union(j[name], j[name + "_cur"]),
+                j[name],
+                j[name + "_cur"],
+                merge_upd,
+                take_ev,
+            )
+        elif fieldwise and is_payload:
+            # R5 primary-wins coalesce: newest non-null field value
+            col = pc.if_else(
+                merge_upd,
+                pc.coalesce(j[name], j[name + "_cur"]),
+                pc.if_else(take_ev, j[name], j[name + "_cur"]),
+            )
         else:
             col = pc.if_else(take_ev, j[name], j[name + "_cur"])
         if col.type != fld.type:

@@ -1,0 +1,62 @@
+"""Similarity search: per-batch top-k equals the brute-force global
+order; banded-LSH embedding near-dup finds planted high-cosine pairs."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from laketide.functions import similarity as S
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(tmp_path_factory):
+    d = tmp_path_factory.mktemp("emb")
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((100, S.EMBED_DIM))
+    vecs, plants = list(base), []
+    next_id = len(vecs)
+    for p in range(10):
+        v = base[p * 5]
+        dup = v + 0.02 * rng.standard_normal(S.EMBED_DIM)  # cosine ~0.999
+        vecs.append(dup)
+        plants.append((p * 5, next_id))
+        next_id += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+            "label": pa.array([i % 10 for i in range(len(vecs))], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "embeddings.parquet"))
+    return str(d), plants, np.stack(vecs)
+
+
+def test_knn_topk_matches_bruteforce(planted_embeddings):
+    sf_dir, _, mat = planted_embeddings
+    q = S.query_vector()
+    qn = q / np.linalg.norm(q)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = unit @ qn
+    ref = np.lexsort((np.arange(len(mat)), -scores))[:10].tolist()
+    got = S.knn_cosine(sf_dir, k=10)["vec_id"].to_pylist()
+    assert got == ref
+
+
+def test_local_topk_boundary_ties():
+    ids = np.array([5, 3, 9, 1, 7], dtype=np.int64)
+    scores = np.array([1.0, 0.5, 0.5, 0.5, 0.2])
+    top_ids, top_scores = S._local_topk(ids, scores, 3)
+    # ties at 0.5 break by smaller vec_id: 1 then 3 (9 excluded)
+    assert top_ids.tolist() == [5, 1, 3]
+
+
+def test_embedding_near_dup_planted_recall(planted_embeddings):
+    sf_dir, plants, _ = planted_embeddings
+    out = S.embedding_near_dup(sf_dir, threshold=0.95)
+    found = {(a, b) for a, b in zip(out["vec_a"].to_pylist(), out["vec_b"].to_pylist())}
+    for a, b in plants:
+        assert (a, b) in found or (b, a) in found, f"planted pair {(a, b)} missed"
+    # all reported pairs genuinely exceed the threshold
+    assert all(c >= 0.95 for c in out["cosine"].to_pylist())
