@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_counts": R.session_counts,
         "value_cents_by_user_type": R.value_cents_by_user_type,
         "cdc_replay_final": _cdc_replay_final,
+        "cdc_coalesce_fieldwise": R.cdc_coalesce_fieldwise,
+        "lookup_join_overlap": R.lookup_join_overlap,
         # --- relational (SURVEY §2.4, §2.6, §2.7) ---
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
@@ -188,6 +190,25 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_latest": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "cdc_coalesce_fieldwise": (
+            "SELECT user_id, last_value(ts) OVER w AS ts, "
+            "last_value(event_id) OVER w AS event_id, "
+            "last_value(CASE WHEN event_type <> 'view' THEN CAST(ROUND(value*100) AS BIGINT) END "
+            "IGNORE NULLS) OVER w AS last_value_cents, "
+            "last_value(CASE WHEN length(props) > 40 THEN props END IGNORE NULLS) OVER w AS last_props "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        "lookup_join_overlap": (
+            "WITH rules(rule_id, token, priority) AS (VALUES "
+            "(1,'join',10),(2,'sort',20),(3,'window',30),(4,'stream',40),(5,'dup',5)), "
+            "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents) "
+            "SELECT doc_id, rule_id FROM ("
+            "SELECT DISTINCT t.doc_id, r.rule_id, r.priority FROM toks t "
+            "JOIN rules r USING (token)) "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY priority, rule_id) = 1"
         ),
         "cdc_first_event_per_user_type": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events "

@@ -485,6 +485,133 @@ def lww_longest_props(sf_dir: str) -> rd.Dataset:
     )
 
 
+# Deterministic keyword-rule table for the any-overlap join (reference
+# J1 variant: `aliases && $1::text[]` array-overlap best-match,
+# sql/vulnerabilities.sql:7-17). Lowest priority wins, ties by rule_id.
+OVERLAP_RULES = (
+    (1, "join", 10),
+    (2, "sort", 20),
+    (3, "window", 30),
+    (4, "stream", 40),
+    (5, "dup", 5),
+)
+
+
+def lookup_join_overlap(sf_dir: str) -> rd.Dataset:
+    """Any-overlap lookup join, best-match wins: a document matches a
+    rule when ANY of its tokens equals the rule's token (the reference's
+    array-overlap `aliases && $1` match); the lowest-priority rule wins
+    per document (best-rank reduce).
+
+    Shape: explode tokens inside map_batches, C-level hash merge against
+    the (broadcast-sized) rule table, per-batch best-rank reduce. Each
+    parquet row is one whole document, so the reduce completes within
+    the batch — zero shuffles. A large rule table would move to ray.put
+    + the same merge."""
+    rules = pd.DataFrame(
+        list(OVERLAP_RULES), columns=["rule_id", "token", "priority"]
+    )
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def match(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        toks = pc.split_pattern(t["text"], " ")
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_pandas()
+        doc = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), counts
+        )
+        df = pd.DataFrame({"doc_id": doc, "token": flat}).merge(rules, on="token")
+        if df.empty:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "rule_id": pa.array([], pa.int64())}
+            )
+        win = (
+            df.sort_values(["doc_id", "priority", "rule_id"])
+            .groupby("doc_id", as_index=False)
+            .head(1)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(win["doc_id"].to_numpy(), pa.int64()),
+                "rule_id": pa.array(win["rule_id"].to_numpy(), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cdc_coalesce_fieldwise(sf_dir: str) -> rd.Dataset:
+    """Field-wise coalesce merge (reference R4/R5, merger.go:231-316)
+    surfaced as a query: per user_id in version order (ts, event_id),
+    each derived nullable column keeps its NEWEST NON-NULL value while
+    the version advances to the newest event — the same fold the
+    engine's merge='coalesce' strategy applies per key.
+
+    Pre-folds per batch (associative), then one grouped final fold."""
+    ds = _read(sf_dir, "events")
+
+    def derive(t: pa.Table) -> pa.Table:
+        v = pc.if_else(
+            pc.not_equal(t["event_type"], "view"),
+            _cents(t["value"]),
+            pa.scalar(None, pa.int64()),
+        )
+        p = pc.if_else(
+            pc.greater(pc.utf8_length(t["props"]), 40),
+            t["props"],
+            pa.scalar(None, pa.string()),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "last_value_cents": v,
+                "last_props": p,
+            }
+        )
+
+    fold_cols = ["last_value_cents", "last_props"]
+
+    def fold(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        if t.num_rows <= 1:
+            return t
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1]).astype(
+            np.int64
+        )
+        ends = np.append(starts[1:], n) - 1
+        idx = np.arange(n, dtype=np.int64)
+        cols = {}
+        for name in ("user_id", "ts", "event_id"):
+            cols[name] = t[name].combine_chunks().take(pa.array(ends))
+        for name in fold_cols:
+            col = t[name].combine_chunks()
+            cand = np.where(
+                pc.is_valid(col).to_numpy(zero_copy_only=False), idx, np.int64(-1)
+            )
+            best = np.maximum.reduceat(cand, starts)
+            cols[name] = col.take(
+                pa.array([int(b) if b >= 0 else None for b in best], pa.int64())
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(fold, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(fold, batch_format="pyarrow")
+    )
+
+
 def session_counts(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows (streaming-shaped op): per user, consecutive
     events within ``gap_minutes`` belong to one session. Returns

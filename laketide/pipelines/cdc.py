@@ -405,7 +405,9 @@ class LakeTable:
         if committed and merge != "lww" and merge != committed:
             raise ValueError(f"table committed with merge={committed!r}, got {merge!r}")
         self.merge = committed or merge
-        if self.merge not in ("lww", "longest"):
+        from laketide.stages.apply import MERGE_STRATEGIES
+
+        if self.merge not in MERGE_STRATEGIES:
             raise ValueError(f"unknown merge strategy {self.merge!r}")
         committed_layout = (man.stats.get("layout") if man else None) or None
         if committed_layout and layout != "cow" and layout != committed_layout:
@@ -415,7 +417,7 @@ class LakeTable:
         self.layout = committed_layout or layout
         if self.layout not in ("cow", "mor"):
             raise ValueError(f"unknown layout {self.layout!r}")
-        if self.layout == "mor" and self.merge == "longest":
+        if self.layout == "mor" and self.merge != "lww":
             raise ValueError("layout='mor' supports merge='lww' only")
         self.compact_threshold = compact_threshold
 

@@ -36,7 +36,11 @@ DELETED_COLUMN = "deleted"
 # Internal helper columns added by the normalize stage.
 PART_COLUMN = "_part"
 MALFORMED_COLUMN = "_malformed"
-HELPER_COLUMNS = (PART_COLUMN, MALFORMED_COLUMN)
+# merge='coalesce' reduce marker: the winner's key history contained a
+# tombstone this epoch, so it REPLACES the stored row instead of
+# field-merging with it (write-side only, never persisted).
+RESET_COLUMN = "_reset"
+HELPER_COLUMNS = (PART_COLUMN, MALFORMED_COLUMN, RESET_COLUMN)
 
 VALID_OPS = ("insert", "update", "delete")
 DEFAULT_OP = "update"  # reference upsert semantics: missing op == upsert

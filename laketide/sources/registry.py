@@ -153,3 +153,126 @@ def read_zip_jsonl(zip_path: str, max_member_bytes: int = 100 << 20) -> "rd.Data
 
 
 register(Source("zip-jsonl", read_zip_jsonl, None))
+
+
+# ----------------------------------------------- multi-format timestamps (M13)
+# The reference's normalizers each try several layouts per date field
+# (/root/reference/internal/merger/normalizer.go:67-78,146-155,245-256).
+# Same idea, vectorized: one strptime pass per format, first success wins.
+TIMESTAMP_FORMATS = (
+    "%Y-%m-%dT%H:%M:%SZ",   # RFC3339 Zulu
+    "%Y-%m-%dT%H:%M:%S",    # ISO, no zone
+    "%Y-%m-%d %H:%M:%S",    # space-separated
+    "%Y-%m-%d",             # date-only
+)
+
+
+def parse_timestamp_multi(
+    col: "pa.ChunkedArray | pa.Array", formats: tuple[str, ...] = TIMESTAMP_FORMATS
+) -> "pa.ChunkedArray":
+    """Parse a string column that mixes timestamp layouts row-by-row:
+    each format is tried vectorized (``strptime(error_is_null=True)``)
+    and the first success per row wins; unparseable rows stay null (the
+    record-level tolerance rule I6 — the malformed filter downstream
+    decides their fate)."""
+    if pa.types.is_timestamp(col.type):
+        return col.cast(pa.timestamp("us"))
+    col = col.cast(pa.string())
+    parsed = [
+        pc.strptime(col, format=f, unit="us", error_is_null=True) for f in formats
+    ]
+    return pc.coalesce(*parsed) if len(parsed) > 1 else parsed[0]
+
+
+def timestamp_normalizer(columns: list[str], base=_canonical_normalizer):
+    """Wrap a normalizer so the named payload columns parse from mixed
+    string layouts to ``timestamp[us]`` (M13)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        for c in columns:
+            if c in batch.column_names:
+                parsed = parse_timestamp_multi(batch[c])
+                batch = batch.set_column(
+                    batch.column_names.index(c), c, parsed
+                )
+        return base(batch) if base is not None else batch
+
+    return f
+
+
+# ------------------------------------------------ nested-struct source (M7)
+def explode_nested(
+    t: pa.Table, column: str, parent_cols: list[str]
+) -> pa.Table:
+    """One row per element of a list<struct> column, carrying the chosen
+    parent columns (vectorized: list_parent_indices + take + flatten) —
+    the building block for OSV-shaped deep projections
+    (/root/reference/internal/merger/normalizer.go:28-117)."""
+    col = t[column].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parent_idx = pc.list_parent_indices(col)
+    flat = pc.list_flatten(col)
+    out = {p: t[p].combine_chunks().take(parent_idx) for p in parent_cols}
+    if pa.types.is_struct(flat.type):
+        for field in flat.type:
+            out[f"{column}_{field.name}"] = pc.struct_field(flat, field.name)
+    else:
+        out[column] = flat
+    return pa.table(out)
+
+
+def osv_like_normalizer(batch: pa.Table) -> pa.Table:
+    """Project deeply nested OSV-shaped records
+    (``affected[] -> package{ecosystem,name}, ranges[] -> events[]``)
+    onto the canonical event schema: repo = ecosystem, path = package
+    name, version = (modified-timestamp-derived commit, seq), content =
+    details. Multi-format ``modified`` strings parse via M13."""
+    if batch.num_rows == 0:
+        return _CANON.empty_table()
+    ts = parse_timestamp_multi(batch["modified"])
+    micros = pc.cast(ts, pa.int64())
+    commit = pc.binary_join_element_wise(
+        pa.array(["c"] * batch.num_rows),
+        pc.utf8_lpad(pc.cast(micros, pa.string()), 20, "0"),
+        "",
+    )
+    base = pa.table(
+        {
+            "osv_id": batch["id"],
+            "commit": commit,
+            "content": batch["details"] if "details" in batch.column_names
+            else pa.nulls(batch.num_rows, pa.string()),
+            "affected": batch["affected"],
+        }
+    )
+    ex = explode_nested(base, "affected", ["osv_id", "commit", "content"])
+    pkg = ex["affected_package"]
+    n = ex.num_rows
+    # seq must be globally deterministic (not a per-batch counter): a
+    # stable positive hash of the record id keeps replays idempotent
+    import numpy as np
+    import pandas as pd
+
+    seq = (
+        pd.util.hash_array(
+            ex["osv_id"].combine_chunks().to_numpy(zero_copy_only=False),
+            categorize=False,
+        ).astype(np.uint64)
+        >> np.uint64(2)
+    ).astype(np.int64)
+    out = pa.table(
+        {
+            "repo": pc.struct_field(pkg.combine_chunks(), "ecosystem"),
+            "path": pc.struct_field(pkg.combine_chunks(), "name"),
+            "commit": ex["commit"],
+            "seq": pa.array(seq),
+            "op": pa.array(["update"] * n, pa.string()),
+            "lang": pc.struct_field(pkg.combine_chunks(), "ecosystem"),
+            "content": ex["content"],
+        }
+    )
+    return _canonical_normalizer(out)
+
+
+register(Source("osv-jsonl", lambda p: rd.read_json(p), osv_like_normalizer))

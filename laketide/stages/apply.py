@@ -222,9 +222,14 @@ def _reduce_events_coalesce(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
         [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
         schema=ev.schema,
     )
+    # A mid-epoch tombstone means the winner must REPLACE (not merge
+    # with) the pre-epoch row — carry that as the _reset helper column.
+    out = out.append_column(S.RESET_COLUMN, pa.array(last_del >= 0))
     # groups whose newest event is the tombstone keep the raw delete row
     if del_wins.any():
-        del_rows = ev.take(pa.array(ends[del_wins]))
+        del_rows = ev.take(pa.array(ends[del_wins])).append_column(
+            S.RESET_COLUMN, pa.array(np.ones(int(del_wins.sum()), dtype=bool))
+        )
         keep_mask = pa.array(~del_wins)
         out = pa.concat_tables([out.filter(keep_mask), del_rows]).sort_by(
             [("repo", "ascending"), ("path", "ascending")]
@@ -267,6 +272,67 @@ def _union_lists_per_group(
     return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_out)
 
 
+def _row_union(a, b):
+    """Row-wise list union-dedup of two equal-length list columns (R4):
+    flatten both with parent row ids, drop null values, unique on
+    (row, value), rebuild sorted lists. Rows where both sides are null
+    yield an empty list."""
+    import pandas as pd
+
+    a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+    b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
+    m = len(a)
+    typ = a.type if pa.types.is_list(a.type) or pa.types.is_large_list(a.type) else b.type
+    rows = []
+    vals = []
+    for col in (a, b):
+        if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+            continue
+        counts = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        rows.append(np.repeat(np.arange(m, dtype=np.int64), counts))
+        vals.append(pc.list_flatten(col).to_numpy(zero_copy_only=False))
+    df = pd.DataFrame(
+        {"r": np.concatenate(rows), "v": np.concatenate(vals)}
+    ).dropna().drop_duplicates().sort_values(["r", "v"])
+    counts = np.zeros(m, dtype=np.int64)
+    if len(df):
+        r_ids, r_counts = np.unique(df["r"].to_numpy(), return_counts=True)
+        counts[r_ids] = r_counts
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    flat_out = pa.array(df["v"].tolist(), typ.value_type)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_out)
+
+
+def _select_rows(u, ev_col, cur_col, use_union, use_ev):
+    """Row selector for list columns (pc.if_else does not support lists):
+    result[i] = u[i] if use_union[i] else ev[i] if use_ev[i] else cur[i],
+    via one concat + take."""
+    m = len(u)
+
+    def _plain(col):
+        col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        if pa.types.is_list(col.type) or pa.types.is_large_list(col.type):
+            return col
+        return pa.ListArray.from_arrays(
+            pa.array(np.zeros(m + 1, dtype=np.int32), pa.int32()),
+            pa.array([], u.type.value_type),
+        )
+
+    ev_l, cur_l = _plain(ev_col), _plain(cur_col)
+    sel = np.where(
+        pc.fill_null(use_union, False).to_numpy(zero_copy_only=False),
+        0,
+        np.where(pc.fill_null(use_ev, False).to_numpy(zero_copy_only=False), 1, 2),
+    ).astype(np.int64)
+    combined = pa.concat_arrays(
+        [u.cast(u.type), ev_l.cast(u.type), cur_l.cast(u.type)]
+    )
+    idx = sel * m + np.arange(m, dtype=np.int64)
+    return combined.take(pa.array(idx))
+
+
 def apply_partition(
     cur: pa.Table | None,
     winners: pa.Table,
@@ -307,14 +373,46 @@ def apply_partition(
         + [pa.field(c, t) for c, t in payload.items()]
         + [pa.field(S.SHA_COLUMN, pa.string())]
     )
+    if S.RESET_COLUMN in winners.column_names:
+        ev_schema = ev_schema.append(pa.field(S.RESET_COLUMN, pa.bool_()))
     ev = S.conform(winners, ev_schema)
 
-    j = ev.join(
-        cur,
-        keys=list(S.KEY_COLUMNS),
-        join_type="full outer",
-        right_suffix="_cur",
-    )
+    # Arrow's hash join cannot carry list-typed payload columns — detach
+    # them, join the scalar parts with row-id surrogates, re-attach by
+    # take (null surrogate -> null row).
+    list_cols = [
+        f.name
+        for f in snap_schema
+        if (pa.types.is_list(f.type) or pa.types.is_large_list(f.type))
+        and f.name in ev.column_names
+    ]
+    if list_cols:
+        ev_j = ev.drop_columns(list_cols).append_column(
+            "_ev_rid", pa.array(np.arange(ev.num_rows, dtype=np.int64))
+        )
+        cur_j = cur.drop_columns([c for c in list_cols if c in cur.column_names]).append_column(
+            "_cur_rid", pa.array(np.arange(cur.num_rows, dtype=np.int64))
+        )
+        j = ev_j.join(
+            cur_j,
+            keys=list(S.KEY_COLUMNS),
+            join_type="full outer",
+            right_suffix="_cur",
+        )
+        for c in list_cols:
+            j = j.append_column(c, ev[c].combine_chunks().take(j["_ev_rid"].combine_chunks()))
+            if c in cur.column_names:
+                j = j.append_column(
+                    c + "_cur", cur[c].combine_chunks().take(j["_cur_rid"].combine_chunks())
+                )
+        j = j.drop_columns(["_ev_rid", "_cur_rid"])
+    else:
+        j = ev.join(
+            cur,
+            keys=list(S.KEY_COLUMNS),
+            join_type="full outer",
+            right_suffix="_cur",
+        )
 
     has_ev = pc.is_valid(j[S.OP_COLUMN])
     has_cur = pc.is_valid(j[S.APPLIED_EPOCH_COLUMN])
@@ -381,7 +479,18 @@ def apply_partition(
 
     new_deleted = pc.if_else(take_ev, is_del, cur_deleted)
     fieldwise = strategy == "coalesce"
-    merge_upd = pc.and_(take_ev, pc.invert(is_del))  # live field-wise merge
+    # Field-merge only live-onto-live: a winner whose epoch history had a
+    # tombstone (_reset), or a stored row that is itself a tombstone,
+    # REPLACES instead of coalescing.
+    reset = (
+        _bool(j[S.RESET_COLUMN])
+        if S.RESET_COLUMN in j.column_names
+        else pa.chunked_array([pa.nulls(j.num_rows, pa.bool_())]).combine_chunks()
+    )
+    reset = _bool(reset)
+    merge_upd = pc.and_(
+        pc.and_(take_ev, pc.invert(is_del)), pc.and_(cur_live, pc.invert(reset))
+    )
     cols = []
     for fld in snap_schema:
         name = fld.name

@@ -333,3 +333,120 @@ def test_single_writer_lock(changelog, tmp_path):
     r = t.apply_epoch(changelog[1])
     assert r["epoch"] == 2
     assert not os.path.exists(lock)
+
+
+def test_pluggable_merge_strategy_coalesce(tmp_path):
+    """Reference E4/R4/R5: field-wise merge — newest non-null scalar wins
+    (primary-wins coalesce, merger.go:231-316), list columns union-dedup
+    (array-union, merger.go:268-284), tombstones clear accumulated state.
+    Checked against a DuckDB IGNORE NULLS window oracle."""
+    import duckdb
+    import pyarrow.parquet as _pq
+
+    def ev(commit, seq, path, op, lang, content, tags):
+        return {
+            "repo": "r",
+            "path": path,
+            "commit": f"c{commit:010d}",
+            "seq": seq,
+            "op": op,
+            "lang": lang,
+            "content": content,
+            "tags": tags,
+        }
+
+    e1 = [
+        ev(1, 1, "a", "insert", "py", "v1", ["t1", "t2"]),
+        ev(2, 2, "a", "update", None, "v2", ["t2", "t3"]),
+        ev(1, 3, "b", "insert", "go", "w1", ["x"]),
+    ]
+    e2 = [
+        ev(3, 4, "a", "update", None, None, None),      # all-null update: only version moves
+        ev(2, 5, "b", "delete", None, None, None),       # clears b
+        ev(3, 6, "b", "insert", None, "w2", ["y"]),      # restart after delete
+    ]
+    schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
+            ("seq", pa.int64()),
+            ("op", pa.string()),
+            ("lang", pa.string()),
+            ("content", pa.string()),
+            ("tags", pa.list_(pa.string())),
+        ]
+    )
+    for i, rows in enumerate([e1, e2], start=1):
+        _pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema), str(tmp_path / f"e{i}.parquet")
+        )
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2, merge="coalesce")
+    t.apply_epoch(str(tmp_path / "e1.parquet"))
+    t.apply_epoch(str(tmp_path / "e2.parquet"))
+    st = t.state_table()
+    rows = {r["path"]: r for r in st.to_pylist()}
+    a, b = rows["a"], rows["b"]
+    # a: version advanced to c3; lang survives from c1 (newest non-null),
+    # content from c2; tags = union of all live versions
+    assert a["commit"] == "c0000000003" and a["seq"] == 4
+    assert a["lang"] == "py" and a["content"] == "v2"
+    assert sorted(a["tags"]) == ["t1", "t2", "t3"]
+    # b: delete at c2 cleared t1-era state; c3 restart carries only w2/y
+    assert b["commit"] == "c0000000003" and b["lang"] is None
+    assert b["content"] == "w2" and sorted(b["tags"]) == ["y"]
+
+    # DuckDB oracle for the scalar columns (IGNORE NULLS last_value after
+    # the last tombstone)
+    con = duckdb.connect()
+    fs = ", ".join(f"'{tmp_path}/e{i}.parquet'" for i in (1, 2))
+    exp = con.execute(
+        f"""
+        WITH ev AS (SELECT * FROM read_parquet([{fs}], union_by_name=true)),
+        last_del AS (
+          SELECT repo, path, max(commit || lpad(CAST(seq AS VARCHAR), 20, '0')) AS dv
+          FROM ev WHERE op = 'delete' GROUP BY repo, path
+        ),
+        live AS (
+          SELECT e.* FROM ev e LEFT JOIN last_del d USING (repo, path)
+          WHERE d.dv IS NULL OR (e.commit || lpad(CAST(e.seq AS VARCHAR), 20, '0')) > d.dv
+        )
+        SELECT repo, path,
+          last_value(commit) OVER w AS commit,
+          last_value(lang IGNORE NULLS) OVER w AS lang,
+          last_value(content IGNORE NULLS) OVER w AS content
+        FROM live
+        WINDOW w AS (PARTITION BY repo, path ORDER BY commit, seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY commit DESC, seq DESC) = 1
+        """
+    ).arrow()
+    got = {(r["repo"], r["path"]): (r["commit"], r["lang"], r["content"]) for r in exp.to_pylist()}
+    for r in st.to_pylist():
+        assert got[(r["repo"], r["path"])] == (r["commit"], r["lang"], r["content"])
+    # strategy pinned in the manifest
+    assert LakeTable(str(tmp_path / "t")).merge == "coalesce"
+
+
+def test_coalesce_in_epoch_fold_and_dup_replays(tmp_path):
+    """In-epoch fold: several versions of one key inside ONE epoch merge
+    field-wise; exact duplicate replays drop."""
+    import pyarrow.parquet as _pq
+
+    rows = [
+        {"repo": "r", "path": "a", "commit": "c0000000001", "seq": 1, "op": "insert",
+         "lang": "py", "content": None},
+        {"repo": "r", "path": "a", "commit": "c0000000002", "seq": 2, "op": "update",
+         "lang": None, "content": "body"},
+        {"repo": "r", "path": "a", "commit": "c0000000002", "seq": 2, "op": "update",
+         "lang": None, "content": "body"},  # exact dup replay
+    ]
+    _pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / "e1.parquet"))
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2, merge="coalesce")
+    r = t.apply_epoch(str(tmp_path / "e1.parquet"))
+    assert r["totals"]["dupes_dropped"] == 1
+    st = t.state_table()
+    assert st.num_rows == 1
+    row = st.to_pylist()[0]
+    assert row["lang"] == "py" and row["content"] == "body"
+    assert row["commit"] == "c0000000002"
