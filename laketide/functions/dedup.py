@@ -167,8 +167,9 @@ def _band_hashes(sig: np.ndarray) -> np.ndarray:
 
 
 class MinHasher:
-    """Actor-pool stage: permutation parameters built once per actor;
-    emits the banded LSH rows (band, band_hash, doc_id) per input doc."""
+    """Stateful batch fn: permutation parameters built ONCE (on the
+    driver; the instance ships with the task closure) — emits the banded
+    LSH rows (band, band_hash, doc_id) per input doc."""
 
     def __init__(self, n_perm: int = _N_PERM, k: int = _SHINGLE_K, seed: int = 12345):
         self.a, self.b = _perm_params(n_perm, seed)
@@ -214,8 +215,11 @@ def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
 def minhash_lsh_candidates(sf_dir: str) -> rd.Dataset:
     """Candidate near-dup pairs from MinHash-LSH banding (deduped)."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # instance-closure task (perm params built once on the driver and
+    # shipped with the fn): actor pools pay ~1.5s startup per query for
+    # state that rebuilds in microseconds — reserve them for heavy state
     banded = docs.map_batches(
-        MinHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        MinHasher(), batch_format="pyarrow", zero_copy_batch=True
     )
     pairs = banded.groupby(["band", "band_hash"]).map_groups(
         _bucket_pairs, batch_format="pandas"
@@ -420,7 +424,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
     members plus representative-vs-rest, with the drop logged."""
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     banded = docs.map_batches(
-        SimHasher, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        SimHasher(), batch_format="pyarrow", zero_copy_batch=True
     )
 
     def pairs(df: pd.DataFrame) -> pd.DataFrame:

@@ -74,24 +74,24 @@ def knn_cosine(sf_dir: str, k: int = 10) -> pa.Table:
     qn = q / np.linalg.norm(q)
     q_ref = ray.put(qn)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(q_ref)
+    # plain task, not an actor pool: the only state is the broadcast
+    # query vector (a cheap local object-store read per batch) and a
+    # fresh actor pool costs ~1.5s startup per query
+    def score(t: pa.Table) -> pa.Table:
+        qv = ray.get(q_ref)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (mat @ qv) / norms
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # per-batch top-k: only k rows leave each batch — no global
+        # sort shuffle for a 10-row answer
+        ids, scores = _local_topk(ids, scores, k)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            scores = (mat @ self.q) / norms
-            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            # per-batch top-k: only k rows leave each batch — no global
-            # sort shuffle for a 10-row answer
-            ids, scores = _local_topk(ids, scores, k)
-            return pa.table(
-                {"vec_id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())}
-            )
-
-    scored = _emb(sf_dir).map_batches(Score, batch_format="pyarrow", concurrency=2)
+    scored = _emb(sf_dir).map_batches(score, batch_format="pyarrow")
     return _merge_topk(scored, k)
 
 
@@ -110,25 +110,22 @@ def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 1)
         probe |= {qsig ^ (1 << i) for i in range(n_planes)}
     state = ray.put((planes, qn, frozenset(probe)))
 
-    class BucketScore:
-        def __init__(self):
-            self.planes, self.q, self.probe = ray.get(state)
+    def bucket_score(t: pa.Table) -> pa.Table:
+        planes_v, qv, probe_v = ray.get(state)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        sigs = np.packbits((mat @ planes_v.T > 0).astype(np.uint8), axis=1, bitorder="little")[:, 0]
+        mask = np.isin(sigs, list(probe_v))
+        if not mask.any():
+            return pa.table({"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+        sub = mat[mask]
+        norms = np.linalg.norm(sub, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (sub @ qv) / norms
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)[mask].astype(np.int64)
+        ids, scores = _local_topk(ids, scores, k)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())})
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
-            sigs = np.packbits((mat @ self.planes.T > 0).astype(np.uint8), axis=1, bitorder="little")[:, 0]
-            mask = np.isin(sigs, list(self.probe))
-            if not mask.any():
-                return pa.table({"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
-            sub = mat[mask]
-            norms = np.linalg.norm(sub, axis=1)
-            norms[norms == 0] = 1.0
-            scores = (sub @ self.q) / norms
-            ids = t["vec_id"].to_numpy(zero_copy_only=False)[mask].astype(np.int64)
-            ids, scores = _local_topk(ids, scores, k)
-            return pa.table({"vec_id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())})
-
-    scored = _emb(sf_dir).map_batches(BucketScore, batch_format="pyarrow", concurrency=2)
+    scored = _emb(sf_dir).map_batches(bucket_score, batch_format="pyarrow")
     return _merge_topk(scored, k)
 
 
@@ -159,14 +156,11 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
     planes = rng.standard_normal((_ND_BANDS * _ND_PLANES_PER_BAND, EMBED_DIM))
     planes_ref = ray.put(planes)
 
-    class Sign:
-        def __init__(self):
-            self.planes = ray.get(planes_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
+    def sign(t: pa.Table) -> pa.Table:
+            planes_v = ray.get(planes_ref)
             mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
             n = mat.shape[0]
-            bits = (mat @ self.planes.T > 0).astype(np.uint8)  # (n, 32)
+            bits = (mat @ planes_v.T > 0).astype(np.uint8)  # (n, 32)
             sig = np.packbits(
                 bits.reshape(n, _ND_BANDS, _ND_PLANES_PER_BAND),
                 axis=2,
@@ -220,7 +214,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
             }
         )
 
-    signed = _emb(sf_dir).map_batches(Sign, batch_format="pyarrow", concurrency=2)
+    signed = _emb(sf_dir).map_batches(sign, batch_format="pyarrow")
     out = (
         signed.groupby(["band", "band_val"])
         .map_groups(pairs, batch_format="pandas")
