@@ -284,24 +284,23 @@ def join_customer_orders(sf_dir: str) -> rd.Dataset:
 
     cust_ref = ray.put(cust)
 
-    class Probe:
-        def __init__(self):
-            self.cust = ray.get(cust_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            seg = (
-                pd.Series(t["o_custkey"].to_pandas()).map(self.cust).fillna("UNKNOWN").to_numpy()
-            )
-            cents = pc.cast(_cents(t["o_totalprice"]), pa.float64())
-            df = pd.DataFrame({"c_mktsegment": seg, "cents": cents.to_numpy(), "one": 1})
-            out = df.groupby("c_mktsegment", as_index=False).agg(
-                cents=("cents", "sum"), n=("one", "sum")
-            )
-            return pa.Table.from_pandas(out, preserve_index=False)
+    def probe(t: pa.Table) -> pa.Table:
+        # plain task: the broadcast side is a cheap local object-store
+        # read per batch; an actor pool pays ~1.5s startup per query
+        cust_map = ray.get(cust_ref)
+        seg = (
+            pd.Series(t["o_custkey"].to_pandas()).map(cust_map).fillna("UNKNOWN").to_numpy()
+        )
+        cents = pc.cast(_cents(t["o_totalprice"]), pa.float64())
+        df = pd.DataFrame({"c_mktsegment": seg, "cents": cents.to_numpy(), "one": 1})
+        out = df.groupby("c_mktsegment", as_index=False).agg(
+            cents=("cents", "sum"), n=("one", "sum")
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
     agg = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-        .map_batches(Probe, batch_format="pyarrow", concurrency=2)
+        .map_batches(probe, batch_format="pyarrow")
         .groupby("c_mktsegment")
         .aggregate(Sum("cents", alias_name="cents_f"), Sum("n", alias_name="n_f"))
     )

@@ -162,8 +162,10 @@ class LangIdNgram:
 
 
 def langid_ngram(sf_dir: str) -> rd.Dataset:
+    # instance closure: profiles build once on the driver and ship with
+    # the task fn (actor pools reserved for heavy state)
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        LangIdNgram, batch_format="pandas", concurrency=2
+        LangIdNgram(), batch_format="pandas"
     )
 
 
@@ -264,5 +266,5 @@ def token_counts_bpe(sf_dir: str) -> rd.Dataset:
     """Sub-word-ish token counting with a compiled regex (the BPE-shaped
     companion to whitespace ``token_counts``)."""
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-        BpeishTokenizer, batch_format="pandas", concurrency=2
+        BpeishTokenizer(), batch_format="pandas"
     )
