@@ -335,5 +335,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id FROM embeddings "
             f"ORDER BY list_cosine_similarity(embedding, {qvec}) DESC, vec_id LIMIT 10"
         ),
+        "knn_lsh": _knn_lsh_oracle(),
         "embedding_label_count": "SELECT label, count(*) AS n FROM embeddings GROUP BY 1",
+        # Exact ground truth (O(n^2) cosine self-join). The banded-LSH
+        # query matches it when recall = 1 — which holds at the 0.92
+        # threshold (recall ~1.0 above cos 0.9 with 4x8 bands; the
+        # planted-duplicate pytest proves recall on known pairs).
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.92"
+        ),
+        "langid_ngram": _langid_oracle(),
+        # VARCHAR substring == byte slicing here: the documents text is
+        # pure ASCII (DuckDB substring does not accept BLOB).
+        "frame_sample": (
+            "WITH frames AS (SELECT unnest(range(4)) AS i) "
+            "SELECT doc_id, i AS frame_idx, sha256(substring(text, "
+            "CASE WHEN length(text) <= 32 THEN 1 "
+            "ELSE (i * greatest(length(text) - 32, 1)) // 3 + 1 END, 32)) AS frame_sha "
+            "FROM documents CROSS JOIN frames"
+        ),
     }
+
+
+def _knn_lsh_oracle() -> str:
+    from laketide.functions.similarity import knn_lsh_oracle_sql
+
+    return knn_lsh_oracle_sql()
+
+
+def _langid_oracle() -> str:
+    from laketide.functions.text import langid_oracle_sql
+
+    return langid_oracle_sql()

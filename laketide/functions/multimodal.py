@@ -88,10 +88,12 @@ def multimodal_decode(sf_dir: str) -> rd.Dataset:
 def frame_sample(sf_dir: str, n_frames: int = 4, frame_bytes: int = 32) -> rd.Dataset:
     """Frame-sampling plumbing for video-like payloads: slice each opaque
     blob into ``n_frames`` evenly-spaced fixed-width windows ("frames")
-    and emit one row per frame with its blake2b checksum — the real
-    decode would replace ``_frame_of``; the Ray-side layout (explode to
-    per-frame rows, binary slicing, actor-friendly batch shape) is what
-    a production video pipeline needs. Deterministic; rows-only check."""
+    and emit one row per frame with its sha256 checksum — the real
+    decode would replace the slicing kernel; the Ray-side layout (explode
+    to per-frame rows, binary slicing, actor-friendly batch shape) is
+    what a production video pipeline needs. sha256 (not blake2b) so the
+    DuckDB oracle (substring over encode(text) + sha256) can verify the
+    exact frames."""
     ds = blob_table(sf_dir)
 
     def f(t: pa.Table) -> pa.Table:
@@ -103,7 +105,7 @@ def frame_sample(sf_dir: str, n_frames: int = 4, frame_bytes: int = 32) -> rd.Da
                 frame = payload[off : off + frame_bytes]
                 doc_ids.append(doc_id)
                 idxs.append(i)
-                checksums.append(hashlib.blake2b(frame, digest_size=8).hexdigest())
+                checksums.append(hashlib.sha256(frame).hexdigest())
         return pa.table(
             {
                 "doc_id": pa.array(doc_ids, pa.int64()),

@@ -129,6 +129,36 @@ def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 1)
     return _merge_topk(scored, k)
 
 
+def knn_lsh_oracle_sql(k: int = 10, n_planes: int = 8, probe_hamming: int = 1) -> str:
+    """DuckDB equivalent of ``knn_lsh``: the SAME seeded hyperplanes as
+    SQL list literals, the signature rebuilt bit-by-bit with
+    list_dot_product, the probe set inlined, cosine ordering on the same
+    literal query vector. float64 repr round-trips exactly, so both
+    engines compute identical dot products on identical constants."""
+    rng = np.random.RandomState(777)
+    planes = rng.standard_normal((n_planes, EMBED_DIM))
+    q = query_vector()
+    qsig = int(np.packbits((planes @ q > 0).astype(np.uint8), bitorder="little")[0])
+    probe = {qsig}
+    if probe_hamming >= 1:
+        probe |= {qsig ^ (1 << i) for i in range(n_planes)}
+
+    def lit(v) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in v) + "]"
+
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding, {lit(planes[i])}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    probes = ", ".join(str(p) for p in sorted(probe))
+    return (
+        f"SELECT vec_id FROM embeddings WHERE ({sig}) IN ({probes}) "
+        f"ORDER BY list_cosine_similarity(embedding, {query_vector_sql_literal()}) DESC, "
+        f"vec_id LIMIT {k}"
+    )
+
+
 def embedding_label_count(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Count
 

@@ -161,6 +161,33 @@ class LangIdNgram:
         )
 
 
+def langid_oracle_sql() -> str:
+    """DuckDB equivalent of ``langid_ngram``: each gram's occurrence
+    count as a replace-length diff (non-overlapping, same as the regex
+    count), argmax with alphabetical tie-break (numpy argmax picks the
+    first maximum over the alphabetically-sorted lang axis), zero-score
+    docs -> 'und'."""
+    langs = sorted(LangIdNgram.PROFILES)
+
+    def score(lang: str) -> str:
+        terms = " + ".join(
+            f"CAST((length(lower(text)) - length(replace(lower(text), '{g}', ''))) "
+            f"// {len(g)} AS BIGINT)"
+            for g in LangIdNgram.PROFILES[lang]
+        )
+        return f"({terms})"
+
+    scores = ", ".join(f"{score(l)} AS s_{l}" for l in langs)
+    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    case = " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs)
+    return (
+        f"SELECT doc_id, CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred, "
+        "m AS lang_score FROM ("
+        f"SELECT doc_id, s_de, s_en, s_es, s_fr, {m} AS m FROM ("
+        f"SELECT doc_id, {scores} FROM documents))"
+    )
+
+
 def langid_ngram(sf_dir: str) -> rd.Dataset:
     # instance closure: profiles build once on the driver and ship with
     # the task fn (actor pools reserved for heavy state)
