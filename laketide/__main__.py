@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--changelog", required=True)
     sp.add_argument("--partitions", type=int, default=32)
-    sp.add_argument("--merge", default="lww", choices=["lww", "longest"])
+    sp.add_argument("--merge", default="lww", choices=["lww", "longest", "coalesce"])
     sp.add_argument("--exchange", default="auto", choices=["auto", "groupby", "storage"])
 
     sp = sub.add_parser("status", help="print the current manifest summary")

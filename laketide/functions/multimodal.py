@@ -126,6 +126,9 @@ def blob_resize(sf_dir: str, target_bytes: int = 64) -> rd.Dataset:
     ds = blob_table(sf_dir)
 
     def f(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        pos = np.arange(target_bytes, dtype=np.int64)
         outs = []
         for payload in t["payload"].to_pylist():
             n = len(payload)
@@ -134,8 +137,9 @@ def blob_resize(sf_dir: str, target_bytes: int = 64) -> rd.Dataset:
             elif n <= target_bytes:
                 outs.append(payload.ljust(target_bytes, b"\x00"))
             else:
-                idx = [(i * (n - 1)) // (target_bytes - 1) for i in range(target_bytes)]
-                outs.append(bytes(payload[i] for i in idx))
+                # vectorized byte gather (no per-byte Python)
+                idx = (pos * (n - 1)) // (target_bytes - 1)
+                outs.append(np.frombuffer(payload, dtype=np.uint8)[idx].tobytes())
         return pa.table(
             {
                 "doc_id": t["doc_id"],
