@@ -33,8 +33,8 @@ def query_vector_sql_literal(dim: int = EMBED_DIM, seed: int = _QUERY_SEED) -> s
     return "[" + ", ".join(repr(float(x)) for x in q) + "]"
 
 
-def _emb(sf_dir: str) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+def _emb(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
 def _local_topk(ids: np.ndarray, scores: np.ndarray, k: int):
@@ -91,7 +91,7 @@ def knn_cosine(sf_dir: str, k: int = 10) -> pa.Table:
             {"vec_id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())}
         )
 
-    scored = _emb(sf_dir).map_batches(score, batch_format="pyarrow")
+    scored = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(score, batch_format="pyarrow")
     return _merge_topk(scored, k)
 
 
@@ -125,7 +125,7 @@ def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 1)
         ids, scores = _local_topk(ids, scores, k)
         return pa.table({"vec_id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())})
 
-    scored = _emb(sf_dir).map_batches(bucket_score, batch_format="pyarrow")
+    scored = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(bucket_score, batch_format="pyarrow")
     return _merge_topk(scored, k)
 
 
@@ -162,7 +162,7 @@ def knn_lsh_oracle_sql(k: int = 10, n_planes: int = 8, probe_hamming: int = 1) -
 def embedding_label_count(sf_dir: str) -> rd.Dataset:
     from ray.data.aggregate import Count
 
-    return _emb(sf_dir).select_columns(["label"]).groupby("label").aggregate(Count(alias_name="n"))
+    return _emb(sf_dir, ["label"]).groupby("label").aggregate(Count(alias_name="n"))
 
 
 _ND_BANDS = 4
@@ -244,7 +244,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
             }
         )
 
-    signed = _emb(sf_dir).map_batches(sign, batch_format="pyarrow")
+    signed = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(sign, batch_format="pyarrow")
     out = (
         signed.groupby(["band", "band_val"])
         .map_groups(pairs, batch_format="pandas")
