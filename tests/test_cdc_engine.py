@@ -450,3 +450,49 @@ def test_coalesce_in_epoch_fold_and_dup_replays(tmp_path):
     row = st.to_pylist()[0]
     assert row["lang"] == "py" and row["content"] == "body"
     assert row["commit"] == "c0000000002"
+
+
+def test_coalesce_storage_exchange_and_schema_evolution(tmp_path):
+    """merge='coalesce' through the storage-backed exchange path, with a
+    list payload column appearing only in epoch 2 (additive evolution)
+    and an idempotent HWM replay."""
+    import pyarrow.parquet as _pq
+
+    e1 = pa.Table.from_pylist(
+        [
+            {"repo": "r", "path": "a", "commit": "c0000000001", "seq": 1,
+             "op": "insert", "lang": "py", "content": "v1"},
+            {"repo": "r", "path": "b", "commit": "c0000000002", "seq": 2,
+             "op": "insert", "lang": "go", "content": "w1"},
+        ]
+    )
+    e2 = pa.Table.from_pylist(
+        [
+            {"repo": "r", "path": "a", "commit": "c0000000003", "seq": 3,
+             "op": "update", "lang": None, "content": None, "tags": ["t1"]},
+            {"repo": "r", "path": "b", "commit": "c0000000004", "seq": 4,
+             "op": "update", "lang": None, "content": "w2", "tags": ["t2", "t3"]},
+        ],
+        schema=pa.schema(
+            [
+                ("repo", pa.string()), ("path", pa.string()),
+                ("commit", pa.string()), ("seq", pa.int64()),
+                ("op", pa.string()), ("lang", pa.string()),
+                ("content", pa.string()), ("tags", pa.list_(pa.string())),
+            ]
+        ),
+    )
+    _pq.write_table(e1, str(tmp_path / "e1.parquet"))
+    _pq.write_table(e2, str(tmp_path / "e2.parquet"))
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2, merge="coalesce")
+    t.apply_epoch(str(tmp_path / "e1.parquet"), exchange="storage")
+    t.apply_epoch(str(tmp_path / "e2.parquet"), exchange="storage")
+    rows = {r["path"]: r for r in t.state_table().to_pylist()}
+    assert rows["a"]["lang"] == "py" and rows["a"]["content"] == "v1"
+    assert rows["a"]["tags"] == ["t1"] and rows["a"]["commit"] == "c0000000003"
+    assert rows["b"]["content"] == "w2" and sorted(rows["b"]["tags"]) == ["t2", "t3"]
+    # replay epoch 2 as a new epoch: HWM drops everything, state unchanged
+    r = t.apply_epoch(str(tmp_path / "e2.parquet"), epoch_id=3)
+    assert r["totals"]["replays_dropped"] == 2
+    rows2 = {r["path"]: r for r in t.state_table().to_pylist()}
+    assert rows2 == rows
