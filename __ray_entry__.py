@@ -326,7 +326,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens, "
             "CAST(length(text) - length(regexp_replace(text, '[,.;:!?]', '', 'g')) AS BIGINT) AS n_punct, "
             "CAST(length(text) - length(regexp_replace(text, '[,.;:!?]', '', 'g')) AS DOUBLE) "
-            "/ GREATEST(length(text), 1) AS punct_ratio FROM documents"
+            "/ GREATEST(length(text), 1) AS punct_ratio, "
+            "CAST(list_sum(list_transform(string_split(text, ' '), x -> CASE WHEN x IN "
+            "('the','a','of','and','is','to','in','for','on','with') THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop, "
+            "CAST(list_sum(list_transform(string_split(text, ' '), x -> CASE WHEN x IN "
+            "('the','a','of','and','is','to','in','for','on','with') THEN 1 ELSE 0 END)) AS DOUBLE) "
+            "/ GREATEST(len(string_split(text, ' ')), 1) AS stop_ratio FROM documents"
         ),
         "blob_meta": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"

@@ -99,23 +99,39 @@ def top_tokens(sf_dir: str) -> rd.Dataset:
 
 
 _PUNCT_RE = r"[,.;:!?]"
+# Fixed English stopword list, shared verbatim with the SQL oracle.
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "for", "on", "with")
 
 
 def doc_quality(sf_dir: str) -> rd.Dataset:
     """Quality-scoring features: char/token counts, punctuation count and
-    ratio (deterministic int-derived double, bit-identical to the SQL
-    oracle's division)."""
+    ratio, stopword count and ratio (deterministic int-derived doubles,
+    bit-identical to the SQL oracle's division)."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
         n_chars = pc.cast(pc.utf8_length(t["text"]), pa.int64())
-        n_tokens = pc.cast(pc.list_value_length(pc.split_pattern(t["text"], " ")), pa.int64())
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
         stripped = pc.replace_substring_regex(t["text"], _PUNCT_RE, "")
         n_punct = pc.subtract(n_chars, pc.cast(pc.utf8_length(stripped), pa.int64()))
         ratio = pc.divide(
             pc.cast(n_punct, pa.float64()),
             pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())), pa.float64()),
         )
+        # stopword count: flatten once, vectorized set membership,
+        # per-doc reduceat sums
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+            zero_copy_only=False
+        )
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_stop = np.zeros(t.num_rows, dtype=np.int64)
+        nz = lengths > 0
+        if nz.any() and len(flat):
+            offs = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+            n_stop[nz] = np.add.reduceat(is_stop.astype(np.int64), offs[nz])
+        stop_ratio = n_stop / np.maximum(n_tokens.to_numpy(zero_copy_only=False), 1)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -123,6 +139,8 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
                 "n_tokens": n_tokens,
                 "n_punct": n_punct,
                 "punct_ratio": ratio,
+                "n_stop": pa.array(n_stop),
+                "stop_ratio": pa.array(stop_ratio, pa.float64()),
             }
         )
 

@@ -129,6 +129,11 @@ def read_zip_jsonl(zip_path: str, max_member_bytes: int = 100 << 20) -> "rd.Data
         ]
 
     def parse(batch: pa.Table) -> pa.Table:
+        import io
+
+        import pyarrow.json as pj
+
+        tables: list[pa.Table] = []
         rows: list[dict] = []
         with zipfile.ZipFile(zip_path) as zf:
             for member in batch["member"].to_pylist():
@@ -136,17 +141,27 @@ def read_zip_jsonl(zip_path: str, max_member_bytes: int = 100 << 20) -> "rd.Data
                     data = fh.read(max_member_bytes + 1)
                 if len(data) > max_member_bytes:
                     continue  # bomb guard: skip, never fail the sync (I6)
-                for line in data.splitlines():
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        rows.append(_json.loads(line))
-                    except Exception:
-                        continue  # one bad record never kills the sync
-        if not rows:
+                try:
+                    # fast path: Arrow's C++ NDJSON reader (vectorized)
+                    tables.append(pj.read_json(io.BytesIO(data)))
+                except Exception:
+                    # tolerant path (I6): a malformed line must never kill
+                    # the member — fall back to per-line parse, skip bad
+                    for line in data.splitlines():
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            rows.append(_json.loads(line))
+                        except Exception:
+                            continue
+        if rows:
+            tables.append(pa.Table.from_pylist(rows))
+        if not tables:
             return _CANON.empty_table()
-        return _canonical_normalizer(pa.Table.from_pylist(rows))
+        return pa.concat_tables(
+            [_canonical_normalizer(t) for t in tables]
+        )
 
     ds = rd.from_items([{"member": m} for m in sorted(members)])
     return ds.map_batches(parse, batch_format="pyarrow", batch_size=16)
