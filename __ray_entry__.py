@@ -353,6 +353,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.92"
         ),
         "langid_ngram": _langid_oracle(),
+        # Exact ground truth: string word-trigram sets + set Jaccard (no
+        # hashing). The Ray pipeline's hashed-shingle Jaccard equals the
+        # string-set Jaccard (injective whp), and LSH recall at the >=0.7
+        # threshold on this data is 1 - ~4e-12 (pairs sit at J >= 0.95),
+        # so exact-match holds; the planted-pair pytest proves recall
+        # independently.
+        "minhash_dedup_verified": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, "
+            "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams FROM t) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
+            "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard "
+            "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+            "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
+            "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7"
+        ),
         # VARCHAR substring == byte slicing here: the documents text is
         # pure ASCII (DuckDB substring does not accept BLOB).
         "frame_sample": (
