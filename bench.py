@@ -160,6 +160,8 @@ def run_bench() -> dict:
                 pass
         timings[name] = round(time.perf_counter() - t, 3)
 
+    from laketide.functions import dedup
+
     timed("q1_pricing", R.q1_pricing)
     timed("cdc_lww_latest", R.cdc_lww_latest)
     timed("window_counts", R.window_counts)
@@ -167,6 +169,7 @@ def run_bench() -> dict:
     timed("top_tokens", text.top_tokens)
     timed("exact_dedup_docs", text.exact_dedup_docs)
     timed("knn_cosine", similarity.knn_cosine)
+    timed("minhash_lsh_candidates", dedup.minhash_lsh_candidates)
 
     ray.shutdown()
     return {

@@ -38,6 +38,9 @@ def keep_extreme(
 
     if t.num_rows <= 1:
         return t
+    # parquet-borne pandas metadata makes Ray's shuffle schema-hash warn
+    # (unhashable dict) — drop it, it carries no information here
+    t = t.replace_schema_metadata(None)
     t = t.sort_by([(c, "ascending") for c in [*keys, *order]])
     n = t.num_rows
     same = np.ones(n - 1, dtype=bool)
