@@ -84,8 +84,14 @@ _CANON = pa.schema(
 def _canonical_normalizer(batch: pa.Table) -> pa.Table:
     """Project a loosely-typed batch onto the canonical event shape:
     add missing columns as nulls, cast (e.g. csv int-as-string seq),
-    default op (the upsert rule)."""
-    batch = S.conform(batch, _CANON)
+    default op (the upsert rule). EXTRA columns are kept as payload —
+    schema evolution is additive by construction, and source-tag list
+    columns (``sources``) ride through to the merge."""
+    extras = [
+        f for f in batch.schema
+        if f.name not in set(_CANON.names) and f.name not in S.HELPER_COLUMNS
+    ]
+    batch = S.conform(batch, pa.schema(list(_CANON) + extras))
     # CSV represents missing as "" (not null): promote both to the
     # default op (the reference's scalar-coercion rule, M4 analog).
     op = pc.fill_null(batch[S.OP_COLUMN], S.DEFAULT_OP)
@@ -285,6 +291,10 @@ def osv_like_normalizer(batch: pa.Table) -> pa.Table:
             "op": pa.array(["update"] * n, pa.string()),
             "lang": pc.struct_field(pkg.combine_chunks(), "ecosystem"),
             "content": ex["content"],
+            # source tag: under merge='coalesce' these union across
+            # sources — the reference's merged `source: ["osv","gitlab"]`
+            # array (VULNERABILITY_DATA_FLOW.md:485-526)
+            "sources": pa.array([["osv"]] * n, pa.list_(pa.string())),
         }
     )
     return _canonical_normalizer(out)

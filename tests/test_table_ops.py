@@ -569,3 +569,52 @@ def test_osv_like_nested_source(tmp_path):
     r2 = t.apply_epoch(ds, epoch_id=t.current_epoch() + 1, hwm_filter=False)
     assert r2["totals"]["stale_dropped"] + r2["totals"]["noops"] > 0
     assert t.state_table().num_rows == 3
+
+
+def test_multi_source_merge_unions_source_tags(tmp_path):
+    """The reference's headline merge flow (ingest OSV -> ingest GitLab
+    -> the merged record shows source: [osv, gitlab]): two sources emit
+    the same key with `sources` tag lists; under merge='coalesce' the
+    lists union and scalar fields keep the newest non-null value."""
+    import json
+
+    from laketide.pipelines.cdc import LakeTable
+    from laketide.sources import registry
+
+    rec = {
+        "id": "OSV-9",
+        "modified": "2024-02-01T00:00:00Z",
+        "details": "overflow",
+        "affected": [
+            {"package": {"ecosystem": "pypi", "name": "frob"},
+             "ranges": [{"events": [{"introduced": "0"}]}]}
+        ],
+    }
+    osv_path = str(tmp_path / "osv.jsonl")
+    with open(osv_path, "w") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2, merge="coalesce")
+    t.apply_epoch(registry.read_source("osv-jsonl", osv_path))
+
+    # second source: gitlab-shaped event for the SAME key, newer version,
+    # no details (content null -> coalesce keeps the OSV details)
+    gl = pa.table(
+        {
+            "repo": ["pypi"],
+            "path": ["frob"],
+            "commit": ["c99999999999999999999"],
+            "seq": pa.array([1], pa.int64()),
+            "op": ["update"],
+            "lang": pa.array([None], pa.string()),
+            "content": pa.array([None], pa.string()),
+            "sources": pa.array([["gitlab"]], pa.list_(pa.string())),
+        }
+    )
+    pq.write_table(gl, str(tmp_path / "gl.parquet"))
+    t.apply_epoch(str(tmp_path / "gl.parquet"))
+    st = t.state_table()
+    assert st.num_rows == 1
+    row = st.to_pylist()[0]
+    assert sorted(row["sources"]) == ["gitlab", "osv"]
+    assert row["content"] == "overflow"      # newest non-null
+    assert row["commit"] == "c99999999999999999999"  # version advanced
