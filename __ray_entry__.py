@@ -35,10 +35,12 @@ def _events_to_changelog(batch: "Any") -> "Any":
 
     n = batch.num_rows
     user = pc.utf8_lpad(pc.cast(batch["user_id"], pa.string()), 6, "0")
-    repo = pc.binary_join_element_wise(pa.array(["user"] * n), user, "")
+    # literals typed explicitly: pa.array([]*0) infers null and the join
+    # kernel has no (null, string) overload — empty batches must not crash
+    repo = pc.binary_join_element_wise(pa.array(["user"] * n, pa.string()), user, "")
     ts_us = pc.cast(pc.cast(batch["ts"], pa.timestamp("us")), pa.int64())
     commit = pc.binary_join_element_wise(
-        pa.array(["c"] * n),
+        pa.array(["c"] * n, pa.string()),
         pc.utf8_lpad(pc.cast(ts_us, pa.string()), 20, "0"),
         "",
     )
@@ -342,28 +344,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_lsh": _knn_lsh_oracle(),
         "embedding_label_count": "SELECT label, count(*) AS n FROM embeddings GROUP BY 1",
-        # Exact ground truth (O(n^2) cosine self-join). The banded-LSH
-        # query matches it when recall = 1 — which holds at the 0.92
-        # threshold (recall ~1.0 above cos 0.9 with 4x8 bands; the
-        # planted-duplicate pytest proves recall on known pairs).
-        "embedding_near_dup": (
-            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
-            "round(list_cosine_similarity(a.embedding, b.embedding), 6) AS cosine "
-            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
-            "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.92"
-        ),
+        # embedding_near_dup stays rows-only BY DESIGN: banded-LSH recall
+        # at the 0.92 threshold is ~0.80 (1-(1-p^8)^4, p=1-acos(0.92)/pi),
+        # so equality with an exact O(n^2) oracle would be data-luck, not
+        # correctness. Recall is proven by the planted-duplicate pytest.
         "langid_ngram": _langid_oracle(),
         # Exact ground truth: string word-trigram sets + set Jaccard (no
         # hashing). The Ray pipeline's hashed-shingle Jaccard equals the
         # string-set Jaccard (injective whp), and LSH recall at the >=0.7
         # threshold on this data is 1 - ~4e-12 (pairs sit at J >= 0.95),
         # so exact-match holds; the planted-pair pytest proves recall
-        # independently.
+        # independently. Caveat: a hot LSH bucket (> LAKETIDE_MAX_LSH_BUCKET
+        # members) is star-capped, which preserves dedup components but
+        # not the exact pair listing — no such bucket exists at sf0.01.
         "minhash_dedup_verified": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "g AS (SELECT doc_id, "
-            "list_distinct(list_transform(range(1, greatest(len(toks) - 2, 1) + 1), "
-            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS grams FROM t) "
+            "g AS (SELECT doc_id, CASE "
+            "WHEN len(toks) = 0 THEN [] "
+            # short docs: ONE gram over the available tokens, mirroring
+            # the kernel's zero-padded shingle (1- or 2-token gram
+            # strings never collide with 3-token ones: space counts differ)
+            "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+            "ELSE list_distinct(list_transform(range(1, len(toks) - 2 + 1), "
+            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS grams FROM t) "
             "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
             "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
             "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard "

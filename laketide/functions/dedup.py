@@ -41,7 +41,13 @@ _SHINGLE_K = 3
 # (first id paired to every other member) instead of all pairs — O(n)
 # rows, same connected components for dedup, and the drop is logged
 # (no silent caps). A popular band hash at scale is otherwise O(n^2).
-_MAX_BUCKET = 256
+# NOTE: above the cap, pairs not incident to the representative are not
+# individually Jaccard-verified — the right trade for dedup (components
+# survive) but NOT an exact pair listing; raise LAKETIDE_MAX_LSH_BUCKET
+# when an exact verified pair set over hot buckets is required.
+import os as _os
+
+_MAX_BUCKET = int(_os.environ.get("LAKETIDE_MAX_LSH_BUCKET", "256"))
 
 # Odd 64-bit mixing constants (splitmix64-derived); uint64 wraparound
 # arithmetic == arithmetic mod 2**64.
@@ -49,6 +55,22 @@ _K = np.array(
     [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0x2545F4914F6CDD1D],
     dtype=np.uint64,
 )
+
+
+def _mix_constants(k: int) -> np.ndarray:
+    """First ``k`` odd mixing constants — the fixed 4 above (stable
+    hashes for the default shingle sizes), extended deterministically by
+    a splitmix64-style recurrence for larger k."""
+    if k <= len(_K):
+        return _K[:k]
+    out = np.empty(k, dtype=np.uint64)
+    out[: len(_K)] = _K
+    x = _K[-1]
+    for i in range(len(_K), k):
+        x = (x + np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        out[i] = x | np.uint64(1)
+    return out
 
 
 def _perm_params(n_perm: int = _N_PERM, seed: int = 12345):
@@ -119,8 +141,9 @@ def _gram_hashes(texts, k: int = _SHINGLE_K):
         + np.repeat(new_off, g)
     )
     grams = np.zeros(total_g, dtype=np.uint64)
+    K = _mix_constants(k)
     for j in range(k):
-        grams += padded[starts + j] * _K[j]
+        grams += padded[starts + j] * K[j]
     return grams, g
 
 
@@ -389,16 +412,34 @@ class SimHasher:
         out = np.zeros(n_docs, dtype=np.uint64)
         if len(h) == 0:
             return out
-        bits = ((h[:, None] >> self.bit_idx[None, :]) & np.uint64(1)).astype(np.int32)
-        signed = 2 * bits - 1  # (n_tokens, 64) of ±1
-        offs = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
-        nz = lengths > 0
-        if nz.any():
-            sums = np.add.reduceat(signed, offs[nz], axis=0)  # (nz_docs, 64)
-            packed = ((sums > 0).astype(np.uint64) << self.bit_idx[None, :]).sum(
-                axis=1, dtype=np.uint64
-            )
-            out[nz] = packed
+        offs_all = np.concatenate([[0], np.cumsum(lengths)]).astype(np.int64)
+        # chunk on doc boundaries: the (tokens x 64) ±1 matrix is 128 B
+        # per token, so bound it at ~8 MB instead of one huge intermediate
+        chunk_tokens = 65_536
+        d0 = 0
+        while d0 < n_docs:
+            d1 = d0
+            while d1 < n_docs and offs_all[d1 + 1] - offs_all[d0] <= chunk_tokens:
+                d1 += 1
+            d1 = max(d1, d0 + 1)
+            lo, hi = offs_all[d0], offs_all[d1]
+            if hi > lo:
+                sub = h[lo:hi]
+                # int32: a reduceat sum over one huge doc must not wrap
+                bits = ((sub[:, None] >> self.bit_idx[None, :]) & np.uint64(1)).astype(
+                    np.int32
+                )
+                signed = 2 * bits - 1  # (chunk_tokens, 64) of ±1
+                counts = lengths[d0:d1]
+                nz = counts > 0
+                offs = (offs_all[d0:d1] - lo)[nz]
+                if offs.size:
+                    sums = np.add.reduceat(signed, offs, axis=0)  # (nz, 64)
+                    packed = ((sums > 0).astype(np.uint64) << self.bit_idx[None, :]).sum(
+                        axis=1, dtype=np.uint64
+                    )
+                    out[np.arange(d0, d1)[nz]] = packed
+            d0 = d1
         return out
 
     def __call__(self, t: pa.Table) -> pa.Table:

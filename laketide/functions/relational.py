@@ -551,7 +551,12 @@ def cdc_coalesce_fieldwise(sf_dir: str) -> rd.Dataset:
     the version advances to the newest event — the same fold the
     engine's merge='coalesce' strategy applies per key.
 
-    Pre-folds per batch (associative), then one grouped final fold."""
+    The per-batch pre-reduce keeps REAL event rows — the group's newest
+    row plus, per fold column, the newest row where that column is
+    non-null (<= 3 rows per key per batch). Discarded rows can never win
+    any column, so the reduction is associative regardless of how Ray
+    blocks the input; the final grouped fold then constructs the
+    field-wise winner."""
     ds = _read(sf_dir, "events")
 
     def derive(t: pa.Table) -> pa.Table:
@@ -577,6 +582,45 @@ def cdc_coalesce_fieldwise(sf_dir: str) -> rd.Dataset:
 
     fold_cols = ["last_value_cents", "last_props"]
 
+    def _group_layout(t: pa.Table):
+        import numpy as np
+
+        n = t.num_rows
+        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1]).astype(
+            np.int64
+        )
+        ends = np.append(starts[1:], n) - 1
+        return starts, ends
+
+    def _best_per_col(t: pa.Table, name: str, starts):
+        import numpy as np
+
+        col = t[name].combine_chunks()
+        idx = np.arange(t.num_rows, dtype=np.int64)
+        cand = np.where(
+            pc.is_valid(col).to_numpy(zero_copy_only=False), idx, np.int64(-1)
+        )
+        return col, np.maximum.reduceat(cand, starts)
+
+    def prereduce(t: pa.Table) -> pa.Table:
+        """Keep real rows only: newest per key + newest-non-null per fold
+        column — associative under any batch split."""
+        import numpy as np
+
+        if t.num_rows <= 1:
+            return t
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        starts, ends = _group_layout(t)
+        keep = np.zeros(t.num_rows, dtype=bool)
+        keep[ends] = True
+        for name in fold_cols:
+            _, best = _best_per_col(t, name, starts)
+            keep[best[best >= 0]] = True
+        return t.filter(pa.array(keep))
+
     def fold(t: pa.Table) -> pa.Table:
         import numpy as np
 
@@ -585,22 +629,12 @@ def cdc_coalesce_fieldwise(sf_dir: str) -> rd.Dataset:
         t = t.sort_by(
             [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
         )
-        n = t.num_rows
-        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1]).astype(
-            np.int64
-        )
-        ends = np.append(starts[1:], n) - 1
-        idx = np.arange(n, dtype=np.int64)
+        starts, ends = _group_layout(t)
         cols = {}
         for name in ("user_id", "ts", "event_id"):
             cols[name] = t[name].combine_chunks().take(pa.array(ends))
         for name in fold_cols:
-            col = t[name].combine_chunks()
-            cand = np.where(
-                pc.is_valid(col).to_numpy(zero_copy_only=False), idx, np.int64(-1)
-            )
-            best = np.maximum.reduceat(cand, starts)
+            col, best = _best_per_col(t, name, starts)
             cols[name] = col.take(
                 pa.array([int(b) if b >= 0 else None for b in best], pa.int64())
             )
@@ -608,7 +642,7 @@ def cdc_coalesce_fieldwise(sf_dir: str) -> rd.Dataset:
 
     return (
         ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
-        .map_batches(fold, batch_format="pyarrow")
+        .map_batches(prereduce, batch_format="pyarrow")
         .groupby("user_id")
         .map_groups(fold, batch_format="pyarrow")
     )

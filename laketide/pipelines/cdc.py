@@ -709,8 +709,10 @@ class LakeTable:
                 steal = f"{path}.steal-{os.getpid()}"
                 try:
                     os.rename(path, steal)
-                except (FileNotFoundError, OSError):
+                except FileNotFoundError:
                     continue  # lost the steal race; retry
+                # any other OSError (EACCES, EROFS...) must propagate —
+                # swallowing it here would spin this loop forever
                 try:
                     os.remove(steal)
                 except FileNotFoundError:

@@ -165,9 +165,15 @@ def read_zip_jsonl(zip_path: str, max_member_bytes: int = 100 << 20) -> "rd.Data
             tables.append(pa.Table.from_pylist(rows))
         if not tables:
             return _CANON.empty_table()
-        return pa.concat_tables(
-            [_canonical_normalizer(t) for t in tables]
-        )
+        # Members may carry different extra columns / inferred types
+        # (extras are preserved by the normalizer now) — unify the
+        # normalized schemas and conform each before concat, or one odd
+        # member would kill the whole batch (the I6 contract).
+        normed = [_canonical_normalizer(t) for t in tables]
+        schema = normed[0].schema
+        for t in normed[1:]:
+            schema = S.unify(schema, t.schema)
+        return pa.concat_tables([S.conform(t, schema) for t in normed])
 
     ds = rd.from_items([{"member": m} for m in sorted(members)])
     return ds.map_batches(parse, batch_format="pyarrow", batch_size=16)

@@ -237,48 +237,49 @@ def _reduce_events_coalesce(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
     return out
 
 
+def _build_list_union(
+    out_ids: np.ndarray, values: np.ndarray, n_out: int, value_type
+) -> pa.ListArray:
+    """Shared union-dedup core: (output-row id, value) pairs -> a
+    ListArray of sorted distinct values per output row. The single
+    implementation behind both the per-group fold and the row-wise
+    merge (fixes apply once)."""
+    import pandas as pd
+
+    df = (
+        pd.DataFrame({"g": out_ids, "v": values})
+        .dropna()
+        .drop_duplicates()
+        .sort_values(["g", "v"])
+    )
+    counts = np.zeros(n_out, dtype=np.int64)
+    if len(df):
+        g_ids, g_counts = np.unique(df["g"].to_numpy(), return_counts=True)
+        counts[g_ids] = g_counts
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    flat_out = pa.array(df["v"].tolist(), value_type)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_out)
+
+
 def _union_lists_per_group(
     col: pa.Array, group_of: np.ndarray, eligible: np.ndarray, n_groups: int, typ
 ) -> pa.Array:
     """Union-dedup a list column per key group (R4 array-union analog):
     flatten once, tag every flat value with its parent's group, unique on
     (group, value) — no per-row Python in the fold."""
-    flat_parent_group = group_of[
-        np.repeat(
-            np.arange(len(col), dtype=np.int64),
-            pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False),
-        )
-    ]
-    flat_parent_elig = eligible[
-        np.repeat(
-            np.arange(len(col), dtype=np.int64),
-            pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False),
-        )
-    ]
-    values = pc.list_flatten(col)
-    import pandas as pd
-
-    df = pd.DataFrame(
-        {"g": flat_parent_group, "v": values.to_numpy(zero_copy_only=False)}
-    )[flat_parent_elig]
-    df = df.dropna().drop_duplicates().sort_values(["g", "v"])
-    counts = np.zeros(n_groups, dtype=np.int64)
-    if len(df):
-        g_ids, g_counts = np.unique(df["g"].to_numpy(), return_counts=True)
-        counts[g_ids] = g_counts
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-    value_type = typ.value_type
-    flat_out = pa.array(df["v"].tolist(), value_type)
-    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_out)
+    lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
+    parents = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+    keep = eligible[parents]
+    values = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return _build_list_union(
+        group_of[parents][keep], values[keep], n_groups, typ.value_type
+    )
 
 
 def _row_union(a, b):
     """Row-wise list union-dedup of two equal-length list columns (R4):
-    flatten both with parent row ids, drop null values, unique on
-    (row, value), rebuild sorted lists. Rows where both sides are null
-    yield an empty list."""
-    import pandas as pd
-
+    flatten both with parent row ids, then the shared union core. Rows
+    where both sides are null yield an empty list."""
     a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
     b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
     m = len(a)
@@ -293,16 +294,9 @@ def _row_union(a, b):
         ).astype(np.int64)
         rows.append(np.repeat(np.arange(m, dtype=np.int64), counts))
         vals.append(pc.list_flatten(col).to_numpy(zero_copy_only=False))
-    df = pd.DataFrame(
-        {"r": np.concatenate(rows), "v": np.concatenate(vals)}
-    ).dropna().drop_duplicates().sort_values(["r", "v"])
-    counts = np.zeros(m, dtype=np.int64)
-    if len(df):
-        r_ids, r_counts = np.unique(df["r"].to_numpy(), return_counts=True)
-        counts[r_ids] = r_counts
-    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
-    flat_out = pa.array(df["v"].tolist(), typ.value_type)
-    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat_out)
+    return _build_list_union(
+        np.concatenate(rows), np.concatenate(vals), m, typ.value_type
+    )
 
 
 def _select_rows(u, ev_col, cur_col, use_union, use_ev):
