@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": text.doc_sha256,
         "docs_by_lang": text.docs_by_lang,
         "exact_dedup_docs": text.exact_dedup_docs,
+        "dedup_stats": text.dedup_stats,
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
         "top_tokens": text.top_tokens,
@@ -310,6 +311,13 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT doc_id, sha256(text) AS sha FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1"
+        ),
+        "dedup_stats": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT sha256(text)) AS BIGINT) AS n_unique, "
+            "CAST(count(*) - count(DISTINCT sha256(text)) AS BIGINT) AS n_dups, "
+            "CAST(count(*) - count(DISTINCT sha256(text)) AS DOUBLE) "
+            "/ GREATEST(count(*), 1) AS dup_ratio FROM documents"
         ),
         "token_counts": (
             "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"

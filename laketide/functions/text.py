@@ -276,6 +276,27 @@ def docs_by_source(sf_dir: str) -> rd.Dataset:
     )
 
 
+def dedup_stats(sf_dir: str) -> pa.Table:
+    """Corpus dedup summary (the headline number a dedup pass reports):
+    total docs, distinct contents, duplicate count and ratio. One
+    streaming pass: per-batch sha pre-count -> small grouped count."""
+    from ray.data.aggregate import Count
+
+    ds = doc_sha256(sf_dir)
+    n_docs = ds.count()
+    n_unique = ds.groupby("sha").aggregate(Count(alias_name="c")).count()
+    return pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_unique": pa.array([n_unique], pa.int64()),
+            "n_dups": pa.array([n_docs - n_unique], pa.int64()),
+            "dup_ratio": pa.array(
+                [(n_docs - n_unique) / max(n_docs, 1)], pa.float64()
+            ),
+        }
+    )
+
+
 def doc_sample_hash(sf_dir: str) -> rd.Dataset:
     """Deterministic hash-based 5% sampling (reproducible sampling for
     training-data pipelines — NOT random_sample, which is seed+layout
