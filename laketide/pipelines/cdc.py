@@ -130,9 +130,7 @@ def _make_group_fn(
         prev_rows = int(info.get("rows", 0))
 
         kind = "base"
-        if layout == "mor" and (len(delta_rels) + 1) <= compact_threshold and (
-            base_rel or delta_rels or True
-        ):
+        if layout == "mor" and (len(delta_rels) + 1) <= compact_threshold:
             # ---- merge-on-read fast path: classify vs the key INDEX
             # (never reads `content` of the base), append a delta file.
             out, _ = _mor_delta(
@@ -207,8 +205,26 @@ def _mor_delta(table_dir, base_rel, delta_rels, winners, epoch_id, m):
 
     idx_tables = []
     if base_rel:
-        t0 = pq.read_table(os.path.join(table_dir, base_rel), columns=_IDX_COLS)
-        t0 = t0.append_column(S.OP_COLUMN, pa.array(["insert"] * t0.num_rows, pa.string()))
+        pf = pq.ParquetFile(os.path.join(table_dir, base_rel))
+        base_cols = list(_IDX_COLS)
+        has_del = S.DELETED_COLUMN in pf.schema_arrow.names
+        if has_del:
+            base_cols.append(S.DELETED_COLUMN)
+        t0 = pf.read(columns=base_cols)
+        # base files RETAIN tombstones (compaction keeps them): a dead
+        # key must re-enter the index as a delete version, or a newer
+        # insert would be misclassified as an update (wrong metrics,
+        # drifting rows accounting) — same rule as merge_partition.
+        if has_del:
+            was_del = pc.fill_null(t0[S.DELETED_COLUMN], False)
+            ops = pc.if_else(was_del, pa.scalar("delete"), pa.scalar("insert"))
+            t0 = t0.drop_columns([S.DELETED_COLUMN]).append_column(
+                S.OP_COLUMN, ops.combine_chunks()
+            )
+        else:
+            t0 = t0.append_column(
+                S.OP_COLUMN, pa.array(["insert"] * t0.num_rows, pa.string())
+            )
         idx_tables.append(t0)
     for rel in delta_rels:
         t1 = pq.read_table(os.path.join(table_dir, rel), columns=_IDX_COLS + [S.OP_COLUMN])
@@ -593,11 +609,13 @@ class LakeTable:
             self.layout,
             self.compact_threshold,
         )
-        metric_rows = self._exchange(norm, fn, epoch_id, total, exchange)
+        metric_rows = self._exchange(norm, fn, epoch_id, total, exchange, hwm_filter)
         duration = __import__("time").perf_counter() - t_start
         return self._finalize(epoch_id, man, metric_rows, duration)
 
-    def _exchange(self, norm, fn, epoch_id: int, total_bytes: int, mode: str) -> list[dict]:
+    def _exchange(
+        self, norm, fn, epoch_id: int, total_bytes: int, mode: str, hwm_filter: bool = True
+    ) -> list[dict]:
         mode = os.environ.get("LAKETIDE_EXCHANGE", mode)
         if mode == "auto":
             mode = "storage" if total_bytes >= (192 << 20) else "groupby"
@@ -616,7 +634,7 @@ class LakeTable:
         ).take_all()
         files = sorted(r["file"] for r in summaries)
         if mode == "actor":
-            return self._actor_apply(epoch_id, files)
+            return self._actor_apply(epoch_id, files, hwm_filter)
         # Reduce side as raw Ray tasks (one per partition): a fixed
         # fan-out with no data-plane streaming — raw tasks start in
         # milliseconds where a second Dataset pipeline costs ~1s of
@@ -633,7 +651,9 @@ class LakeTable:
         futures = [_reduce_task.remote(p) for p in range(self.num_partitions)]
         return [row for rows in _ray.get(futures) for row in rows]
 
-    def _actor_apply(self, epoch_id: int, files: list[str]) -> list[dict]:
+    def _actor_apply(
+        self, epoch_id: int, files: list[str], hwm_filter: bool = True
+    ) -> list[dict]:
         """Stateful actor-pool appliers (reference ST1): partitions route
         to persistent actors (part % n_actors) that cache their shard's
         snapshot table across epochs."""
@@ -659,7 +679,9 @@ class LakeTable:
         for i, actor in enumerate(pool):
             parts = [p for p in range(self.num_partitions) if p % len(pool) == i]
             futures.append(
-                actor.apply_many.remote(epoch_id, parts, files, hwms, cur_files, staging_dir)
+                actor.apply_many.remote(
+                    epoch_id, parts, files, hwms, cur_files, staging_dir, hwm_filter
+                )
             )
         return [row for rows in _ray.get(futures) for row in rows]
 
@@ -675,48 +697,61 @@ class LakeTable:
         two appliers racing the manifest swap could each commit a
         manifest the other never saw."""
         path = os.path.join(self.table_dir, "_LOCK")
-        while True:
+        # Publish by hardlink: the pid is fully written to a private tmp
+        # BEFORE the name appears, so no contender can ever observe an
+        # empty lock file (the O_EXCL+write scheme had a window where a
+        # reader parsed the empty file as a stale pid and stole a LIVE
+        # writer's lock).
+        tmp = f"{path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(str(os.getpid()))
+        try:
+            while True:
+                try:
+                    os.link(tmp, path)
+                    return path
+                except FileExistsError:
+                    self._contend_lock(path)
+        finally:
             try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return path
-            except FileExistsError:
-                try:
-                    with open(path) as fh:
-                        pid = int(fh.read().strip() or "-1")
-                except (FileNotFoundError, ValueError):
-                    continue  # raced with a release; retry
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+
+    def _contend_lock(self, path: str) -> None:
+        """Handle an existing lock file: raise if its writer is alive,
+        steal (by atomic rename — exactly one of several contenders
+        wins the rename; remove-based stealing lets two both 'win') if
+        stale. Returning without raising means 'retry the acquire'."""
+        try:
+            with open(path) as fh:
+                pid = int(fh.read().strip() or "-1")
+        except (FileNotFoundError, ValueError):
+            return  # raced with a release; retry
+        alive = False
+        if pid > 0:
+            try:
+                os.kill(pid, 0)
+                alive = True
+            except ProcessLookupError:
                 alive = False
-                if pid > 0:
-                    try:
-                        os.kill(pid, 0)
-                        alive = True
-                    except ProcessLookupError:
-                        alive = False
-                    except PermissionError:
-                        alive = True  # exists, owned by another uid
-                if alive and pid != os.getpid():
-                    raise RuntimeError(
-                        f"table {self.table_dir} is locked by live writer pid {pid}"
-                    )
-                # Stale (or our own re-entry): steal by RENAME, not remove.
-                # Two contenders that both saw the dead pid would otherwise
-                # both os.remove() — the second remove deletes the first
-                # contender's freshly-created lock and both "win". rename
-                # to a unique name is atomic: exactly one renamer succeeds,
-                # the loser loops and re-reads.
-                steal = f"{path}.steal-{os.getpid()}"
-                try:
-                    os.rename(path, steal)
-                except FileNotFoundError:
-                    continue  # lost the steal race; retry
-                # any other OSError (EACCES, EROFS...) must propagate —
-                # swallowing it here would spin this loop forever
-                try:
-                    os.remove(steal)
-                except FileNotFoundError:
-                    pass
+            except PermissionError:
+                alive = True  # exists, owned by another uid
+        if alive and pid != os.getpid():
+            raise RuntimeError(
+                f"table {self.table_dir} is locked by live writer pid {pid}"
+            )
+        steal = f"{path}.steal-{os.getpid()}"
+        try:
+            os.rename(path, steal)
+        except FileNotFoundError:
+            return  # lost the steal race; retry
+        # any other OSError (EACCES, EROFS...) must propagate —
+        # swallowing it here would spin the acquire loop forever
+        try:
+            os.remove(steal)
+        except FileNotFoundError:
+            pass
 
     def _release_lock(self, path: str) -> None:
         try:
@@ -1044,7 +1079,17 @@ class LakeTable:
         manifest named in CURRENT is always in the keep set, and
         recency is (epoch, mtime) — NOT the filename — because
         maintenance manifests (``manifest-000005-c0.json``) sort
-        lexicographically BEFORE their base epoch ('-' < '.')."""
+        lexicographically BEFORE their base epoch ('-' < '.').
+
+        Takes the single-writer lock: gc deletes data files and the
+        staging tree, which must never race an in-flight commit."""
+        lock = self._acquire_lock()
+        try:
+            return self._gc_locked(keep_last)
+        finally:
+            self._release_lock(lock)
+
+    def _gc_locked(self, keep_last: int) -> dict[str, Any]:
         import glob as _glob
         import re as _re
 
@@ -1169,6 +1214,7 @@ class LakeTable:
             n += 1
         M._atomic_write(os.path.join(p["manifests"], name), new_man.to_json())
         M._atomic_write(p["current"], name)
+        self._actor_pool = None  # partition files rewritten
         return {"compacted": compacted, "manifest": name}
 
     def purge_tombstones(self, older_than_epochs: int = 16) -> dict[str, Any]:
@@ -1238,6 +1284,9 @@ class LakeTable:
             n += 1
         M._atomic_write(os.path.join(p["manifests"], name), new_man.to_json())
         M._atomic_write(p["current"], name)
+        # partition files were rewritten: a cross-epoch actor cache would
+        # resurrect the purged tombstones on the next actor-mode epoch
+        self._actor_pool = None
         return {"purged": purged, "manifest": name}
 
     def lineage_dataset(self) -> "ray.data.Dataset":
@@ -1298,10 +1347,16 @@ class LakeTable:
             self.num_partitions = new_partitions
             return {"rescaled": True, "rows": 0}
 
+        # MIN over ALL old partitions INCLUDING ones that never received
+        # an event (their true mark is ("", -1)); excluding them would
+        # set the new HWM too high and silently drop the first events of
+        # keys that hashed to an empty old partition (data loss).
         hwms = [
-            (info["hwm_commit"], int(info.get("hwm_seq", -1)))
-            for info in man.partitions.values()
-            if info.get("hwm_commit")
+            (
+                (man.partitions.get(str(p)) or {}).get("hwm_commit", ""),
+                int((man.partitions.get(str(p)) or {}).get("hwm_seq", -1)),
+            )
+            for p in range(man.num_partitions)
         ]
         hwm_c, hwm_s = min(hwms) if hwms else ("", -1)
 

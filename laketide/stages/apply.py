@@ -463,8 +463,13 @@ def apply_partition(
     metrics.inserts += int(
         pc.sum(pc.and_(pc.and_(take_ev, pc.invert(is_del)), pc.invert(cur_live))).as_py() or 0
     )
+    # same-sha version advances count as noops ONLY (not also updates) —
+    # keeps cow lineage identical to the mor path's classification
     metrics.updates += int(
-        pc.sum(pc.and_(pc.and_(take_ev, pc.invert(is_del)), cur_live)).as_py() or 0
+        pc.sum(
+            pc.and_(pc.and_(take_ev, pc.invert(is_del)), pc.and_(cur_live, pc.invert(same_sha)))
+        ).as_py()
+        or 0
     )
     metrics.deletes += int(pc.sum(applied_del).as_py() or 0)
     metrics.noop_deletes += int(pc.sum(noop_del).as_py() or 0)
@@ -525,13 +530,6 @@ def apply_partition(
         cols.append(col)
     out = pa.Table.from_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols], schema=snap_schema)
     return out.sort_by([("repo", "ascending"), ("path", "ascending")])
-
-
-def index_columns(t: pa.Table) -> pa.Table:
-    """Key+version+hash projection used by merge-on-read stale/no-op
-    checks — reads metadata-sized columns, never ``content``."""
-    cols = ["repo", "path", "commit", "seq", S.SHA_COLUMN]
-    return t.select([c for c in cols if c in t.column_names])
 
 
 def merge_partition(

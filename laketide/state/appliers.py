@@ -55,6 +55,7 @@ class ApplierActor:
         hwm: tuple[str, int],
         cur_file: str | None,
         staging_dir: str,
+        hwm_filter: bool = True,
     ) -> dict[str, Any]:
         """Apply one partition's (already exchanged) events; returns the
         metrics row as a dict. Writes the staging file as a side effect
@@ -68,7 +69,7 @@ class ApplierActor:
             events = events.drop_columns(drop)
 
         hwm_c, hwm_s = hwm
-        if hwm_c and events.num_rows:
+        if hwm_filter and hwm_c and events.num_rows:
             fresh = pc.or_(
                 pc.greater(events["commit"], hwm_c),
                 pc.and_(pc.equal(events["commit"], hwm_c), pc.greater(events["seq"], hwm_s)),
@@ -136,21 +137,17 @@ class ApplierActor:
         hwms: dict[int, tuple[str, int]],
         cur_files: dict[int, str | None],
         staging_dir: str,
+        hwm_filter: bool = True,
     ) -> list[dict[str, Any]]:
         """Read each assigned partition's pruned row groups from the
-        exchange spill files and apply. Partitions with no events this
-        epoch are skipped (same semantics as the task-based paths)."""
+        exchange spill files (shared helper) and apply. Partitions with
+        no events this epoch are skipped (same semantics as the
+        task-based paths)."""
+        from laketide.pipelines.cdc import _read_partition_rows
+
         rows = []
         for part in parts:
-            tbls = []
-            for f in files:
-                pf = pq.ParquetFile(f)
-                meta = pf.metadata
-                col_idx = pf.schema_arrow.names.index(S.PART_COLUMN)
-                for rg in range(meta.num_row_groups):
-                    st = meta.row_group(rg).column(col_idx).statistics
-                    if st is not None and st.min == st.max == part:
-                        tbls.append(pf.read_row_group(rg))
+            tbls = _read_partition_rows(files, part)
             if not tbls:
                 continue
             ev = pa.concat_tables(tbls)
@@ -162,6 +159,7 @@ class ApplierActor:
                     hwms.get(part, ("", -1)),
                     cur_files.get(part),
                     staging_dir,
+                    hwm_filter,
                 )
             )
         return rows

@@ -618,3 +618,96 @@ def test_multi_source_merge_unions_source_tags(tmp_path):
     assert sorted(row["sources"]) == ["gitlab", "osv"]
     assert row["content"] == "overflow"      # newest non-null
     assert row["commit"] == "c99999999999999999999"  # version advanced
+
+
+def test_rescale_hwm_covers_empty_partitions(tmp_path):
+    """Regression: the new-partition HWM after rescale must be the MIN
+    over ALL old partitions including ones that never saw an event —
+    otherwise the first events for keys that hashed to an empty old
+    partition are dropped as replays (data loss)."""
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    e1 = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["a"],
+            "commit": ["c0000000050"],
+            "seq": pa.array([50], pa.int64()),
+            "op": ["insert"],
+            "content": ["x"],
+        }
+    )
+    pq.write_table(e1, str(tmp_path / "e1.parquet"))
+    t.apply_epoch(str(tmp_path / "e1.parquet"))  # 7 of 8 partitions stay empty
+    t.rescale(2)
+    # an event with an OLDER commit for a different key must still apply
+    e2 = pa.table(
+        {
+            "repo": ["other"],
+            "path": ["z"],
+            "commit": ["c0000000010"],
+            "seq": pa.array([10], pa.int64()),
+            "op": ["insert"],
+            "content": ["y"],
+        }
+    )
+    pq.write_table(e2, str(tmp_path / "e2.parquet"))
+    r = t.apply_epoch(str(tmp_path / "e2.parquet"))
+    assert r["totals"]["replays_dropped"] == 0
+    assert r["totals"]["inserts"] == 1
+    assert t.state_table().num_rows == 2
+
+
+def test_mor_tombstoned_key_reinsert_classified_as_insert(tmp_path):
+    """Regression: a MOR base file retains tombstones; a newer insert for
+    a dead key must classify as an INSERT (not update) so the rows
+    accounting stays correct."""
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2, layout="mor", compact_threshold=1)
+
+    def ev(commit, seq, op, content):
+        return pa.table(
+            {
+                "repo": ["r"], "path": ["a"], "commit": [f"c{commit:010d}"],
+                "seq": pa.array([seq], pa.int64()), "op": [op],
+                "content": pa.array([content], pa.string()),
+            }
+        )
+
+    for i, (op, content) in enumerate(
+        [("insert", "x"), ("delete", None)], start=1
+    ):
+        f = str(tmp_path / f"e{i}.parquet")
+        pq.write_table(ev(i, i, op, content), f)
+        t.apply_epoch(f)  # threshold 1 -> compacts each epoch, tombstone in base
+    assert t.state_table().num_rows == 0
+    f = str(tmp_path / "e3.parquet")
+    pq.write_table(ev(3, 3, "insert", "z"), f)
+    r = t.apply_epoch(f)
+    assert r["totals"]["inserts"] == 1 and r["totals"]["updates"] == 0
+    assert r["rows"] == 1
+    assert t.state_table().num_rows == 1
+
+
+def test_actor_exchange_honors_hwm_filter_off(tmp_path):
+    """Regression: hwm_filter=False must reach the actor appliers."""
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2)
+    e1 = pa.table(
+        {
+            "repo": ["r"], "path": ["a"], "commit": ["c0000000005"],
+            "seq": pa.array([5], pa.int64()), "op": ["insert"], "content": ["new"],
+        }
+    )
+    pq.write_table(e1, str(tmp_path / "e1.parquet"))
+    t.apply_epoch(str(tmp_path / "e1.parquet"), exchange="actor")
+    # older event, filter off: must be processed (then lose to LWW as
+    # stale), NOT silently dropped as a replay
+    e2 = pa.table(
+        {
+            "repo": ["r"], "path": ["a"], "commit": ["c0000000002"],
+            "seq": pa.array([2], pa.int64()), "op": ["update"], "content": ["old"],
+        }
+    )
+    pq.write_table(e2, str(tmp_path / "e2.parquet"))
+    r = t.apply_epoch(str(tmp_path / "e2.parquet"), exchange="actor", hwm_filter=False)
+    assert r["totals"]["replays_dropped"] == 0
+    assert r["totals"]["stale_dropped"] == 1
+    assert t.state_table()["content"][0].as_py() == "new"
