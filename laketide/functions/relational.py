@@ -136,12 +136,15 @@ def events_stats_view(sf_dir: str) -> pa.Table:
 
     partials = ds.map_batches(pre, batch_format="pyarrow").take_all()
     n_users = ds.groupby("user_id").aggregate(Count(alias_name="c")).count()
+    # all-null-ts batches contribute None; an empty table has no partials
+    mins = [p["min_ts"] for p in partials if p["min_ts"] is not None]
+    maxs = [p["max_ts"] for p in partials if p["max_ts"] is not None]
     return pa.table(
         {
             "n_events": pa.array([sum(p["n"] for p in partials)], pa.int64()),
             "n_users": pa.array([n_users], pa.int64()),
-            "min_ts": pa.array([min(p["min_ts"] for p in partials)], pa.timestamp("us")),
-            "max_ts": pa.array([max(p["max_ts"] for p in partials)], pa.timestamp("us")),
+            "min_ts": pa.array([min(mins) if mins else None], pa.timestamp("us")),
+            "max_ts": pa.array([max(maxs) if maxs else None], pa.timestamp("us")),
             "total_value_cents": pa.array([sum(p["cents"] for p in partials)], pa.int64()),
         }
     )

@@ -104,16 +104,20 @@ def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 1)
     planes = rng.standard_normal((n_planes, EMBED_DIM))
     q = query_vector()
     qn = q / np.linalg.norm(q)
-    qsig = int(np.packbits((planes @ q > 0).astype(np.uint8), bitorder="little")[0])
+    # general bit packing (works for ANY n_planes <= 62, matching the
+    # oracle's bit-by-bit signature; packbits[:, 0] silently truncated
+    # to the first 8 planes)
+    weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+    qsig = int(((planes @ q > 0).astype(np.uint64) * weights).sum())
     probe = {qsig}
     if probe_hamming >= 1:
         probe |= {qsig ^ (1 << i) for i in range(n_planes)}
-    state = ray.put((planes, qn, frozenset(probe)))
+    state = ray.put((planes, qn, frozenset(probe), weights))
 
     def bucket_score(t: pa.Table) -> pa.Table:
-        planes_v, qv, probe_v = ray.get(state)
+        planes_v, qv, probe_v, w = ray.get(state)
         mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
-        sigs = np.packbits((mat @ planes_v.T > 0).astype(np.uint8), axis=1, bitorder="little")[:, 0]
+        sigs = ((mat @ planes_v.T > 0).astype(np.uint64) * w[None, :]).sum(axis=1)
         mask = np.isin(sigs, list(probe_v))
         if not mask.any():
             return pa.table({"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
@@ -138,7 +142,8 @@ def knn_lsh_oracle_sql(k: int = 10, n_planes: int = 8, probe_hamming: int = 1) -
     rng = np.random.RandomState(777)
     planes = rng.standard_normal((n_planes, EMBED_DIM))
     q = query_vector()
-    qsig = int(np.packbits((planes @ q > 0).astype(np.uint8), bitorder="little")[0])
+    weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
+    qsig = int(((planes @ q > 0).astype(np.uint64) * weights).sum())
     probe = {qsig}
     if probe_hamming >= 1:
         probe |= {qsig ^ (1 << i) for i in range(n_planes)}

@@ -278,13 +278,24 @@ def docs_by_source(sf_dir: str) -> rd.Dataset:
 
 def dedup_stats(sf_dir: str) -> pa.Table:
     """Corpus dedup summary (the headline number a dedup pass reports):
-    total docs, distinct contents, duplicate count and ratio. One
-    streaming pass: per-batch sha pre-count -> small grouped count."""
+    total docs, distinct contents, duplicate count and ratio. ONE pass
+    over the corpus (sha256 is the cost): the grouped per-sha counts
+    yield both totals — n_unique = group count, n_docs = sum of counts."""
     from ray.data.aggregate import Count
 
-    ds = doc_sha256(sf_dir)
-    n_docs = ds.count()
-    n_unique = ds.groupby("sha").aggregate(Count(alias_name="c")).count()
+    grouped = doc_sha256(sf_dir).groupby("sha").aggregate(Count(alias_name="c"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array([t.num_rows], pa.int64()),
+                "n": pa.array([pc.sum(t["c"]).as_py() or 0], pa.int64()),
+            }
+        )
+
+    parts = grouped.map_batches(partial, batch_format="pyarrow").take_all()
+    n_unique = sum(p["u"] for p in parts)
+    n_docs = sum(p["n"] for p in parts)
     return pa.table(
         {
             "n_docs": pa.array([n_docs], pa.int64()),

@@ -146,15 +146,22 @@ def generate_changelog(
     files: list[str] = []
     per_epoch = max(1, n_events // n_epochs)
     for e in range(n_epochs):
-        lo = e * per_epoch
-        hi = n_events if e == n_epochs - 1 else (e + 1) * per_epoch
+        # clamp: with n_events < n_epochs the naive ranges run past the
+        # row lists; surplus epochs are empty slices
+        lo = min(e * per_epoch, n_events)
+        hi = n_events if e == n_epochs - 1 else min((e + 1) * per_epoch, n_events)
         idx = np.arange(lo, hi)
         n_dup = int(len(idx) * dup_frac)
         if n_dup:
             dups = rng.choice(idx, size=n_dup, replace=True)
             idx = np.concatenate([idx, dups])
-        if shuffle_frac > 0:
+        if shuffle_frac >= 1.0:
             rng.shuffle(idx)
+        elif shuffle_frac > 0 and len(idx) > 1:
+            # partial disorder: permute only a fraction of positions
+            k = max(2, int(len(idx) * shuffle_frac))
+            pos = rng.choice(len(idx), size=min(k, len(idx)), replace=False)
+            idx[np.sort(pos)] = idx[pos]
 
         cols: dict[str, pa.Array] = {
             "repo": pa.array([rows_repo[i] for i in idx], pa.string()),
@@ -232,8 +239,11 @@ def expected_state(epoch_files: list[str]) -> pa.Table:
 
 
 def changelog_dir_for(tag: str, n_events: int, seed: int = 42, **kw) -> str:
-    """Generate (once, cached) a changelog under /tmp keyed by parameters."""
-    extra = "".join(f"-{k[:2]}{v}" for k, v in sorted(kw.items()) if not callable(v))
+    """Generate (once, cached) a changelog under /tmp keyed by parameters.
+    The key uses FULL kwarg names: 2-char truncation made n_repos and
+    n_epochs (or body_lines and body_pool) collide and served a stale
+    changelog generated with different parameters."""
+    extra = "".join(f"-{k}={v}" for k, v in sorted(kw.items()) if not callable(v))
     d = f"/tmp/laketide_changelog/{tag}-n{n_events}-s{seed}{extra}"
     done = os.path.join(d, "_DONE")
     if not os.path.exists(done):

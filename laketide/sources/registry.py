@@ -63,11 +63,20 @@ def get(name: str) -> Source:
 
 
 def enabled_sources() -> list[str]:
-    """ENABLED_SOURCES env selection (reference E2); default: all."""
+    """ENABLED_SOURCES env selection (reference E2); default: all.
+    Unknown names raise — a config typo must be a loud startup error,
+    not a silently-disabled source."""
     env = os.environ.get("LAKETIDE_ENABLED_SOURCES", "").strip()
     if not env:
         return sorted(_REGISTRY)
-    return [s.strip() for s in env.split(",") if s.strip() in _REGISTRY]
+    names = [s.strip() for s in env.split(",") if s.strip()]
+    unknown = [s for s in names if s not in _REGISTRY]
+    if unknown:
+        raise ValueError(
+            f"LAKETIDE_ENABLED_SOURCES names unknown sources {unknown}; "
+            f"registered: {sorted(_REGISTRY)}"
+        )
+    return names
 
 
 def read_source(name: str, path: str) -> "rd.Dataset":
@@ -201,14 +210,41 @@ def parse_timestamp_multi(
     each format is tried vectorized (``strptime(error_is_null=True)``)
     and the first success per row wins; unparseable rows stay null (the
     record-level tolerance rule I6 — the malformed filter downstream
-    decides their fate)."""
+    decides their fate).
+
+    Fractional seconds (``...:04.568308Z``, which Arrow's strptime
+    cannot parse) are handled by stripping the fraction for the strptime
+    pass and adding it back as microseconds."""
     if pa.types.is_timestamp(col.type):
         return col.cast(pa.timestamp("us"))
-    col = col.cast(pa.string())
+    col = pc.cast(col, pa.string())
     parsed = [
         pc.strptime(col, format=f, unit="us", error_is_null=True) for f in formats
     ]
-    return pc.coalesce(*parsed) if len(parsed) > 1 else parsed[0]
+    out = pc.coalesce(*parsed) if len(parsed) > 1 else parsed[0]
+    # fractional-seconds path: strip ".NNN" and retry, then add micros
+    frac = pc.extract_regex(col, r"\.(?P<frac>[0-9]{1,9})")
+    has_frac = pc.is_valid(frac)
+    if pc.sum(pc.and_(has_frac, pc.is_null(out))).as_py():
+        stripped = pc.replace_substring_regex(col, r"\.[0-9]{1,9}", "")
+        reparsed = [
+            pc.strptime(stripped, format=f, unit="us", error_is_null=True)
+            for f in formats
+        ]
+        base = pc.coalesce(*reparsed) if len(reparsed) > 1 else reparsed[0]
+        digits = pc.utf8_slice_codeunits(
+            pc.utf8_rpad(pc.struct_field(frac, "frac"), 6, "0"), 0, 6
+        )
+        micros = pc.cast(
+            pc.fill_null(pc.cast(digits, pa.int64()), 0), pa.int64()
+        )
+        with_frac = pc.add(
+            pc.cast(base, pa.int64()), micros
+        )
+        out = pc.coalesce(
+            out, pc.cast(with_frac, pa.timestamp("us"))
+        )
+    return out
 
 
 def timestamp_normalizer(columns: list[str], base=_canonical_normalizer):
@@ -254,8 +290,12 @@ def osv_like_normalizer(batch: pa.Table) -> pa.Table:
     (``affected[] -> package{ecosystem,name}, ranges[] -> events[]``)
     onto the canonical event schema: repo = ecosystem, path = package
     name, version = (modified-timestamp-derived commit, seq), content =
-    details. Multi-format ``modified`` strings parse via M13."""
-    if batch.num_rows == 0:
+    details. Multi-format ``modified`` strings parse via M13. A batch
+    missing any required column entirely yields zero events (I6: odd
+    shapes never kill the sync; per-row nulls flow to the malformed
+    filter downstream)."""
+    required = ("id", "modified", "affected")
+    if batch.num_rows == 0 or any(c not in batch.column_names for c in required):
         return _CANON.empty_table()
     ts = parse_timestamp_multi(batch["modified"])
     micros = pc.cast(ts, pa.int64())

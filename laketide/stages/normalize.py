@@ -69,11 +69,17 @@ class NormalizeEvents:
 
         op = pc.fill_null(batch[S.OP_COLUMN], S.DEFAULT_OP)
         valid_op = pc.is_in(op, value_set=pa.array(S.VALID_OPS))
+
+        def _blank(col):
+            # CSV-borne missing fields arrive as "" (not null): both are
+            # an absent key (M1 drop-if-no-id), never a phantom "" key
+            return pc.or_(pc.is_null(col), pc.equal(pc.cast(col, pa.string()), ""))
+
         missing_key = pc.or_(
-            pc.or_(pc.is_null(batch["repo"]), pc.is_null(batch["path"])),
-            pc.or_(pc.is_null(batch["commit"]), pc.is_null(batch["seq"])),
+            pc.or_(_blank(batch["repo"]), _blank(batch["path"])),
+            pc.or_(_blank(batch["commit"]), pc.is_null(batch["seq"])),
         )
-        malformed = pc.or_(pc.invert(valid_op), missing_key)
+        malformed = pc.or_(pc.invert(valid_op), pc.fill_null(missing_key, True))
 
         sha = batch[S.SHA_COLUMN]
         if sha.null_count == n:

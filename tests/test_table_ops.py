@@ -191,8 +191,12 @@ def test_source_registry_jsonl_and_csv(tmp_path):
 def test_enabled_sources_env(monkeypatch):
     monkeypatch.delenv("LAKETIDE_ENABLED_SOURCES", raising=False)
     assert set(registry.enabled_sources()) >= {"parquet", "jsonl", "csv"}
-    monkeypatch.setenv("LAKETIDE_ENABLED_SOURCES", "parquet,csv,bogus")
+    monkeypatch.setenv("LAKETIDE_ENABLED_SOURCES", "parquet,csv")
     assert registry.enabled_sources() == ["parquet", "csv"]
+    # a typo'd source name must be a loud error, not silent data loss
+    monkeypatch.setenv("LAKETIDE_ENABLED_SOURCES", "parquet,jsnol")
+    with pytest.raises(ValueError, match="jsnol"):
+        registry.enabled_sources()
 
 
 def test_hot_repo_spreads_across_partitions(tmp_path):
@@ -490,6 +494,7 @@ def test_multi_format_timestamp_parsing():
             "2024-01-15",
             "not-a-date",
             None,
+            "2024-01-15T10:30:00.568308Z",  # fractional seconds (OSV-style)
         ]
     )
     out = parse_timestamp_multi(col)
@@ -498,6 +503,7 @@ def test_multi_format_timestamp_parsing():
     assert vals[0] == vals[1] == vals[2]
     assert vals[0].hour == 10 and vals[3].hour == 0
     assert vals[4] is None and vals[5] is None
+    assert vals[6].microsecond == 568308 and vals[6].hour == 10
 
 
 def test_timestamp_normalizer_in_source(tmp_path):
