@@ -70,13 +70,20 @@ def _flagship(sf_dir: str) -> Any:
     from laketide import LakeTable
 
     work = tempfile.mkdtemp(prefix="laketide_entry_", dir="/tmp")
-    epoch_dir = os.path.join(work, "epoch-000")
-    rd.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
-        _events_to_changelog, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(epoch_dir)
-    table = LakeTable(os.path.join(work, "table"), num_partitions=8)
-    table.apply_epoch(epoch_dir)
-    return table.read()
+    try:
+        epoch_dir = os.path.join(work, "epoch-000")
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet")).map_batches(
+            _events_to_changelog, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(epoch_dir)
+        table = LakeTable(os.path.join(work, "table"), num_partitions=8)
+        table.apply_epoch(epoch_dir)
+        # materialize (small final state) so the scratch table can be
+        # deleted — repeated harness invocations must not leak /tmp dirs
+        return table.read().materialize()
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def entry() -> Any:
@@ -105,12 +112,17 @@ def _cdc_replay_final(sf_dir: str) -> Any:
 
     files = sorted(glob.glob(os.path.join(log_dir, "epoch-*.parquet")))
     work = tempfile.mkdtemp(prefix="laketide_replay_", dir="/tmp")
-    table = LakeTable(os.path.join(work, "table"), num_partitions=32)
-    for f in files:
-        table.apply_epoch(f)
-    return table.read().select_columns(
-        ["repo", "path", "commit", "seq", "lang", "content"]
-    )
+    try:
+        table = LakeTable(os.path.join(work, "table"), num_partitions=32)
+        for f in files:
+            table.apply_epoch(f)
+        return table.read().select_columns(
+            ["repo", "path", "commit", "seq", "lang", "content"]
+        ).materialize()
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -180,8 +192,11 @@ def oracle_sql() -> dict[str, str]:
 
     qvec = query_vector_sql_literal()
     # The flagship replay's oracle reads the SAME deterministic cached
-    # changelog the Ray query replays (correctness runs at sf0.01).
-    replay_glob = os.path.join(_replay_log_dir("sf0.01"), "epoch-*.parquet")
+    # changelog the Ray query replays. The driver compares at sf0.01;
+    # a harness comparing at another scale must set GRAFT_ORACLE_SF to
+    # the matching tag or the two sides would read different changelogs.
+    oracle_sf = os.environ.get("GRAFT_ORACLE_SF", "sf0.01")
+    replay_glob = os.path.join(_replay_log_dir(oracle_sf), "epoch-*.parquet")
     return {
         "cdc_replay_final": (
             "SELECT repo, path, commit, seq, lang, content FROM ("

@@ -133,43 +133,29 @@ def run_bench() -> dict:
     timings["cdc_replay"] = round(headline, 3)
     shutil.rmtree(work, ignore_errors=True)
 
-    if os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
-        ray.shutdown()
-        return {
-            "metric": "cdc_replay_seconds",
-            "value": round(headline, 3),
-            "unit": "sec",
-            "queries": timings,
-            "sf": _sf_value(),
-            "num_cpus": NUM_CPUS,
-            "events": n_events,
-            "events_per_sec": round(n_events / headline, 1),
-        }
+    if not os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
+        # Representative operator pipelines (consume to completion;
+        # a lazy Dataset must be executed or the timing is meaningless —
+        # let execution errors propagate loudly).
+        import ray.data as rd
 
-    # Representative operator pipelines (consume to completion).
-    from laketide.functions import relational as R
-    from laketide.functions import similarity, text
+        from laketide.functions import dedup, relational as R, similarity, text
 
-    def timed(name, fn, consume="count"):
-        t = time.perf_counter()
-        res = fn(SF_DIR)
-        if hasattr(res, "count") and not isinstance(res, (int, float)):
-            try:
+        def timed(name, fn):
+            t = time.perf_counter()
+            res = fn(SF_DIR)
+            if isinstance(res, rd.Dataset):
                 res.count()
-            except AttributeError:
-                pass
-        timings[name] = round(time.perf_counter() - t, 3)
+            timings[name] = round(time.perf_counter() - t, 3)
 
-    from laketide.functions import dedup
-
-    timed("q1_pricing", R.q1_pricing)
-    timed("cdc_lww_latest", R.cdc_lww_latest)
-    timed("window_counts", R.window_counts)
-    timed("join_orders_lineitem_revenue", R.join_orders_lineitem_revenue)
-    timed("top_tokens", text.top_tokens)
-    timed("exact_dedup_docs", text.exact_dedup_docs)
-    timed("knn_cosine", similarity.knn_cosine)
-    timed("minhash_lsh_candidates", dedup.minhash_lsh_candidates)
+        timed("q1_pricing", R.q1_pricing)
+        timed("cdc_lww_latest", R.cdc_lww_latest)
+        timed("window_counts", R.window_counts)
+        timed("join_orders_lineitem_revenue", R.join_orders_lineitem_revenue)
+        timed("top_tokens", text.top_tokens)
+        timed("exact_dedup_docs", text.exact_dedup_docs)
+        timed("knn_cosine", similarity.knn_cosine)
+        timed("minhash_lsh_candidates", dedup.minhash_lsh_candidates)
 
     ray.shutdown()
     return {
@@ -207,15 +193,21 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
             GRAFT_BENCH_BODY_LINES=os.environ.get("GRAFT_BENCH_BODY_LINES", "2"),
             GRAFT_BENCH_SKIP_QUERIES="1",
         )
-        out = subprocess.run(
+        proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
             capture_output=True,
             text=True,
-            check=True,
             cwd=os.path.dirname(os.path.abspath(__file__)),
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        )
+        if proc.returncode != 0:
+            # surface the child's stderr — a swallowed diagnostic costs a
+            # multi-minute re-run
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"bench subprocess at {ncpu} CPUs failed (exit {proc.returncode})"
+            )
+        return json.loads(proc.stdout.strip().splitlines()[-1])
 
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]

@@ -103,10 +103,21 @@ def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
 
 
 def unify(a: pa.Schema, b: pa.Schema) -> pa.Schema:
-    """Unified schema: fields of ``a`` in order, then new fields of ``b``."""
-    fields = list(a)
-    seen = {f.name for f in a}
-    for f in b:
-        if f.name not in seen:
-            fields.append(f)
-    return pa.schema(fields)
+    """Unified schema: fields of ``a`` in order, then new fields of ``b``.
+
+    Colliding field names TYPE-PROMOTE (null -> anything, int -> float,
+    ...): a payload column that first appears all-null (inferred
+    ``null``) or narrower must not pin its type forever — the next
+    epoch's real values would fail conform()'s cast mid-replay."""
+    try:
+        return pa.unify_schemas([a, b], promote_options="permissive")
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+        # genuinely incompatible (e.g. string vs struct): keep the
+        # first-seen type; conform() will surface the cast error with
+        # the offending column name
+        fields = list(a)
+        seen = {f.name for f in a}
+        for f in b:
+            if f.name not in seen:
+                fields.append(f)
+        return pa.schema(fields)
