@@ -496,3 +496,43 @@ def test_coalesce_storage_exchange_and_schema_evolution(tmp_path):
     assert r["totals"]["replays_dropped"] == 2
     rows2 = {r["path"]: r for r in t.state_table().to_pylist()}
     assert rows2 == rows
+
+
+def test_schema_evolution_null_column_promotes(tmp_path):
+    """A payload column whose FIRST appearance is all-null (Arrow infers
+    type null) must not pin the type: the next epoch's real values
+    promote the stored schema instead of crashing conform's cast."""
+    import pyarrow.parquet as _pq
+
+    e1 = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["a"],
+            "commit": ["c0000000001"],
+            "seq": pa.array([1], pa.int64()),
+            "op": ["insert"],
+            "content": ["x"],
+            "score": pa.nulls(1, pa.null()),  # brand-new column, all null
+        }
+    )
+    e2 = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["b"],
+            "commit": ["c0000000002"],
+            "seq": pa.array([2], pa.int64()),
+            "op": ["insert"],
+            "content": ["y"],
+            "score": pa.array([0.75], pa.float64()),  # real values arrive
+        }
+    )
+    _pq.write_table(e1, str(tmp_path / "e1.parquet"))
+    _pq.write_table(e2, str(tmp_path / "e2.parquet"))
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2)
+    t.apply_epoch(str(tmp_path / "e1.parquet"))
+    t.apply_epoch(str(tmp_path / "e2.parquet"))
+    st = t.state_table()
+    assert st.num_rows == 2
+    assert pa.types.is_floating(st.schema.field("score").type)
+    rows = {r["path"]: r for r in st.to_pylist()}
+    assert rows["a"]["score"] is None and rows["b"]["score"] == 0.75
