@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- similarity search ---
         "knn_cosine": similarity.knn_cosine,
         "knn_lsh": similarity.knn_lsh,
+        "knn_ivf": similarity.knn_ivf,
         "embedding_label_count": similarity.embedding_label_count,
         "embedding_near_dup": similarity.embedding_near_dup,
         # --- multimodal ---

@@ -133,6 +133,84 @@ def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 1)
     return _merge_topk(scored, k)
 
 
+def _train_centroids(
+    sf_dir: str, n_centroids: int, iters: int = 10, seed: int = 55
+) -> np.ndarray:
+    """Deterministic mini k-means for the IVF coarse quantizer: a
+    hash-sampled subset (layout-independent) is collected driver-side,
+    seeded init, fixed iterations, unit-norm centroids. The sample
+    percentage adapts to the corpus — ~64 training points per centroid,
+    so at 100 TB the fraction is tiny and the training set stays
+    bounded."""
+    total = max(_emb(sf_dir, ["vec_id"]).count(), 1)
+    sample_pct = min(100, max(1, (64 * n_centroids * 100) // total))
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = (ids * np.int64(2654435761)) % 100 < sample_pct
+        return t.filter(pa.array(keep))
+
+    tbl = (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(sample, batch_format="pyarrow")
+        .to_pandas()
+    )
+    mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    n_centroids = min(n_centroids, len(mat))
+    cent = mat[rng.choice(len(mat), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (mat @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = mat[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / np.maximum(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def knn_ivf(
+    sf_dir: str, k: int = 10, n_centroids: int = 16, nprobe: int = 4
+) -> pa.Table:
+    """IVF-style ANN — the coarse-quantizer scale path: vectors assign to
+    their nearest (cosine) centroid; a query scans ONLY the ``nprobe``
+    nearest centroid buckets and exact-reranks inside them. At scale the
+    centroid id is the partition key and a probe touches nprobe/n_
+    centroids of the corpus. Deterministic (seeded k-means); recall is
+    asserted by pytest against the brute-force baseline (approximate op
+    — no SQL oracle)."""
+    cent = _train_centroids(sf_dir, n_centroids)
+    q = query_vector()
+    qn = q / np.linalg.norm(q)
+    probe = set(np.argsort(-(cent @ qn))[:nprobe].tolist())
+    state = ray.put((cent, qn, frozenset(probe)))
+
+    def bucket_score(t: pa.Table) -> pa.Table:
+        cent_v, qv, probe_v = ray.get(state)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        assign = (unit @ cent_v.T).argmax(axis=1)
+        mask = np.isin(assign, list(probe_v))
+        if not mask.any():
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+            )
+        scores = unit[mask] @ qv
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)[mask].astype(np.int64)
+        ids, scores = _local_topk(ids, scores, k)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "score": pa.array(scores, pa.float64())}
+        )
+
+    scored = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        bucket_score, batch_format="pyarrow"
+    )
+    return _merge_topk(scored, k)
+
+
 def knn_lsh_oracle_sql(k: int = 10, n_planes: int = 8, probe_hamming: int = 1) -> str:
     """DuckDB equivalent of ``knn_lsh``: the SAME seeded hyperplanes as
     SQL list literals, the signature rebuilt bit-by-bit with
