@@ -161,6 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_lang": text.docs_by_lang,
         "exact_dedup_docs": text.exact_dedup_docs,
         "dedup_stats": text.dedup_stats,
+        "doc_length_quantiles": text.doc_length_quantiles,
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
         "top_tokens": text.top_tokens,
@@ -327,6 +328,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": (
             "SELECT doc_id, sha256(text) AS sha FROM documents "
             "QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1"
+        ),
+        "doc_length_quantiles": (
+            "SELECT CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q25, "
+            "CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS q50, "
+            "CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q75, "
+            "CAST(quantile_disc(n_chars, 0.95) AS BIGINT) AS q95 FROM documents"
         ),
         "dedup_stats": (
             "SELECT CAST(count(*) AS BIGINT) AS n_docs, "

@@ -308,6 +308,47 @@ def dedup_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
+    """EXACT length quantiles via a distributed value-count histogram:
+    per-batch (n_chars -> count) partials, one tiny grouped sum, then
+    the quantile read off the cumulative histogram on the driver.
+    Exact at ANY corpus size because distinct lengths are bounded (a
+    histogram, not a sample) — no approximate-quantile sketch needed.
+    Matches DuckDB ``quantile_disc`` (lower interpolation)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        vals, counts = np.unique(
+            t["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table({"len": pa.array(vals), "c": pa.array(counts.astype(np.int64))})
+
+    hist = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("len")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+        .sort_values("len")
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    out = {}
+    for q in qs:
+        # quantile_disc: smallest value whose cumulative count reaches
+        # ceil(q * total) -- DuckDB uses rank = q*(n-1)+1 floor'd; align:
+        import math
+
+        rank = math.floor(q * (total - 1)) + 1 if total else 0
+        idx = (cum >= rank).idxmax() if total else None
+        out[f"q{int(q*100)}"] = int(hist.loc[idx, "len"]) if total else None
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
+
+
 def doc_sample_hash(sf_dir: str) -> rd.Dataset:
     """Deterministic hash-based 5% sampling (reproducible sampling for
     training-data pipelines — NOT random_sample, which is seed+layout

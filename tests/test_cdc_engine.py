@@ -536,3 +536,57 @@ def test_schema_evolution_null_column_promotes(tmp_path):
     assert pa.types.is_floating(st.schema.field("score").type)
     rows = {r["path"]: r for r in st.to_pylist()}
     assert rows["a"]["score"] is None and rows["b"]["score"] == 0.75
+
+
+def test_lock_race_single_winner(tmp_path):
+    """8 processes race to steal a STALE lock and then hold it briefly:
+    hold intervals must never overlap (the remove-based steal let two
+    contenders both 'win'; rename-based stealing and hardlink pid
+    publish make exactly one winner at a time)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    table_dir = str(tmp_path / "t")
+    os.makedirs(table_dir, exist_ok=True)
+    # stale lock from a dead pid
+    with open(os.path.join(table_dir, "_LOCK"), "w") as fh:
+        fh.write("999999")
+    log = str(tmp_path / "holds.log")
+    script = textwrap.dedent(
+        f"""
+        import os, sys, time
+        sys.path.insert(0, {os.getcwd()!r})
+        from laketide.pipelines.cdc import LakeTable
+        t = LakeTable.__new__(LakeTable)
+        t.table_dir = {table_dir!r}
+        deadline = time.monotonic() + 20
+        while time.monotonic() < deadline:
+            try:
+                lock = t._acquire_lock()
+            except RuntimeError:
+                time.sleep(0.005)
+                continue
+            t0 = time.monotonic_ns()
+            time.sleep(0.05)
+            t1 = time.monotonic_ns()
+            with open({log!r}, "a") as fh:
+                fh.write(f"{{os.getpid()}} {{t0}} {{t1}}\\n")
+            t._release_lock(lock)
+            break
+        else:
+            sys.exit(3)
+        """
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script]) for _ in range(8)
+    ]
+    for p in procs:
+        assert p.wait(timeout=60) == 0
+    with open(log) as fh:
+        spans = sorted(
+            (int(a), int(b)) for _, a, b in (line.split() for line in fh)
+        )
+    assert len(spans) == 8
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0, f"overlapping lock holds: {(a0, a1)} vs {(b0, b1)}"
