@@ -82,6 +82,18 @@ def _perm_params(n_perm: int = _N_PERM, seed: int = 12345):
     return a, b
 
 
+def _segment_sums(values: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+    """Per-doc sums of a flat per-token array — the one place the
+    reduceat empty-segment pitfall is handled (zero-length docs yield 0,
+    not the neighbouring segment's first element)."""
+    out = np.zeros(len(lengths), dtype=values.dtype)
+    nz = lengths > 0
+    if nz.any() and len(values):
+        offs = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
+        out[nz] = np.add.reduceat(values, offs[nz])
+    return out
+
+
 def _token_hashes(texts: pa.ChunkedArray | pa.Array):
     """Whitespace-split every text, hash every token (C-level siphash).
 

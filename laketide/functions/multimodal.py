@@ -123,6 +123,8 @@ def blob_resize(sf_dir: str, target_bytes: int = 64) -> rd.Dataset:
     (the real image resize would replace the sampling kernel; the
     Ray-side layout — fixed-width binary output column, batch shaping —
     is real). Rows-only check."""
+    if target_bytes < 2:
+        raise ValueError("target_bytes must be >= 2 (sampling needs two anchors)")
     ds = blob_table(sf_dir)
 
     def f(t: pa.Table) -> pa.Table:

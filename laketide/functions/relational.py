@@ -33,7 +33,11 @@ def keep_extreme(
     keep the last (or first) row of each key group — the same sort+mask
     idiom as the engine's ``reduce_events`` (stages/apply.py:103-140).
     No pandas round-trip; works as both the per-batch pre-combiner and
-    the per-group final reduce."""
+    the per-group final reduce.
+
+    Null order keys always LOSE (DuckDB's NULLS LAST in both ORDER BY
+    ASC and DESC): for keep='last' nulls sort to the START so a real
+    value wins; Arrow's at_end default would crown the null row."""
     import numpy as np
 
     if t.num_rows <= 1:
@@ -41,7 +45,10 @@ def keep_extreme(
     # parquet-borne pandas metadata makes Ray's shuffle schema-hash warn
     # (unhashable dict) — drop it, it carries no information here
     t = t.replace_schema_metadata(None)
-    t = t.sort_by([(c, "ascending") for c in [*keys, *order]])
+    t = t.sort_by(
+        [(c, "ascending") for c in [*keys, *order]],
+        null_placement="at_start" if keep == "last" else "at_end",
+    )
     n = t.num_rows
     same = np.ones(n - 1, dtype=bool)
     for k in keys:
@@ -121,28 +128,50 @@ def count_by_type(sf_dir: str) -> rd.Dataset:
 
 def events_stats_view(sf_dir: str) -> pa.Table:
     """Multi-aggregate stats view (A4): totals, distinct users, ts range,
-    value total in cents."""
+    value total in cents — ONE scan and one shuffle: per-user grouped
+    aggregates, then per-block partial folds (tiny rows) merged on the
+    driver. The old shape scanned the events table twice (once for
+    totals, once for the distinct-user count)."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def pre(t: pa.Table) -> pa.Table:
+    def derive(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "n": pa.array([t.num_rows], pa.int64()),
-                "min_ts": pa.array([pc.min(t["ts"]).as_py()], t.schema.field("ts").type),
-                "max_ts": pa.array([pc.max(t["ts"]).as_py()], t.schema.field("ts").type),
-                "cents": pa.array([pc.sum(_cents(t["value"])).as_py() or 0], pa.int64()),
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "cents": pc.cast(_cents(t["value"]), pa.float64()),
             }
         )
 
-    partials = ds.map_batches(pre, batch_format="pyarrow").take_all()
-    n_users = ds.groupby("user_id").aggregate(Count(alias_name="c")).count()
-    # all-null-ts batches contribute None; an empty table has no partials
+    per_user = (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(
+            Count(alias_name="c"),
+            Min("ts", alias_name="min_ts"),
+            Max("ts", alias_name="max_ts"),
+            Sum("cents", alias_name="cents"),
+        )
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "users": pa.array([t.num_rows], pa.int64()),
+                "n": pa.array([pc.sum(t["c"]).as_py() or 0], pa.int64()),
+                "min_ts": pa.array([pc.min(t["min_ts"]).as_py()], pa.timestamp("us")),
+                "max_ts": pa.array([pc.max(t["max_ts"]).as_py()], pa.timestamp("us")),
+                "cents": pa.array([int(pc.sum(t["cents"]).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    partials = per_user.map_batches(fold, batch_format="pyarrow").take_all()
     mins = [p["min_ts"] for p in partials if p["min_ts"] is not None]
     maxs = [p["max_ts"] for p in partials if p["max_ts"] is not None]
     return pa.table(
         {
             "n_events": pa.array([sum(p["n"] for p in partials)], pa.int64()),
-            "n_users": pa.array([n_users], pa.int64()),
+            "n_users": pa.array([sum(p["users"] for p in partials)], pa.int64()),
             "min_ts": pa.array([min(mins) if mins else None], pa.timestamp("us")),
             "max_ts": pa.array([max(maxs) if maxs else None], pa.timestamp("us")),
             "total_value_cents": pa.array([sum(p["cents"] for p in partials)], pa.int64()),
@@ -164,7 +193,7 @@ def window_counts(sf_dir: str) -> rd.Dataset:
     def pre(df: pd.DataFrame) -> pd.DataFrame:
         df["window_start"] = df["ts"].dt.floor("h")
         out = (
-            df.groupby(["event_type", "window_start"], as_index=False)
+            df.groupby(["event_type", "window_start"], as_index=False, dropna=False)
             .size()
             .rename(columns={"size": "n"})
         )
@@ -187,7 +216,7 @@ def value_cents_by_user_type(sf_dir: str) -> rd.Dataset:
             t.column_names.index("value"), "value", pc.cast(_cents(t["value"]), pa.float64())
         )
         df = t.to_pandas()
-        out = df.groupby(["user_id", "event_type"], as_index=False).agg(
+        out = df.groupby(["user_id", "event_type"], as_index=False, dropna=False).agg(
             partial=("value", "sum"), cnt=("value", "size")
         )
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -232,7 +261,7 @@ def q1_pricing(sf_dir: str) -> rd.Dataset:
             }
         )
         df = tmp.to_pandas()
-        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False, dropna=False).agg(
             qty=("qty", "sum"), rev=("rev", "sum"), cnt=("qty", "size")
         )
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -299,7 +328,7 @@ def join_customer_orders(sf_dir: str) -> rd.Dataset:
         )
         cents = pc.cast(_cents(t["o_totalprice"]), pa.float64())
         df = pd.DataFrame({"c_mktsegment": seg, "cents": cents.to_numpy(), "one": 1})
-        out = df.groupby("c_mktsegment", as_index=False).agg(
+        out = df.groupby("c_mktsegment", as_index=False, dropna=False).agg(
             cents=("cents", "sum"), n=("one", "sum")
         )
         return pa.Table.from_pandas(out, preserve_index=False)
@@ -336,7 +365,7 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
             {"l_orderkey": t["l_orderkey"].to_pandas(), "rev": pc.cast(rev, pa.float64()).to_numpy()}
         )
         return pa.Table.from_pandas(
-            df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum")),
+            df.groupby("l_orderkey", as_index=False, dropna=False).agg(rev=("rev", "sum")),
             preserve_index=False,
         )
 
@@ -385,13 +414,19 @@ def top_customers_by_spend(sf_dir: str) -> rd.Dataset:
         .groupby("o_custkey")
         .aggregate(Sum("cents", alias_name="cents_f"), Count(alias_name="n_f"))
     )
-    cust = (
+    import ray
+
+    # broadcast the name map (ray.put once, local object-store read per
+    # batch) — a closure capture would ship the whole Series with every
+    # task spec at larger scale factors
+    cust_ref = ray.put(
         _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
         .to_pandas()
         .set_index("c_custkey")["c_name"]
     )
 
     def finish(t: pa.Table) -> pa.Table:
+        cust = ray.get(cust_ref)
         keys = t["o_custkey"].to_pandas()
         return pa.table(
             {
@@ -708,7 +743,7 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
             {"l_orderkey": t["l_orderkey"].to_pandas(), "rev": pc.cast(rev, pa.float64()).to_numpy()}
         )
         return pa.Table.from_pandas(
-            df.groupby("l_orderkey", as_index=False).agg(rev=("rev", "sum")),
+            df.groupby("l_orderkey", as_index=False, dropna=False).agg(rev=("rev", "sum")),
             preserve_index=False,
         )
 
@@ -729,7 +764,7 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
         regions = pd.Series(t["o_custkey"].to_pandas()).map(mapping).to_numpy()
         df = pd.DataFrame({"r_name": regions, "rev": t["rev"].to_numpy(zero_copy_only=False)})
         return pa.Table.from_pandas(
-            df.groupby("r_name", as_index=False).agg(rev=("rev", "sum")),
+            df.groupby("r_name", as_index=False, dropna=False).agg(rev=("rev", "sum")),
             preserve_index=False,
         )
 

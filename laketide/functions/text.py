@@ -120,17 +120,15 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
             pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())), pa.float64()),
         )
         # stopword count: flatten once, vectorized set membership,
-        # per-doc reduceat sums
+        # per-doc segment sums (shared kernel)
+        from laketide.functions.dedup import _segment_sums
+
         flat = pc.list_flatten(toks)
         is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
             zero_copy_only=False
         )
         lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        n_stop = np.zeros(t.num_rows, dtype=np.int64)
-        nz = lengths > 0
-        if nz.any() and len(flat):
-            offs = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
-            n_stop[nz] = np.add.reduceat(is_stop.astype(np.int64), offs[nz])
+        n_stop = _segment_sums(is_stop.astype(np.int64), lengths)
         stop_ratio = n_stop / np.maximum(n_tokens.to_numpy(zero_copy_only=False), 1)
         return pa.table(
             {
@@ -196,12 +194,13 @@ def langid_oracle_sql() -> str:
         return f"({terms})"
 
     scores = ", ".join(f"{score(l)} AS s_{l}" for l in langs)
-    m = "greatest(" + ", ".join(f"s_{l}" for l in langs) + ")"
+    cols = ", ".join(f"s_{l}" for l in langs)
+    m = "greatest(" + cols + ")"
     case = " ".join(f"WHEN s_{l} = m THEN '{l}'" for l in langs)
     return (
         f"SELECT doc_id, CASE WHEN m = 0 THEN 'und' {case} END AS lang_pred, "
         "m AS lang_score FROM ("
-        f"SELECT doc_id, s_de, s_en, s_es, s_fr, {m} AS m FROM ("
+        f"SELECT doc_id, {cols}, {m} AS m FROM ("
         f"SELECT doc_id, {scores} FROM documents))"
     )
 
@@ -239,13 +238,12 @@ def doc_fingerprint(sf_dir: str) -> rd.Dataset:
                 np.full(max_len, BASE, dtype=np.uint64)[: max(max_len - 1, 0)],
                 out=pw[1:] if max_len > 1 else pw[:0],
             )
+            from laketide.functions.dedup import _segment_sums
+
             offs = np.concatenate([[0], np.cumsum(lengths)[:-1]]).astype(np.int64)
             local = np.arange(len(th), dtype=np.int64) - np.repeat(offs, lengths)
             expo = np.repeat(lengths, lengths) - 1 - local
-            terms = th * pw[expo]
-            nz = lengths > 0
-            if nz.any():
-                fp[nz] = np.add.reduceat(terms, offs[nz])
+            fp = _segment_sums(th * pw[expo], lengths)
         hexes = np.char.mod("%016x", fp)
         return pa.table(
             {
@@ -339,11 +337,11 @@ def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
     cum = hist["n"].cumsum()
     out = {}
     for q in qs:
-        # quantile_disc: smallest value whose cumulative count reaches
-        # ceil(q * total) -- DuckDB uses rank = q*(n-1)+1 floor'd; align:
+        # DuckDB quantile_disc rank semantics (verified empirically):
+        # the smallest value whose cumulative count reaches ceil(q*n)
         import math
 
-        rank = math.floor(q * (total - 1)) + 1 if total else 0
+        rank = max(1, math.ceil(q * total)) if total else 0
         idx = (cum >= rank).idxmax() if total else None
         out[f"q{int(q*100)}"] = int(hist.loc[idx, "len"]) if total else None
     return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
