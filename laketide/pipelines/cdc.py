@@ -631,6 +631,12 @@ class LakeTable:
             batch_format="pyarrow",
             zero_copy_batch=True,
             batch_size=262_144,  # bigger spill files => fewer footers downstream
+            # transient storage errors surface as app exceptions; the
+            # spill protocol is retry-safe BY DESIGN (tmp+rename files,
+            # only successful attempts' summaries are read back), so
+            # retrying here is exactly-once
+            retry_exceptions=True,
+            max_retries=2,
         ).take_all()
         files = sorted(r["file"] for r in summaries)
         if mode == "actor":

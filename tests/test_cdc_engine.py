@@ -282,7 +282,7 @@ def test_pluggable_merge_strategy_longest(tmp_path):
     t2 = LakeTable(str(tmp_path / "t"))
     assert t2.merge == "longest"
     with pytest.raises(ValueError):
-        LakeTable(str(tmp_path / "t"), merge="longest" if False else "nope")
+        LakeTable(str(tmp_path / "t"), merge="nope")
 
 
 def test_spill_task_retry_is_exactly_once(changelog, tmp_path, monkeypatch):
@@ -294,23 +294,29 @@ def test_spill_task_retry_is_exactly_once(changelog, tmp_path, monkeypatch):
 
     marker_dir = str(tmp_path / "markers")
     os.makedirs(marker_dir, exist_ok=True)
-    orig_call = cdc._SpillShards.__call__
 
-    def flaky(self, batch):
-        # fail exactly once per worker process (retried task lands on a
-        # fresh or same worker; either way, at most a handful of crashes)
-        marker = os.path.join(marker_dir, f"pid-{os.getpid()}")
-        if not os.path.exists(marker):
-            with open(marker, "w") as fh:
-                fh.write("x")
-            raise RuntimeError("injected spill crash (retry me)")
-        return orig_call(self, batch)
+    # Defined INSIDE the test so cloudpickle serializes the class BY
+    # VALUE: monkeypatching a method of the importable class only
+    # patches the driver — Ray workers re-import the unpatched module
+    # and the injection never fires (verified empirically).
+    class FlakySpill(cdc._SpillShards):
+        def __call__(self, batch):
+            # fail exactly once per worker process (retried task lands
+            # on a fresh or same worker; either way bounded crashes)
+            marker = os.path.join(marker_dir, f"pid-{os.getpid()}")
+            if not os.path.exists(marker):
+                with open(marker, "w") as fh:
+                    fh.write("x")
+                raise RuntimeError("injected spill crash (retry me)")
+            return super().__call__(batch)
 
-    monkeypatch.setattr(cdc._SpillShards, "__call__", flaky)
+    monkeypatch.setattr(cdc, "_SpillShards", FlakySpill)
     t = LakeTable(str(tmp_path / "t"), num_partitions=8)
     for f in changelog:
         t.apply_epoch(f, exchange="storage")
-    monkeypatch.setattr(cdc._SpillShards, "__call__", orig_call)
+    # the injection must actually have fired in the workers
+    assert os.listdir(marker_dir), "no crash was injected — test is vacuous"
+    monkeypatch.undo()
     clean = LakeTable(str(tmp_path / "clean"), num_partitions=8)
     for f in changelog:
         clean.apply_epoch(f, exchange="storage")
@@ -549,9 +555,10 @@ def test_lock_race_single_winner(tmp_path):
 
     table_dir = str(tmp_path / "t")
     os.makedirs(table_dir, exist_ok=True)
-    # stale lock from a dead pid
+    # stale lock from a dead pid (999999999 > any kernel pid_max, so it
+    # can never be a live process on hosts with pid_max=4194304)
     with open(os.path.join(table_dir, "_LOCK"), "w") as fh:
-        fh.write("999999")
+        fh.write("999999999")
     log = str(tmp_path / "holds.log")
     script = textwrap.dedent(
         f"""

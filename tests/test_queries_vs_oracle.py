@@ -53,10 +53,22 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-        elif df[c].dtype == object and len(df) and isinstance(
-            df[c].iloc[0], (list, tuple)
-        ) or (len(df) and hasattr(df[c].iloc[0], "__array__") and not isinstance(df[c].iloc[0], str)):
-            df[c] = df[c].map(lambda v: tuple(v))
+        elif df[c].dtype == object and len(df):
+            # list-valued columns (Ray list arrays / DuckDB LIST) -> tuples
+            # for sortability; null-safe; genuine sequences only (a
+            # np.bool_ scalar also has __array__ — ndim filters it out)
+            import numpy as np
+
+            sample = df[c].dropna()
+            if len(sample):
+                v0 = sample.iloc[0]
+                is_seq = isinstance(v0, (list, tuple)) or (
+                    hasattr(v0, "__array__")
+                    and not isinstance(v0, (str, bytes))
+                    and np.ndim(v0) >= 1
+                )
+                if is_seq:
+                    df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 

@@ -238,13 +238,20 @@ def test_zip_jsonl_source(tmp_path):
             '{"repo":"r","path":"b","commit":"c0000000002","seq":2,"op":"insert","content":"y"}\n',
         )
         zf.writestr("skipme.txt", "ignored")
-        zf.writestr("../evil.json", '{"repo":"z"}')  # zip-slip guarded
+        # zip-slip guard: a FULLY VALID event behind a traversal path —
+        # if the guard were removed this row would land in the table
+        zf.writestr(
+            "../evil.json",
+            '{"repo":"evil","path":"slip","commit":"c0000000009","seq":9,'
+            '"op":"insert","content":"pwned"}',
+        )
     ds = registry.read_source("zip-jsonl", zp)
     t = LakeTable(str(tmp_path / "t"), num_partitions=4)
     r = t.apply_epoch(ds)
     st = t.state_table()
     assert st.num_rows == 2
     assert sorted(st["path"].to_pylist()) == ["a", "b"]
+    assert "evil" not in st["repo"].to_pylist()  # the slip member was excluded
 
 
 def test_embedding_near_dup_runs_deterministic():
@@ -451,6 +458,18 @@ def test_rescale_partitions(changelog, tmp_path):
     assert rr["totals"]["inserts"] + rr["totals"]["updates"] + rr["totals"]["deletes"] == 0
 
 
+def _atomic_copy(src: str, dst: str) -> None:
+    """Copy into a tailed directory ATOMICALLY (tmp + rename): the tail
+    follower reads files as soon as they appear, and a plain copy could
+    expose a truncated parquet mid-write (the changelog producer
+    contract — generate_changelog itself writes tmp-then-replace)."""
+    import shutil
+
+    tmp = dst + ".tmp"
+    shutil.copy(src, tmp)
+    os.replace(tmp, dst)
+
+
 def test_tail_follows_new_epochs(tmp_path):
     import shutil
 
@@ -458,7 +477,7 @@ def test_tail_follows_new_epochs(tmp_path):
     live = str(tmp_path / "live")
     os.makedirs(live)
     # epoch 0 already present; epochs 1-2 "arrive" during the tail
-    shutil.copy(src[0], os.path.join(live, os.path.basename(src[0])))
+    _atomic_copy(src[0], os.path.join(live, os.path.basename(src[0])))
     t = LakeTable(str(tmp_path / "t"), num_partitions=4)
 
     import threading, time
@@ -466,7 +485,7 @@ def test_tail_follows_new_epochs(tmp_path):
     def feeder():
         for f in src[1:]:
             time.sleep(0.8)
-            shutil.copy(f, os.path.join(live, os.path.basename(f)))
+            _atomic_copy(f, os.path.join(live, os.path.basename(f)))
 
     th = threading.Thread(target=feeder)
     th.start()
@@ -570,7 +589,8 @@ def test_osv_like_nested_source(tmp_path):
     assert keys[("pypi", "frob")]["content"] == "overflow in frobnicate"
     # commit derives from the parsed modified timestamp (zero-padded)
     assert keys[("pypi", "walker")]["commit"].startswith("c0")
-    assert keys[("pypi", "frob")]["commit"] > keys[("pypi", "walker")]["commit"] or True
+    # frob modified 2024-02-01 < walker 2024-03-05: commits order by parsed ts
+    assert keys[("pypi", "frob")]["commit"] < keys[("pypi", "walker")]["commit"]
     # idempotent replay of the same source
     r2 = t.apply_epoch(ds, epoch_id=t.current_epoch() + 1, hwm_filter=False)
     assert r2["totals"]["stale_dropped"] + r2["totals"]["noops"] > 0
