@@ -105,3 +105,51 @@ def test_apply_core_matches_duckdb_oracle(epochs):
         """
     ).fetchall()
     assert got == set(exp)
+
+
+@settings(max_examples=100, deadline=None)
+@given(changelog())
+def test_longest_strategy_matches_duckdb_oracle(epochs):
+    """merge='longest' (R6): winner per key = longest content, ties by
+    version — same epoch-fold path, DuckDB length-ordered window oracle.
+    Deletes rank as length -1 (they only beat an empty history), so the
+    oracle ranks all events by (len(content), commit, seq) and keeps the
+    key only when the winner is not a delete."""
+    cur = None
+    for e, rows in enumerate(epochs, start=1):
+        if not rows:
+            continue
+        ev = _to_table(rows)
+        m = ApplyMetrics()
+        winners = reduce_events(ev, m, "longest")
+        cur = apply_partition(cur, winners, e, m, "longest")
+
+    got = set()
+    if cur is not None:
+        import pyarrow.compute as pc
+
+        from laketide.schema import DELETED_COLUMN
+
+        live = cur.filter(pc.invert(pc.fill_null(cur[DELETED_COLUMN], False)))
+        for i in range(live.num_rows):
+            got.add(
+                (
+                    live["repo"][i].as_py(),
+                    live["path"][i].as_py(),
+                    live["content"][i].as_py(),
+                )
+            )
+
+    all_rows = [r for rows in epochs for r in rows]
+    con = duckdb.connect()
+    con.register("ev", _to_table(all_rows))
+    exp = con.execute(
+        """
+        SELECT repo, path, content FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY repo, path
+            ORDER BY coalesce(length(content), -1) DESC, commit DESC, seq DESC) rn
+          FROM ev) WHERE rn = 1 AND op != 'delete'
+        """
+    ).fetchall()
+    assert got == set(exp)
