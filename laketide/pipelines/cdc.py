@@ -594,6 +594,12 @@ class LakeTable:
             NormalizeEvents(self.num_partitions, payload),
             batch_format="pyarrow",
             zero_copy_batch=True,
+            # identical task options to the spill stage: differing
+            # remote args block operator fusion (normalize->spill would
+            # otherwise materialize between stages, ~17% slower replay);
+            # normalize is pure so retrying it is safe
+            retry_exceptions=True,
+            max_retries=2,
         )
 
         hwms = {int(k): (v.get("hwm_commit", ""), v.get("hwm_seq", -1)) for k, v in (man.partitions if man else {}).items()}
