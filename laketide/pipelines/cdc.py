@@ -1479,7 +1479,13 @@ class LakeTable:
         and apply them as they appear; stop after ``max_idle_polls``
         consecutive polls with nothing new (a daemon would loop forever).
         The binlog-tail entry point of the north star, built on
-        ``replay`` (only-new-epochs) so restarts resume exactly."""
+        ``replay`` (only-new-epochs) so restarts resume exactly.
+
+        Producer contract: epoch files must APPEAR atomically (write to
+        a temp name, rename into place — ``generate_changelog`` does
+        exactly this). The follower reads a file as soon as it matches
+        ``epoch-*``; a non-atomic copy could expose a truncated
+        parquet."""
         import time as _time
 
         results: list[dict[str, Any]] = []
