@@ -329,6 +329,19 @@ def _exact_jaccard_batch(t: pa.Table) -> pa.Table:
     )
 
 
+def _gather_nonempty_blocks(ds: rd.Dataset) -> list:
+    """Fetch a (small) materialized Dataset's blocks, dropping zero-row
+    ones BEFORE any ``pa.concat_tables``: Ray Data emits zero-row blocks
+    with an EMPTY schema (no columns at all) from shuffle groups that
+    produce no output, and concat raises ``ArrowInvalid: Schema at index
+    N was different`` on them (observed at sf0.01 driver scale; the
+    planted test fixtures are too small to hit it). Same idiom as
+    ``similarity._merge_topk``."""
+    import ray
+
+    return [p for p in (ray.get(r) for r in ds.to_arrow_refs()) if p.num_rows]
+
+
 def minhash_dedup_verified(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     """LSH candidates verified with exact n-gram Jaccard — distributed:
 
@@ -343,9 +356,7 @@ def minhash_dedup_verified(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     import ray
 
     cands = minhash_lsh_candidates(sf_dir).materialize()
-    id_tbl = pa.concat_tables(
-        [ray.get(ref) for ref in cands.to_arrow_refs()]
-    )
+    parts = _gather_nonempty_blocks(cands)
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -353,6 +364,9 @@ def minhash_dedup_verified(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
             "jaccard": pa.array([], pa.float64()),
         }
     )
+    if not parts:
+        return rd.from_arrow(empty)
+    id_tbl = pa.concat_tables(parts, promote_options="default")
     if id_tbl.num_rows == 0:
         return rd.from_arrow(empty)
     need = pc.unique(

@@ -58,6 +58,61 @@ def test_minhash_planted_recall(planted_docs):
         assert 0.7 <= j < 1.0
 
 
+def test_minhash_verify_survives_empty_schema_blocks(planted_docs, monkeypatch):
+    """Regression (CORRECTNESS_r02): at sf0.01 the band-groupby emits
+    zero-row blocks with an EMPTY schema; ``pa.concat_tables`` over the
+    raw block list raised ``ArrowInvalid: Schema at index 2 was
+    different``. The planted fixture never produces such a block, so
+    inject one directly into the candidate Dataset and assert the verify
+    path still returns the planted pairs."""
+    import ray.data as rd
+
+    sf_dir, plants = planted_docs
+    real = dedup.minhash_lsh_candidates
+
+    def with_empty_block(d):
+        cands = real(d)
+        pairs = pa.table(
+            {
+                "doc_a": cands.to_pandas()["doc_a"].astype("int64"),
+                "doc_b": cands.to_pandas()["doc_b"].astype("int64"),
+            }
+        )
+        # pa.table({}) is a zero-row, zero-COLUMN table — exactly the
+        # empty-schema block shape Ray Data's shuffle emits
+        return rd.from_arrow([pairs.slice(0, 1), pa.table({}), pairs.slice(1)])
+
+    monkeypatch.setattr(dedup, "minhash_lsh_candidates", with_empty_block)
+    v = dedup.minhash_dedup_verified(sf_dir, threshold=0.7).to_pandas()
+    found = set(zip(v["doc_a"], v["doc_b"]))
+    for a, b in plants:
+        assert (a, b) in found or (b, a) in found
+
+
+def test_minhash_verify_all_blocks_empty(monkeypatch, tmp_path):
+    """All-empty candidate blocks (no pairs at all) must yield an empty
+    typed result, not a crash."""
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["alpha beta gamma delta", "wholly different words here"]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    monkeypatch.setattr(
+        dedup,
+        "minhash_lsh_candidates",
+        lambda d: rd.from_arrow([pa.table({}), pa.table({})]),
+    )
+    ds = dedup.minhash_dedup_verified(str(tmp_path), threshold=0.7)
+    assert ds.count() == 0
+    # NB: Dataset.to_pandas() drops column names at 0 rows; the Dataset
+    # schema itself is the contract
+    assert sorted(ds.schema().names) == ["doc_a", "doc_b", "jaccard"]
+
+
 def test_simhash_planted_recall(planted_docs):
     sf_dir, plants = planted_docs
     s = dedup.simhash_dedup(sf_dir, max_hamming=6).to_pandas()
