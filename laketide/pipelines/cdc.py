@@ -1481,11 +1481,15 @@ class LakeTable:
         The binlog-tail entry point of the north star, built on
         ``replay`` (only-new-epochs) so restarts resume exactly.
 
-        Producer contract: epoch files must APPEAR atomically (write to
-        a temp name, rename into place — ``generate_changelog`` does
-        exactly this). The follower reads a file as soon as it matches
-        ``epoch-*``; a non-atomic copy could expose a truncated
-        parquet."""
+        Producer contract: epoch slices must APPEAR atomically — single
+        files via write-to-temp-then-rename, sharded epoch DIRECTORIES
+        by staging the whole directory as ``epoch-NNN.tmp/`` and
+        renaming it into place once all shards are written
+        (``generate_changelog`` does both; ``epoch_paths`` ignores
+        ``*.tmp``). The follower reads a slice as soon as it matches
+        ``epoch-*``; a non-atomic publish could expose a truncated
+        parquet or a partial shard set that would be committed and the
+        late shards dropped forever."""
         import time as _time
 
         results: list[dict[str, Any]] = []

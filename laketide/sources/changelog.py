@@ -23,6 +23,7 @@ oracle and the benchmark all agree without any external data.
 from __future__ import annotations
 
 import os
+import shutil
 
 import numpy as np
 import pyarrow as pa
@@ -180,16 +181,24 @@ def generate_changelog(
             pq.write_table(table, tmp)
             os.replace(tmp, out)
         else:
+            # Sharded epochs must APPEAR atomically: a `tail` poll
+            # between the directory creation and the last shard rename
+            # would read a partial epoch, commit it, and the late shards
+            # would be dropped forever by the epoch<=committed
+            # short-circuit. Build the whole directory under a .tmp
+            # name, then one os.replace publishes it (epoch_paths
+            # ignores *.tmp).
             out = os.path.join(out_dir, f"epoch-{e:03d}")
-            os.makedirs(out, exist_ok=True)
+            stage = out + ".tmp"
+            shutil.rmtree(stage, ignore_errors=True)
+            os.makedirs(stage)
             n = table.num_rows
             for s in range(shards_per_epoch):
                 lo = n * s // shards_per_epoch
                 hi = n * (s + 1) // shards_per_epoch
                 shard = table.slice(lo, hi - lo)
-                sp = os.path.join(out, f"shard-{s:04d}.parquet")
-                pq.write_table(shard, sp + ".tmp")
-                os.replace(sp + ".tmp", sp)
+                pq.write_table(shard, os.path.join(stage, f"shard-{s:04d}.parquet"))
+            os.replace(stage, out)
         files.append(out)
     return files
 
@@ -258,4 +267,8 @@ def epoch_paths(changelog_dir: str) -> list[str]:
     import glob as _glob
 
     out = sorted(_glob.glob(os.path.join(changelog_dir, "epoch-*")))
-    return [p for p in out if os.path.isdir(p) or p.endswith(".parquet")]
+    return [
+        p
+        for p in out
+        if not p.endswith(".tmp") and (os.path.isdir(p) or p.endswith(".parquet"))
+    ]
