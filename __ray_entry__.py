@@ -185,7 +185,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blob_meta": multimodal.blob_meta,
         "multimodal_decode": multimodal.multimodal_decode,
         "frame_sample": multimodal.frame_sample,
-        "blob_resize": multimodal.blob_resize,
+        # hex_output: identical bytes, string column — DuckDB BLOBs
+        # round-trip to unhashable bytearray and break the hash compare
+        "blob_resize": lambda sf: multimodal.blob_resize(sf, hex_output=True),
     }
 
 
@@ -413,6 +415,15 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN length(text) <= 32 THEN 1 "
             "ELSE (i * greatest(length(text) - 32, 1)) // 3 + 1 END, 32)) AS frame_sha "
             "FROM documents CROSS JOIN frames"
+        ),
+        # Evenly-spaced byte gather; text is pure ASCII so VARCHAR
+        # substring == byte indexing, and encode() yields the same BLOB
+        # bytes the Ray kernel emits. Payloads <= 64 bytes pass through.
+        "blob_resize": (
+            "SELECT doc_id, lower(hex(encode(CASE WHEN length(text) <= 64 THEN text "
+            "ELSE array_to_string(list_transform(range(64), "
+            "i -> substring(text, (i * (length(text) - 1)) // 63 + 1, 1)), '') END))) AS resized_hex, "
+            "CAST(length(text) AS BIGINT) AS orig_bytes FROM documents"
         ),
     }
 

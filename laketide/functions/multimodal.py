@@ -117,12 +117,20 @@ def frame_sample(sf_dir: str, n_frames: int = 4, frame_bytes: int = 32) -> rd.Da
     return ds.map_batches(f, batch_format="pyarrow", batch_size=256)
 
 
-def blob_resize(sf_dir: str, target_bytes: int = 64) -> rd.Dataset:
+def blob_resize(
+    sf_dir: str, target_bytes: int = 64, hex_output: bool = False
+) -> rd.Dataset:
     """Resize plumbing for image-like payloads: deterministically
     down-sample each opaque blob to ``target_bytes`` evenly-spaced bytes
     (the real image resize would replace the sampling kernel; the
-    Ray-side layout — fixed-width binary output column, batch shaping —
-    is real). Rows-only check."""
+    Ray-side layout — binary output column, batch shaping — is real).
+    Payloads already at or under ``target_bytes`` pass through unchanged
+    (no NUL padding: keeps the kernel exactly expressible in the DuckDB
+    oracle, which cannot hold NUL bytes in VARCHAR). ``hex_output``
+    emits ``resized_hex: string`` instead of ``resized: binary`` — used
+    by the correctness-gate registration because DuckDB BLOBs round-trip
+    to unhashable ``bytearray`` in pandas, which breaks the driver's
+    sort+hash compare; the bytes are identical either way."""
     if target_bytes < 2:
         raise ValueError("target_bytes must be >= 2 (sampling needs two anchors)")
     ds = blob_table(sf_dir)
@@ -134,20 +142,16 @@ def blob_resize(sf_dir: str, target_bytes: int = 64) -> rd.Dataset:
         outs = []
         for payload in t["payload"].to_pylist():
             n = len(payload)
-            if n == 0:
-                outs.append(b"\x00" * target_bytes)
-            elif n <= target_bytes:
-                outs.append(payload.ljust(target_bytes, b"\x00"))
+            if n <= target_bytes:
+                outs.append(payload)
             else:
                 # vectorized byte gather (no per-byte Python)
                 idx = (pos * (n - 1)) // (target_bytes - 1)
                 outs.append(np.frombuffer(payload, dtype=np.uint8)[idx].tobytes())
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "resized": pa.array(outs, pa.binary()),
-                "orig_bytes": t["n_bytes"],
-            }
-        )
+        if hex_output:
+            col = {"resized_hex": pa.array([b.hex() for b in outs], pa.string())}
+        else:
+            col = {"resized": pa.array(outs, pa.binary())}
+        return pa.table({"doc_id": t["doc_id"], **col, "orig_bytes": t["n_bytes"]})
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
