@@ -253,55 +253,87 @@ _ND_PLANES_PER_BAND = 8
 _ND_MAX_BUCKET = 512
 
 
+class _UnitVectors:
+    """(vec_id, unit: binary) for CANDIDATE vectors only — the id set is
+    broadcast via ray.put (cheap local object-store read per batch); the
+    unit vector is packed to binary because Arrow hash joins reject list
+    payload columns. Plain function object, not an actor pool (actor
+    CPUs + join aggregator actors can deadlock small clusters)."""
+
+    def __init__(self, need_ref):
+        self.need_ref = need_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        needed = ray.get(self.need_ref)
+        t = t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()), value_set=needed))
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "unit": pa.array([], pa.binary())}
+            )
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["vec_id"], pa.int64()),
+                "unit": pa.array([unit[i].tobytes() for i in range(len(unit))], pa.binary()),
+            }
+        )
+
+
 def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
     """Embedding-cosine near-duplicate pairs: BANDED random-hyperplane
     LSH (4 bands x 8 planes) buckets candidate vectors — a pair of
     near-dups collides in >=1 band with high probability (recall ~0.9 at
     cos 0.95, ~1.0 above 0.99), unlike single-signature collision.
-    Exact cosine verifies inside each bucket group; (band, band_val) is
-    the shuffle key at scale. Hot buckets are capped (logged). Cross-band
-    duplicate pairs collapse in a final grouped first. Deterministic
-    (seeded planes)."""
+
+    Scale shape (r2 verdict fix): the bucketing shuffle carries ONLY
+    (band, band_val, vec_id) — 24-byte rows — instead of replicating
+    each serialized unit vector x4 bands through the exchange. Buckets
+    emit candidate id pairs (hot buckets capped, logged); the pairs then
+    REJOIN the unit vectors (packed binary, computed once per candidate
+    id) via Dataset hash joins — the minhash-verify pattern — and exact
+    cosine verifies per batch. Deterministic (seeded planes)."""
     import logging
+
+    import pyarrow.compute as pc
 
     logger = logging.getLogger(__name__)
     rng = np.random.RandomState(4242)
     planes = rng.standard_normal((_ND_BANDS * _ND_PLANES_PER_BAND, EMBED_DIM))
     planes_ref = ray.put(planes)
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
 
     def sign(t: pa.Table) -> pa.Table:
-            planes_v = ray.get(planes_ref)
-            mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
-            n = mat.shape[0]
-            bits = (mat @ planes_v.T > 0).astype(np.uint8)  # (n, 32)
-            sig = np.packbits(
-                bits.reshape(n, _ND_BANDS, _ND_PLANES_PER_BAND),
-                axis=2,
-                bitorder="little",
-            )[:, :, 0].astype(np.int64)  # (n, bands)
-            norms = np.linalg.norm(mat, axis=1)
-            norms[norms == 0] = 1.0
-            unit = mat / norms[:, None]
-            ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.table(
-                {
-                    "band": pa.array(
-                        np.tile(np.arange(_ND_BANDS, dtype=np.int64), n)
-                    ),
-                    "band_val": pa.array(sig.reshape(-1)),
-                    "vec_id": pa.array(np.repeat(ids, _ND_BANDS)),
-                    "unit": pa.array(
-                        [unit[i].tobytes() for i in range(n) for _ in range(_ND_BANDS)],
-                        pa.binary(),
-                    ),
-                }
-            )
+        planes_v = ray.get(planes_ref)
+        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        n = mat.shape[0]
+        bits = (mat @ planes_v.T > 0).astype(np.uint8)  # (n, 32)
+        sig = np.packbits(
+            bits.reshape(n, _ND_BANDS, _ND_PLANES_PER_BAND),
+            axis=2,
+            bitorder="little",
+        )[:, :, 0].astype(np.int64)  # (n, bands)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(_ND_BANDS, dtype=np.int64), n)),
+                "band_val": pa.array(sig.reshape(-1)),
+                "vec_id": pa.array(np.repeat(ids, _ND_BANDS)),
+            }
+        )
 
-    import pandas as pd
-
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates("vec_id").sort_values("vec_id")
-        ids = df["vec_id"].to_numpy().astype(np.int64)
+    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(df["vec_id"].to_numpy().astype(np.int64))  # sorted
         n = len(ids)
         if n < 2:
             return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
@@ -312,40 +344,98 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
                 n, _ND_MAX_BUCKET, _ND_MAX_BUCKET,
                 n * (n - 1) // 2 - _ND_MAX_BUCKET * (_ND_MAX_BUCKET - 1) // 2,
             )
-            df = df.head(_ND_MAX_BUCKET)
             ids = ids[:_ND_MAX_BUCKET]
             n = len(ids)
-        units = np.stack([np.frombuffer(b, dtype=np.float64) for b in df["unit"]])
-        sims = units @ units.T
         iu = np.triu_indices(n, k=1)
-        hits = sims[iu] >= threshold
-        return pd.DataFrame(
+        return pd.DataFrame({"vec_a": ids[iu[0]], "vec_b": ids[iu[1]]})
+
+    signed = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(sign, batch_format="pyarrow")
+    cand_blocks = [
+        ray.get(r)
+        for r in signed.groupby(["band", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .materialize()
+        .to_arrow_refs()
+    ]
+    cand_blocks = [b for b in cand_blocks if b.num_rows]  # empty-schema blocks
+    if not cand_blocks:
+        return empty
+    cand_tbl = pa.concat_tables(cand_blocks, promote_options="default")
+    # cross-band duplicate candidates collapse here (tiny id pairs)
+    cand_pd = (
+        cand_tbl.select(["vec_a", "vec_b"])
+        .to_pandas()
+        .drop_duplicates(["vec_a", "vec_b"])
+    )
+    cands = rd.from_arrow(
+        pa.table(
             {
-                "vec_a": ids[iu[0][hits]],
-                "vec_b": ids[iu[1][hits]],
-                "cosine": sims[iu][hits].round(6),
+                "vec_a": pa.array(cand_pd["vec_a"].astype("int64")),
+                "vec_b": pa.array(cand_pd["vec_b"].astype("int64")),
+            }
+        )
+    )
+    need = pc.unique(
+        pa.concat_arrays(
+            [
+                pa.array(cand_pd["vec_a"].astype("int64")),
+                pa.array(cand_pd["vec_b"].astype("int64")),
+            ]
+        )
+    )
+    need_ref = ray.put(need)
+    units = (
+        _emb(sf_dir, ["vec_id", "embedding"])
+        .map_batches(_UnitVectors(need_ref), batch_format="pyarrow")
+        .materialize()
+    )
+    u_a = units.map_batches(
+        lambda t: t.rename_columns(["vec_a", "unit_a"]), batch_format="pyarrow"
+    )
+    u_b = units.map_batches(
+        lambda t: t.rename_columns(["vec_b", "unit_b"]), batch_format="pyarrow"
+    )
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    n_parts = max(2, min(8, cpus // 2))
+    agg_args = {"num_cpus": 0.5}
+    joined = cands.join(
+        u_a,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("vec_a",),
+        aggregator_ray_remote_args=agg_args,
+    ).join(
+        u_b,
+        join_type="inner",
+        num_partitions=n_parts,
+        on=("vec_b",),
+        aggregator_ray_remote_args=agg_args,
+    )
+    thr = float(threshold)
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        a = np.stack([np.frombuffer(b, dtype=np.float64) for b in t["unit_a"].to_pylist()])
+        b = np.stack([np.frombuffer(b_, dtype=np.float64) for b_ in t["unit_b"].to_pylist()])
+        cos = np.einsum("ij,ij->i", a, b).round(6)
+        keep = cos >= thr
+        return pa.table(
+            {
+                "vec_a": pc.cast(t["vec_a"], pa.int64()).filter(pa.array(keep)),
+                "vec_b": pc.cast(t["vec_b"], pa.int64()).filter(pa.array(keep)),
+                "cosine": pa.array(cos[keep], pa.float64()),
             }
         )
 
-    signed = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(sign, batch_format="pyarrow")
-    out = (
-        signed.groupby(["band", "band_val"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if out.empty or "vec_a" not in out.columns:
-        return pa.table(
-            {
-                "vec_a": pa.array([], pa.int64()),
-                "vec_b": pa.array([], pa.int64()),
-                "cosine": pa.array([], pa.float64()),
-            }
-        )
-    out = out.drop_duplicates(["vec_a", "vec_b"]).sort_values(["vec_a", "vec_b"])
-    return pa.table(
-        {
-            "vec_a": pa.array(out["vec_a"].astype("int64")),
-            "vec_b": pa.array(out["vec_b"].astype("int64")),
-            "cosine": pa.array(out["cosine"].astype("float64")),
-        }
-    )
+    parts = [
+        ray.get(r)
+        for r in joined.map_batches(verify, batch_format="pyarrow")
+        .materialize()
+        .to_arrow_refs()
+    ]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return empty
+    out = pa.concat_tables(parts, promote_options="default")
+    return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
