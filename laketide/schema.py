@@ -84,10 +84,44 @@ def payload_columns_of(schema: pa.Schema) -> dict[str, pa.DataType]:
     return {f.name: f.type for f in schema if f.name not in skip}
 
 
+def _is_listish(t: pa.DataType) -> bool:
+    return pa.types.is_list(t) or pa.types.is_large_list(t)
+
+
+def _wrap_scalar_as_list(col: pa.ChunkedArray, target: pa.DataType) -> pa.ChunkedArray:
+    """Promote a SCALAR column to ``list<value>``: each non-null value
+    becomes a single-element list, nulls stay null. The Arrow analog of
+    the reference's FlexibleStringArray scalar-or-list YAML decode
+    (/root/reference/internal/types/types.go:247-271). Vectorized:
+    offsets from a cumulative validity sum; a null offset marks a null
+    list."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    chunks = []
+    for chunk in (col.chunks if isinstance(col, pa.ChunkedArray) else [col]):
+        valid = pc.is_valid(chunk).to_numpy(zero_copy_only=False)
+        values = chunk.filter(pa.array(valid))
+        if values.type != target.value_type:
+            values = values.cast(target.value_type)
+        offs = np.zeros(len(chunk) + 1, dtype=np.int64)
+        np.cumsum(valid, out=offs[1:])
+        # a null at offsets[i] marks ELEMENT i null (Arrow convention);
+        # offs[:n] is the prefix-sum start of each element
+        off_arr = pa.array(
+            [int(offs[i]) if valid[i] else None for i in range(len(chunk))]
+            + [int(offs[len(chunk)])],
+            pa.int32(),
+        )
+        chunks.append(pa.ListArray.from_arrays(off_arr, values).cast(target))
+    return pa.chunked_array(chunks, target)
+
+
 def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
     """Project ``table`` to ``schema``: add missing columns as nulls, cast
-    mismatched types, order columns. The Arrow analog of the reference's
-    relaxing migration (summary -> nullable)."""
+    mismatched types (wrapping scalars as single-element lists when the
+    target is a list type), order columns. The Arrow analog of the
+    reference's relaxing migration (summary -> nullable)."""
     cols = []
     n = table.num_rows
     names = set(table.column_names)
@@ -95,7 +129,14 @@ def conform(table: pa.Table, schema: pa.Schema) -> pa.Table:
         if field.name in names:
             col = table.column(field.name)
             if col.type != field.type:
-                col = col.cast(field.type)
+                if (
+                    _is_listish(field.type)
+                    and not _is_listish(col.type)
+                    and not pa.types.is_null(col.type)
+                ):
+                    col = _wrap_scalar_as_list(col, field.type)
+                else:
+                    col = col.cast(field.type)
             cols.append(col)
         else:
             cols.append(pa.nulls(n, field.type))
@@ -108,16 +149,46 @@ def unify(a: pa.Schema, b: pa.Schema) -> pa.Schema:
     Colliding field names TYPE-PROMOTE (null -> anything, int -> float,
     ...): a payload column that first appears all-null (inferred
     ``null``) or narrower must not pin its type forever — the next
-    epoch's real values would fail conform()'s cast mid-replay."""
+    epoch's real values would fail conform()'s cast mid-replay.
+
+    Scalar vs ``list<T>`` collisions promote to the LIST side (the
+    reference's FlexibleStringArray scalar-or-list rule,
+    /root/reference/internal/types/types.go:247-271); conform() then
+    wraps scalars as single-element lists."""
     try:
         return pa.unify_schemas([a, b], promote_options="permissive")
     except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
-        # genuinely incompatible (e.g. string vs struct): keep the
-        # first-seen type; conform() will surface the cast error with
-        # the offending column name
-        fields = list(a)
+        # field-wise: list-vs-scalar promotes to list of the promoted
+        # value type; anything still incompatible (e.g. string vs
+        # struct) keeps the first-seen type and conform() surfaces the
+        # cast error with the offending column name
+        b_by_name = {f.name: f for f in b}
+        fields = []
+        for f in a:
+            other = b_by_name.get(f.name)
+            fields.append(
+                f if other is None else pa.field(f.name, _promote_pair(f.type, other.type))
+            )
         seen = {f.name for f in a}
         for f in b:
             if f.name not in seen:
                 fields.append(f)
         return pa.schema(fields)
+
+
+def _promote_pair(ta: pa.DataType, tb: pa.DataType) -> pa.DataType:
+    """Promote two colliding field types; list-vs-scalar widens to
+    ``list<promoted value type>``. Falls back to the first-seen type."""
+    if ta.equals(tb):
+        return ta
+    if _is_listish(ta) or _is_listish(tb):
+        va = ta.value_type if _is_listish(ta) else ta
+        vb = tb.value_type if _is_listish(tb) else tb
+        return pa.list_(_promote_pair(va, vb))
+    try:
+        return pa.unify_schemas(
+            [pa.schema([("x", ta)]), pa.schema([("x", tb)])],
+            promote_options="permissive",
+        ).field("x").type
+    except (pa.ArrowInvalid, pa.ArrowTypeError, TypeError):
+        return ta

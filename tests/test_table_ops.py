@@ -254,6 +254,61 @@ def test_zip_jsonl_source(tmp_path):
     assert "evil" not in st["repo"].to_pylist()  # the slip member was excluded
 
 
+def test_scalar_list_promotion_unify_conform():
+    """M4 FlexibleStringArray analog (reference types.go:247-271):
+    scalar vs list<T> field collisions promote to the list side and
+    conform() wraps scalars as single-element lists (nulls stay null)."""
+    import laketide.schema as S2
+
+    a = pa.schema([("tags", pa.string())])
+    b = pa.schema([("tags", pa.list_(pa.string()))])
+    assert S2.unify(a, b).field("tags").type == pa.list_(pa.string())
+    assert S2.unify(b, a).field("tags").type == pa.list_(pa.string())
+    # value types promote too: int scalar vs list<double> -> list<double>
+    u3 = S2.unify(
+        pa.schema([("x", pa.int64())]), pa.schema([("x", pa.list_(pa.float64()))])
+    )
+    assert u3.field("x").type == pa.list_(pa.float64())
+    t = pa.table({"tags": pa.array(["a", None, "b"])})
+    out = S2.conform(t, pa.schema([("tags", pa.list_(pa.string()))]))
+    assert out["tags"].to_pylist() == [["a"], None, ["b"]]
+    # multi-chunk input exercises the per-chunk offset build
+    t2 = pa.table(
+        {"tags": pa.chunked_array([pa.array([None, "x"]), pa.array(["y"])])}
+    )
+    out2 = S2.conform(t2, pa.schema([("tags", pa.list_(pa.string()))]))
+    assert out2["tags"].to_pylist() == [None, ["x"], ["y"]]
+
+
+def test_zip_jsonl_scalar_vs_list_column(tmp_path):
+    """A source column mixing scalar and list values across members must
+    promote to list<string> with scalars wrapped — not drop data on
+    conform()'s cast (the r2 verdict's M4 gap)."""
+    import zipfile
+
+    zp = str(tmp_path / "events.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr(
+            "m1.jsonl",
+            '{"repo":"r","path":"a","commit":"c0000000001","seq":1,'
+            '"op":"insert","content":"x","tags":"python"}\n',
+        )
+        zf.writestr(
+            "m2.jsonl",
+            '{"repo":"r","path":"b","commit":"c0000000002","seq":2,'
+            '"op":"insert","content":"y","tags":["go","rust"]}\n',
+        )
+    ds = registry.read_source("zip-jsonl", zp)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t.apply_epoch(ds)
+    st = t.state_table()
+    assert st.num_rows == 2
+    tags = {
+        st["path"][i].as_py(): st["tags"][i].as_py() for i in range(st.num_rows)
+    }
+    assert tags == {"a": ["python"], "b": ["go", "rust"]}
+
+
 def test_embedding_near_dup_runs_deterministic():
     from laketide.functions.similarity import embedding_near_dup
 
