@@ -347,3 +347,108 @@ def osv_like_normalizer(batch: pa.Table) -> pa.Table:
 
 
 register(Source("osv-jsonl", lambda p: rd.read_json(p), osv_like_normalizer))
+
+
+# -------------------------------------- path-derived-column source (M8)
+# Package-manager slug prefix -> canonical ecosystem, the reference's
+# extractEcosystemFromPackageSlug mapping
+# (/root/reference/internal/merger/normalizer.go:313-336; the fetcher
+# applies the same derivation to file paths, gitlab/fetcher.go:249-255).
+_ECOSYSTEM_KEYS = pa.array(
+    ["gem", "ruby", "npm", "node", "pip", "python", "pypi",
+     "go", "golang", "maven", "java", "nuget", "dotnet", ".net"]
+)
+_ECOSYSTEM_VALS = pa.array(
+    ["rubygems", "rubygems", "npm", "npm", "pypi", "pypi", "pypi",
+     "go", "go", "maven", "maven", "nuget", "nuget", "nuget"]
+)
+
+
+def slug_to_ecosystem(col: "pa.ChunkedArray | pa.Array") -> "pa.Array":
+    """Derive the ecosystem from a package slug's FIRST path segment via
+    the mapping table; unmapped prefixes pass through lowercased, null
+    slugs become 'unknown'. Fully vectorized (split + index_in + take)."""
+    col = pc.cast(col, pa.string())
+    first = pc.utf8_lower(pc.list_element(pc.split_pattern(col, "/"), 0))
+    mapped = pc.take(_ECOSYSTEM_VALS, pc.index_in(first, value_set=_ECOSYSTEM_KEYS))
+    return pc.coalesce(mapped, first, pa.scalar("unknown"))
+
+
+def summarize_description(col: "pa.ChunkedArray | pa.Array") -> "pa.Array":
+    """Preferred-description projection (M8/M9 analog, reference
+    normalizer.go:339-356): short descriptions pass through; otherwise
+    the first '. '-sentence if it fits in 100 chars (dot restored), else
+    a 97-char truncation with '...'. Vectorized."""
+    col = pc.cast(col, pa.string())
+    n_chars = pc.utf8_length(col)
+    first = pc.list_element(pc.split_pattern(col, ". "), 0)
+    first_dot = pc.binary_join_element_wise(first, ".", "")
+    trunc = pc.binary_join_element_wise(
+        pc.utf8_slice_codeunits(col, 0, 97), "...", ""
+    )
+    return pc.if_else(
+        pc.less_equal(n_chars, 100),
+        col,
+        pc.if_else(pc.less_equal(pc.utf8_length(first), 100), first_dot, trunc),
+    )
+
+
+def gitlab_like_normalizer(batch: pa.Table) -> pa.Table:
+    """Project GitLab-advisory-shaped records (identifier, package_slug,
+    description, date) onto canonical events: repo/lang = slug-derived
+    ecosystem, path = the slug minus its package-manager prefix, commit
+    from the multi-format date (M13), content = the summarized
+    description. A batch missing any required column yields zero events
+    (I6)."""
+    required = ("identifier", "package_slug")
+    if batch.num_rows == 0 or any(c not in batch.column_names for c in required):
+        return _CANON.empty_table()
+    n = batch.num_rows
+    slug = pc.cast(batch["package_slug"], pa.string())
+    eco = slug_to_ecosystem(slug)
+    # path = slug with the leading "<manager>/" stripped; a one-segment
+    # slug keeps itself as the name
+    name = pc.replace_substring_regex(slug, r"^[^/]*/", "")
+    date_col = (
+        batch["date"]
+        if "date" in batch.column_names
+        else pa.nulls(n, pa.string())
+    )
+    ts = parse_timestamp_multi(date_col)
+    micros = pc.cast(pc.fill_null(pc.cast(ts, pa.int64()), 0), pa.int64())
+    commit = pc.binary_join_element_wise(
+        pa.array(["c"] * n), pc.utf8_lpad(pc.cast(micros, pa.string()), 20, "0"), ""
+    )
+    desc = (
+        summarize_description(batch["description"])
+        if "description" in batch.column_names
+        else pa.nulls(n, pa.string())
+    )
+    import numpy as np
+    import pandas as pd
+
+    seq = (
+        pd.util.hash_array(
+            pc.cast(batch["identifier"], pa.string())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            categorize=False,
+        ).astype(np.uint64)
+        >> np.uint64(2)
+    ).astype(np.int64)
+    out = pa.table(
+        {
+            "repo": eco,
+            "path": name,
+            "commit": commit,
+            "seq": pa.array(seq),
+            "op": pa.array(["update"] * n, pa.string()),
+            "lang": eco,
+            "content": desc,
+            "sources": pa.array([["gitlab"]] * n, pa.list_(pa.string())),
+        }
+    )
+    return _canonical_normalizer(out)
+
+
+register(Source("gitlab-jsonl", lambda p: rd.read_json(p), gitlab_like_normalizer))

@@ -724,6 +724,78 @@ def test_osv_like_nested_source(tmp_path):
     assert t.state_table().num_rows == 3
 
 
+def test_gitlab_like_path_derived_source(tmp_path):
+    """M8: slug->ecosystem path-derived mapping plus preferred-description
+    summary projection, replayed through the engine."""
+    import json
+
+    from laketide.pipelines.cdc import LakeTable
+    from laketide.sources import registry
+
+    long_desc = (
+        "A heap overflow was found in the frob parser. "
+        + "Attackers sending crafted input may execute arbitrary code "
+        + "under some configurations of the service daemon process tree."
+    )
+    no_sentence = "x" * 150  # no '. ' boundary -> 97-char truncation
+    recs = [
+        {"identifier": "GL-1", "package_slug": "gem/rails-html-sanitizer",
+         "description": "short desc", "date": "2024-02-01T00:00:00Z"},
+        {"identifier": "GL-2", "package_slug": "pip/requests",
+         "description": long_desc, "date": "2024-03-05"},
+        {"identifier": "GL-3", "package_slug": "go/github.com/acme/frob",
+         "description": no_sentence, "date": "2024-03-06 10:00:00"},
+        {"identifier": "GL-4", "package_slug": "conan/openssl",
+         "description": "unmapped manager passes through", "date": "2024-03-07"},
+    ]
+    p = str(tmp_path / "gitlab.jsonl")
+    with open(p, "w") as fh:
+        for r in recs:
+            fh.write(json.dumps(r) + "\n")
+    ds = registry.read_source("gitlab-jsonl", p)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2)
+    t.apply_epoch(ds)
+    st = t.state_table()
+    keys = {(r["repo"], r["path"]): r for r in st.to_pylist()}
+    # slug prefix maps through the ecosystem table; unmapped passes through
+    assert set(keys) == {
+        ("rubygems", "rails-html-sanitizer"),
+        ("pypi", "requests"),
+        ("go", "github.com/acme/frob"),
+        ("conan", "openssl"),
+    }
+    # preferred-description rules
+    assert keys[("rubygems", "rails-html-sanitizer")]["content"] == "short desc"
+    assert (
+        keys[("pypi", "requests")]["content"]
+        == "A heap overflow was found in the frob parser."
+    )
+    assert keys[("go", "github.com/acme/frob")]["content"] == "x" * 97 + "..."
+    # commit derives from the parsed multi-format date
+    assert keys[("pypi", "requests")]["commit"] < keys[("go", "github.com/acme/frob")]["commit"]
+    # idempotent replay
+    r2 = t.apply_epoch(ds, epoch_id=t.current_epoch() + 1, hwm_filter=False)
+    assert r2["totals"]["stale_dropped"] + r2["totals"]["noops"] > 0
+    assert t.state_table().num_rows == 4
+
+
+def test_slug_and_summary_kernels():
+    """Vectorized kernel edge cases vs the reference's scalar rules."""
+    from laketide.sources.registry import slug_to_ecosystem, summarize_description
+
+    eco = slug_to_ecosystem(
+        pa.array(["NPM/x", "maven/a/b", "weird", None, "nuget/p"])
+    ).to_pylist()
+    assert eco == ["npm", "maven", "weird", "unknown", "nuget"]
+    exactly_100 = "y" * 100
+    s = summarize_description(
+        pa.array([exactly_100, "First bit. More text " + "z" * 100, None])
+    ).to_pylist()
+    assert s[0] == exactly_100  # <=100 passes through
+    assert s[1] == "First bit."
+    assert s[2] is None
+
+
 def test_multi_source_merge_unions_source_tags(tmp_path):
     """The reference's headline merge flow (ingest OSV -> ingest GitLab
     -> the merged record shows source: [osv, gitlab]): two sources emit
