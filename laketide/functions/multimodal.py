@@ -22,6 +22,17 @@ import ray.data as rd
 FEATURE_DIM = 16
 
 
+def _binary_buffers(col: pa.Array) -> tuple[np.ndarray, memoryview]:
+    """Zero-copy (value_offsets, data) view of a (non-null) BinaryArray:
+    per-row slices come from numpy offset arithmetic + one memoryview,
+    never from per-row ``.as_py()`` byte copies."""
+    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = memoryview(col.buffers()[2])
+    return offs, data
+
+
 def blob_table(sf_dir: str) -> rd.Dataset:
     """documents -> (doc_id, payload: binary, n_bytes) — the opaque-blob
     column layout used for image/audio payloads."""
@@ -67,13 +78,25 @@ class StubDecoder:
         return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        feats = [self._features(p.as_py()) for p in t["payload"]]
+        # the hash itself is per-payload (no vectorized blake2b exists),
+        # but everything around it is batched: zero-copy buffer views in
+        # (no per-row .as_py() byte copies), one uint8->float32 matrix op
+        # and an offsets-built list array out — the pattern a real
+        # decoder kernel should follow
+        col = t["payload"].combine_chunks()
+        offs, data = _binary_buffers(col)
+        fd = self.feature_dim
+        digests = b"".join(
+            hashlib.blake2b(data[offs[i] : offs[i + 1]], digest_size=fd).digest()
+            for i in range(len(col))
+        )
+        feats = np.frombuffer(digests, dtype=np.uint8).astype(np.float32) / 255.0
+        features = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (len(col) + 1) * fd, fd, dtype=np.int32)),
+            pa.array(feats, pa.float32()),
+        )
         return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_bytes": t["n_bytes"],
-                "features": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
-            }
+            {"doc_id": t["doc_id"], "n_bytes": t["n_bytes"], "features": features}
         )
 
 
@@ -97,19 +120,30 @@ def frame_sample(sf_dir: str, n_frames: int = 4, frame_bytes: int = 32) -> rd.Da
     ds = blob_table(sf_dir)
 
     def f(t: pa.Table) -> pa.Table:
-        doc_ids, idxs, checksums = [], [], []
-        for doc_id, payload in zip(t["doc_id"].to_pylist(), t["payload"].to_pylist()):
-            n = len(payload)
-            for i in range(n_frames):
-                off = 0 if n <= frame_bytes else (i * max(1, (n - frame_bytes)) // max(1, n_frames - 1))
-                frame = payload[off : off + frame_bytes]
-                doc_ids.append(doc_id)
-                idxs.append(i)
-                checksums.append(hashlib.sha256(frame).hexdigest())
+        # frame offsets are pure arithmetic: one (rows x frames) numpy
+        # grid, then each frame hashes from a zero-copy buffer slice
+        # (sha256 itself stays per-frame — no vectorized kernel exists)
+        col = t["payload"].combine_chunks()
+        offs, data = _binary_buffers(col)
+        n = len(col)
+        lens = offs[1:] - offs[:-1]  # (n,)
+        fi = np.arange(n_frames, dtype=np.int64)  # (frames,)
+        rel = np.where(
+            lens[:, None] <= frame_bytes,
+            0,
+            (fi[None, :] * np.maximum(1, lens - frame_bytes)[:, None])
+            // max(1, n_frames - 1),
+        )
+        starts = (offs[:-1][:, None] + rel).ravel()
+        ends = np.minimum(starts + frame_bytes, np.repeat(offs[1:], n_frames))
+        checksums = [
+            hashlib.sha256(data[s:e]).hexdigest() for s, e in zip(starts, ends)
+        ]
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "frame_idx": pa.array(idxs, pa.int64()),
+                "doc_id": pa.array(np.repeat(ids, n_frames), pa.int64()),
+                "frame_idx": pa.array(np.tile(fi, n), pa.int64()),
                 "frame_sha": pa.array(checksums, pa.string()),
             }
         )
