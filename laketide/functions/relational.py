@@ -190,17 +190,21 @@ def window_counts(sf_dir: str) -> rd.Dataset:
     small groupby shuffle."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts"])
 
-    def pre(df: pd.DataFrame) -> pd.DataFrame:
-        df["window_start"] = df["ts"].dt.floor("h")
-        out = (
-            df.groupby(["event_type", "window_start"], as_index=False, dropna=False)
-            .size()
-            .rename(columns={"size": "n"})
+    def pre(t: pa.Table) -> pa.Table:
+        # zero-copy Arrow pre-agg: floor_temporal + native group count
+        # (was a pandas dt.floor round-trip, the last pandas conversion
+        # in the relational hot paths)
+        tmp = pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.floor_temporal(t["ts"], unit="hour"),
+            }
         )
-        return out
+        out = tmp.group_by(["event_type", "window_start"]).aggregate([([], "count_all")])
+        return out.rename_columns(["event_type", "window_start", "n"])
 
     return (
-        ds.map_batches(pre, batch_format="pandas")
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("n", alias_name="n"))
     )

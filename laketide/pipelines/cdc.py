@@ -323,7 +323,13 @@ class _SpillShards:
 
         limit_arrow_threads(1)
         if batch.num_rows == 0:
-            return pa.table({"file": pa.array([], pa.string()), "rows": pa.array([], pa.int64())})
+            return pa.table(
+                {
+                    "file": pa.array([], pa.string()),
+                    "rows": pa.array([], pa.int64()),
+                    "parts": pa.array([], pa.list_(pa.int64())),
+                }
+            )
         batch = batch.sort_by([(S.PART_COLUMN, "ascending")])
         parts = batch[S.PART_COLUMN].to_numpy()
         import numpy as np
@@ -345,14 +351,39 @@ class _SpillShards:
             for lo, hi in zip(boundaries[:-1], boundaries[1:]):
                 w.write_table(batch.slice(lo, hi - lo))
         os.replace(tmp, path)
-        return pa.table({"file": [path], "rows": [batch.num_rows]})
+        # row-group -> partition index (row group i holds partition
+        # rg_parts[i]): returned with the summary so reduce tasks never
+        # re-open footers (P x F -> F metadata reads per epoch) and skip
+        # files without their partition entirely
+        rg_parts = [int(parts[lo]) for lo in boundaries[:-1]]
+        return pa.table(
+            {
+                "file": [path],
+                "rows": [batch.num_rows],
+                "parts": pa.array([rg_parts], pa.list_(pa.int64())),
+            }
+        )
 
 
-def _read_partition_rows(files: list[str], part: int) -> list[pa.Table]:
-    """Read one partition's row groups from partition-aligned spill files
-    (one footer read per file; groups matched via min==max==part stats)."""
+def _read_partition_rows(
+    file_index: list[tuple[str, tuple[int, ...] | None]], part: int
+) -> list[pa.Table]:
+    """Read one partition's row groups from partition-aligned spill
+    files. Each entry is ``(path, rg_parts)`` where ``rg_parts[i]`` is
+    the partition held by row group ``i`` (returned by the map side with
+    its summary row) — files without this partition are skipped without
+    even a footer read. ``rg_parts=None`` falls back to the footer
+    min/max stats scan."""
     tbls = []
-    for f in files:
+    for f, rg_parts in file_index:
+        if rg_parts is not None:
+            rgs = [i for i, p in enumerate(rg_parts) if p == part]
+            if not rgs:
+                continue
+            pf = pq.ParquetFile(f)
+            for rg in rgs:
+                tbls.append(pf.read_row_group(rg))
+            continue
         pf = pq.ParquetFile(f)
         meta = pf.metadata
         col_idx = pf.schema_arrow.names.index(S.PART_COLUMN)
@@ -363,7 +394,7 @@ def _read_partition_rows(files: list[str], part: int) -> list[pa.Table]:
     return tbls
 
 
-def _make_reduce_fn(files: list[str], apply_fn):
+def _make_reduce_fn(file_index: list[tuple[str, tuple[int, ...] | None]], apply_fn):
     """Reduce side: one task per partition id; reads only that partition's
     row groups from every spill file."""
 
@@ -374,7 +405,7 @@ def _make_reduce_fn(files: list[str], apply_fn):
         wanted = batch["part"].to_pylist()
         outs = []
         for p in wanted:
-            tbls = _read_partition_rows(files, p)
+            tbls = _read_partition_rows(file_index, p)
             if tbls:
                 outs.append(apply_fn(pa.concat_tables(tbls)))
         if not outs:
@@ -644,16 +675,19 @@ class LakeTable:
             retry_exceptions=True,
             max_retries=2,
         ).take_all()
-        files = sorted(r["file"] for r in summaries)
+        file_index = sorted(
+            (r["file"], tuple(r["parts"]) if r.get("parts") is not None else None)
+            for r in summaries
+        )
         if mode == "actor":
-            return self._actor_apply(epoch_id, files, hwm_filter)
+            return self._actor_apply(epoch_id, file_index, hwm_filter)
         # Reduce side as raw Ray tasks (one per partition): a fixed
         # fan-out with no data-plane streaming — raw tasks start in
         # milliseconds where a second Dataset pipeline costs ~1s of
         # fixed latency per epoch.
         import ray as _ray
 
-        reduce_fn = _make_reduce_fn(files, fn)
+        reduce_fn = _make_reduce_fn(file_index, fn)
 
         @_ray.remote(num_cpus=1)
         def _reduce_task(part: int):
@@ -664,7 +698,7 @@ class LakeTable:
         return [row for rows in _ray.get(futures) for row in rows]
 
     def _actor_apply(
-        self, epoch_id: int, files: list[str], hwm_filter: bool = True
+        self, epoch_id: int, file_index: list, hwm_filter: bool = True
     ) -> list[dict]:
         """Stateful actor-pool appliers (reference ST1): partitions route
         to persistent actors (part % n_actors) that cache their shard's
@@ -692,7 +726,7 @@ class LakeTable:
             parts = [p for p in range(self.num_partitions) if p % len(pool) == i]
             futures.append(
                 actor.apply_many.remote(
-                    epoch_id, parts, files, hwms, cur_files, staging_dir, hwm_filter
+                    epoch_id, parts, file_index, hwms, cur_files, staging_dir, hwm_filter
                 )
             )
         return [row for rows in _ray.get(futures) for row in rows]
@@ -1406,14 +1440,18 @@ class LakeTable:
         summaries = _ray.get(
             [spill_old.remote(dict(info)) for info in man.partitions.values()]
         )
-        files = sorted(r["file"] for rows in summaries for r in rows)
+        file_index = sorted(
+            (r["file"], tuple(r["parts"]) if r.get("parts") is not None else None)
+            for rows in summaries
+            for r in rows
+        )
 
         @_ray.remote(num_cpus=1)
         def build_new(p: int) -> dict:
             from laketide.stages.apply import limit_arrow_threads
 
             limit_arrow_threads(1)
-            tbls = _read_partition_rows(files, p)
+            tbls = _read_partition_rows(file_index, p)
             if not tbls:
                 return {"part": p}
             sub = pa.concat_tables(tbls).drop_columns([S.PART_COLUMN])

@@ -133,21 +133,23 @@ class ApplierActor:
         self,
         epoch_id: int,
         parts: list[int],
-        files: list[str],
+        file_index: list,
         hwms: dict[int, tuple[str, int]],
         cur_files: dict[int, str | None],
         staging_dir: str,
         hwm_filter: bool = True,
     ) -> list[dict[str, Any]]:
         """Read each assigned partition's pruned row groups from the
-        exchange spill files (shared helper) and apply. Partitions with
-        no events this epoch are skipped (same semantics as the
-        task-based paths)."""
+        exchange spill files (shared helper; ``file_index`` carries the
+        map side's row-group->partition index so files without the
+        partition are skipped without a footer read) and apply.
+        Partitions with no events this epoch are skipped (same semantics
+        as the task-based paths)."""
         from laketide.pipelines.cdc import _read_partition_rows
 
         rows = []
         for part in parts:
-            tbls = _read_partition_rows(files, part)
+            tbls = _read_partition_rows(file_index, part)
             if not tbls:
                 continue
             ev = pa.concat_tables(tbls)

@@ -254,6 +254,51 @@ def test_storage_exchange_matches_groupby_and_oracle(changelog, tmp_path):
     assert _keymap(t1.state_table()) == _keymap(t2.state_table())
 
 
+def test_spill_partition_index_skips_unrelated_files(tmp_path, monkeypatch):
+    """The map side returns a row-group->partition index with each spill
+    summary; the reduce side must (a) read identical rows to the legacy
+    footer-stats scan and (b) never even OPEN a file that lacks its
+    partition (P x F -> F metadata reads per epoch)."""
+    import pyarrow as pa
+
+    from laketide import schema as S2
+    from laketide.pipelines import cdc as C
+
+    def batch(parts, tag):
+        order = sorted(range(len(parts)), key=lambda i: parts[i])
+        return pa.table(
+            {
+                "k": pa.array([f"{tag}{i}" for i in order], pa.string()),
+                S2.PART_COLUMN: pa.array([parts[i] for i in order], pa.int64()),
+            }
+        )
+
+    ex = str(tmp_path / "ex")
+    spill = C._SpillShards(ex)
+    s1 = spill(batch([0, 0, 1, 2], "a"))  # parts {0,1,2}
+    s2 = spill(batch([3, 3, 4], "b"))  # parts {3,4} — no part 1
+    index = [
+        (r["file"], tuple(r["parts"])) for r in s1.to_pylist() + s2.to_pylist()
+    ]
+    legacy = [(f, None) for f, _ in index]
+
+    opens = []
+    real_pf = C.pq.ParquetFile
+    monkeypatch.setattr(
+        C.pq, "ParquetFile", lambda f, *a, **k: opens.append(f) or real_pf(f, *a, **k)
+    )
+    got = C._read_partition_rows(index, 1)
+    assert opens == [index[0][0]]  # only the file that has part 1
+    opens.clear()
+    ref = C._read_partition_rows(legacy, 1)
+    assert len(opens) == 2  # the legacy scan opened every footer
+    assert pa.concat_tables(got).equals(pa.concat_tables(ref))
+    # a partition nobody has: zero opens, zero rows
+    opens.clear()
+    assert C._read_partition_rows(index, 9) == []
+    assert opens == []
+
+
 def test_pluggable_merge_strategy_longest(tmp_path):
     """Reference E4/R6: 'longer content wins' merge strategy, checked
     against a DuckDB window oracle ordering by content length."""
