@@ -377,6 +377,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         "knn_lsh": _knn_lsh_oracle(),
         "embedding_label_count": "SELECT label, count(*) AS n FROM embeddings GROUP BY 1",
+        # doc_fingerprint stays rows-only BY DESIGN: the polynomial fold
+        # itself is SQL-expressible (HUGEINT hi/lo mulmod-2^64), but its
+        # per-token hashes come from pandas' KEYED siphash
+        # (hash_array(categorize=False), fixed internal key) which no
+        # DuckDB builtin reproduces; re-deriving token hashes per
+        # character in SQL would need wraparound mulmod inside a nested
+        # list_reduce (no macros in a single oracle statement), and
+        # switching the kernel to a SQL-friendly per-token md5 would
+        # de-vectorize the hot path. Correctness is instead pinned by
+        # test_doc_fingerprint_vectorized_matches_scalar (vectorized
+        # kernel == scalar Python reference, incl. edge whitespace).
         # embedding_near_dup stays rows-only BY DESIGN: banded-LSH recall
         # at the 0.92 threshold is ~0.80 (1-(1-p^8)^4, p=1-acos(0.92)/pi),
         # so equality with an exact O(n^2) oracle would be data-luck, not

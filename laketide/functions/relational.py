@@ -67,8 +67,24 @@ def _cents(expr) -> pa.ChunkedArray:
     return pc.cast(pc.round(pc.multiply(expr, pa.scalar(100.0)), **_CENTS), pa.int64())
 
 
+def _from_pandas(df: "pd.DataFrame") -> pa.Table:
+    """pa.Table.from_pandas WITHOUT the pandas schema metadata: the
+    metadata dict makes block schemas unhashable inside Ray's shuffle
+    planners ("Failed to hash the schemas" log storms)."""
+    return pa.Table.from_pandas(df, preserve_index=False).replace_schema_metadata(None)
+
+
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    # pandas-written parquet carries dict-valued schema metadata that
+    # Ray's join aggregators cannot hash ("Failed to hash the schemas"
+    # log storms); scrub it at the read so every downstream op sees a
+    # clean schema
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 # ---------------------------------------------------------------- events CDC
@@ -223,7 +239,7 @@ def value_cents_by_user_type(sf_dir: str) -> rd.Dataset:
         out = df.groupby(["user_id", "event_type"], as_index=False, dropna=False).agg(
             partial=("value", "sum"), cnt=("value", "size")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _from_pandas(out)
 
     agg = (
         ds.map_batches(pre, batch_format="pyarrow")
@@ -268,7 +284,7 @@ def q1_pricing(sf_dir: str) -> rd.Dataset:
         out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False, dropna=False).agg(
             qty=("qty", "sum"), rev=("rev", "sum"), cnt=("qty", "size")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _from_pandas(out)
 
     agg = (
         ds.map_batches(pre, batch_format="pyarrow")
@@ -335,7 +351,7 @@ def join_customer_orders(sf_dir: str) -> rd.Dataset:
         out = df.groupby("c_mktsegment", as_index=False, dropna=False).agg(
             cents=("cents", "sum"), n=("one", "sum")
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _from_pandas(out)
 
     agg = (
         _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
@@ -368,10 +384,7 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
         df = pd.DataFrame(
             {"l_orderkey": t["l_orderkey"].to_pandas(), "rev": pc.cast(rev, pa.float64()).to_numpy()}
         )
-        return pa.Table.from_pandas(
-            df.groupby("l_orderkey", as_index=False, dropna=False).agg(rev=("rev", "sum")),
-            preserve_index=False,
-        )
+        return _from_pandas(df.groupby("l_orderkey", as_index=False, dropna=False).agg(rev=("rev", "sum")))
 
     li_partial = li.map_batches(pre_li, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
@@ -387,10 +400,7 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
         df = pd.DataFrame(
             {"o_orderstatus": t["o_orderstatus"].to_pandas(), "rev": t["rev"].to_numpy(zero_copy_only=False)}
         )
-        return pa.Table.from_pandas(
-            df.groupby("o_orderstatus", as_index=False).agg(rev=("rev", "sum")),
-            preserve_index=False,
-        )
+        return _from_pandas(df.groupby("o_orderstatus", as_index=False).agg(rev=("rev", "sum")))
 
     agg = (
         joined.map_batches(pre, batch_format="pyarrow")
@@ -746,10 +756,7 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
         df = pd.DataFrame(
             {"l_orderkey": t["l_orderkey"].to_pandas(), "rev": pc.cast(rev, pa.float64()).to_numpy()}
         )
-        return pa.Table.from_pandas(
-            df.groupby("l_orderkey", as_index=False, dropna=False).agg(rev=("rev", "sum")),
-            preserve_index=False,
-        )
+        return _from_pandas(df.groupby("l_orderkey", as_index=False, dropna=False).agg(rev=("rev", "sum")))
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     joined = li.map_batches(pre_li, batch_format="pyarrow", zero_copy_batch=True).join(
@@ -767,10 +774,7 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
         mapping = ray.get(cust_to_region)
         regions = pd.Series(t["o_custkey"].to_pandas()).map(mapping).to_numpy()
         df = pd.DataFrame({"r_name": regions, "rev": t["rev"].to_numpy(zero_copy_only=False)})
-        return pa.Table.from_pandas(
-            df.groupby("r_name", as_index=False, dropna=False).agg(rev=("rev", "sum")),
-            preserve_index=False,
-        )
+        return _from_pandas(df.groupby("r_name", as_index=False, dropna=False).agg(rev=("rev", "sum")))
 
     agg = (
         joined.map_batches(to_region, batch_format="pyarrow")
