@@ -155,6 +155,10 @@ def _train_centroids(
         .map_batches(sample, batch_format="pyarrow")
         .to_pandas()
     )
+    # block-arrival order is nondeterministic and the seeded init picks
+    # POSITIONS — canonicalize by vec_id or two runs train different
+    # quantizers (observed as a knn_ivf determinism flake)
+    tbl = tbl.sort_values("vec_id").reset_index(drop=True)
     mat = np.stack(tbl["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
     rng = np.random.RandomState(seed)
