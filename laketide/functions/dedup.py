@@ -241,33 +241,143 @@ def _emit_pairs(ids: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
     return ids[iu[0]], ids[iu[1]]
 
 
-def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    ids = np.unique(df["doc_id"].to_numpy())
-    a, b = _emit_pairs(ids, "minhash-lsh")
-    return pd.DataFrame({"doc_a": a.astype(np.int64), "doc_b": b.astype(np.int64)})
+_BUCKET_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _coarse_parts(*cols: np.ndarray, n_parts: int) -> np.ndarray:
+    """Deterministic coarse shuffle key from uint64 column mixes: buckets
+    sharing the key co-locate, so one UDF call can process MANY buckets
+    vectorized (wraparound multiply-xor mix, then mod)."""
+    acc = np.zeros(len(cols[0]), dtype=np.uint64)
+    for c in cols:
+        acc = (acc ^ c.astype(np.uint64)) * _BUCKET_MIX
+    return (acc % np.uint64(n_parts)).astype(np.int64)
+
+
+def _grouped_bucket_pairs(t: pa.Table, what: str = "minhash-lsh") -> pa.Table:
+    """Emit within-bucket candidate pairs for EVERY (band, band_hash)
+    bucket present in one co-located group-batch. One lexsort finds all
+    bucket boundaries; only multi-member buckets (rare — true collisions)
+    enter the per-bucket pair loop. Replaces one-pandas-UDF-call-per-
+    bucket map_groups, which cost ~700us x n_buckets of pure overhead
+    (50 CPU-s at sf0.1 for a 0.25s signature kernel)."""
+    empty = pa.table(
+        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+    )
+    if t.num_rows == 0:
+        return empty
+    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((ids, bh, band))
+    band, bh, ids = band[order], bh[order], ids[order]
+    change = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+    bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [len(ids)]])
+    outs_a: list[np.ndarray] = []
+    outs_b: list[np.ndarray] = []
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        if hi - lo < 2:
+            continue
+        u = np.unique(ids[lo:hi])
+        if len(u) < 2:
+            continue
+        a, b = _emit_pairs(u, what)
+        outs_a.append(a)
+        outs_b.append(b)
+    if not outs_a:
+        return empty
+    # pre-dedup cross-band duplicates already visible in this group
+    pairs = np.unique(
+        np.stack(
+            [np.concatenate(outs_a).astype(np.int64), np.concatenate(outs_b).astype(np.int64)],
+            axis=1,
+        ),
+        axis=0,
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs[:, 0], pa.int64()),
+            "doc_b": pa.array(pairs[:, 1], pa.int64()),
+        }
+    )
+
+
+def _dedup_pairs_group(t: pa.Table) -> pa.Table:
+    """Vectorized exact pair dedup within a co-located group-batch."""
+    if t.num_rows == 0:
+        return pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
+        )
+    pairs = np.unique(
+        np.stack(
+            [
+                t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+            ],
+            axis=1,
+        ),
+        axis=0,
+    )
+    return pa.table(
+        {
+            "doc_a": pa.array(pairs[:, 0], pa.int64()),
+            "doc_b": pa.array(pairs[:, 1], pa.int64()),
+        }
+    )
 
 
 def minhash_lsh_candidates(sf_dir: str) -> rd.Dataset:
-    """Candidate near-dup pairs from MinHash-LSH banding (deduped)."""
+    """Candidate near-dup pairs from MinHash-LSH banding (deduped).
+
+    Shuffle shape: both exchanges key on a COARSE deterministic partition
+    (hash of the bucket / pair mod ~4xCPUs) so each map_groups call
+    handles thousands of buckets vectorized instead of one pandas UDF
+    call per bucket; (band, band_hash) buckets still co-locate inside
+    their coarse partition, so pair emission and dedup stay exact."""
+    import ray as _ray
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4)
     # instance-closure task (perm params built once on the driver and
     # shipped with the fn): actor pools pay ~1.5s startup per query for
     # state that rebuilds in microseconds — reserve them for heavy state
+    hasher = MinHasher()
+
+    def band_with_part(t: pa.Table) -> pa.Table:
+        out = hasher(t)
+        part = _coarse_parts(
+            out["band"].to_numpy(zero_copy_only=False),
+            out["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
+            n_parts=n_parts,
+        )
+        return out.append_column("bucket_part", pa.array(part, pa.int64()))
+
     banded = docs.map_batches(
-        MinHasher(), batch_format="pyarrow", zero_copy_batch=True
+        band_with_part, batch_format="pyarrow", zero_copy_batch=True
     )
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs, batch_format="pandas"
+    pairs = banded.groupby("bucket_part").map_groups(
+        lambda g: _grouped_bucket_pairs(g.drop_columns(["bucket_part"])),
+        batch_format="pyarrow",
     )
 
-    # dedup pairs found in multiple bands: pre-dedup per batch, then one
-    # grouped first — tiny rows, one shuffle
-    def first(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["doc_a", "doc_b"])
+    def pair_with_part(t: pa.Table) -> pa.Table:
+        part = _coarse_parts(
+            t["doc_a"].to_numpy(zero_copy_only=False).view(np.uint64),
+            t["doc_b"].to_numpy(zero_copy_only=False).view(np.uint64),
+            n_parts=n_parts,
+        )
+        return t.append_column("pair_part", pa.array(part, pa.int64()))
 
-    return pairs.map_batches(first, batch_format="pandas").groupby(
-        ["doc_a", "doc_b"]
-    ).map_groups(first, batch_format="pandas")
+    # dedup pairs found in multiple coarse partitions: one more tiny-row
+    # coarse shuffle with vectorized in-group dedup
+    return (
+        pairs.map_batches(pair_with_part, batch_format="pyarrow")
+        .groupby("pair_part")
+        .map_groups(
+            lambda g: _dedup_pairs_group(g.drop_columns(["pair_part"])),
+            batch_format="pyarrow",
+        )
+    )
 
 
 class _ShingleSets:
@@ -489,15 +599,26 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
     candidates generated by 16-bit band collision (any band equal).
     Hot buckets are capped: all-pairs within the first ``_MAX_BUCKET``
     members plus representative-vs-rest, with the drop logged."""
+    import ray as _ray
+
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4)
+    hasher = SimHasher()
+
+    def band_with_part(t: pa.Table) -> pa.Table:
+        out = hasher(t)
+        part = _coarse_parts(
+            out["band"].to_numpy(zero_copy_only=False),
+            out["band_val"].to_numpy(zero_copy_only=False),
+            n_parts=n_parts,
+        )
+        return out.append_column("bucket_part", pa.array(part, pa.int64()))
+
     banded = docs.map_batches(
-        SimHasher(), batch_format="pyarrow", zero_copy_batch=True
+        band_with_part, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def pairs(df: pd.DataFrame) -> pd.DataFrame:
-        rows = df.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy().astype(np.int64)
-        hs = rows["simhash"].to_numpy().astype(np.uint64)
+    def bucket_pairs(ids: np.ndarray, hs: np.ndarray) -> tuple:
         n = len(ids)
         if n > _MAX_BUCKET:
             head = _MAX_BUCKET
@@ -523,15 +644,93 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
             else np.empty(0, dtype=np.int64)
         )
         keep = dist <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "hamming": dist[keep]}
+        return ids[ia[keep]], ids[ib[keep]], dist[keep]
+
+    def grouped_pairs(t: pa.Table) -> pa.Table:
+        # all (band, band_val) buckets of one coarse partition in one
+        # call (same multi-bucket pattern as _grouped_bucket_pairs)
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bval = t["band_val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((ids, bval, band))
+        band, bval, ids, hs = band[order], bval[order], ids[order], hs[order]
+        dup = np.concatenate(
+            [
+                [False],
+                (band[1:] == band[:-1]) & (bval[1:] == bval[:-1]) & (ids[1:] == ids[:-1]),
+            ]
+        )
+        if dup.any():
+            keep = ~dup
+            band, bval, ids, hs = band[keep], bval[keep], ids[keep], hs[keep]
+        change = (band[1:] != band[:-1]) | (bval[1:] != bval[:-1])
+        bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [len(ids)]])
+        acc = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if hi - lo < 2:
+                continue
+            a, b, d = bucket_pairs(ids[lo:hi], hs[lo:hi])
+            if len(a):
+                acc.append(np.stack([a, b, d], axis=1))
+        if not acc:
+            return empty
+        rows = np.unique(np.concatenate(acc), axis=0)
+        return pa.table(
+            {
+                "doc_a": pa.array(rows[:, 0], pa.int64()),
+                "doc_b": pa.array(rows[:, 1], pa.int64()),
+                "hamming": pa.array(rows[:, 2], pa.int64()),
+            }
         )
 
-    out = banded.groupby(["band", "band_val"]).map_groups(pairs, batch_format="pandas")
+    out = banded.groupby("bucket_part").map_groups(
+        lambda g: grouped_pairs(g.drop_columns(["bucket_part"])),
+        batch_format="pyarrow",
+    )
 
-    def dedup(df: pd.DataFrame) -> pd.DataFrame:
-        return df.drop_duplicates(["doc_a", "doc_b"])
+    def pair_with_part(t: pa.Table) -> pa.Table:
+        part = _coarse_parts(
+            t["doc_a"].to_numpy(zero_copy_only=False).view(np.uint64),
+            t["doc_b"].to_numpy(zero_copy_only=False).view(np.uint64),
+            n_parts=n_parts,
+        )
+        return t.append_column("pair_part", pa.array(part, pa.int64()))
 
-    return out.map_batches(dedup, batch_format="pandas").groupby(
-        ["doc_a", "doc_b"]
-    ).map_groups(dedup, batch_format="pandas")
+    def dedup_group(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["pair_part"])
+        if t.num_rows == 0:
+            return t
+        rows = np.unique(
+            np.stack(
+                [
+                    t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
+                    t["hamming"].to_numpy(zero_copy_only=False).astype(np.int64),
+                ],
+                axis=1,
+            ),
+            axis=0,
+        )
+        return pa.table(
+            {
+                "doc_a": pa.array(rows[:, 0], pa.int64()),
+                "doc_b": pa.array(rows[:, 1], pa.int64()),
+                "hamming": pa.array(rows[:, 2], pa.int64()),
+            }
+        )
+
+    return (
+        out.map_batches(pair_with_part, batch_format="pyarrow")
+        .groupby("pair_part")
+        .map_groups(dedup_group, batch_format="pyarrow")
+    )
