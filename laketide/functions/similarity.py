@@ -336,28 +336,74 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
             }
         )
 
-    def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(df["vec_id"].to_numpy().astype(np.int64))  # sorted
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
-        if n > _ND_MAX_BUCKET:
-            logger.warning(
-                "embedding_near_dup hot bucket: %d members > cap %d; "
-                "verifying only the first %d (dropping %d pairs)",
-                n, _ND_MAX_BUCKET, _ND_MAX_BUCKET,
-                n * (n - 1) // 2 - _ND_MAX_BUCKET * (_ND_MAX_BUCKET - 1) // 2,
-            )
-            ids = ids[:_ND_MAX_BUCKET]
-            n = len(ids)
-        iu = np.triu_indices(n, k=1)
-        return pd.DataFrame({"vec_a": ids[iu[0]], "vec_b": ids[iu[1]]})
+    from laketide.functions.dedup import _coarse_parts
 
-    signed = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(sign, batch_format="pyarrow")
+    n_parts = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
+
+    def sign_with_part(t: pa.Table) -> pa.Table:
+        out = sign(t)
+        part = _coarse_parts(
+            out["band"].to_numpy(zero_copy_only=False),
+            out["band_val"].to_numpy(zero_copy_only=False),
+            n_parts=n_parts,
+        )
+        return out.append_column("bucket_part", pa.array(part, pa.int64()))
+
+    def grouped_bucket_pairs(t: pa.Table) -> pa.Table:
+        # all (band, band_val) buckets of one coarse partition in one
+        # vectorized call (the dedup.py multi-bucket pattern) — not one
+        # pandas UDF invocation per mostly-singleton bucket
+        empty_p = pa.table(
+            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty_p
+        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bval = t["band_val"].to_numpy(zero_copy_only=False).astype(np.int64)
+        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((vids, bval, band))
+        band, bval, vids = band[order], bval[order], vids[order]
+        change = (band[1:] != band[:-1]) | (bval[1:] != bval[:-1])
+        bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [len(vids)]])
+        acc = []
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            if hi - lo < 2:
+                continue
+            ids = np.unique(vids[lo:hi])
+            n = len(ids)
+            if n < 2:
+                continue
+            if n > _ND_MAX_BUCKET:
+                logger.warning(
+                    "embedding_near_dup hot bucket: %d members > cap %d; "
+                    "verifying only the first %d (dropping %d pairs)",
+                    n, _ND_MAX_BUCKET, _ND_MAX_BUCKET,
+                    n * (n - 1) // 2 - _ND_MAX_BUCKET * (_ND_MAX_BUCKET - 1) // 2,
+                )
+                ids = ids[:_ND_MAX_BUCKET]
+                n = len(ids)
+            iu = np.triu_indices(n, k=1)
+            acc.append(np.stack([ids[iu[0]], ids[iu[1]]], axis=1))
+        if not acc:
+            return empty_p
+        rows = np.unique(np.concatenate(acc), axis=0)
+        return pa.table(
+            {
+                "vec_a": pa.array(rows[:, 0], pa.int64()),
+                "vec_b": pa.array(rows[:, 1], pa.int64()),
+            }
+        )
+
+    signed = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        sign_with_part, batch_format="pyarrow"
+    )
     cand_blocks = [
         ray.get(r)
-        for r in signed.groupby(["band", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        for r in signed.groupby("bucket_part")
+        .map_groups(
+            lambda g: grouped_bucket_pairs(g.drop_columns(["bucket_part"])),
+            batch_format="pyarrow",
+        )
         .materialize()
         .to_arrow_refs()
     ]
