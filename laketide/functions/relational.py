@@ -232,14 +232,17 @@ def value_cents_by_user_type(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
 
     def pre(t: pa.Table) -> pa.Table:
-        t = t.set_column(
-            t.column_names.index("value"), "value", pc.cast(_cents(t["value"]), pa.float64())
+        tmp = pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "partial": pc.cast(_cents(t["value"]), pa.float64()),
+            }
         )
-        df = t.to_pandas()
-        out = df.groupby(["user_id", "event_type"], as_index=False, dropna=False).agg(
-            partial=("value", "sum"), cnt=("value", "size")
+        out = tmp.group_by(["user_id", "event_type"]).aggregate(
+            [("partial", "sum"), ([], "count_all")]
         )
-        return _from_pandas(out)
+        return out.rename_columns(["user_id", "event_type", "partial", "cnt"])
 
     agg = (
         ds.map_batches(pre, batch_format="pyarrow")
@@ -280,11 +283,12 @@ def q1_pricing(sf_dir: str) -> rd.Dataset:
                 "rev": pc.cast(rev, pa.float64()),
             }
         )
-        df = tmp.to_pandas()
-        out = df.groupby(["l_returnflag", "l_linestatus"], as_index=False, dropna=False).agg(
-            qty=("qty", "sum"), rev=("rev", "sum"), cnt=("qty", "size")
+        out = tmp.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("rev", "sum"), ([], "count_all")]
         )
-        return _from_pandas(out)
+        return out.rename_columns(
+            ["l_returnflag", "l_linestatus", "qty", "rev", "cnt"]
+        )
 
     agg = (
         ds.map_batches(pre, batch_format="pyarrow")
@@ -381,10 +385,9 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
         # partial combiner BEFORE the join shuffle: collapse the ~4
         # lineitems per order inside each batch (integer cents as f64)
         rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
-        df = pd.DataFrame(
-            {"l_orderkey": t["l_orderkey"].to_pandas(), "rev": pc.cast(rev, pa.float64()).to_numpy()}
-        )
-        return _from_pandas(df.groupby("l_orderkey", as_index=False, dropna=False).agg(rev=("rev", "sum")))
+        tmp = pa.table({"l_orderkey": t["l_orderkey"], "rev": pc.cast(rev, pa.float64())})
+        out = tmp.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return out.rename_columns(["l_orderkey", "rev"])
 
     li_partial = li.map_batches(pre_li, batch_format="pyarrow", zero_copy_batch=True)
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
@@ -397,10 +400,12 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
     )
 
     def pre(t: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
-            {"o_orderstatus": t["o_orderstatus"].to_pandas(), "rev": t["rev"].to_numpy(zero_copy_only=False)}
+        out = (
+            t.select(["o_orderstatus", "rev"])
+            .group_by(["o_orderstatus"])
+            .aggregate([("rev", "sum")])
         )
-        return _from_pandas(df.groupby("o_orderstatus", as_index=False).agg(rev=("rev", "sum")))
+        return out.rename_columns(["o_orderstatus", "rev"])
 
     agg = (
         joined.map_batches(pre, batch_format="pyarrow")
@@ -747,16 +752,22 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
         region, left_on="n_regionkey", right_on="r_regionkey"
     )[["c_custkey", "r_name"]]
-    cust_to_region = ray.put(dim.set_index("c_custkey")["r_name"])
+    # broadcast as (sorted key array, value array): pc.index_in + take is
+    # a vectorized Arrow lookup, no per-row pandas dict map
+    cust_to_region = ray.put(
+        (
+            pa.array(dim["c_custkey"].to_numpy(), pa.int64()),
+            pa.array(dim["r_name"], pa.string()),
+        )
+    )
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def pre_li(t: pa.Table) -> pa.Table:
         rev = _cents(pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])))
-        df = pd.DataFrame(
-            {"l_orderkey": t["l_orderkey"].to_pandas(), "rev": pc.cast(rev, pa.float64()).to_numpy()}
-        )
-        return _from_pandas(df.groupby("l_orderkey", as_index=False, dropna=False).agg(rev=("rev", "sum")))
+        tmp = pa.table({"l_orderkey": t["l_orderkey"], "rev": pc.cast(rev, pa.float64())})
+        out = tmp.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return out.rename_columns(["l_orderkey", "rev"])
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey"])
     joined = li.map_batches(pre_li, batch_format="pyarrow", zero_copy_batch=True).join(
@@ -771,10 +782,11 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
         # plain task (not an actor pool): join aggregator actors already
         # hold CPUs, and ray.get on a broadcast ref is a cheap local
         # object-store read per batch
-        mapping = ray.get(cust_to_region)
-        regions = pd.Series(t["o_custkey"].to_pandas()).map(mapping).to_numpy()
-        df = pd.DataFrame({"r_name": regions, "rev": t["rev"].to_numpy(zero_copy_only=False)})
-        return _from_pandas(df.groupby("r_name", as_index=False, dropna=False).agg(rev=("rev", "sum")))
+        keys, vals = ray.get(cust_to_region)
+        idx = pc.index_in(pc.cast(t["o_custkey"], pa.int64()), value_set=keys)
+        tmp = pa.table({"r_name": pc.take(vals, idx), "rev": t["rev"]})
+        out = tmp.group_by(["r_name"]).aggregate([("rev", "sum")])
+        return out.rename_columns(["r_name", "rev"])
 
     agg = (
         joined.map_batches(to_region, batch_format="pyarrow")
