@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_filter_en": text.docs_filter_en,
         "docs_by_source": text.docs_by_source,
         "doc_sample_hash": text.doc_sample_hash,
+        "doc_summary": text.doc_summary,
         "langid_ngram": text.langid_ngram,
         "doc_fingerprint": text.doc_fingerprint,
         # --- dedup suite ---
@@ -319,6 +320,14 @@ def oracle_sql() -> dict[str, str]:
             "WHERE lang = 'en' AND n_chars > 200"
         ),
         "docs_by_source": "SELECT source, count(*) AS n FROM documents GROUP BY 1",
+        # preferred-description rule: pass-through <=100 chars, else the
+        # first '. '-sentence if it fits (dot restored), else 97+'...'
+        "doc_summary": (
+            "SELECT doc_id, CASE WHEN length(text) <= 100 THEN text "
+            "WHEN length(string_split(text, '. ')[1]) <= 100 "
+            "THEN string_split(text, '. ')[1] || '.' "
+            "ELSE substring(text, 1, 97) || '...' END AS summary FROM documents"
+        ),
         "doc_sample_hash": (
             "SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 5"
         ),

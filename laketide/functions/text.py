@@ -267,6 +267,25 @@ def docs_filter_en(sf_dir: str) -> rd.Dataset:
     )
 
 
+def doc_summary(sf_dir: str) -> rd.Dataset:
+    """Preferred-description summary projection over the corpus (M8/M9
+    analog; reference normalizer.go:339-356): short texts pass through,
+    else the first '. '-sentence if it fits 100 chars (dot restored),
+    else a 97-char truncation + '...'. Reuses the vectorized
+    summarize_description kernel; oracle-checked against the same CASE
+    in DuckDB."""
+    from laketide.sources.registry import summarize_description
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "summary": summarize_description(t["text"])}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def docs_by_source(sf_dir: str) -> rd.Dataset:
     """Grouped counts by source (A2 count-by-source analog)."""
     return (
