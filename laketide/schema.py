@@ -104,15 +104,13 @@ def _wrap_scalar_as_list(col: pa.ChunkedArray, target: pa.DataType) -> pa.Chunke
         values = chunk.filter(pa.array(valid))
         if values.type != target.value_type:
             values = values.cast(target.value_type)
-        offs = np.zeros(len(chunk) + 1, dtype=np.int64)
+        offs = np.zeros(len(chunk) + 1, dtype=np.int32)
         np.cumsum(valid, out=offs[1:])
         # a null at offsets[i] marks ELEMENT i null (Arrow convention);
-        # offs[:n] is the prefix-sum start of each element
-        off_arr = pa.array(
-            [int(offs[i]) if valid[i] else None for i in range(len(chunk))]
-            + [int(offs[len(chunk)])],
-            pa.int32(),
-        )
+        # offs[:n] is the prefix-sum start of each element — built
+        # vectorized via the numpy mask path
+        mask = np.concatenate([~valid, [False]])
+        off_arr = pa.array(offs, pa.int32(), mask=mask)
         chunks.append(pa.ListArray.from_arrays(off_arr, values).cast(target))
     return pa.chunked_array(chunks, target)
 
