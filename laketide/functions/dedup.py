@@ -254,76 +254,69 @@ def _coarse_parts(*cols: np.ndarray, n_parts: int) -> np.ndarray:
     return (acc % np.uint64(n_parts)).astype(np.int64)
 
 
-def _grouped_bucket_pairs(t: pa.Table, what: str = "minhash-lsh") -> pa.Table:
-    """Emit within-bucket candidate pairs for EVERY (band, band_hash)
-    bucket present in one co-located group-batch. One lexsort finds all
-    bucket boundaries; only multi-member buckets (rare — true collisions)
-    enter the per-bucket pair loop. Replaces one-pandas-UDF-call-per-
-    bucket map_groups, which cost ~700us x n_buckets of pure overhead
-    (50 CPU-s at sf0.1 for a 0.25s signature kernel)."""
-    empty = pa.table(
-        {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-    )
-    if t.num_rows == 0:
-        return empty
-    band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
-    bh = t["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
-    ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((ids, bh, band))
-    band, bh, ids = band[order], bh[order], ids[order]
-    change = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-    bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [len(ids)]])
-    outs_a: list[np.ndarray] = []
-    outs_b: list[np.ndarray] = []
+def _iter_buckets(t: pa.Table, key_cols: list[str], payload_cols: list[str]):
+    """Yield payload slices for every MULTI-member bucket in one
+    co-located group-batch: a single lexsort (keys, then the first
+    payload column) finds all bucket boundaries vectorized; only buckets
+    with >=2 rows (rare — true collisions) reach the caller's loop.
+    The shared core of the minhash / simhash / embedding candidate
+    stages — replaces one-pandas-UDF-call-per-bucket map_groups, which
+    cost ~700us x n_buckets of pure overhead (50 CPU-s at sf0.1 against
+    a 0.25s signature kernel)."""
+    keys = [t[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in key_cols]
+    payloads = [t[c].to_numpy(zero_copy_only=False) for c in payload_cols]
+    # np.lexsort: LAST key is primary — order by keys, then payload[0]
+    order = np.lexsort(tuple([payloads[0]] + list(reversed(keys))))
+    keys = [k[order] for k in keys]
+    payloads = [p[order] for p in payloads]
+    change = np.zeros(max(len(order) - 1, 0), dtype=bool)
+    for k in keys:
+        change |= k[1:] != k[:-1]
+    bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [len(order)]])
     for lo, hi in zip(bounds[:-1], bounds[1:]):
         if hi - lo < 2:
             continue
-        u = np.unique(ids[lo:hi])
+        yield tuple(p[lo:hi] for p in payloads)
+
+
+def _int64_table(rows: list[np.ndarray], cols: list[str]) -> pa.Table:
+    """Stack per-bucket row blocks, np.unique-dedup, emit int64 columns;
+    typed empty table when nothing collided."""
+    if not rows:
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
+    m = np.unique(np.concatenate(rows).astype(np.int64), axis=0)
+    return pa.table({c: pa.array(m[:, i], pa.int64()) for i, c in enumerate(cols)})
+
+
+def _grouped_bucket_pairs(t: pa.Table, what: str = "minhash-lsh") -> pa.Table:
+    """Candidate pairs for every (band, band_hash) bucket in one
+    group-batch (see _iter_buckets); cross-band duplicates already
+    visible in this group pre-dedup here."""
+    cols = ["doc_a", "doc_b"]
+    if t.num_rows == 0:
+        return _int64_table([], cols)
+    out: list[np.ndarray] = []
+    for (ids,) in _iter_buckets(t, ["band", "band_hash"], ["doc_id"]):
+        u = np.unique(ids)
         if len(u) < 2:
             continue
         a, b = _emit_pairs(u, what)
-        outs_a.append(a)
-        outs_b.append(b)
-    if not outs_a:
-        return empty
-    # pre-dedup cross-band duplicates already visible in this group
-    pairs = np.unique(
-        np.stack(
-            [np.concatenate(outs_a).astype(np.int64), np.concatenate(outs_b).astype(np.int64)],
-            axis=1,
-        ),
-        axis=0,
-    )
-    return pa.table(
-        {
-            "doc_a": pa.array(pairs[:, 0], pa.int64()),
-            "doc_b": pa.array(pairs[:, 1], pa.int64()),
-        }
-    )
+        out.append(np.stack([a, b], axis=1))
+    return _int64_table(out, cols)
 
 
-def _dedup_pairs_group(t: pa.Table) -> pa.Table:
-    """Vectorized exact pair dedup within a co-located group-batch."""
+def _dedup_pairs_group(t: pa.Table, part_col: str = "pair_part") -> pa.Table:
+    """Vectorized exact row dedup within a co-located group-batch (all
+    remaining columns must be integral)."""
+    if part_col in t.column_names:
+        t = t.drop_columns([part_col])
+    cols = t.column_names
     if t.num_rows == 0:
-        return pa.table(
-            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
-        )
-    pairs = np.unique(
-        np.stack(
-            [
-                t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
-                t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
-            ],
-            axis=1,
-        ),
-        axis=0,
+        return _int64_table([], cols)
+    m = np.stack(
+        [t[c].to_numpy(zero_copy_only=False).astype(np.int64) for c in cols], axis=1
     )
-    return pa.table(
-        {
-            "doc_a": pa.array(pairs[:, 0], pa.int64()),
-            "doc_b": pa.array(pairs[:, 1], pa.int64()),
-        }
-    )
+    return _int64_table([m], cols)
 
 
 def minhash_lsh_candidates(sf_dir: str) -> rd.Dataset:
@@ -648,50 +641,21 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
 
     def grouped_pairs(t: pa.Table) -> pa.Table:
         # all (band, band_val) buckets of one coarse partition in one
-        # call (same multi-bucket pattern as _grouped_bucket_pairs)
-        empty = pa.table(
-            {
-                "doc_a": pa.array([], pa.int64()),
-                "doc_b": pa.array([], pa.int64()),
-                "hamming": pa.array([], pa.int64()),
-            }
-        )
+        # call (shared _iter_buckets core)
+        cols = ["doc_a", "doc_b", "hamming"]
         if t.num_rows == 0:
-            return empty
-        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bval = t["band_val"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        hs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        order = np.lexsort((ids, bval, band))
-        band, bval, ids, hs = band[order], bval[order], ids[order], hs[order]
-        dup = np.concatenate(
-            [
-                [False],
-                (band[1:] == band[:-1]) & (bval[1:] == bval[:-1]) & (ids[1:] == ids[:-1]),
-            ]
-        )
-        if dup.any():
-            keep = ~dup
-            band, bval, ids, hs = band[keep], bval[keep], ids[keep], hs[keep]
-        change = (band[1:] != band[:-1]) | (bval[1:] != bval[:-1])
-        bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [len(ids)]])
+            return _int64_table([], cols)
         acc = []
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
-            if hi - lo < 2:
+        for ids, hs in _iter_buckets(t, ["band", "band_val"], ["doc_id", "simhash"]):
+            # same doc delivered twice into one bucket: keep the first
+            # (simhash is a function of the doc, so duplicates agree)
+            u, idx = np.unique(ids.astype(np.int64), return_index=True)
+            if len(u) < 2:
                 continue
-            a, b, d = bucket_pairs(ids[lo:hi], hs[lo:hi])
+            a, b, d = bucket_pairs(u, hs[idx].astype(np.uint64))
             if len(a):
                 acc.append(np.stack([a, b, d], axis=1))
-        if not acc:
-            return empty
-        rows = np.unique(np.concatenate(acc), axis=0)
-        return pa.table(
-            {
-                "doc_a": pa.array(rows[:, 0], pa.int64()),
-                "doc_b": pa.array(rows[:, 1], pa.int64()),
-                "hamming": pa.array(rows[:, 2], pa.int64()),
-            }
-        )
+        return _int64_table(acc, cols)
 
     out = banded.groupby("bucket_part").map_groups(
         lambda g: grouped_pairs(g.drop_columns(["bucket_part"])),
@@ -706,31 +670,8 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
         )
         return t.append_column("pair_part", pa.array(part, pa.int64()))
 
-    def dedup_group(t: pa.Table) -> pa.Table:
-        t = t.drop_columns(["pair_part"])
-        if t.num_rows == 0:
-            return t
-        rows = np.unique(
-            np.stack(
-                [
-                    t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64),
-                    t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64),
-                    t["hamming"].to_numpy(zero_copy_only=False).astype(np.int64),
-                ],
-                axis=1,
-            ),
-            axis=0,
-        )
-        return pa.table(
-            {
-                "doc_a": pa.array(rows[:, 0], pa.int64()),
-                "doc_b": pa.array(rows[:, 1], pa.int64()),
-                "hamming": pa.array(rows[:, 2], pa.int64()),
-            }
-        )
-
     return (
         out.map_batches(pair_with_part, batch_format="pyarrow")
         .groupby("pair_part")
-        .map_groups(dedup_group, batch_format="pyarrow")
+        .map_groups(_dedup_pairs_group, batch_format="pyarrow")
     )

@@ -349,27 +349,18 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
         )
         return out.append_column("bucket_part", pa.array(part, pa.int64()))
 
+    from laketide.functions.dedup import _int64_table, _iter_buckets
+
     def grouped_bucket_pairs(t: pa.Table) -> pa.Table:
         # all (band, band_val) buckets of one coarse partition in one
-        # vectorized call (the dedup.py multi-bucket pattern) — not one
-        # pandas UDF invocation per mostly-singleton bucket
-        empty_p = pa.table(
-            {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
-        )
+        # vectorized call (shared dedup._iter_buckets core) — not one
+        # UDF invocation per mostly-singleton bucket
+        cols = ["vec_a", "vec_b"]
         if t.num_rows == 0:
-            return empty_p
-        band = t["band"].to_numpy(zero_copy_only=False).astype(np.int64)
-        bval = t["band_val"].to_numpy(zero_copy_only=False).astype(np.int64)
-        vids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.lexsort((vids, bval, band))
-        band, bval, vids = band[order], bval[order], vids[order]
-        change = (band[1:] != band[:-1]) | (bval[1:] != bval[:-1])
-        bounds = np.concatenate([[0], np.flatnonzero(change) + 1, [len(vids)]])
+            return _int64_table([], cols)
         acc = []
-        for lo, hi in zip(bounds[:-1], bounds[1:]):
-            if hi - lo < 2:
-                continue
-            ids = np.unique(vids[lo:hi])
+        for (vids,) in _iter_buckets(t, ["band", "band_val"], ["vec_id"]):
+            ids = np.unique(vids.astype(np.int64))
             n = len(ids)
             if n < 2:
                 continue
@@ -384,30 +375,21 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
                 n = len(ids)
             iu = np.triu_indices(n, k=1)
             acc.append(np.stack([ids[iu[0]], ids[iu[1]]], axis=1))
-        if not acc:
-            return empty_p
-        rows = np.unique(np.concatenate(acc), axis=0)
-        return pa.table(
-            {
-                "vec_a": pa.array(rows[:, 0], pa.int64()),
-                "vec_b": pa.array(rows[:, 1], pa.int64()),
-            }
-        )
+        return _int64_table(acc, cols)
 
     signed = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
         sign_with_part, batch_format="pyarrow"
     )
-    cand_blocks = [
-        ray.get(r)
-        for r in signed.groupby("bucket_part")
+    from laketide.functions.dedup import _gather_nonempty_blocks
+
+    cand_blocks = _gather_nonempty_blocks(
+        signed.groupby("bucket_part")
         .map_groups(
             lambda g: grouped_bucket_pairs(g.drop_columns(["bucket_part"])),
             batch_format="pyarrow",
         )
         .materialize()
-        .to_arrow_refs()
-    ]
-    cand_blocks = [b for b in cand_blocks if b.num_rows]  # empty-schema blocks
+    )
     if not cand_blocks:
         return empty
     cand_tbl = pa.concat_tables(cand_blocks, promote_options="default")
@@ -446,18 +428,21 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
         lambda t: t.rename_columns(["vec_b", "unit_b"]), batch_format="pyarrow"
     )
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    n_parts = max(2, min(8, cpus // 2))
+    # distinct name from the coarse-shuffle n_parts above: sign_with_part
+    # captures n_parts by closure and a rebind here would silently
+    # shrink the bucket shuffle
+    join_parts = max(2, min(8, cpus // 2))
     agg_args = {"num_cpus": 0.5}
     joined = cands.join(
         u_a,
         join_type="inner",
-        num_partitions=n_parts,
+        num_partitions=join_parts,
         on=("vec_a",),
         aggregator_ray_remote_args=agg_args,
     ).join(
         u_b,
         join_type="inner",
-        num_partitions=n_parts,
+        num_partitions=join_parts,
         on=("vec_b",),
         aggregator_ray_remote_args=agg_args,
     )
@@ -466,25 +451,34 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return empty
-        a = np.stack([np.frombuffer(b, dtype=np.float64) for b in t["unit_a"].to_pylist()])
-        b = np.stack([np.frombuffer(b_, dtype=np.float64) for b_ in t["unit_b"].to_pylist()])
-        cos = np.einsum("ij,ij->i", a, b).round(6)
+        # zero-copy: fixed-width packed vectors tile contiguously in the
+        # binary column's data buffer (the multimodal._binary_buffers
+        # idiom) — no per-row to_pylist byte copies
+        from laketide.functions.multimodal import _binary_buffers
+
+        def mat(col: pa.ChunkedArray) -> np.ndarray:
+            offs, data = _binary_buffers(col.combine_chunks())
+            return np.frombuffer(
+                data[offs[0] : offs[-1]], dtype=np.float64
+            ).reshape(len(offs) - 1, -1)
+
+        a = mat(t["unit_a"])
+        b = mat(t["unit_b"])
+        cos = np.einsum("ij,ij->i", a, b)
+        # threshold on the UNROUNDED value (rounding first would admit
+        # pairs in [thr-5e-7, thr)); round only the reported score
         keep = cos >= thr
         return pa.table(
             {
                 "vec_a": pc.cast(t["vec_a"], pa.int64()).filter(pa.array(keep)),
                 "vec_b": pc.cast(t["vec_b"], pa.int64()).filter(pa.array(keep)),
-                "cosine": pa.array(cos[keep], pa.float64()),
+                "cosine": pa.array(cos[keep].round(6), pa.float64()),
             }
         )
 
-    parts = [
-        ray.get(r)
-        for r in joined.map_batches(verify, batch_format="pyarrow")
-        .materialize()
-        .to_arrow_refs()
-    ]
-    parts = [p for p in parts if p.num_rows]
+    parts = _gather_nonempty_blocks(
+        joined.map_batches(verify, batch_format="pyarrow").materialize()
+    )
     if not parts:
         return empty
     out = pa.concat_tables(parts, promote_options="default")

@@ -354,8 +354,19 @@ class _SpillShards:
         # row-group -> partition index (row group i holds partition
         # rg_parts[i]): returned with the summary so reduce tasks never
         # re-open footers (P x F -> F metadata reads per epoch) and skip
-        # files without their partition entirely
-        rg_parts = [int(parts[lo]) for lo in boundaries[:-1]]
+        # files without their partition entirely. Derived from the
+        # WRITTEN file's metadata, not the slice boundaries: write_table
+        # splits a single call into multiple row groups past
+        # max_row_group_size (1,048,576 rows — the rescale path spills
+        # whole merged partitions with no batch cap), and a
+        # boundary-derived index would misattribute every later group.
+        # One local footer read on the map side; rows never cross a
+        # write_table call, so parts[first_row_of_group] is exact.
+        meta = pq.ParquetFile(path).metadata
+        rg_starts = np.cumsum(
+            [0] + [meta.row_group(i).num_rows for i in range(meta.num_row_groups - 1)]
+        )
+        rg_parts = [int(parts[s]) for s in rg_starts]
         return pa.table(
             {
                 "file": [path],

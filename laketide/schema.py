@@ -182,7 +182,12 @@ def _promote_pair(ta: pa.DataType, tb: pa.DataType) -> pa.DataType:
     if _is_listish(ta) or _is_listish(tb):
         va = ta.value_type if _is_listish(ta) else ta
         vb = tb.value_type if _is_listish(tb) else tb
-        return pa.list_(_promote_pair(va, vb))
+        inner = _promote_pair(va, vb)
+        # preserve 64-bit offsets: collapsing large_list to list would
+        # overflow int32 offsets on >2GB chunks at conform()'s cast
+        if pa.types.is_large_list(ta) or pa.types.is_large_list(tb):
+            return pa.large_list(inner)
+        return pa.list_(inner)
     try:
         return pa.unify_schemas(
             [pa.schema([("x", ta)]), pa.schema([("x", tb)])],

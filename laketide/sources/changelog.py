@@ -191,6 +191,11 @@ def generate_changelog(
             out = os.path.join(out_dir, f"epoch-{e:03d}")
             stage = out + ".tmp"
             shutil.rmtree(stage, ignore_errors=True)
+            # idempotent regeneration: os.replace(dir, dir) raises
+            # ENOTEMPTY if the target already exists (a crashed earlier
+            # run that published some epochs but never wrote _DONE);
+            # clear it so re-running converges instead of failing forever
+            shutil.rmtree(out, ignore_errors=True)
             os.makedirs(stage)
             n = table.num_rows
             for s in range(shards_per_epoch):

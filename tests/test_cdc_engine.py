@@ -299,6 +299,54 @@ def test_spill_partition_index_skips_unrelated_files(tmp_path, monkeypatch):
     assert opens == []
 
 
+def test_spill_index_survives_row_group_splitting(tmp_path):
+    """Regression: ParquetWriter.write_table splits a single call into
+    multiple row groups past max_row_group_size (1,048,576 rows) — the
+    rescale path spills whole merged partitions with no batch cap, so a
+    boundary-derived index misattributed every later row group (silent
+    wrong-partition reads). The index is now derived from the written
+    file's actual metadata."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    from laketide import schema as S2
+    from laketide.pipelines import cdc as C
+
+    big, small = 1_200_000, 10
+    t = pa.table(
+        {
+            "k": pa.array(np.arange(big + small, dtype=np.int64)),
+            S2.PART_COLUMN: pa.array(
+                np.concatenate(
+                    [np.zeros(big, np.int64), np.ones(small, np.int64)]
+                )
+            ),
+        }
+    )
+    summary = C._SpillShards(str(tmp_path / "ex"))(t).to_pylist()[0]
+    meta = pq2.ParquetFile(summary["file"]).metadata
+    assert meta.num_row_groups >= 3  # the big slice split
+    assert len(summary["parts"]) == meta.num_row_groups
+    got0 = C._read_partition_rows([(summary["file"], tuple(summary["parts"]))], 0)
+    got1 = C._read_partition_rows([(summary["file"], tuple(summary["parts"]))], 1)
+    assert sum(x.num_rows for x in got0) == big
+    assert sum(x.num_rows for x in got1) == small
+    assert pa.concat_tables(got1)["k"].to_pylist() == list(range(big, big + small))
+
+
+def test_sharded_changelog_regenerates_idempotently(tmp_path):
+    """Regression: os.replace(dir, dir) raises ENOTEMPTY — regenerating a
+    sharded changelog into the same directory (a crashed earlier run that
+    never wrote the cache _DONE marker) must converge, not fail forever."""
+    d = str(tmp_path / "log")
+    a = generate_changelog(d, n_events=400, n_epochs=2, seed=5, shards_per_epoch=4)
+    b = generate_changelog(d, n_events=400, n_epochs=2, seed=5, shards_per_epoch=4)
+    assert a == b
+    ea, eb = expected_state(a), expected_state(b)
+    assert ea.equals(eb)
+
+
 def test_pluggable_merge_strategy_longest(tmp_path):
     """Reference E4/R6: 'longer content wins' merge strategy, checked
     against a DuckDB window oracle ordering by content length."""
