@@ -121,6 +121,38 @@ def test_simhash_planted_recall(planted_docs):
     assert hit >= 8  # simhash is lossier than minhash; most plants found
 
 
+def test_iter_buckets_boundaries_and_payload_alignment():
+    """The shared multi-bucket core: boundaries split exactly on the key
+    columns, singleton buckets are skipped, payload columns stay aligned
+    with each other through the lexsort."""
+    t = pa.table(
+        {
+            "band": pa.array([1, 0, 0, 1, 0, 2], pa.int64()),
+            "bh": pa.array([5, 7, 7, 5, 7, 9], pa.int64()),
+            "doc_id": pa.array([30, 10, 20, 40, 10, 99], pa.int64()),
+            "aux": pa.array([300, 100, 200, 400, 101, 990], pa.int64()),
+        }
+    )
+    got = [
+        (ids.tolist(), aux.tolist())
+        for ids, aux in dedup._iter_buckets(t, ["band", "bh"], ["doc_id", "aux"])
+    ]
+    # bucket (0,7): ids 10,10,20 sorted with aligned aux (dup id keeps
+    # both rows — dedup is the caller's policy); bucket (1,5): 30,40;
+    # bucket (2,9) is a singleton and must not appear
+    assert got == [([10, 10, 20], [100, 101, 200]), ([30, 40], [300, 400])]
+    assert list(dedup._iter_buckets(t.slice(0, 0), ["band", "bh"], ["doc_id"])) == []
+    # one bucket spanning the whole batch
+    one = pa.table(
+        {
+            "band": pa.array([0, 0, 0], pa.int64()),
+            "bh": pa.array([1, 1, 1], pa.int64()),
+            "doc_id": pa.array([3, 1, 2], pa.int64()),
+        }
+    )
+    assert [ids.tolist() for (ids,) in dedup._iter_buckets(one, ["band", "bh"], ["doc_id"])] == [[1, 2, 3]]
+
+
 def test_hot_bucket_star_topology(tmp_path, caplog):
     """A bucket over the cap emits O(n) star pairs, not O(n^2), and logs
     the drop (no silent caps)."""
