@@ -280,6 +280,32 @@ def test_scalar_list_promotion_unify_conform():
     assert out2["tags"].to_pylist() == [None, ["x"], ["y"]]
 
 
+def test_property_scalar_list_wrap_matches_reference():
+    """Property: conform()'s scalar->list wrap equals the obvious scalar
+    Python reference ([v] per non-null, None per null) for any value/null
+    pattern and any chunking of the input column."""
+    import hypothesis.strategies as st
+    from hypothesis import given, settings
+
+    import laketide.schema as S2
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.one_of(st.none(), st.text(max_size=5)), max_size=25),
+        st.integers(min_value=1, max_value=7),
+    )
+    def run(vals, chunk):
+        chunks = [
+            pa.array(vals[i : i + chunk], pa.string())
+            for i in range(0, max(len(vals), 1), chunk)
+        ]
+        t = pa.table({"x": pa.chunked_array(chunks, pa.string())})
+        out = S2.conform(t, pa.schema([("x", pa.list_(pa.string()))]))
+        assert out["x"].to_pylist() == [None if v is None else [v] for v in vals]
+
+    run()
+
+
 def test_zip_jsonl_scalar_vs_list_column(tmp_path):
     """A source column mixing scalar and list values across members must
     promote to list<string> with scalars wrapped — not drop data on
