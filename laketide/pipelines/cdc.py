@@ -487,9 +487,22 @@ class LakeTable:
         """Committed epochs, oldest first (manifest log = time travel)."""
         import glob as _glob
 
+        import os.path as _osp
+        import re as _re2
+
         p = M.paths(self.table_dir)
+
+        def _recency(path: str) -> tuple[int, float, str]:
+            # (epoch, mtime): lexicographic name order mis-sorts
+            # maintenance manifests ('-' < '.', so manifest-000005-c0
+            # would list BEFORE manifest-000005)
+            mt = _re2.match(r"manifest-(\d+)", _osp.basename(path))
+            return (int(mt.group(1)) if mt else -1, os.path.getmtime(path), path)
+
         out = []
-        for mf in sorted(_glob.glob(os.path.join(p["manifests"], "manifest-*.json"))):
+        for mf in sorted(
+            _glob.glob(os.path.join(p["manifests"], "manifest-*.json")), key=_recency
+        ):
             with open(mf) as fh:
                 man = M.Manifest.from_json(fh.read())
             out.append(
@@ -592,15 +605,28 @@ class LakeTable:
         self, events, epoch_id, hwm_filter, exchange, t_start
     ) -> dict[str, Any]:
         man = M.load_current(self.table_dir)
+        # adopt the COMMITTED partition count under the writer lock: a
+        # handle created before another process rescaled would otherwise
+        # hash keys mod the stale P while the table files are laid out
+        # mod the new one — a key's update landing in a different
+        # partition than its current row (silent duplicate keys)
+        if man and man.num_partitions != self.num_partitions:
+            self.num_partitions = man.num_partitions
+            self._actor_pool = None  # routing changed
         committed = man.epoch if man else 0
         if epoch_id is None:
             epoch_id = committed + 1
         if epoch_id <= committed:
             lineage = M.load_lineage(self.table_dir, epoch_id) or {}
+            stored = (lineage.get("totals") if isinstance(lineage, dict) else None) or {}
             return {
                 "epoch": epoch_id,
                 "already_applied": True,
-                "totals": (lineage.get("totals") if isinstance(lineage, dict) else None) or {},
+                # stored totals (empty dict for pre-upgrade lineage files)
+                # plus the rows/throughput keys a fresh apply returns
+                "totals": stored,
+                "rows": (man.stats.get("rows") if man else 0) or 0,
+                "throughput": (lineage.get("throughput") if isinstance(lineage, dict) else None) or {},
             }
 
         total = 0
@@ -658,7 +684,9 @@ class LakeTable:
             self.compact_threshold,
         )
         metric_rows = self._exchange(norm, fn, epoch_id, total, exchange, hwm_filter)
-        duration = __import__("time").perf_counter() - t_start
+        import time as _time2
+
+        duration = _time2.perf_counter() - t_start
         return self._finalize(epoch_id, man, metric_rows, duration)
 
     def _exchange(
@@ -724,6 +752,7 @@ class LakeTable:
             for k, v in (man.partitions if man else {}).items()
         }
         cur_files = {int(k): v.get("file") for k, v in (man.partitions if man else {}).items()}
+        gen = int(((man.stats if man else {}) or {}).get("maintenance_gen", 0))
         if self._actor_pool is None:
             from laketide.state.appliers import make_pool
 
@@ -737,7 +766,8 @@ class LakeTable:
             parts = [p for p in range(self.num_partitions) if p % len(pool) == i]
             futures.append(
                 actor.apply_many.remote(
-                    epoch_id, parts, file_index, hwms, cur_files, staging_dir, hwm_filter
+                    epoch_id, parts, file_index, hwms, cur_files, staging_dir,
+                    hwm_filter, gen,
                 )
             )
         return [row for rows in _ray.get(futures) for row in rows]
@@ -794,9 +824,14 @@ class LakeTable:
                 alive = False
             except PermissionError:
                 alive = True  # exists, owned by another uid
-        if alive and pid != os.getpid():
+        if alive:
+            # own pid included: a live lock bearing OUR pid can only mean
+            # another thread of this process holds it — stealing it would
+            # run two writers concurrently from the same parent manifest
+            # (the exact lost-update the lock exists to prevent)
+            same = " (another thread of this process)" if pid == os.getpid() else ""
             raise RuntimeError(
-                f"table {self.table_dir} is locked by live writer pid {pid}"
+                f"table {self.table_dir} is locked by live writer pid {pid}{same}"
             )
         steal = f"{path}.steal-{os.getpid()}"
         try:
@@ -891,7 +926,7 @@ class LakeTable:
             },
         )
         M.write_lineage(
-            self.table_dir, epoch_id, lineage_rows, throughput=throughput
+            self.table_dir, epoch_id, lineage_rows, throughput=throughput, totals=totals
         )
         M.commit_manifest(self.table_dir, man)
         # GC the staging dir for this epoch (post-commit, best-effort).
@@ -1183,16 +1218,37 @@ class LakeTable:
             if f not in referenced:
                 os.remove(f)
                 removed_files += 1
+        # crash leftovers: under the writer lock no apply/maintenance is
+        # in flight, so any *.tmp-<pid> in data/ is a dead write — they
+        # match no manifest and would otherwise accumulate forever
+        for f in _glob.glob(os.path.join(p["data"], "*.tmp-*")):
+            os.remove(f)
+            removed_files += 1
         removed_manifests = 0
         keep_set = set(keep)
         for mf in manifests:
             if mf not in keep_set:
                 os.remove(mf)
                 removed_manifests += 1
+        # prune lineage older than the oldest kept manifest's epoch: the
+        # audit log follows the same retention as the manifest log (a
+        # long-running tail otherwise grows one JSON per epoch unbounded)
+        removed_lineage = 0
+        if keep:
+            oldest_kept = min(_recency(mf)[0] for mf in keep)
+            for lf in _glob.glob(os.path.join(p["lineage"], "epoch-*.json")):
+                mt = _re.match(r"epoch-(\d+)", os.path.basename(lf))
+                if mt and int(mt.group(1)) < oldest_kept:
+                    os.remove(lf)
+                    removed_lineage += 1
         import shutil as _shutil
 
         _shutil.rmtree(p["staging"], ignore_errors=True)
-        return {"removed_files": removed_files, "removed_manifests": removed_manifests}
+        return {
+            "removed_files": removed_files,
+            "removed_manifests": removed_manifests,
+            "removed_lineage": removed_lineage,
+        }
 
     def compact(self) -> dict[str, Any]:
         """Fold every partition's outstanding deltas into a fresh base
@@ -1200,8 +1256,6 @@ class LakeTable:
         The read path needs no compaction for correctness — this trades
         one write for faster subsequent reads (Hudi/Iceberg compaction
         analog; reference analog: snapshot export consolidations S10)."""
-        from laketide.stages.apply import merge_partition
-
         lock = self._acquire_lock()
         try:
             return self._compact_locked()
@@ -1259,6 +1313,10 @@ class LakeTable:
             stats=dict(
                 man.stats,
                 rows=sum(int(v.get("rows", 0)) for v in partitions.values()),
+                # bump the maintenance generation: actor-pool applier
+                # caches keyed to (epoch, gen) must reload after any
+                # same-epoch file rewrite
+                maintenance_gen=int(man.stats.get("maintenance_gen", 0)) + 1,
             ),
         )
         p = M.paths(self.table_dir)
@@ -1330,7 +1388,10 @@ class LakeTable:
             num_partitions=man.num_partitions,
             partitions=partitions,
             schema_names=man.schema_names,
-            stats=dict(man.stats),
+            stats=dict(
+                man.stats,
+                maintenance_gen=int(man.stats.get("maintenance_gen", 0)) + 1,
+            ),
         )
         p = M.paths(self.table_dir)
         n = 0
@@ -1386,8 +1447,6 @@ class LakeTable:
         storage-backed exchange the apply path uses, so it scales to
         multi-TB tables.
         """
-        import ray as _ray
-
         if new_partitions < 1:
             raise ValueError("new_partitions must be >= 1")
         lock = self._acquire_lock()
@@ -1465,7 +1524,16 @@ class LakeTable:
             tbls = _read_partition_rows(file_index, p)
             if not tbls:
                 return {"part": p}
-            sub = pa.concat_tables(tbls).drop_columns([S.PART_COLUMN])
+            # old partitions can carry unevenly-evolved payload schemas
+            # (a column like `lang` that appeared mid-stream exists only
+            # in partitions touched since) — unify+conform before concat
+            # or ArrowInvalid aborts the rescale mid-operation
+            schema = tbls[0].schema
+            for t_ in tbls[1:]:
+                schema = S.unify(schema, t_.schema)
+            sub = pa.concat_tables(
+                [S.conform(t_, schema) for t_ in tbls]
+            ).drop_columns([S.PART_COLUMN])
             sub = sub.sort_by([("repo", "ascending"), ("path", "ascending")])
             rel = os.path.join(
                 "data", f"part-{p:05d}-e{man.epoch:06d}-r{new_partitions}.parquet"
@@ -1501,7 +1569,11 @@ class LakeTable:
             num_partitions=new_partitions,
             partitions=partitions,
             schema_names=man.schema_names,
-            stats=dict(man.stats, rows=total_live),
+            stats=dict(
+                man.stats,
+                rows=total_live,
+                maintenance_gen=int(man.stats.get("maintenance_gen", 0)) + 1,
+            ),
         )
         p_ = M.paths(self.table_dir)
         os.makedirs(p_["manifests"], exist_ok=True)

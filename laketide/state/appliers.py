@@ -46,6 +46,7 @@ class ApplierActor:
         self.strategy = strategy
         self.cache: dict[int, pa.Table] = {}
         self.last_epoch: dict[int, int] = {}
+        self.last_gen: dict[int, int] = {}
 
     def apply(
         self,
@@ -56,6 +57,7 @@ class ApplierActor:
         cur_file: str | None,
         staging_dir: str,
         hwm_filter: bool = True,
+        maintenance_gen: int = 0,
     ) -> dict[str, Any]:
         """Apply one partition's (already exchanged) events; returns the
         metrics row as a dict. Writes the staging file as a side effect
@@ -91,9 +93,16 @@ class ApplierActor:
 
         winners = reduce_events(events, m, self.strategy)
 
-        # Cache valid only for the strictly-next epoch (crash safety).
+        # Cache valid only for the strictly-next epoch (crash safety)
+        # AND an unchanged maintenance generation: a cross-process
+        # purge/compact/rescale rewrites files at the SAME epoch, and a
+        # stale cache would write purged rows straight back.
         cur = None
-        if self.last_epoch.get(part) == epoch_id - 1 and part in self.cache:
+        if (
+            self.last_epoch.get(part) == epoch_id - 1
+            and self.last_gen.get(part) == maintenance_gen
+            and part in self.cache
+        ):
             cur = self.cache[part]
         elif cur_file:
             cur = pq.read_table(os.path.join(self.table_dir, cur_file))
@@ -121,6 +130,7 @@ class ApplierActor:
 
         self.cache[part] = out
         self.last_epoch[part] = epoch_id
+        self.last_gen[part] = maintenance_gen
 
         row = {"part": part, "changed": changed, "staged_file": staged}
         row.update(m.as_dict())
@@ -138,6 +148,7 @@ class ApplierActor:
         cur_files: dict[int, str | None],
         staging_dir: str,
         hwm_filter: bool = True,
+        maintenance_gen: int = 0,
     ) -> list[dict[str, Any]]:
         """Read each assigned partition's pruned row groups from the
         exchange spill files (shared helper; ``file_index`` carries the
@@ -162,6 +173,7 @@ class ApplierActor:
                     cur_files.get(part),
                     staging_dir,
                     hwm_filter,
+                    maintenance_gen,
                 )
             )
         return rows

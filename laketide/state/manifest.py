@@ -100,14 +100,25 @@ class Manifest:
 
 
 def load_current(table_dir: str) -> Manifest | None:
+    """Only a missing CURRENT means 'no table'. A CURRENT that names a
+    missing manifest file is CORRUPTION (lost rename, manual damage) and
+    must raise — silently returning None would let the next writer
+    restart at epoch 1 over existing data."""
     p = paths(table_dir)
     try:
         with open(p["current"]) as f:
             name = f.read().strip()
-        with open(os.path.join(p["manifests"], name)) as f:
-            return Manifest.from_json(f.read())
     except FileNotFoundError:
         return None
+    mpath = os.path.join(p["manifests"], name)
+    try:
+        with open(mpath) as f:
+            return Manifest.from_json(f.read())
+    except FileNotFoundError:
+        raise RuntimeError(
+            f"table {table_dir}: CURRENT names missing manifest {name!r} — "
+            "refusing to treat an existing table as empty"
+        ) from None
 
 
 def _atomic_write(path: str, data: str) -> None:
@@ -117,6 +128,15 @@ def _atomic_write(path: str, data: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, path)
+    # fsync the DIRECTORY too: without it a power loss can persist a
+    # later rename (CURRENT) while losing an earlier one (the manifest
+    # file CURRENT names) — the dangling-CURRENT corruption load_current
+    # refuses to mask
+    dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def commit_manifest(table_dir: str, manifest: Manifest) -> str:
@@ -131,17 +151,25 @@ def commit_manifest(table_dir: str, manifest: Manifest) -> str:
 
 
 def write_lineage(
-    table_dir: str, epoch: int, rows: list[dict], throughput: dict | None = None
+    table_dir: str,
+    epoch: int,
+    rows: list[dict],
+    throughput: dict | None = None,
+    totals: dict | None = None,
 ) -> str:
     """Per-partition lineage + per-epoch throughput metrics (reference
     analog: ``processing_stats``,
-    /root/reference/migrations/001_initial_schema.up.sql:75-88)."""
+    /root/reference/migrations/001_initial_schema.up.sql:75-88).
+    ``totals`` is persisted so a replayed already-committed epoch can
+    return the same totals a fresh apply did."""
     p = paths(table_dir)
     os.makedirs(p["lineage"], exist_ok=True)
     out = os.path.join(p["lineage"], f"epoch-{epoch:06d}.json")
     doc = {"epoch": epoch, "partitions": rows}
     if throughput:
         doc["throughput"] = throughput
+    if totals is not None:
+        doc["totals"] = totals
     _atomic_write(out, json.dumps(doc, sort_keys=True))
     return out
 

@@ -335,6 +335,133 @@ def test_spill_index_survives_row_group_splitting(tmp_path):
     assert pa.concat_tables(got1)["k"].to_pylist() == list(range(big, big + small))
 
 
+def test_same_process_second_writer_raises(tmp_path, changelog):
+    """A live lock bearing OUR OWN pid means another thread of this
+    process is writing — it must raise, never be stolen (stealing would
+    run two writers from the same parent manifest: lost update)."""
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    lock = t._acquire_lock()
+    try:
+        t2 = LakeTable(str(tmp_path / "t"), num_partitions=4)
+        with pytest.raises(RuntimeError, match="live writer"):
+            t2.apply_epoch(changelog[0])
+    finally:
+        t._release_lock(lock)
+    t.apply_epoch(changelog[0])  # releases cleanly, next writer proceeds
+
+
+def test_dangling_current_raises_not_empty_table(tmp_path, changelog):
+    """CURRENT naming a missing manifest is corruption — refusing beats
+    silently restarting an existing table at epoch 1 (data loss)."""
+    from laketide.state import manifest as M
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t.apply_epoch(changelog[0])
+    p = M.paths(str(tmp_path / "t"))
+    with open(p["current"]) as fh:
+        name = fh.read().strip()
+    os.remove(os.path.join(p["manifests"], name))
+    with pytest.raises(RuntimeError, match="missing manifest"):
+        M.load_current(str(tmp_path / "t"))
+
+
+def test_stale_handle_adopts_rescaled_partition_count(tmp_path):
+    """A handle created before another writer rescaled must adopt the
+    committed partition count under the lock — hashing keys mod the old
+    P against files laid out mod the new one silently duplicates keys."""
+    src = generate_changelog(str(tmp_path / "log"), n_events=1500, n_epochs=3, seed=11)
+    stale = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    stale.apply_epoch(src[0])
+    other = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    other.apply_epoch(src[1])
+    other.rescale(4)
+    # the stale handle still believes P=8; applying must adopt P=4
+    stale.apply_epoch(src[2])
+    assert stale.num_partitions == 4
+    assert _keymap(stale.state_table()) == _keymap(expected_state(src))
+
+
+def test_already_applied_returns_stored_totals(tmp_path, changelog):
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    first = t.apply_epoch(changelog[0])
+    again = t.apply_epoch(changelog[0], epoch_id=1)
+    assert again["already_applied"] is True
+    assert again["totals"] == first["totals"]
+    assert again["rows"] == first["rows"]
+
+
+def test_history_orders_maintenance_after_base_epoch(tmp_path):
+    """Maintenance manifests (manifest-000002-c0) must list AFTER their
+    base epoch, not before ('-' < '.' lexicographically)."""
+    src = generate_changelog(str(tmp_path / "log"), n_events=1200, n_epochs=3, seed=9)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4, layout="mor")
+    t.apply_epoch(src[0])
+    t.apply_epoch(src[1])
+    t.compact()
+    t.apply_epoch(src[2])
+    h = t.history()
+    names = [e["manifest"] for e in h]
+    assert names.index("manifest-000002.json") < names.index("manifest-000002-c0.json")
+    assert names[-1] == "manifest-000003.json"
+    assert [e["epoch"] for e in h] == sorted(e["epoch"] for e in h)
+
+
+def test_gc_removes_tmp_leftovers_and_prunes_lineage(tmp_path):
+    src = generate_changelog(str(tmp_path / "log"), n_events=1500, n_epochs=4, seed=13)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    for f in src:
+        t.apply_epoch(f)
+    from laketide.state import manifest as M
+
+    p = M.paths(str(tmp_path / "t"))
+    # a crashed writer's leftover
+    dead = os.path.join(p["data"], "part-00001-e000001.parquet.tmp-9999")
+    with open(dead, "wb") as fh:
+        fh.write(b"partial")
+    r = t.gc(keep_last=2)
+    assert not os.path.exists(dead)
+    assert r["removed_lineage"] >= 1  # epochs 1..2 pruned with their manifests
+    lineage_left = sorted(os.listdir(p["lineage"]))
+    assert lineage_left == ["epoch-000003.json", "epoch-000004.json"]
+    assert _keymap(t.state_table()) == _keymap(expected_state(src))
+
+
+def test_actor_cache_invalidated_by_cross_handle_purge(tmp_path):
+    """A purge_tombstones by ANOTHER handle (same epoch, files rewritten)
+    bumps the maintenance generation; a cached actor pool must reload
+    instead of writing the purged tombstones back."""
+    src = generate_changelog(
+        str(tmp_path / "log"), n_events=2400, n_epochs=3, seed=17, delete_frac=0.2
+    )
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t.apply_epoch(src[0], exchange="actor")
+    t.apply_epoch(src[1], exchange="actor")
+    other = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    purged = other.purge_tombstones(older_than_epochs=0)
+    assert purged["purged"] > 0
+    # the FIRST handle's actor pool still caches pre-purge tables
+    t.apply_epoch(src[2], exchange="actor")
+    st = t.state_table()
+    assert _keymap(st) == _keymap(expected_state(src))
+    # purged tombstones stay purged: only epoch-3 deletes may be flagged
+    import pyarrow.compute as pc2
+
+    from laketide.state import manifest as M
+
+    man = M.load_current(str(tmp_path / "t"))
+    flagged = 0
+    for info in man.partitions.values():
+        if info.get("file"):
+            tb = pq.read_table(os.path.join(str(tmp_path / "t"), info["file"]))
+            if "deleted" in tb.column_names:
+                flagged += int(pc2.sum(pc2.fill_null(tb["deleted"], False)).as_py() or 0)
+    ep3_deletes = sum(
+        1 for op in pq.read_table(src[2], columns=["op"])["op"].to_pylist()
+        if op == "delete"
+    )
+    assert flagged <= ep3_deletes
+
+
 def test_sharded_changelog_regenerates_idempotently(tmp_path):
     """Regression: os.replace(dir, dir) raises ENOTEMPTY — regenerating a
     sharded changelog into the same directory (a crashed earlier run that
