@@ -426,6 +426,34 @@ def _make_reduce_fn(file_index: list[tuple[str, tuple[int, ...] | None]], apply_
     return reduce
 
 
+def _load_live_partition(
+    table_dir: str, info: dict, merge: str, drop_deleted: bool = False
+) -> pa.Table | None:
+    """THE read-surface partition loader: base + deltas folded
+    (merge-on-read), tombstone-flagged rows filtered, optionally the
+    ``deleted`` bookkeeping column dropped. Every read path
+    (state_table / state_table_at / read() / get / export_snapshot)
+    goes through here so the fold can never drift between surfaces."""
+    from laketide.stages.apply import merge_partition
+
+    base = (
+        pq.read_table(os.path.join(table_dir, info["file"]))
+        if info.get("file")
+        else None
+    )
+    deltas = [
+        pq.read_table(os.path.join(table_dir, r)) for r in info.get("deltas") or []
+    ]
+    if base is None and not deltas:
+        return None
+    t = merge_partition(base, deltas, merge) if deltas else base
+    if S.DELETED_COLUMN in t.column_names:
+        t = t.filter(pc.invert(pc.fill_null(t[S.DELETED_COLUMN], False)))
+        if drop_deleted:
+            t = t.drop_columns([S.DELETED_COLUMN])
+    return t
+
+
 class LakeTable:
     """A hash-partitioned Parquet lake table maintained by CDC replay.
 
@@ -531,26 +559,15 @@ class LakeTable:
         immutable and data files content-addressed by (partition, epoch),
         so any retained manifest replays exactly. Reference analog: the
         versioned ``exports`` rows (S10) generalized to every epoch."""
-        from laketide.stages.apply import merge_partition
-
         man = self.manifest_at(epoch)
         if not man:
             raise ValueError(f"epoch {epoch} not retained (gc'd or never committed)")
         schema = self._unified_schema(man) or S.snapshot_schema()
         parts = []
         for _, info in sorted(man.partitions.items(), key=lambda kv: int(kv[0])):
-            base = None
-            if info.get("file"):
-                base = pq.read_table(os.path.join(self.table_dir, info["file"]))
-            deltas = [
-                pq.read_table(os.path.join(self.table_dir, r))
-                for r in info.get("deltas") or []
-            ]
-            if base is None and not deltas:
+            t = _load_live_partition(self.table_dir, info, self.merge)
+            if t is None:
                 continue
-            t = merge_partition(base, deltas, self.merge) if deltas else base
-            if S.DELETED_COLUMN in t.column_names:
-                t = t.filter(pc.invert(pc.fill_null(t[S.DELETED_COLUMN], False)))
             parts.append(S.conform(t, schema))
         if not parts:
             if S.DELETED_COLUMN in schema.names:
@@ -981,26 +998,16 @@ class LakeTable:
         ]
 
         def load(batch: pa.Table) -> pa.Table:
-            from laketide.stages.apply import limit_arrow_threads, merge_partition
+            from laketide.stages.apply import limit_arrow_threads
 
             limit_arrow_threads(1)
             outs = []
             for i in batch["i"].to_pylist():
-                info = infos[i]
-                base = (
-                    pq.read_table(os.path.join(table_dir, info["file"]))
-                    if info.get("file")
-                    else None
+                t = _load_live_partition(
+                    table_dir, infos[i], strategy, drop_deleted=True
                 )
-                deltas = [
-                    pq.read_table(os.path.join(table_dir, r))
-                    for r in info.get("deltas") or []
-                ]
-                t = merge_partition(base, deltas, strategy)
-                if S.DELETED_COLUMN in t.column_names:
-                    t = t.filter(
-                        pc.invert(pc.fill_null(t[S.DELETED_COLUMN], False))
-                    ).drop_columns([S.DELETED_COLUMN])
+                if t is None:
+                    continue
                 if schema is not None:
                     t = S.conform(t, schema)
                 outs.append(t)
@@ -1015,26 +1022,15 @@ class LakeTable:
 
     def state_table(self) -> pa.Table:
         """Whole snapshot as one Arrow table — tests / small tables only."""
-        from laketide.stages.apply import merge_partition
-
         man = M.load_current(self.table_dir)
         if not man:
             return S.snapshot_schema().empty_table()
         schema = self._unified_schema(man) or S.snapshot_schema()
         parts = []
         for _, info in sorted(man.partitions.items(), key=lambda kv: int(kv[0])):
-            base = None
-            if info.get("file"):
-                base = pq.read_table(os.path.join(self.table_dir, info["file"]))
-            deltas = [
-                pq.read_table(os.path.join(self.table_dir, r))
-                for r in info.get("deltas") or []
-            ]
-            if base is None and not deltas:
+            t = _load_live_partition(self.table_dir, info, self.merge)
+            if t is None:
                 continue
-            t = merge_partition(base, deltas, self.merge) if deltas else base
-            if S.DELETED_COLUMN in t.column_names:
-                t = t.filter(pc.invert(pc.fill_null(t[S.DELETED_COLUMN], False)))
             parts.append(S.conform(t, schema))
         if not parts:
             if S.DELETED_COLUMN in schema.names:
@@ -1077,20 +1073,9 @@ class LakeTable:
         info = man.partitions.get(str(part))
         if not info or (not info.get("file") and not info.get("deltas")):
             return S.snapshot_schema().empty_table()
-        from laketide.stages.apply import merge_partition
-
-        base = (
-            pq.read_table(os.path.join(self.table_dir, info["file"]))
-            if info.get("file")
-            else None
-        )
-        deltas = [
-            pq.read_table(os.path.join(self.table_dir, r))
-            for r in info.get("deltas") or []
-        ]
-        t = merge_partition(base, deltas, self.merge) if deltas else base
-        if S.DELETED_COLUMN in t.column_names:
-            t = t.filter(pc.invert(pc.fill_null(t[S.DELETED_COLUMN], False)))
+        t = _load_live_partition(self.table_dir, info, self.merge)
+        if t is None:
+            return S.snapshot_schema().empty_table()
         mask = pc.and_(pc.equal(t["repo"], repo), pc.equal(t["path"], path))
         return t.filter(mask)
 
@@ -1117,26 +1102,16 @@ class LakeTable:
         tmp = final + ".tmp"
         _shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        from laketide.stages.apply import merge_partition
-
         files = []
         rows = 0
         for key, info in sorted(man.partitions.items(), key=lambda kv: int(kv[0])):
-            rel = info.get("file")
-            deltas = info.get("deltas") or []
-            if not rel and not deltas:
+            merged = _load_live_partition(
+                self.table_dir, info, self.merge, drop_deleted=True
+            )
+            if merged is None:
                 continue
             base = f"part-{int(key):05d}.parquet"
             dst = os.path.join(tmp, base)
-            base_t = (
-                pq.read_table(os.path.join(self.table_dir, rel)) if rel else None
-            )
-            delta_ts = [pq.read_table(os.path.join(self.table_dir, r)) for r in deltas]
-            merged = merge_partition(base_t, delta_ts, self.merge)
-            if S.DELETED_COLUMN in merged.column_names:
-                merged = merged.filter(
-                    pc.invert(pc.fill_null(merged[S.DELETED_COLUMN], False))
-                ).drop_columns([S.DELETED_COLUMN])
             pq.write_table(merged, dst)
             n_rows = merged.num_rows
             with open(dst, "rb") as fh:
