@@ -328,8 +328,12 @@ def oracle_sql() -> dict[str, str]:
             "THEN string_split(text, '. ')[1] || '.' "
             "ELSE substring(text, 1, 97) || '...' END AS summary FROM documents"
         ),
+        # HUGEINT multiply then explicit mod 2^64 == the Ray kernel's
+        # uint64 wraparound at any (non-negative) doc_id
         "doc_sample_hash": (
-            "SELECT doc_id FROM documents WHERE (doc_id * 2654435761) % 100 < 5"
+            "SELECT doc_id FROM documents WHERE "
+            "(CAST(doc_id AS HUGEINT) * 2654435761) "
+            "% 18446744073709551616 % 100 < 5"
         ),
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "docs_by_lang": (

@@ -26,6 +26,23 @@ from ray.data.aggregate import Count, Max, Min, Sum
 _CENTS = dict(ndigits=0, round_mode="half_towards_infinity")  # == DuckDB ROUND
 
 
+def _adjacent_same(col: pa.ChunkedArray) -> "np.ndarray":
+    """Null-safe adjacency equality for a SORTED column: True where
+    row i == row i-1, treating null == null as equal. A plain numpy
+    ``a[1:] == a[:-1]`` converts null numeric/timestamp keys to NaN and
+    NaN != NaN splits every null-key row into its own group (observed:
+    duplicate output rows for null keys vs the DuckDB oracle)."""
+    import numpy as np
+
+    n = len(col)
+    if n <= 1:
+        return np.zeros(0, dtype=bool)
+    a, b = col.slice(1), col.slice(0, n - 1)
+    eq = pc.fill_null(pc.equal(a, b), False)
+    both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+    return pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+
+
 def keep_extreme(
     t: pa.Table, keys: list[str], order: list[str], keep: str = "last"
 ) -> pa.Table:
@@ -52,8 +69,7 @@ def keep_extreme(
     n = t.num_rows
     same = np.ones(n - 1, dtype=bool)
     for k in keys:
-        col = t[k].combine_chunks().to_numpy(zero_copy_only=False)
-        same &= col[1:] == col[:-1]
+        same &= _adjacent_same(t[k].combine_chunks())
     mask = np.ones(n, dtype=bool)
     if keep == "last":
         mask[:-1] = ~same
@@ -173,7 +189,11 @@ def events_stats_view(sf_dir: str) -> pa.Table:
     def fold(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "users": pa.array([t.num_rows], pa.int64()),
+                # count(DISTINCT user_id) semantics: the null-key group
+                # is NOT a user
+                "users": pa.array(
+                    [int(pc.sum(pc.is_valid(t["user_id"])).as_py() or 0)], pa.int64()
+                ),
                 "n": pa.array([pc.sum(t["c"]).as_py() or 0], pa.int64()),
                 "min_ts": pa.array([pc.min(t["min_ts"]).as_py()], pa.timestamp("us")),
                 "max_ts": pa.array([pc.max(t["max_ts"]).as_py()], pa.timestamp("us")),
@@ -576,7 +596,12 @@ def lookup_join_overlap(sf_dir: str) -> rd.Dataset:
         import numpy as np
 
         toks = pc.split_pattern(t["text"], " ")
-        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        # null text -> null length -> NaN counts crash np.repeat; a null
+        # document simply contributes zero tokens (oracle emits no rows)
+        counts = (
+            pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+        )
         flat = pc.list_flatten(toks).to_pandas()
         doc = np.repeat(
             t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), counts
@@ -643,10 +668,8 @@ def cdc_coalesce_fieldwise(sf_dir: str) -> rd.Dataset:
         import numpy as np
 
         n = t.num_rows
-        uid = t["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
-        starts = np.concatenate([[0], np.flatnonzero(uid[1:] != uid[:-1]) + 1]).astype(
-            np.int64
-        )
+        same = _adjacent_same(t["user_id"].combine_chunks())
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
         ends = np.append(starts[1:], n) - 1
         return starts, ends
 

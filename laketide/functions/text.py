@@ -127,9 +127,17 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
         is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
             zero_copy_only=False
         )
-        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        # null text -> zero segment for the sums, but the OUTPUT stays
+        # null (the oracle's list_sum over string_split(NULL) is NULL;
+        # the other columns already propagate null through pc kernels)
+        valid = pc.is_valid(t["text"]).to_numpy(zero_copy_only=False)
+        lengths = (
+            pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
         n_stop = _segment_sums(is_stop.astype(np.int64), lengths)
-        stop_ratio = n_stop / np.maximum(n_tokens.to_numpy(zero_copy_only=False), 1)
+        stop_ratio = n_stop / np.maximum(lengths, 1)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -137,8 +145,8 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
                 "n_tokens": n_tokens,
                 "n_punct": n_punct,
                 "punct_ratio": ratio,
-                "n_stop": pa.array(n_stop),
-                "stop_ratio": pa.array(stop_ratio, pa.float64()),
+                "n_stop": pa.array(n_stop, pa.int64(), mask=~valid),
+                "stop_ratio": pa.array(stop_ratio, pa.float64(), mask=~valid),
             }
         )
 
@@ -373,8 +381,12 @@ def doc_sample_hash(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, columns=["doc_id"])
 
     def f(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_numpy()
-        keep = (ids * np.int64(2654435761)) % 100 < 5
+        # uint64 wraparound (mod 2^64) — int64 multiply would wrap
+        # SILENTLY to a negative at doc_id >= ~3.5e9 and numpy's floored
+        # % then diverges from SQL's truncated %; the oracle mirrors the
+        # wrap explicitly via HUGEINT % 2^64 (ids are non-negative)
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        keep = (ids * np.uint64(2654435761)) % np.uint64(100) < 5
         return t.filter(pa.array(keep))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

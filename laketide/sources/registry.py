@@ -304,6 +304,14 @@ def osv_like_normalizer(batch: pa.Table) -> pa.Table:
         pc.utf8_lpad(pc.cast(micros, pa.string()), 20, "0"),
         "",
     )
+    # I6 guards: an 'affected' column that is not a usable list<struct>
+    # (inferred null type when every record omits it, scalar shapes, or
+    # structs lacking package) yields zero events instead of killing the
+    # whole sync; per-ROW oddities flow through as nulls to the
+    # malformed filter downstream.
+    aff_type = batch["affected"].type
+    if not (pa.types.is_list(aff_type) or pa.types.is_large_list(aff_type)):
+        return _CANON.empty_table()
     base = pa.table(
         {
             "osv_id": batch["id"],
@@ -314,7 +322,13 @@ def osv_like_normalizer(batch: pa.Table) -> pa.Table:
         }
     )
     ex = explode_nested(base, "affected", ["osv_id", "commit", "content"])
-    pkg = ex["affected_package"]
+    if "affected_package" not in ex.column_names:
+        return _CANON.empty_table()
+    pkg = ex["affected_package"].combine_chunks()
+    if not pa.types.is_struct(pkg.type) or not {"ecosystem", "name"} <= {
+        f.name for f in pkg.type
+    }:
+        return _CANON.empty_table()
     n = ex.num_rows
     # seq must be globally deterministic (not a per-batch counter): a
     # stable positive hash of the record id keeps replays idempotent
@@ -328,14 +342,19 @@ def osv_like_normalizer(batch: pa.Table) -> pa.Table:
         ).astype(np.uint64)
         >> np.uint64(2)
     ).astype(np.int64)
+    # canonicalize through the SAME mapping the gitlab-like source uses:
+    # the cross-source merge (sources: [osv, gitlab] union) keys on
+    # (repo, path), and 'PyPI' (osv raw) vs 'pypi' (gitlab slug-derived)
+    # would silently never merge
+    eco = slug_to_ecosystem(pc.struct_field(pkg, "ecosystem"))
     out = pa.table(
         {
-            "repo": pc.struct_field(pkg.combine_chunks(), "ecosystem"),
-            "path": pc.struct_field(pkg.combine_chunks(), "name"),
+            "repo": eco,
+            "path": pc.struct_field(pkg, "name"),
             "commit": ex["commit"],
             "seq": pa.array(seq),
             "op": pa.array(["update"] * n, pa.string()),
-            "lang": pc.struct_field(pkg.combine_chunks(), "ecosystem"),
+            "lang": eco,
             "content": ex["content"],
             # source tag: under merge='coalesce' these union across
             # sources — the reference's merged `source: ["osv","gitlab"]`

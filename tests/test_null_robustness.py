@@ -1,0 +1,193 @@
+"""Null-key / null-text robustness: every affected query must match its
+DuckDB oracle on a corpus CONTAINING nulls (regressions from the r3
+review: NaN != NaN split null numeric keys into per-row groups, null
+text crashed np.repeat, n_stop returned 0 where SQL returns NULL, and
+count(DISTINCT) counted the null-user group)."""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+import __ray_entry__ as entrymod
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+_NULLABLE_QUERIES = [
+    "cdc_lww_latest",
+    "cdc_first_event_per_user_type",
+    "cdc_coalesce_fieldwise",
+    "lww_longest_props",
+    "events_stats_view",
+    "hwm_per_user",
+    "value_cents_by_user_type",
+    "doc_quality",
+    "lookup_join_overlap",
+    "token_counts",
+]
+
+
+@pytest.fixture(scope="module")
+def nullable_sf_dir(tmp_path_factory):
+    """events with 10% null user_id / null value / null props, documents
+    with null text rows — same schemas as the driver tables."""
+    d = tmp_path_factory.mktemp("nullable_sf")
+    rng = np.random.RandomState(99)
+    n = 400
+    uid = rng.randint(0, 25, size=n).astype("float64")
+    uid[rng.rand(n) < 0.1] = np.nan
+    val = rng.rand(n) * 100
+    val[rng.rand(n) < 0.1] = np.nan
+    props = pd.Series([f"p{i % 7}" for i in range(n)], dtype="object")
+    props[rng.rand(n) < 0.15] = None
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 10**6, size=n), unit="s"),
+            "user_id": pd.array(
+                [None if np.isnan(u) else int(u) for u in uid], dtype="Int64"
+            ),
+            "event_type": [f"t{i % 5}" for i in range(n)],
+            "value": val,
+            "props": props,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(ev, preserve_index=False), str(d / "events.parquet")
+    )
+    # include OVERLAP_RULES tokens so lookup_join_overlap produces rows
+    words = ["alpha", "beta", "join", "the", "of", "sort", "stream", "delta."]
+    texts = pd.Series(
+        [" ".join(rng.choice(words, size=12)) for _ in range(120)], dtype="object"
+    )
+    texts[rng.rand(120) < 0.1] = None
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(120, dtype="int64"),
+            "text": texts,
+            "lang": [["en", "de", "fr"][i % 3] for i in range(120)],
+            "source": [f"s{i % 4}" for i in range(120)],
+            "n_chars": [len(t) if t is not None else 0 for t in texts],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False), str(d / "documents.parquet")
+    )
+    return str(d)
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", _NULLABLE_QUERIES)
+def test_query_matches_oracle_with_nulls(name, nullable_sf_dir):
+    ray_df = QUERIES[name](nullable_sf_dir)
+    if not isinstance(ray_df, pd.DataFrame):
+        ray_df = ray_df.to_pandas()
+    con = duckdb.connect()
+    for t in ("events", "documents"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{nullable_sf_dir}/{t}.parquet')"
+        )
+    duck_df = con.execute(ORACLES[name]).df()
+    assert len(ray_df) == len(duck_df), f"{name}: rows {len(ray_df)} vs {len(duck_df)}"
+    a, b = _canon(ray_df), _canon(duck_df)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name)
+
+
+def test_osv_normalizer_survives_malformed_shapes(tmp_path):
+    """I6: odd 'affected' shapes yield zero events (or drop the odd
+    record), never a KeyError/ArrowTypeError that kills the sync."""
+    import json
+
+    from laketide.pipelines.cdc import LakeTable
+    from laketide.sources import registry
+
+    # all records missing 'affected' entirely -> inferred null type
+    p1 = str(tmp_path / "no_affected.jsonl")
+    with open(p1, "w") as fh:
+        fh.write(json.dumps({"id": "X-1", "modified": "2024-01-01"}) + "\n")
+    assert registry.read_source("osv-jsonl", p1).count() == 0
+
+    # affected entries without a 'package' field
+    p2 = str(tmp_path / "no_package.jsonl")
+    with open(p2, "w") as fh:
+        fh.write(
+            json.dumps(
+                {"id": "X-2", "modified": "2024-01-01", "details": "d",
+                 "affected": [{"ranges": [{"events": [{"introduced": "0"}]}]}]}
+            )
+            + "\n"
+        )
+    assert registry.read_source("osv-jsonl", p2).count() == 0
+
+    # mixed: one good record, one missing package -> good one survives
+    p3 = str(tmp_path / "mixed.jsonl")
+    with open(p3, "w") as fh:
+        fh.write(
+            json.dumps(
+                {"id": "X-3", "modified": "2024-01-02", "details": "ok",
+                 "affected": [{"package": {"ecosystem": "PyPI", "name": "frob"}}]}
+            )
+            + "\n"
+        )
+        fh.write(
+            json.dumps(
+                {"id": "X-4", "modified": "2024-01-02", "details": "bad",
+                 "affected": [{"ranges": []}]}
+            )
+            + "\n"
+        )
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2)
+    t.apply_epoch(registry.read_source("osv-jsonl", p3))
+    st = t.state_table()
+    # canonicalized ecosystem: 'PyPI' -> 'pypi' (the gitlab-source
+    # mapping), so cross-source merges key identically
+    assert {(r["repo"], r["path"]) for r in st.to_pylist()} == {("pypi", "frob")}
+
+
+def test_osv_gitlab_same_key_after_canonicalization(tmp_path):
+    """The advertised cross-source merge can only fire if both sources
+    canonicalize ecosystems identically."""
+    import json
+
+    from laketide.sources import registry
+
+    osv = str(tmp_path / "o.jsonl")
+    with open(osv, "w") as fh:
+        fh.write(
+            json.dumps(
+                {"id": "O-1", "modified": "2024-01-01", "details": "x",
+                 "affected": [{"package": {"ecosystem": "RubyGems", "name": "rails"}}]}
+            )
+            + "\n"
+        )
+    gl = str(tmp_path / "g.jsonl")
+    with open(gl, "w") as fh:
+        fh.write(
+            json.dumps(
+                {"identifier": "G-1", "package_slug": "gem/rails",
+                 "description": "y", "date": "2024-01-02"}
+            )
+            + "\n"
+        )
+    ot = registry.read_source("osv-jsonl", osv).to_pandas()
+    gt = registry.read_source("gitlab-jsonl", gl).to_pandas()
+    assert ot["repo"].iloc[0] == gt["repo"].iloc[0] == "rubygems"
+    assert ot["path"].iloc[0] == gt["path"].iloc[0] == "rails"
