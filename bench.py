@@ -31,7 +31,7 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 # Changelog sizing per scale factor (deterministic, cached under /tmp).
 _EVENTS = {"sf0.001": 10_000, "sf0.01": 100_000, "sf0.1": 16_000_000}
-_KEYS = {"sf0.001": (20, 60), "sf0.01": (60, 120), "sf0.1": (200, 300)}
+_KEYS = {"sf0.001": (20, 60), "sf0.01": (60, 120), "sf0.1": (300, 400)}
 
 
 def _sf_tag() -> str:
@@ -52,9 +52,10 @@ def _changelog() -> list[str]:
     n = int(os.environ.get("GRAFT_BENCH_EVENTS", _EVENTS.get(tag, 1_000_000)))
     epochs = int(os.environ.get("GRAFT_BENCH_EPOCHS", "2"))
     body_lines = int(os.environ.get("GRAFT_BENCH_BODY_LINES", "2"))
-    repos, paths = _KEYS.get(tag, (200, 300))
-    if n > 1_000_000:
-        repos, paths = 300, 400
+    # _KEYS is authoritative per scale tag (the old n>1M override made
+    # the sf0.1 entry dead config and silently switched workload shape
+    # when GRAFT_BENCH_EVENTS crossed 1M)
+    repos, paths = _KEYS.get(tag, (300, 400))
     d = changelog_dir_for(
         f"bench-{tag}",
         n,

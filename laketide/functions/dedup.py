@@ -100,7 +100,14 @@ def _token_hashes(texts: pa.ChunkedArray | pa.Array):
     Returns ``(hashes uint64[total_tokens], lengths int64[n_docs])``.
     """
     toks = pc.utf8_split_whitespace(texts)
-    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    # null text -> null length -> NaN -> garbage int64 (negative repeat
+    # counts downstream); a null doc simply has zero tokens — same fix
+    # as text.py's doc_quality
+    lengths = (
+        pc.fill_null(pc.cast(pc.list_value_length(toks), pa.int64()), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
     flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
     if len(flat) == 0:
         return np.empty(0, dtype=np.uint64), lengths
@@ -227,16 +234,26 @@ class MinHasher:
 
 
 def _emit_pairs(ids: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
-    """All-pairs below the cap; star topology (O(n)) above it, logged."""
+    """All-pairs below the cap; above it, all-pairs among the first
+    ``_MAX_BUCKET`` members PLUS representative-vs-rest (logged). The
+    extra in-head pairs matter when pairs are Jaccard-VERIFIED
+    downstream: a pure star through a low-similarity representative
+    (hash-collision outlier) would lose every one of its edges at the
+    verify filter and disconnect genuine duplicates."""
     n = len(ids)
     if n > _MAX_BUCKET:
-        dropped = n * (n - 1) // 2 - (n - 1)
+        head = _MAX_BUCKET
+        kept = head * (head - 1) // 2 + (n - head)
+        dropped = n * (n - 1) // 2 - kept
         logger.warning(
-            "%s hot bucket: %d members > cap %d; emitting %d star pairs, "
-            "dropping %d all-pairs (connected components preserved)",
-            what, n, _MAX_BUCKET, n - 1, dropped,
+            "%s hot bucket: %d members > cap %d; emitting all-pairs among "
+            "first %d + rep-vs-rest (%d pairs), dropping %d",
+            what, n, _MAX_BUCKET, head, kept, dropped,
         )
-        return np.repeat(ids[0], n - 1), ids[1:]
+        iu = np.triu_indices(head, k=1)
+        ia = np.concatenate([iu[0], np.zeros(n - head, dtype=np.int64)])
+        ib = np.concatenate([iu[1], np.arange(head, n, dtype=np.int64)])
+        return ids[ia], ids[ib]
     iu = np.triu_indices(n, k=1)
     return ids[iu[0]], ids[iu[1]]
 

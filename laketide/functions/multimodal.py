@@ -26,10 +26,13 @@ def _binary_buffers(col: pa.Array) -> tuple[np.ndarray, memoryview]:
     """Zero-copy (value_offsets, data) view of a (non-null) BinaryArray:
     per-row slices come from numpy offset arithmetic + one memoryview,
     never from per-row ``.as_py()`` byte copies."""
-    offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+    bufs = col.buffers()
+    if bufs[1] is None:  # zero-length array: no offsets/data buffers
+        return np.zeros(1, dtype=np.int64), memoryview(b"")
+    offs = np.frombuffer(bufs[1], dtype=np.int32)[
         col.offset : col.offset + len(col) + 1
     ].astype(np.int64)
-    data = memoryview(col.buffers()[2])
+    data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
     return offs, data
 
 
@@ -72,29 +75,30 @@ class StubDecoder:
             )
         self.feature_dim = feature_dim
 
-    def _features(self, payload: bytes) -> np.ndarray:
-        # STUB: blake2b(payload) bytes -> bounded floats. Deterministic.
-        digest = hashlib.blake2b(payload, digest_size=self.feature_dim).digest()
-        return np.frombuffer(digest, dtype=np.uint8).astype(np.float32) / 255.0
-
     def __call__(self, t: pa.Table) -> pa.Table:
-        # the hash itself is per-payload (no vectorized blake2b exists),
+        # the hash itself is per-payload (no vectorized blake2b exists —
+        # STUB: blake2b(payload) bytes -> bounded floats, deterministic),
         # but everything around it is batched: zero-copy buffer views in
         # (no per-row .as_py() byte copies), one uint8->float32 matrix op
         # and an offsets-built list array out — the pattern a real
-        # decoder kernel should follow
+        # decoder kernel should follow. Null payloads yield NULL feature
+        # lists, never a fabricated empty-blob decode.
+        import pyarrow.compute as pc
+
         col = t["payload"].combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
         offs, data = _binary_buffers(col)
         fd = self.feature_dim
         digests = b"".join(
             hashlib.blake2b(data[offs[i] : offs[i + 1]], digest_size=fd).digest()
-            for i in range(len(col))
+            for i in np.flatnonzero(valid)
         )
         feats = np.frombuffer(digests, dtype=np.uint8).astype(np.float32) / 255.0
-        features = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, (len(col) + 1) * fd, fd, dtype=np.int32)),
-            pa.array(feats, pa.float32()),
-        )
+        n = len(col)
+        off = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(valid.astype(np.int32) * fd, out=off[1:])
+        off_arr = pa.array(off, pa.int32(), mask=np.concatenate([~valid, [False]]))
+        features = pa.ListArray.from_arrays(off_arr, pa.array(feats, pa.float32()))
         return pa.table(
             {"doc_id": t["doc_id"], "n_bytes": t["n_bytes"], "features": features}
         )
@@ -123,7 +127,10 @@ def frame_sample(sf_dir: str, n_frames: int = 4, frame_bytes: int = 32) -> rd.Da
         # frame offsets are pure arithmetic: one (rows x frames) numpy
         # grid, then each frame hashes from a zero-copy buffer slice
         # (sha256 itself stays per-frame — no vectorized kernel exists)
+        import pyarrow.compute as pc
+
         col = t["payload"].combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
         offs, data = _binary_buffers(col)
         n = len(col)
         lens = offs[1:] - offs[:-1]  # (n,)
@@ -136,8 +143,12 @@ def frame_sample(sf_dir: str, n_frames: int = 4, frame_bytes: int = 32) -> rd.Da
         )
         starts = (offs[:-1][:, None] + rel).ravel()
         ends = np.minimum(starts + frame_bytes, np.repeat(offs[1:], n_frames))
+        row_of = np.repeat(np.arange(n), n_frames)
+        # null payload -> the frame rows exist (oracle CROSS JOIN shape)
+        # but their sha is NULL (sha256(substring(NULL)) IS NULL)
         checksums = [
-            hashlib.sha256(data[s:e]).hexdigest() for s, e in zip(starts, ends)
+            hashlib.sha256(data[s:e]).hexdigest() if valid[row_of[j]] else None
+            for j, (s, e) in enumerate(zip(starts, ends))
         ]
         ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
@@ -171,19 +182,32 @@ def blob_resize(
 
     def f(t: pa.Table) -> pa.Table:
         import numpy as np
+        import pyarrow.compute as pc
 
+        col = t["payload"].combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        offs, data = _binary_buffers(col)
+        raw = np.frombuffer(data, dtype=np.uint8)
         pos = np.arange(target_bytes, dtype=np.int64)
         outs = []
-        for payload in t["payload"].to_pylist():
-            n = len(payload)
+        for i in range(len(col)):
+            if not valid[i]:
+                outs.append(None)  # null blob -> null resize (oracle: NULL)
+                continue
+            lo, hi = offs[i], offs[i + 1]
+            n = hi - lo
             if n <= target_bytes:
-                outs.append(payload)
+                outs.append(bytes(data[lo:hi]))
             else:
-                # vectorized byte gather (no per-byte Python)
-                idx = (pos * (n - 1)) // (target_bytes - 1)
-                outs.append(np.frombuffer(payload, dtype=np.uint8)[idx].tobytes())
+                # vectorized byte gather from the shared buffer view
+                idx = lo + (pos * (n - 1)) // (target_bytes - 1)
+                outs.append(raw[idx].tobytes())
         if hex_output:
-            col = {"resized_hex": pa.array([b.hex() for b in outs], pa.string())}
+            col = {
+                "resized_hex": pa.array(
+                    [b.hex() if b is not None else None for b in outs], pa.string()
+                )
+            }
         else:
             col = {"resized": pa.array(outs, pa.binary())}
         return pa.table({"doc_id": t["doc_id"], **col, "orig_bytes": t["n_bytes"]})

@@ -52,12 +52,37 @@ def _local_topk(ids: np.ndarray, scores: np.ndarray, k: int):
     return ids[sel], scores[sel]
 
 
+_EMPTY_SCORED = {
+    "vec_id": pa.array([], pa.int64()),
+    "score": pa.array([], pa.float64()),
+}
+
+
+def _probe_set(qsig: int, n_planes: int, probe_hamming: int) -> frozenset:
+    """Every signature within ``probe_hamming`` bit flips of ``qsig``
+    (multi-probe). Shared by the engine AND the SQL-oracle builder so
+    neither can silently under-probe the other (the old inline version
+    ignored probe_hamming >= 2 in both — identically, so the oracle
+    could never catch it)."""
+    from itertools import combinations
+
+    probes = {qsig}
+    for h in range(1, max(0, probe_hamming) + 1):
+        for bits in combinations(range(n_planes), h):
+            x = qsig
+            for b in bits:
+                x ^= 1 << b
+            probes.add(x)
+    return frozenset(probes)
+
+
 def _merge_topk(scored: rd.Dataset, k: int) -> pa.Table:
     """Driver merge of the per-batch top-k rows (k x num_blocks rows —
     tiny), replacing a full sort shuffle."""
-    parts = [ray.get(r) for r in scored.to_arrow_refs()]
-    t = pa.concat_tables([p for p in parts if p.num_rows], promote_options="default") \
-        if any(p.num_rows for p in parts) else None
+    from laketide.functions.dedup import _gather_nonempty_blocks
+
+    parts = _gather_nonempty_blocks(scored.materialize())
+    t = pa.concat_tables(parts, promote_options="default") if parts else None
     if t is None:
         return pa.table({"vec_id": pa.array([], pa.int64())})
     ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -78,6 +103,8 @@ def knn_cosine(sf_dir: str, k: int = 10) -> pa.Table:
     # query vector (a cheap local object-store read per batch) and a
     # fresh actor pool costs ~1.5s startup per query
     def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_EMPTY_SCORED)
         qv = ray.get(q_ref)
         mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
@@ -109,12 +136,11 @@ def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 1)
     # to the first 8 planes)
     weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
     qsig = int(((planes @ q > 0).astype(np.uint64) * weights).sum())
-    probe = {qsig}
-    if probe_hamming >= 1:
-        probe |= {qsig ^ (1 << i) for i in range(n_planes)}
-    state = ray.put((planes, qn, frozenset(probe), weights))
+    state = ray.put((planes, qn, _probe_set(qsig, n_planes, probe_hamming), weights))
 
     def bucket_score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_EMPTY_SCORED)
         planes_v, qv, probe_v, w = ray.get(state)
         mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
         sigs = ((mat @ planes_v.T > 0).astype(np.uint64) * w[None, :]).sum(axis=1)
@@ -155,6 +181,8 @@ def _train_centroids(
         .map_batches(sample, batch_format="pyarrow")
         .to_pandas()
     )
+    if len(tbl) == 0:
+        return np.zeros((0, EMBED_DIM), dtype=np.float64)
     # block-arrival order is nondeterministic and the seeded init picks
     # POSITIONS — canonicalize by vec_id or two runs train different
     # quantizers (observed as a knn_ivf determinism flake)
@@ -191,6 +219,8 @@ def knn_ivf(
     state = ray.put((cent, qn, frozenset(probe)))
 
     def bucket_score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(_EMPTY_SCORED)
         cent_v, qv, probe_v = ray.get(state)
         mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
         norms = np.linalg.norm(mat, axis=1)
@@ -226,9 +256,7 @@ def knn_lsh_oracle_sql(k: int = 10, n_planes: int = 8, probe_hamming: int = 1) -
     q = query_vector()
     weights = np.uint64(1) << np.arange(n_planes, dtype=np.uint64)
     qsig = int(((planes @ q > 0).astype(np.uint64) * weights).sum())
-    probe = {qsig}
-    if probe_hamming >= 1:
-        probe |= {qsig ^ (1 << i) for i in range(n_planes)}
+    probe = _probe_set(qsig, n_planes, probe_hamming)
 
     def lit(v) -> str:
         return "[" + ", ".join(repr(float(x)) for x in v) + "]"
@@ -318,6 +346,14 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
     )
 
     def sign(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int64()),
+                    "band_val": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                }
+            )
         planes_v = ray.get(planes_ref)
         mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
         n = mat.shape[0]

@@ -153,10 +153,14 @@ def test_iter_buckets_boundaries_and_payload_alignment():
     assert [ids.tolist() for (ids,) in dedup._iter_buckets(one, ["band", "bh"], ["doc_id"])] == [[1, 2, 3]]
 
 
-def test_hot_bucket_star_topology(tmp_path, caplog):
-    """A bucket over the cap emits O(n) star pairs, not O(n^2), and logs
-    the drop (no silent caps)."""
-    n = dedup._MAX_BUCKET + 44
+def test_hot_bucket_capped_topology(tmp_path, caplog):
+    """A bucket over the cap emits all-pairs among the first cap members
+    plus representative-vs-rest — O(cap^2 + n), not O(n^2) — and logs
+    the drop (no silent caps). The in-head pairs keep genuine duplicates
+    connected even when a verify filter drops low-similarity rep edges."""
+    cap = dedup._MAX_BUCKET
+    n = cap + 44
+    expected = cap * (cap - 1) // 2 + (n - cap)
     t = pa.table(
         {
             "doc_id": pa.array(list(range(n)), pa.int64()),
@@ -166,13 +170,14 @@ def test_hot_bucket_star_topology(tmp_path, caplog):
     pq.write_table(t, str(tmp_path / "documents.parquet"))
     with caplog.at_level(logging.WARNING, logger="laketide.functions.dedup"):
         pairs = dedup.minhash_lsh_candidates(str(tmp_path)).to_pandas()
-    assert len(pairs) == n - 1  # star: rep paired with every other member
-    assert set(pairs["doc_a"]) == {0}
-    # the drop is logged with counts (map_groups runs in workers, so check
-    # the kernel directly too)
+    assert len(pairs) == expected
+    # tail members connect through the representative
+    tail = pairs[pairs["doc_b"] >= cap]
+    assert set(tail["doc_a"]) == {0} and len(tail) == n - cap
+    # kernel check (map_groups runs in workers, caplog can't see them)
     ids = np.arange(n, dtype=np.int64)
     a, b = dedup._emit_pairs(ids, "test")
-    assert len(a) == n - 1
+    assert len(a) == expected
 
 
 def test_gram_hash_kernel_vectorized_matches_reference():

@@ -52,7 +52,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
+            # nullable Int64: non-nullable int64 raises on NA values
+            df[c] = df[c].astype("Int64")
         elif df[c].dtype == object and len(df):
             # list-valued columns (Ray list arrays / DuckDB LIST) -> tuples
             # for sortability; null-safe; genuine sequences only (a
@@ -69,7 +70,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                 )
                 if is_seq:
                     df[c] = df[c].map(lambda v: tuple(v) if v is not None else None)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
 @pytest.mark.parametrize("name", sorted(ORACLES.keys()))
