@@ -457,6 +457,64 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
         .map_batches(_UnitVectors(need_ref), batch_format="pyarrow")
         .materialize()
     )
+
+    # ---- adaptive small-side broadcast (planner behavior): when the
+    # candidate id set is small, gather its unit vectors once (bounded:
+    # <= cap x 8B x EMBED_DIM), ray.put the packed matrix, and verify
+    # per pair batch with an index_in lookup — skipping BOTH hash joins
+    # (~2s of aggregator latency at bench scale). Above the cap, fall
+    # through to the shuffle joins (the 100 TB path).
+    broadcast_max = int(
+        __import__("os").environ.get("LAKETIDE_NEARDUP_BROADCAST_MAX", "200000")
+    )
+    if len(need) <= broadcast_max:
+        from laketide.functions.dedup import _gather_nonempty_blocks
+
+        ublocks = _gather_nonempty_blocks(units)
+        if not ublocks:
+            return empty
+        utbl = pa.concat_tables(ublocks, promote_options="default")
+        uids = utbl["vec_id"].combine_chunks()
+        offs_u, data_u = __import__(
+            "laketide.functions.multimodal", fromlist=["_binary_buffers"]
+        )._binary_buffers(utbl["unit"].combine_chunks())
+        umat = np.frombuffer(
+            data_u[offs_u[0] : offs_u[-1]], dtype=np.float64
+        ).reshape(len(uids), -1)
+        mat_ref = ray.put((uids, umat))
+        thr_b = float(threshold)
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            ids_b, m = ray.get(mat_ref)
+            ia = pc.index_in(pc.cast(t["vec_a"], pa.int64()), value_set=ids_b)
+            ib = pc.index_in(pc.cast(t["vec_b"], pa.int64()), value_set=ids_b)
+            ia_np = ia.to_numpy(zero_copy_only=False)
+            ib_np = ib.to_numpy(zero_copy_only=False)
+            ok = ~(np.isnan(ia_np.astype(np.float64)) | np.isnan(ib_np.astype(np.float64)))
+            ia_np = ia_np[ok].astype(np.int64)
+            ib_np = ib_np[ok].astype(np.int64)
+            cos = np.einsum("ij,ij->i", m[ia_np], m[ib_np])
+            keep = cos >= thr_b
+            va = pc.cast(t["vec_a"], pa.int64()).to_numpy(zero_copy_only=False)[ok]
+            vb = pc.cast(t["vec_b"], pa.int64()).to_numpy(zero_copy_only=False)[ok]
+            return pa.table(
+                {
+                    "vec_a": pa.array(va[keep], pa.int64()),
+                    "vec_b": pa.array(vb[keep], pa.int64()),
+                    "cosine": pa.array(cos[keep].round(6), pa.float64()),
+                }
+            )
+
+        parts = _gather_nonempty_blocks(
+            cands.map_batches(verify_broadcast, batch_format="pyarrow").materialize()
+        )
+        if not parts:
+            return empty
+        out = pa.concat_tables(parts, promote_options="default")
+        return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
     u_a = units.map_batches(
         lambda t: t.rename_columns(["vec_a", "unit_a"]), batch_format="pyarrow"
     )

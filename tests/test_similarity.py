@@ -58,8 +58,20 @@ def test_embedding_near_dup_planted_recall(planted_embeddings):
     found = {(a, b) for a, b in zip(out["vec_a"].to_pylist(), out["vec_b"].to_pylist())}
     for a, b in plants:
         assert (a, b) in found or (b, a) in found, f"planted pair {(a, b)} missed"
+
+
+def test_embedding_near_dup_broadcast_and_join_paths_agree(
+    planted_embeddings, monkeypatch
+):
+    """The adaptive small-side broadcast verify and the shuffle-join
+    verify (the 100 TB fallback) must return identical pairs."""
+    sf_dir, _, _ = planted_embeddings
+    fast = S.embedding_near_dup(sf_dir, threshold=0.95)
+    monkeypatch.setenv("LAKETIDE_NEARDUP_BROADCAST_MAX", "0")  # force joins
+    slow = S.embedding_near_dup(sf_dir, threshold=0.95)
+    assert fast.equals(slow)
     # all reported pairs genuinely exceed the threshold
-    assert all(c >= 0.95 for c in out["cosine"].to_pylist())
+    assert all(c >= 0.95 for c in fast["cosine"].to_pylist())
 
 
 def test_knn_ivf_recall_vs_bruteforce(planted_embeddings):
