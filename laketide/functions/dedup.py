@@ -505,6 +505,46 @@ def minhash_dedup_verified(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
     shingles = docs.map_batches(
         _ShingleSets(need_ref), batch_format="pyarrow"
     ).materialize()
+    thr = float(threshold)
+
+    # ---- adaptive small-side broadcast (planner behavior, mirrors
+    # similarity.embedding_near_dup): when the candidate docs' packed
+    # shingle sets fit a byte budget, broadcast them once and verify per
+    # pair batch by lookup — skipping both hash joins' aggregator
+    # latency. Above the budget the shuffle joins (the 100 TB shape)
+    # run unchanged.
+    broadcast_max = int(
+        _os.environ.get("LAKETIDE_VERIFY_BROADCAST_MAX_BYTES", str(64 << 20))
+    )
+    if (shingles.size_bytes() or 0) <= broadcast_max:
+        sh_blocks = _gather_nonempty_blocks(shingles)
+        sh_tbl = (
+            pa.concat_tables(sh_blocks, promote_options="default")
+            if sh_blocks
+            else None
+        )
+        if sh_tbl is None or sh_tbl.num_rows == 0:
+            return rd.from_arrow(empty)
+        sh_ref = ray.put(sh_tbl.combine_chunks())
+
+        def verify_broadcast(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            sh = ray.get(sh_ref)
+            ia = pc.index_in(pc.cast(t["doc_a"], pa.int64()), value_set=sh["doc_id"])
+            ib = pc.index_in(pc.cast(t["doc_b"], pa.int64()), value_set=sh["doc_id"])
+            joined_t = pa.table(
+                {
+                    "doc_a": t["doc_a"],
+                    "doc_b": t["doc_b"],
+                    "sh_a": pc.take(sh["sh"], ia),
+                    "sh_b": pc.take(sh["sh"], ib),
+                }
+            )
+            out = _exact_jaccard_batch(joined_t)
+            return out.filter(pc.greater_equal(out["jaccard"], thr))
+
+        return cands.map_batches(verify_broadcast, batch_format="pyarrow")
 
     def _ren(suffix):
         def f(t: pa.Table) -> pa.Table:
@@ -533,7 +573,6 @@ def minhash_dedup_verified(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
         on=("doc_b",),
         aggregator_ray_remote_args=agg_args,
     )
-    thr = float(threshold)
 
     def verify(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
