@@ -959,24 +959,60 @@ class LakeTable:
         }
 
     # ------------------------------------------------------------------- read
-    def read(self) -> "ray.data.Dataset":
+    def read(self, columns: list[str] | None = None) -> "ray.data.Dataset":
         """Current committed snapshot as a streaming Dataset. For the
         merge-on-read layout, partitions with outstanding deltas are
-        folded on the fly (one task per partition)."""
+        folded on the fly (one task per partition).
+
+        ``columns`` pushes the projection INTO the scan: on the
+        delta-free path only the requested columns (+ the tombstone
+        marker, dropped after the filter) leave the parquet files — a
+        2-column projection of a wide-content table must not read
+        ``content``. The MOR path merges on key/version columns and
+        projects after the fold."""
         man = M.load_current(self.table_dir)
         if not man:
-            return ray.data.from_arrow(S.snapshot_schema().empty_table())
+            t = S.snapshot_schema().empty_table()
+            return ray.data.from_arrow(t.select(columns) if columns else t)
         has_deltas = any(v.get("deltas") for v in man.partitions.values())
         schema = self._unified_schema(man)
         if schema is not None and S.DELETED_COLUMN in schema.names:
             # the deleted marker is write-side bookkeeping, never part of
             # the read surface
             schema = pa.schema([f for f in schema if f.name != S.DELETED_COLUMN])
+        if columns is not None and schema is not None:
+            unknown = [c for c in columns if c not in schema.names]
+            if unknown:
+                raise KeyError(f"unknown columns {unknown}; schema: {schema.names}")
+            schema = pa.schema([schema.field(c) for c in columns])
         if not has_deltas:
             files = [f for f in man.data_files(self.table_dir) if f]
             if not files:
-                return ray.data.from_arrow(S.snapshot_schema().empty_table())
-            ds = ray.data.read_parquet(files)
+                t = S.snapshot_schema().empty_table()
+                return ray.data.from_arrow(t.select(columns) if columns else t)
+            if columns is not None:
+                # physical files may predate newer schema columns (only
+                # partitions touched since the evolution carry them), and
+                # the Arrow scanner errors on a missing column — group
+                # files by their available-column footprint (one footer
+                # read per partition file, driver-side) and union one
+                # pruned read per group; conform adds the missing columns
+                # as nulls. The tombstone flag rides along for the filter.
+                want = list(dict.fromkeys([*columns, S.DELETED_COLUMN]))
+                groups: dict[tuple, list[str]] = {}
+                for f in files:
+                    names = set(pq.read_schema(f).names)
+                    avail = tuple(c for c in want if c in names)
+                    groups.setdefault(avail, []).append(f)
+                subsets = [
+                    ray.data.read_parquet(fs, columns=list(avail) or None)
+                    for avail, fs in groups.items()
+                ]
+                ds = subsets[0]
+                if len(subsets) > 1:
+                    ds = ds.union(*subsets[1:])
+            else:
+                ds = ray.data.read_parquet(files)
 
             def conv(t: pa.Table, s=schema) -> pa.Table:
                 # filter tombstones BEFORE conform (conform may drop the
@@ -1012,7 +1048,8 @@ class LakeTable:
                     t = S.conform(t, schema)
                 outs.append(t)
             if not outs:
-                return (schema or S.snapshot_schema()).empty_table()
+                base = schema or S.snapshot_schema()
+                return base.empty_table()
             return pa.concat_tables(outs)
 
         parts = ray.data.from_items(

@@ -335,6 +335,41 @@ def test_spill_index_survives_row_group_splitting(tmp_path):
     assert pa.concat_tables(got1)["k"].to_pylist() == list(range(big, big + small))
 
 
+def test_read_projection_pushdown(tmp_path):
+    """read(columns=...) prunes the scan: only the requested columns (+
+    the tombstone flag) leave the parquet files, exact values across
+    schema-evolved partitions (files predating `lang` yield nulls), and
+    unknown columns raise."""
+    # lang appears mid-stream -> some partition files lack the column
+    src = generate_changelog(
+        str(tmp_path / "log"), n_events=1600, n_epochs=2, seed=41, lang_from_epoch=1
+    )
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t.apply_epoch(src[0])
+    full0 = t.state_table()
+    assert "lang" not in full0.column_names
+    t.apply_epoch(src[1])
+
+    proj = t.read(columns=["repo", "path", "lang"]).to_pandas()
+    assert sorted(proj.columns) == ["lang", "path", "repo"]
+    full = t.state_table().to_pandas()
+    want = full[["repo", "path", "lang"]]
+    a = proj.sort_values(["repo", "path"]).reset_index(drop=True)
+    b = want.sort_values(["repo", "path"]).reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    with pytest.raises(KeyError, match="unknown columns"):
+        t.read(columns=["nope"])
+    # MOR path projects too
+    tm = LakeTable(str(tmp_path / "tm"), num_partitions=4, layout="mor")
+    tm.apply_epoch(src[0])
+    tm.apply_epoch(src[1])
+    pm = tm.read(columns=["repo", "path"]).to_pandas()
+    assert sorted(pm.columns) == ["path", "repo"]
+    assert len(pm) == len(full)
+
+
 def test_same_process_second_writer_raises(tmp_path, changelog):
     """A live lock bearing OUR OWN pid means another thread of this
     process is writing — it must raise, never be stolen (stealing would
