@@ -1139,29 +1139,42 @@ class LakeTable:
         tmp = final + ".tmp"
         _shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
-        files = []
-        rows = 0
-        for key, info in sorted(man.partitions.items(), key=lambda kv: int(kv[0])):
-            merged = _load_live_partition(
-                self.table_dir, info, self.merge, drop_deleted=True
-            )
+        import ray as _ray
+
+        table_dir = self.table_dir
+        merge = self.merge
+
+        # one Ray task per partition (the old loop read+merged+wrote+
+        # hashed every partition serially on the driver — a full-table
+        # export is embarrassingly parallel)
+        @_ray.remote(num_cpus=1)
+        def _export_one(part: int, info: dict) -> dict | None:
+            from laketide.stages.apply import limit_arrow_threads
+
+            limit_arrow_threads(1)
+            merged = _load_live_partition(table_dir, info, merge, drop_deleted=True)
             if merged is None:
-                continue
-            base = f"part-{int(key):05d}.parquet"
+                return None
+            base = f"part-{part:05d}.parquet"
             dst = os.path.join(tmp, base)
             pq.write_table(merged, dst)
-            n_rows = merged.num_rows
             with open(dst, "rb") as fh:
                 sha = hashlib.sha256(fh.read()).hexdigest()
-            files.append(
-                {
-                    "name": base,
-                    "bytes": os.path.getsize(dst),
-                    "sha256": sha,
-                    "rows": n_rows,
-                }
-            )
-            rows += n_rows
+            return {
+                "name": base,
+                "bytes": os.path.getsize(dst),
+                "sha256": sha,
+                "rows": merged.num_rows,
+            }
+
+        results = _ray.get(
+            [
+                _export_one.remote(int(k), dict(v))
+                for k, v in sorted(man.partitions.items(), key=lambda kv: int(kv[0]))
+            ]
+        )
+        files = [r for r in results if r is not None]
+        rows = sum(r["rows"] for r in files)
         meta = {
             "version": man.epoch,
             "rows": rows,
@@ -1275,45 +1288,61 @@ class LakeTable:
             self._release_lock(lock)
 
     def _compact_locked(self) -> dict[str, Any]:
-        from laketide.stages.apply import merge_partition
+        import ray as _ray
 
         man = M.load_current(self.table_dir)
         if not man:
             return {"compacted": 0}
         partitions = {k: dict(v) for k, v in man.partitions.items()}
-        compacted = 0
-        for key, info in partitions.items():
-            deltas = info.get("deltas") or []
-            if not deltas:
-                continue
-            part = int(key)
+        table_dir = self.table_dir
+        merge = self.merge
+        epoch = man.epoch
+
+        # one Ray task per delta-bearing partition: the old driver-side
+        # loop serialized every read+merge+write through one process — a
+        # P-partition compaction is embarrassingly parallel
+        @_ray.remote(num_cpus=1)
+        def _compact_one(part: int, info: dict) -> dict:
+            from laketide.stages.apply import limit_arrow_threads, merge_partition
+
+            limit_arrow_threads(1)
             base = (
-                pq.read_table(os.path.join(self.table_dir, info["file"]))
+                pq.read_table(os.path.join(table_dir, info["file"]))
                 if info.get("file")
                 else None
             )
-            delta_ts = [pq.read_table(os.path.join(self.table_dir, r)) for r in deltas]
-            merged = merge_partition(base, delta_ts, self.merge, keep_tombstones=True)
+            delta_ts = [
+                pq.read_table(os.path.join(table_dir, r)) for r in info["deltas"]
+            ]
+            merged = merge_partition(base, delta_ts, merge, keep_tombstones=True)
             n = 0
             while True:
-                rel = os.path.join(
-                    "data", f"part-{part:05d}-e{man.epoch:06d}-c{n}.parquet"
-                )
-                if not os.path.exists(os.path.join(self.table_dir, rel)):
+                rel = os.path.join("data", f"part-{part:05d}-e{epoch:06d}-c{n}.parquet")
+                if not os.path.exists(os.path.join(table_dir, rel)):
                     break
                 n += 1
-            tmp = os.path.join(self.table_dir, rel) + ".tmp"
+            tmp = os.path.join(table_dir, rel) + f".tmp-{os.getpid()}"
             pq.write_table(merged, tmp)
-            os.replace(tmp, os.path.join(self.table_dir, rel))
-            info["file"] = rel
-            info["deltas"] = []
+            os.replace(tmp, os.path.join(table_dir, rel))
             dead = (
                 int(pc.sum(pc.fill_null(merged[S.DELETED_COLUMN], False)).as_py() or 0)
                 if S.DELETED_COLUMN in merged.column_names
                 else 0
             )
-            info["rows"] = merged.num_rows - dead
-            compacted += 1
+            return {"part": part, "file": rel, "rows": merged.num_rows - dead}
+
+        todo = {
+            key: info for key, info in partitions.items() if info.get("deltas")
+        }
+        results = _ray.get(
+            [_compact_one.remote(int(k), dict(v)) for k, v in todo.items()]
+        )
+        for r in results:
+            info = partitions[str(r["part"])]
+            info["file"] = r["file"]
+            info["deltas"] = []
+            info["rows"] = r["rows"]
+        compacted = len(results)
         if not compacted:
             return {"compacted": 0}
         new_man = M.Manifest(
@@ -1362,13 +1391,19 @@ class LakeTable:
             return {"purged": 0}
         cutoff = man.epoch - older_than_epochs
         partitions = {k: dict(v) for k, v in man.partitions.items()}
-        purged = 0
-        for key, info in partitions.items():
-            if not info.get("file") or info.get("deltas"):
-                continue  # compact first for delta partitions
-            t = pq.read_table(os.path.join(self.table_dir, info["file"]))
+        table_dir = self.table_dir
+        epoch = man.epoch
+        import ray as _ray
+
+        # one Ray task per eligible partition (was a serial driver loop)
+        @_ray.remote(num_cpus=1)
+        def _purge_one(part: int, rel_in: str) -> dict:
+            from laketide.stages.apply import limit_arrow_threads
+
+            limit_arrow_threads(1)
+            t = pq.read_table(os.path.join(table_dir, rel_in))
             if S.DELETED_COLUMN not in t.column_names:
-                continue
+                return {"part": part, "n_drop": 0}
             dead = pc.fill_null(t[S.DELETED_COLUMN], False)
             old = pc.less_equal(
                 pc.fill_null(t[S.APPLIED_EPOCH_COLUMN], 0), pa.scalar(cutoff, pa.int64())
@@ -1376,22 +1411,31 @@ class LakeTable:
             drop = pc.and_(dead, old)
             n_drop = int(pc.sum(drop).as_py() or 0)
             if not n_drop:
-                continue
+                return {"part": part, "n_drop": 0}
             out = t.filter(pc.invert(drop))
-            part = int(key)
             n = 0
             while True:
-                rel = os.path.join(
-                    "data", f"part-{part:05d}-e{man.epoch:06d}-p{n}.parquet"
-                )
-                if not os.path.exists(os.path.join(self.table_dir, rel)):
+                rel = os.path.join("data", f"part-{part:05d}-e{epoch:06d}-p{n}.parquet")
+                if not os.path.exists(os.path.join(table_dir, rel)):
                     break
                 n += 1
-            tmp = os.path.join(self.table_dir, rel) + ".tmp"
+            tmp = os.path.join(table_dir, rel) + f".tmp-{os.getpid()}"
             pq.write_table(out, tmp)
-            os.replace(tmp, os.path.join(self.table_dir, rel))
-            info["file"] = rel
-            purged += n_drop
+            os.replace(tmp, os.path.join(table_dir, rel))
+            return {"part": part, "n_drop": n_drop, "file": rel}
+
+        todo = [
+            (int(k), info["file"])
+            for k, info in partitions.items()
+            if info.get("file") and not info.get("deltas")
+            # delta partitions: compact first
+        ]
+        results = _ray.get([_purge_one.remote(p, rel) for p, rel in todo])
+        purged = 0
+        for r in results:
+            if r["n_drop"]:
+                partitions[str(r["part"])]["file"] = r["file"]
+                purged += r["n_drop"]
         if not purged:
             return {"purged": 0}
         new_man = M.Manifest(
