@@ -229,8 +229,12 @@ def expected_state(epoch_files: list[str]) -> pa.Table:
             paths.append(f)
     con = duckdb.connect()
     files_sql = ", ".join(f"'{f}'" for f in paths)
+    # `lang` appears mid-stream: a prefix of epochs may not have the
+    # column at all (BinderError) — select NULL in its place then
+    has_lang = any("lang" in pq.read_schema(f).names for f in paths)
+    lang_sel = "lang" if has_lang else "CAST(NULL AS VARCHAR) AS lang"
     q = f"""
-        SELECT repo, path, commit, seq, lang, content
+        SELECT repo, path, commit, seq, {lang_sel}, content
         FROM (
           SELECT *, row_number() OVER (
             PARTITION BY repo, path ORDER BY commit DESC, seq DESC) rn

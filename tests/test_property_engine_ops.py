@@ -1,0 +1,71 @@
+"""Stateful engine property: ANY interleaving of maintenance operations
+(compact / purge / gc / rescale) between replay epochs leaves the table
+equal to the DuckDB oracle of the epochs applied so far — on both
+layouts. Maintenance must be invisible to the logical state."""
+
+import hashlib
+import shutil
+import tempfile
+
+import hypothesis.strategies as st
+import pyarrow as pa
+from hypothesis import given, settings
+
+from laketide.pipelines.cdc import LakeTable
+from laketide.sources.changelog import expected_state, generate_changelog
+
+_OPS = ["compact", "purge", "gc", "rescale4", "rescale8", "noop"]
+
+
+def _keymap(tbl: pa.Table) -> dict:
+    out = {}
+    for i in range(tbl.num_rows):
+        ct = tbl["content"][i].as_py()
+        out[(tbl["repo"][i].as_py(), tbl["path"][i].as_py())] = (
+            tbl["commit"][i].as_py(),
+            hashlib.sha256(ct.encode()).hexdigest() if ct is not None else None,
+        )
+    return out
+
+
+def _run_op(t: LakeTable, op: str) -> None:
+    if op == "compact":
+        t.compact()
+    elif op == "purge":
+        t.purge_tombstones(older_than_epochs=0)
+    elif op == "gc":
+        t.gc(keep_last=1)
+    elif op == "rescale4":
+        t.rescale(4)
+    elif op == "rescale8":
+        t.rescale(8)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    seed=st.integers(min_value=0, max_value=9999),
+    ops=st.lists(st.sampled_from(_OPS), min_size=3, max_size=3),
+    layout=st.sampled_from(["cow", "mor"]),
+)
+def test_maintenance_interleaving_preserves_state(seed, ops, layout):
+    d = tempfile.mkdtemp(prefix="lt_prop_ops_")
+    try:
+        files = generate_changelog(
+            f"{d}/log", n_events=900, n_epochs=3, seed=seed, delete_frac=0.12
+        )
+        t = LakeTable(f"{d}/t", num_partitions=8, layout=layout)
+        for k, f in enumerate(files):
+            t.apply_epoch(f)
+            _run_op(t, ops[k])
+            got = _keymap(t.state_table())
+            want = _keymap(expected_state(files[: k + 1]))
+            assert got == want, (
+                f"state diverged after epoch {k + 1} + {ops[k]} "
+                f"(layout={layout}, seed={seed}): "
+                f"{len(got)} vs {len(want)} rows"
+            )
+        # a fresh handle sees the same committed state
+        t2 = LakeTable(f"{d}/t")
+        assert _keymap(t2.state_table()) == _keymap(expected_state(files))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
