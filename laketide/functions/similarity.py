@@ -37,6 +37,24 @@ def _emb(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
+def _embed_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """(n, dim) float64 matrix from a list<float> column — zero-copy
+    flatten + reshape when the lists are rectangular and non-null (the
+    embeddings contract), falling back to a per-row stack otherwise.
+    Replaces np.stack(col.to_pandas().to_numpy()), which created one
+    Python object per row."""
+    import pyarrow.compute as _pc
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    lens = _pc.list_value_length(col)
+    if col.null_count == 0 and n and _pc.min(lens).as_py() == _pc.max(lens).as_py():
+        flat = _pc.list_flatten(col).to_numpy(zero_copy_only=False)
+        return flat.astype(np.float64, copy=False).reshape(n, -1)
+    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+
+
 def _local_topk(ids: np.ndarray, scores: np.ndarray, k: int):
     """Top-k by (score desc, vec_id asc) — the same total order as the
     final merge, so per-batch pruning is exact."""
@@ -106,7 +124,7 @@ def knn_cosine(sf_dir: str, k: int = 10) -> pa.Table:
         if t.num_rows == 0:
             return pa.table(_EMPTY_SCORED)
         qv = ray.get(q_ref)
-        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        mat = _embed_matrix(t["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         scores = (mat @ qv) / norms
@@ -142,7 +160,7 @@ def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 1)
         if t.num_rows == 0:
             return pa.table(_EMPTY_SCORED)
         planes_v, qv, probe_v, w = ray.get(state)
-        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        mat = _embed_matrix(t["embedding"])
         sigs = ((mat @ planes_v.T > 0).astype(np.uint64) * w[None, :]).sum(axis=1)
         mask = np.isin(sigs, list(probe_v))
         if not mask.any():
@@ -222,7 +240,7 @@ def knn_ivf(
         if t.num_rows == 0:
             return pa.table(_EMPTY_SCORED)
         cent_v, qv, probe_v = ray.get(state)
-        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        mat = _embed_matrix(t["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
@@ -304,7 +322,7 @@ class _UnitVectors:
             return pa.table(
                 {"vec_id": pa.array([], pa.int64()), "unit": pa.array([], pa.binary())}
             )
-        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        mat = _embed_matrix(t["embedding"])
         norms = np.linalg.norm(mat, axis=1)
         norms[norms == 0] = 1.0
         unit = mat / norms[:, None]
@@ -355,7 +373,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
                 }
             )
         planes_v = ray.get(planes_ref)
-        mat = np.stack(t["embedding"].to_pandas().to_numpy()).astype(np.float64)
+        mat = _embed_matrix(t["embedding"])
         n = mat.shape[0]
         bits = (mat @ planes_v.T > 0).astype(np.uint8)  # (n, 32)
         sig = np.packbits(
