@@ -84,9 +84,12 @@ def top_tokens(sf_dir: str) -> rd.Dataset:
 
     def pre(t: pa.Table) -> pa.Table:
         toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
-        vc = pd.Series(toks.to_pandas()).value_counts()
+        vc = pc.value_counts(toks)  # Arrow-native, no pandas round-trip
         return pa.table(
-            {"token": pa.array(vc.index.tolist(), pa.string()), "c": pa.array(vc.to_numpy(), pa.int64())}
+            {
+                "token": pc.struct_field(vc, "values"),
+                "c": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
         )
 
     return (
