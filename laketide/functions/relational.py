@@ -733,32 +733,70 @@ def session_counts(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     events within ``gap_minutes`` belong to one session. Returns
     (user_id, n_sessions, n_events). Ordering is partition-local: events
     sort by (ts, event_id) inside each user's group only."""
+    import numpy as np
+    import ray as _ray
+
+    from laketide.functions.dedup import _coarse_parts
+
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4)
+    gap_us = np.int64(gap_minutes) * 60 * 1_000_000
 
-    def sessions(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["ts", "event_id"])
-        gaps = df["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        n_sessions = int(gaps.sum()) + 1 if len(df) else 0
-        return pd.DataFrame(
-            {
-                "user_id": [df["user_id"].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(df)],
-            }
+    def with_part(t: pa.Table) -> pa.Table:
+        # all of a user's events co-locate under one coarse partition;
+        # nulls fill to a sentinel so the null-user group stays together
+        uid = pc.fill_null(pc.cast(t["user_id"], pa.int64()), -1).to_numpy(
+            zero_copy_only=False
         )
+        part = _coarse_parts(uid.view(np.uint64), n_parts=n_parts)
+        return t.append_column("user_part", pa.array(part, pa.int64()))
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-
-    def finish(t: pa.Table) -> pa.Table:
+    def sessions_multi(t: pa.Table) -> pa.Table:
+        # one lexsort per co-located partition, every user segment
+        # processed vectorized (the dedup multi-bucket pattern) — not
+        # one pandas UDF invocation per user
+        t = t.drop_columns(["user_part"])
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_sessions": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                }
+            )
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        n = t.num_rows
+        same = _adjacent_same(t["user_id"].combine_chunks())
+        ts = (
+            pc.cast(t["ts"], pa.timestamp("us"))
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .astype(np.int64)
+        )
+        new_sess = np.empty(n, dtype=bool)
+        new_sess[0] = True
+        new_sess[1:] = (~same) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
+        ends = np.append(starts[1:], n)
+        uid = t["user_id"].combine_chunks().take(pa.array(starts))
         return pa.table(
             {
-                "user_id": pc.cast(t["user_id"], pa.int64()),
-                "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
-                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "user_id": pc.cast(uid, pa.int64()),
+                "n_sessions": pa.array(
+                    np.add.reduceat(new_sess.astype(np.int64), starts), pa.int64()
+                ),
+                "n_events": pa.array(ends - starts, pa.int64()),
             }
         )
 
-    return out.map_batches(finish, batch_format="pyarrow")
+    return (
+        ds.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_part")
+        .map_groups(sessions_multi, batch_format="pyarrow")
+    )
 
 
 def revenue_by_region(sf_dir: str) -> rd.Dataset:

@@ -26,6 +26,7 @@ _NULLABLE_QUERIES = [
     "events_stats_view",
     "hwm_per_user",
     "value_cents_by_user_type",
+    "session_counts",
     "doc_quality",
     "lookup_join_overlap",
     "token_counts",
