@@ -103,6 +103,53 @@ def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Datase
     )
 
 
+def _key_hash_u64(col: "pa.ChunkedArray") -> "np.ndarray":
+    """Null-safe uint64 hash of a key column for coarse partitioning
+    (ints: sentinel-filled bit view; strings: pandas' deterministic
+    siphash with categorize=False)."""
+    import numpy as np
+
+    col = col.combine_chunks()
+    if pa.types.is_integer(col.type) or pa.types.is_temporal(col.type):
+        return (
+            pc.fill_null(pc.cast(col, pa.int64()), -1)
+            .to_numpy(zero_copy_only=False)
+            .view(np.uint64)
+        )
+    return pd.util.hash_array(
+        col.to_numpy(zero_copy_only=False), categorize=False
+    ).astype(np.uint64)
+
+
+def _coarse_key_reduce(ds: rd.Dataset, key_cols: list[str], reduce_fn) -> rd.Dataset:
+    """Per-key reduce via a COARSE shuffle: pre-reduce each batch, hash
+    the key columns mod ~4xCPUs, and run the (multi-key-capable)
+    ``reduce_fn`` once per co-located partition — not once per key
+    group, which costs ~700us of map_groups UDF overhead PER KEY (the
+    dedup multi-bucket lesson). Exact: all rows of a key share its
+    coarse partition."""
+    import ray as _ray
+
+    from laketide.functions.dedup import _coarse_parts
+
+    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4)
+
+    def pre(t: pa.Table) -> pa.Table:
+        r = reduce_fn(t)
+        part = _coarse_parts(
+            *[_key_hash_u64(r[k]) for k in key_cols], n_parts=n_parts
+        )
+        return r.append_column("_cpart", pa.array(part, pa.int64()))
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(
+            lambda g: reduce_fn(g.drop_columns(["_cpart"])), batch_format="pyarrow"
+        )
+    )
+
+
 # ---------------------------------------------------------------- events CDC
 def cdc_lww_latest(sf_dir: str) -> rd.Dataset:
     """Last-writer-wins row per user_id (version = (ts, event_id)) — the
@@ -113,11 +160,7 @@ def cdc_lww_latest(sf_dir: str) -> rd.Dataset:
     def last_per_user(t: pa.Table) -> pa.Table:
         return keep_extreme(t, ["user_id"], ["ts", "event_id"], keep="last")
 
-    return (
-        ds.map_batches(last_per_user, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(last_per_user, batch_format="pyarrow")
-    )
+    return _coarse_key_reduce(ds, ["user_id"], last_per_user)
 
 
 def cdc_first_event_per_user_type(sf_dir: str) -> rd.Dataset:
@@ -129,11 +172,7 @@ def cdc_first_event_per_user_type(sf_dir: str) -> rd.Dataset:
     def first_per(t: pa.Table) -> pa.Table:
         return keep_extreme(t, ["user_id", "event_type"], ["ts", "event_id"], keep="first")
 
-    return (
-        ds.map_batches(first_per, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "event_type"])
-        .map_groups(first_per, batch_format="pyarrow")
-    )
+    return _coarse_key_reduce(ds, ["user_id", "event_type"], first_per)
 
 
 def hwm_per_user(sf_dir: str) -> rd.Dataset:
@@ -557,11 +596,7 @@ def lww_longest_props(sf_dir: str) -> rd.Dataset:
         out = keep_extreme(t, ["user_id"], ["_l", "ts", "event_id"], keep="last")
         return out.drop_columns(["_l"])
 
-    return (
-        ds.map_batches(best, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("user_id")
-        .map_groups(best, batch_format="pyarrow")
-    )
+    return _coarse_key_reduce(ds, ["user_id"], best)
 
 
 # Deterministic keyword-rule table for the any-overlap join (reference
