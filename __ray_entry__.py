@@ -384,8 +384,13 @@ def oracle_sql() -> dict[str, str]:
         "blob_meta": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
         ),
+        # MATERIALIZED fence: DuckDB's list kernels reject null-containing
+        # column batches even under a plain WHERE embedding IS NOT NULL;
+        # null embeddings are not candidates (the Ray kernels filter them)
         "knn_cosine": (
-            "SELECT vec_id FROM embeddings "
+            "WITH m AS MATERIALIZED "
+            "(SELECT * FROM embeddings WHERE embedding IS NOT NULL) "
+            "SELECT vec_id FROM m "
             f"ORDER BY list_cosine_similarity(embedding, {qvec}) DESC, vec_id LIMIT 10"
         ),
         "knn_lsh": _knn_lsh_oracle(),

@@ -261,6 +261,14 @@ def _emit_pairs(ids: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
 _BUCKET_MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
+def _coarse_n_parts() -> int:
+    """Coarse-shuffle fan-out: ~4x the cluster CPUs (floor 32). One
+    definition — five pipelines key their shuffles on it."""
+    import ray as _ray
+
+    return max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4)
+
+
 def _coarse_parts(*cols: np.ndarray, n_parts: int) -> np.ndarray:
     """Deterministic coarse shuffle key from uint64 column mixes: buckets
     sharing the key co-locate, so one UDF call can process MANY buckets
@@ -347,7 +355,7 @@ def minhash_lsh_candidates(sf_dir: str) -> rd.Dataset:
     import ray as _ray
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4)
+    n_parts = _coarse_n_parts()
     # instance-closure task (perm params built once on the driver and
     # shipped with the fn): actor pools pay ~1.5s startup per query for
     # state that rebuilds in microseconds — reserve them for heavy state
@@ -651,7 +659,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
     import ray as _ray
 
     docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4)
+    n_parts = _coarse_n_parts()
     hasher = SimHasher()
 
     def band_with_part(t: pa.Table) -> pa.Table:

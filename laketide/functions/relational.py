@@ -128,11 +128,9 @@ def _coarse_key_reduce(ds: rd.Dataset, key_cols: list[str], reduce_fn) -> rd.Dat
     group, which costs ~700us of map_groups UDF overhead PER KEY (the
     dedup multi-bucket lesson). Exact: all rows of a key share its
     coarse partition."""
-    import ray as _ray
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
 
-    from laketide.functions.dedup import _coarse_parts
-
-    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4)
+    n_parts = _coarse_n_parts()
 
     def pre(t: pa.Table) -> pa.Table:
         r = reduce_fn(t)
@@ -769,21 +767,16 @@ def session_counts(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     (user_id, n_sessions, n_events). Ordering is partition-local: events
     sort by (ts, event_id) inside each user's group only."""
     import numpy as np
-    import ray as _ray
 
-    from laketide.functions.dedup import _coarse_parts
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
-    n_parts = max(32, int(_ray.cluster_resources().get("CPU", 8)) * 4)
+    n_parts = _coarse_n_parts()
     gap_us = np.int64(gap_minutes) * 60 * 1_000_000
 
     def with_part(t: pa.Table) -> pa.Table:
-        # all of a user's events co-locate under one coarse partition;
-        # nulls fill to a sentinel so the null-user group stays together
-        uid = pc.fill_null(pc.cast(t["user_id"], pa.int64()), -1).to_numpy(
-            zero_copy_only=False
-        )
-        part = _coarse_parts(uid.view(np.uint64), n_parts=n_parts)
+        # all of a user's events co-locate under one coarse partition
+        part = _coarse_parts(_key_hash_u64(t["user_id"]), n_parts=n_parts)
         return t.append_column("user_part", pa.array(part, pa.int64()))
 
     def sessions_multi(t: pa.Table) -> pa.Table:
@@ -804,16 +797,20 @@ def session_counts(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
         )
         n = t.num_rows
         same = _adjacent_same(t["user_id"].combine_chunks())
+        ts_col = pc.cast(t["ts"], pa.timestamp("us")).combine_chunks()
+        ts_valid = pc.is_valid(ts_col).to_numpy(zero_copy_only=False)
         ts = (
-            pc.cast(t["ts"], pa.timestamp("us"))
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
+            ts_col.to_numpy(zero_copy_only=False)
             .astype("datetime64[us]")
             .astype(np.int64)
         )
+        # the oracle's lag(ts) gap is NULL when either side is null ->
+        # no new session (null ts becomes INT64_MIN and a raw diff wraps
+        # to a huge positive, spuriously opening one)
+        gap_ok = ts_valid[1:] & ts_valid[:-1]
         new_sess = np.empty(n, dtype=bool)
         new_sess[0] = True
-        new_sess[1:] = (~same) | ((ts[1:] - ts[:-1]) > gap_us)
+        new_sess[1:] = (~same) | (gap_ok & ((ts[1:] - ts[:-1]) > gap_us))
         starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
         ends = np.append(starts[1:], n)
         uid = t["user_id"].combine_chunks().take(pa.array(starts))

@@ -39,20 +39,48 @@ def _emb(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
 
 def _embed_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     """(n, dim) float64 matrix from a list<float> column — zero-copy
-    flatten + reshape when the lists are rectangular and non-null (the
-    embeddings contract), falling back to a per-row stack otherwise.
-    Replaces np.stack(col.to_pandas().to_numpy()), which created one
-    Python object per row."""
+    flatten + reshape (replaces np.stack over to_pandas(), one Python
+    object per row). Null rows become ZERO vectors: their norm guards to
+    1, they score 0 and never enter a top-k or clear a near-dup
+    threshold — consistent with the null-text -> zero-tokens rule.
+    Ragged lists violate the embeddings contract and raise a clear
+    error instead of an obscure stack failure."""
     import pyarrow.compute as _pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
-    lens = _pc.list_value_length(col)
-    if col.null_count == 0 and n and _pc.min(lens).as_py() == _pc.max(lens).as_py():
-        flat = _pc.list_flatten(col).to_numpy(zero_copy_only=False)
-        return flat.astype(np.float64, copy=False).reshape(n, -1)
-    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+    valid = _pc.is_valid(col)
+    sub = col.filter(valid) if col.null_count else col
+    if len(sub) == 0:
+        return np.zeros((n, EMBED_DIM), dtype=np.float64)
+    lens = _pc.list_value_length(sub)
+    if _pc.min(lens).as_py() != _pc.max(lens).as_py():
+        raise ValueError(
+            "embedding lists must be rectangular (one fixed dim); got "
+            f"lengths in [{_pc.min(lens).as_py()}, {_pc.max(lens).as_py()}]"
+        )
+    flat = _pc.list_flatten(sub).to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    if col.null_count == 0:
+        return flat.reshape(n, -1)
+    dim = int(lens[0].as_py())
+    mat = np.zeros((n, dim), dtype=np.float64)
+    mat[valid.to_numpy(zero_copy_only=False)] = flat.reshape(len(sub), dim)
+    return mat
+
+
+def _drop_null_embeddings(t: pa.Table) -> pa.Table:
+    """A null embedding is not a similarity candidate: the SQL oracle's
+    list_cosine_similarity(NULL, q) is NULL and DESC ordering puts NULLS
+    LAST, below even negative scores — so null rows must be EXCLUDED,
+    never scored (a zero-fill would rank 0.0 above negative matches)."""
+    import pyarrow.compute as _pc
+
+    if "embedding" in t.column_names and t["embedding"].null_count:
+        return t.filter(_pc.is_valid(t["embedding"]))
+    return t
 
 
 def _local_topk(ids: np.ndarray, scores: np.ndarray, k: int):
@@ -121,6 +149,7 @@ def knn_cosine(sf_dir: str, k: int = 10) -> pa.Table:
     # query vector (a cheap local object-store read per batch) and a
     # fresh actor pool costs ~1.5s startup per query
     def score(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t)
         if t.num_rows == 0:
             return pa.table(_EMPTY_SCORED)
         qv = ray.get(q_ref)
@@ -157,6 +186,7 @@ def knn_lsh(sf_dir: str, k: int = 10, n_planes: int = 8, probe_hamming: int = 1)
     state = ray.put((planes, qn, _probe_set(qsig, n_planes, probe_hamming), weights))
 
     def bucket_score(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t)
         if t.num_rows == 0:
             return pa.table(_EMPTY_SCORED)
         planes_v, qv, probe_v, w = ray.get(state)
@@ -190,6 +220,7 @@ def _train_centroids(
     sample_pct = min(100, max(1, (64 * n_centroids * 100) // total))
 
     def sample(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t)
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         keep = (ids * np.int64(2654435761)) % 100 < sample_pct
         return t.filter(pa.array(keep))
@@ -231,12 +262,17 @@ def knn_ivf(
     asserted by pytest against the brute-force baseline (approximate op
     — no SQL oracle)."""
     cent = _train_centroids(sf_dir, n_centroids)
+    if len(cent) == 0:
+        # nothing sampled (tiny corpus whose ids all miss the sample
+        # filter): no quantizer to probe — brute force IS the answer
+        return knn_cosine(sf_dir, k)
     q = query_vector()
     qn = q / np.linalg.norm(q)
     probe = set(np.argsort(-(cent @ qn))[:nprobe].tolist())
     state = ray.put((cent, qn, frozenset(probe)))
 
     def bucket_score(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t)
         if t.num_rows == 0:
             return pa.table(_EMPTY_SCORED)
         cent_v, qv, probe_v = ray.get(state)
@@ -285,8 +321,12 @@ def knn_lsh_oracle_sql(k: int = 10, n_planes: int = 8, probe_hamming: int = 1) -
         for i in range(n_planes)
     )
     probes = ", ".join(str(p) for p in sorted(probe))
+    # MATERIALIZED fence: DuckDB's list kernels reject null-containing
+    # column batches even under a WHERE embedding IS NOT NULL
     return (
-        f"SELECT vec_id FROM embeddings WHERE ({sig}) IN ({probes}) "
+        "WITH m AS MATERIALIZED "
+        "(SELECT * FROM embeddings WHERE embedding IS NOT NULL) "
+        f"SELECT vec_id FROM m WHERE ({sig}) IN ({probes}) "
         f"ORDER BY list_cosine_similarity(embedding, {query_vector_sql_literal()}) DESC, "
         f"vec_id LIMIT {k}"
     )
@@ -317,6 +357,7 @@ class _UnitVectors:
         import pyarrow.compute as pc
 
         needed = ray.get(self.need_ref)
+        t = _drop_null_embeddings(t)
         t = t.filter(pc.is_in(pc.cast(t["vec_id"], pa.int64()), value_set=needed))
         if t.num_rows == 0:
             return pa.table(
@@ -364,6 +405,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
     )
 
     def sign(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t)
         if t.num_rows == 0:
             return pa.table(
                 {
@@ -390,9 +432,9 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
             }
         )
 
-    from laketide.functions.dedup import _coarse_parts
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
 
-    n_parts = max(32, int(ray.cluster_resources().get("CPU", 8)) * 4)
+    n_parts = _coarse_n_parts()
 
     def sign_with_part(t: pa.Table) -> pa.Table:
         out = sign(t)
@@ -482,9 +524,9 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
     # per pair batch with an index_in lookup — skipping BOTH hash joins
     # (~2s of aggregator latency at bench scale). Above the cap, fall
     # through to the shuffle joins (the 100 TB path).
-    broadcast_max = int(
-        __import__("os").environ.get("LAKETIDE_NEARDUP_BROADCAST_MAX", "200000")
-    )
+    import os as _os2
+
+    broadcast_max = int(_os2.environ.get("LAKETIDE_NEARDUP_BROADCAST_MAX", "200000"))
     if len(need) <= broadcast_max:
         from laketide.functions.dedup import _gather_nonempty_blocks
 
@@ -492,10 +534,10 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
         if not ublocks:
             return empty
         utbl = pa.concat_tables(ublocks, promote_options="default")
+        from laketide.functions.multimodal import _binary_buffers
+
         uids = utbl["vec_id"].combine_chunks()
-        offs_u, data_u = __import__(
-            "laketide.functions.multimodal", fromlist=["_binary_buffers"]
-        )._binary_buffers(utbl["unit"].combine_chunks())
+        offs_u, data_u = _binary_buffers(utbl["unit"].combine_chunks())
         umat = np.frombuffer(
             data_u[offs_u[0] : offs_u[-1]], dtype=np.float64
         ).reshape(len(uids), -1)

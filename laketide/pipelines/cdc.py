@@ -972,8 +972,13 @@ class LakeTable:
         projects after the fold."""
         man = M.load_current(self.table_dir)
         if not man:
-            t = S.snapshot_schema().empty_table()
-            return ray.data.from_arrow(t.select(columns) if columns else t)
+            base = S.snapshot_schema()
+            if columns is not None:
+                unknown = [c for c in columns if c not in base.names]
+                if unknown:
+                    raise KeyError(f"unknown columns {unknown}; schema: {base.names}")
+                base = pa.schema([base.field(c) for c in columns])
+            return ray.data.from_arrow(base.empty_table())
         has_deltas = any(v.get("deltas") for v in man.partitions.values())
         schema = self._unified_schema(man)
         if schema is not None and S.DELETED_COLUMN in schema.names:
@@ -988,8 +993,9 @@ class LakeTable:
         if not has_deltas:
             files = [f for f in man.data_files(self.table_dir) if f]
             if not files:
-                t = S.snapshot_schema().empty_table()
-                return ray.data.from_arrow(t.select(columns) if columns else t)
+                # schema is already validated + pruned to `columns` above
+                base = schema or S.snapshot_schema()
+                return ray.data.from_arrow(base.empty_table())
             if columns is not None:
                 # physical files may predate newer schema columns (only
                 # partitions touched since the evolution carry them), and

@@ -34,6 +34,9 @@ _NULLABLE_QUERIES = [
     "blob_meta",
     "frame_sample",
     "blob_resize",
+    "knn_cosine",
+    "knn_lsh",
+    "embedding_label_count",
 ]
 
 
@@ -60,13 +63,17 @@ def nullable_sf_dir(tmp_path_factory):
     uid[rng.rand(n) < 0.1] = np.nan
     val = rng.rand(n) * 100
     val[rng.rand(n) < 0.1] = np.nan
+    ts = pd.Series(
+        pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, size=n), unit="s")
+    )
+    ts[rng.rand(n) < 0.08] = pd.NaT  # null event times (oracle: lag gap NULL)
     props = pd.Series([f"p{i % 7}" for i in range(n)], dtype="object")
     props[rng.rand(n) < 0.15] = None
     ev = pd.DataFrame(
         {
             "event_id": np.arange(n, dtype="int64"),
-            "ts": pd.to_datetime("2024-01-01")
-            + pd.to_timedelta(rng.randint(0, 10**6, size=n), unit="s"),
+            "ts": ts,
             "user_id": pd.array(
                 [None if np.isnan(u) else int(u) for u in uid], dtype="Int64"
             ),
@@ -96,6 +103,22 @@ def nullable_sf_dir(tmp_path_factory):
     pq.write_table(
         pa.Table.from_pandas(docs, preserve_index=False), str(d / "documents.parquet")
     )
+    # embeddings with null rows: null vectors must be EXCLUDED from
+    # similarity (oracle: list_cosine_similarity(NULL, q) sorts last)
+    dim = 64
+    m = 80
+    emb = [
+        None if rng.rand() < 0.1 else rng.standard_normal(dim).tolist()
+        for _ in range(m)
+    ]
+    et = pa.table(
+        {
+            "vec_id": pa.array(list(range(m)), pa.int64()),
+            "embedding": pa.array(emb, pa.list_(pa.float64())),
+            "label": pa.array([i % 7 for i in range(m)], pa.int64()),
+        }
+    )
+    pq.write_table(et, str(d / "embeddings.parquet"))
     return str(d)
 
 
@@ -108,7 +131,7 @@ def test_query_matches_oracle_with_nulls(name, nullable_sf_dir):
     if not isinstance(ray_df, pd.DataFrame):
         ray_df = ray_df.to_pandas()
     con = duckdb.connect()
-    for t in ("events", "documents"):
+    for t in ("events", "documents", "embeddings"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{nullable_sf_dir}/{t}.parquet')"
