@@ -389,7 +389,7 @@ def oracle_sql() -> dict[str, str]:
         # null embeddings are not candidates (the Ray kernels filter them)
         "knn_cosine": (
             "WITH m AS MATERIALIZED "
-            "(SELECT * FROM embeddings WHERE embedding IS NOT NULL) "
+            "(SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL) "
             "SELECT vec_id FROM m "
             f"ORDER BY list_cosine_similarity(embedding, {qvec}) DESC, vec_id LIMIT 10"
         ),

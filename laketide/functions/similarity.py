@@ -40,35 +40,35 @@ def _emb(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
 def _embed_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
     """(n, dim) float64 matrix from a list<float> column — zero-copy
     flatten + reshape (replaces np.stack over to_pandas(), one Python
-    object per row). Null rows become ZERO vectors: their norm guards to
-    1, they score 0 and never enter a top-k or clear a near-dup
-    threshold — consistent with the null-text -> zero-tokens rule.
-    Ragged lists violate the embeddings contract and raise a clear
-    error instead of an obscure stack failure."""
+    object per row). Callers must EXCLUDE null rows first
+    (_drop_null_embeddings): a null is not a candidate, and any fill
+    value would mis-rank it vs the NULLS-LAST SQL ordering — so nulls
+    here raise. Ragged lists violate the embeddings contract and raise
+    a clear error instead of an obscure stack failure."""
     import pyarrow.compute as _pc
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        raise ValueError(
+            "null embeddings must be excluded before scoring "
+            "(_drop_null_embeddings)"
+        )
     n = len(col)
-    valid = _pc.is_valid(col)
-    sub = col.filter(valid) if col.null_count else col
-    if len(sub) == 0:
-        return np.zeros((n, EMBED_DIM), dtype=np.float64)
-    lens = _pc.list_value_length(sub)
+    if n == 0:
+        return np.zeros((0, EMBED_DIM), dtype=np.float64)
+    lens = _pc.list_value_length(col)
     if _pc.min(lens).as_py() != _pc.max(lens).as_py():
         raise ValueError(
             "embedding lists must be rectangular (one fixed dim); got "
             f"lengths in [{_pc.min(lens).as_py()}, {_pc.max(lens).as_py()}]"
         )
-    flat = _pc.list_flatten(sub).to_numpy(zero_copy_only=False).astype(
-        np.float64, copy=False
+    return (
+        _pc.list_flatten(col)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64, copy=False)
+        .reshape(n, -1)
     )
-    if col.null_count == 0:
-        return flat.reshape(n, -1)
-    dim = int(lens[0].as_py())
-    mat = np.zeros((n, dim), dtype=np.float64)
-    mat[valid.to_numpy(zero_copy_only=False)] = flat.reshape(len(sub), dim)
-    return mat
 
 
 def _drop_null_embeddings(t: pa.Table) -> pa.Table:
@@ -325,7 +325,7 @@ def knn_lsh_oracle_sql(k: int = 10, n_planes: int = 8, probe_hamming: int = 1) -
     # column batches even under a WHERE embedding IS NOT NULL
     return (
         "WITH m AS MATERIALIZED "
-        "(SELECT * FROM embeddings WHERE embedding IS NOT NULL) "
+        "(SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL) "
         f"SELECT vec_id FROM m WHERE ({sig}) IN ({probes}) "
         f"ORDER BY list_cosine_similarity(embedding, {query_vector_sql_literal()}) DESC, "
         f"vec_id LIMIT {k}"

@@ -985,11 +985,16 @@ class LakeTable:
             # the deleted marker is write-side bookkeeping, never part of
             # the read surface
             schema = pa.schema([f for f in schema if f.name != S.DELETED_COLUMN])
-        if columns is not None and schema is not None:
-            unknown = [c for c in columns if c not in schema.names]
+        if columns is not None:
+            # legacy manifests without a stored unified schema still get
+            # validation + pruning against the base snapshot schema
+            base = schema or pa.schema(
+                [f for f in S.snapshot_schema() if f.name != S.DELETED_COLUMN]
+            )
+            unknown = [c for c in columns if c not in base.names]
             if unknown:
-                raise KeyError(f"unknown columns {unknown}; schema: {schema.names}")
-            schema = pa.schema([schema.field(c) for c in columns])
+                raise KeyError(f"unknown columns {unknown}; schema: {base.names}")
+            schema = pa.schema([base.field(c) for c in columns])
         if not has_deltas:
             files = [f for f in man.data_files(self.table_dir) if f]
             if not files:
