@@ -1132,7 +1132,13 @@ class LakeTable:
         S10: the ``exports`` table —
         /root/reference/migrations/001_initial_schema.up.sql:95-108).
         Two-phase: stage into a temp dir, atomically rename; re-export of
-        the same epoch is a no-op returning the existing manifest."""
+        the same epoch is a no-op returning the existing manifest.
+
+        INCREMENTAL across versions: each file records the source
+        fingerprint (partition base file + delta list) that produced it;
+        a later export hardlinks unchanged partitions from the newest
+        previous snapshot instead of re-merging and re-hashing them — at
+        lake scale most partitions are untouched between exports."""
         import hashlib
         import json as _json
         import shutil as _shutil
@@ -1147,6 +1153,24 @@ class LakeTable:
             with open(meta_path) as fh:
                 return _json.load(fh)
         os.makedirs(export_dir, exist_ok=True)
+
+        # newest previous snapshot, for incremental reuse
+        import glob as _glob
+
+        prev_meta, prev_dir = None, None
+        prevs = sorted(
+            d
+            for d in _glob.glob(os.path.join(export_dir, "snapshot-*"))
+            if os.path.isfile(os.path.join(d, "EXPORT.json")) and d != final
+        )
+        if prevs:
+            prev_dir = prevs[-1]
+            with open(os.path.join(prev_dir, "EXPORT.json")) as fh:
+                prev_meta = _json.load(fh)
+        prev_by_name = {
+            f["name"]: f for f in (prev_meta or {}).get("files", []) if f.get("source")
+        }
+
         tmp = final + ".tmp"
         _shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
@@ -1155,11 +1179,16 @@ class LakeTable:
         table_dir = self.table_dir
         merge = self.merge
 
-        # one Ray task per partition (the old loop read+merged+wrote+
-        # hashed every partition serially on the driver — a full-table
-        # export is embarrassingly parallel)
+        def _fingerprint(info: dict) -> str:
+            return _json.dumps(
+                {"file": info.get("file"), "deltas": info.get("deltas") or []},
+                sort_keys=True,
+            )
+
+        # one Ray task per CHANGED partition (the old loop read+merged+
+        # wrote+hashed every partition serially on the driver)
         @_ray.remote(num_cpus=1)
-        def _export_one(part: int, info: dict) -> dict | None:
+        def _export_one(part: int, info: dict, source: str) -> dict | None:
             from laketide.stages.apply import limit_arrow_threads
 
             limit_arrow_threads(1)
@@ -1176,20 +1205,33 @@ class LakeTable:
                 "bytes": os.path.getsize(dst),
                 "sha256": sha,
                 "rows": merged.num_rows,
+                "source": source,
             }
 
-        results = _ray.get(
-            [
-                _export_one.remote(int(k), dict(v))
-                for k, v in sorted(man.partitions.items(), key=lambda kv: int(kv[0]))
-            ]
-        )
-        files = [r for r in results if r is not None]
+        reused: list[dict] = []
+        futures = []
+        for k, v in sorted(man.partitions.items(), key=lambda kv: int(kv[0])):
+            info = dict(v)
+            src = _fingerprint(info)
+            base = f"part-{int(k):05d}.parquet"
+            prev = prev_by_name.get(base)
+            prev_path = os.path.join(prev_dir, base) if prev_dir else ""
+            if prev and prev["source"] == src and os.path.exists(prev_path):
+                os.link(prev_path, os.path.join(tmp, base))
+                reused.append(dict(prev))
+                continue
+            if not info.get("file") and not info.get("deltas"):
+                continue
+            futures.append(_export_one.remote(int(k), info, src))
+
+        results = [r for r in _ray.get(futures) if r is not None]
+        files = sorted(reused + results, key=lambda f: f["name"])
         rows = sum(r["rows"] for r in files)
         meta = {
             "version": man.epoch,
             "rows": rows,
             "files": files,
+            "reused": len(reused),
             "status": "completed",
             "merge": self.merge,
         }

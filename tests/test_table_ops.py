@@ -63,6 +63,45 @@ def test_export_snapshot_versioned_with_checksums(changelog, tmp_path):
     assert again == meta
 
 
+def test_export_snapshot_incremental_reuses_unchanged_partitions(tmp_path):
+    """A later export hardlinks partitions whose (base file, deltas)
+    fingerprint is unchanged since the previous snapshot instead of
+    re-merging them — and the result is still byte-verified and equal to
+    the live state."""
+    import hashlib
+
+    src = generate_changelog(str(tmp_path / "log"), n_events=2000, n_epochs=2, seed=23)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    t.apply_epoch(src[0])
+    first = t.export_snapshot(str(tmp_path / "exports"))
+    assert first["reused"] == 0
+    # a small second epoch touches only SOME partitions
+    ev = pa.table(
+        {
+            "repo": ["repo-000", "repo-001"],
+            "path": ["only/a", "only/b"],
+            "commit": ["c9999999990", "c9999999991"],
+            "seq": pa.array([1, 2], pa.int64()),
+            "op": ["insert", "insert"],
+            "content": ["xx", "yy"],
+        }
+    )
+    f2 = str(tmp_path / "e2.parquet")
+    pq.write_table(ev, f2)
+    t.apply_epoch(f2)
+    second = t.export_snapshot(str(tmp_path / "exports"))
+    assert second["version"] == first["version"] + 1
+    assert 0 < second["reused"] < len(second["files"])
+    exp_dir = str(tmp_path / "exports" / f"snapshot-{second['version']:06d}")
+    total = 0
+    for f in second["files"]:
+        p = os.path.join(exp_dir, f["name"])
+        with open(p, "rb") as fh:
+            assert hashlib.sha256(fh.read()).hexdigest() == f["sha256"]
+        total += f["rows"]
+    assert total == second["rows"] == t.state_table().num_rows
+
+
 def test_gc_drops_superseded_files_keeps_state(changelog, tmp_path):
     t = LakeTable(str(tmp_path / "t"), num_partitions=8)
     t.replay(os.path.dirname(changelog[0]))
