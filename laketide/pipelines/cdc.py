@@ -468,6 +468,7 @@ class LakeTable:
         merge: str = "lww",
         layout: str = "cow",
         compact_threshold: int = 8,
+        lock_wait_seconds: float = 0.0,
     ):
         """``merge``: pluggable merge strategy (reference E4) — "lww"
         (version order, R2 analog) or "longest" (longer content wins,
@@ -483,6 +484,7 @@ class LakeTable:
         O(delta) writes (Hudi/Iceberg MOR analog of the reference's
         row-level UPDATE vs full-table rewrite trade)."""
         self.table_dir = table_dir
+        self.lock_wait_seconds = lock_wait_seconds
         os.makedirs(table_dir, exist_ok=True)
         man = M.load_current(table_dir)
         self._actor_pool = None
@@ -797,25 +799,41 @@ class LakeTable:
     def _acquire_lock(self):
         """Single-writer advisory lock (the reference's single sync-job
         analog): O_EXCL lock file holding the writer pid; a lock whose
-        pid is dead is stale and stolen. Concurrent LIVE writers raise —
-        two appliers racing the manifest swap could each commit a
-        manifest the other never saw."""
+        pid is dead is stale and stolen. A LIVE contender raises by
+        default; ``lock_wait_seconds > 0`` (constructor knob) instead
+        retries with backoff until the deadline — the operational mode
+        for a tail daemon coexisting with cron maintenance, where the
+        writers are serialized, not failed."""
+        import time as _time
+
         path = os.path.join(self.table_dir, "_LOCK")
         # Publish by hardlink: the pid is fully written to a private tmp
         # BEFORE the name appears, so no contender can ever observe an
         # empty lock file (the O_EXCL+write scheme had a window where a
         # reader parsed the empty file as a stale pid and stole a LIVE
         # writer's lock).
-        tmp = f"{path}.tmp-{os.getpid()}"
+        import threading as _threading
+
+        # pid + thread id: two handles in one process must not share the
+        # tmp name, or one acquisition's cleanup deletes the other's
+        # link source mid-retry
+        tmp = f"{path}.tmp-{os.getpid()}-{_threading.get_ident()}"
         with open(tmp, "w") as fh:
             fh.write(str(os.getpid()))
+        wait = float(getattr(self, "lock_wait_seconds", 0.0) or 0.0)
+        deadline = _time.monotonic() + max(0.0, wait)
         try:
             while True:
                 try:
                     os.link(tmp, path)
                     return path
                 except FileExistsError:
-                    self._contend_lock(path)
+                    try:
+                        self._contend_lock(path)
+                    except RuntimeError:
+                        if _time.monotonic() >= deadline:
+                            raise
+                        _time.sleep(0.05)
         finally:
             try:
                 os.remove(tmp)

@@ -385,6 +385,37 @@ def test_same_process_second_writer_raises(tmp_path, changelog):
     t.apply_epoch(changelog[0])  # releases cleanly, next writer proceeds
 
 
+def test_lock_wait_serializes_concurrent_writers(tmp_path):
+    """With lock_wait_seconds > 0 concurrent writers SERIALIZE instead of
+    raising — the tail-daemon + cron-maintenance coexistence mode — and
+    the final state still equals the oracle."""
+    import threading
+
+    src = generate_changelog(str(tmp_path / "log"), n_events=1200, n_epochs=4, seed=7)
+    t1 = LakeTable(str(tmp_path / "t"), num_partitions=4, lock_wait_seconds=30)
+    t2 = LakeTable(str(tmp_path / "t"), num_partitions=4, lock_wait_seconds=30)
+    t1.apply_epoch(src[0])
+    errs = []
+
+    log_dir = os.path.dirname(src[0])
+
+    def worker(handle):
+        try:
+            for _ in range(3):
+                handle.replay(log_dir)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    # both handles replay the same changelog dir concurrently: the lock
+    # serializes; replay()'s only-new-epochs rule dedups
+    th1 = threading.Thread(target=worker, args=(t1,))
+    th2 = threading.Thread(target=worker, args=(t2,))
+    th1.start(); th2.start(); th1.join(); th2.join()
+    assert not errs, errs
+    assert t1.current_epoch() == 4
+    assert _keymap(t1.state_table()) == _keymap(expected_state(src))
+
+
 def test_dangling_current_raises_not_empty_table(tmp_path, changelog):
     """CURRENT naming a missing manifest is corruption — refusing beats
     silently restarting an existing table at epoch 1 (data loss)."""
