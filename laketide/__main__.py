@@ -69,6 +69,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--poll-seconds", type=float, default=2.0)
     sp.add_argument("--max-idle-polls", type=int, default=3)
     sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument(
+        "--lock-wait-seconds", type=float, default=60.0,
+        help="serialize with concurrent maintenance instead of raising",
+    )
 
     sp = sub.add_parser("gen", help="generate a deterministic synthetic changelog")
     sp.add_argument("--out", required=True)
@@ -137,7 +141,11 @@ def main(argv: list[str] | None = None) -> int:
             t = LakeTable(args.table)
             print(json.dumps(t.history()))
         elif args.cmd == "tail":
-            t = LakeTable(args.table, num_partitions=args.partitions)
+            t = LakeTable(
+                args.table,
+                num_partitions=args.partitions,
+                lock_wait_seconds=args.lock_wait_seconds,
+            )
             out = t.tail(
                 args.changelog,
                 poll_seconds=args.poll_seconds,
