@@ -175,6 +175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- dedup suite ---
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
         "minhash_dedup_verified": dedup.minhash_dedup_verified,
+        "ngram_jaccard_join": dedup.ngram_jaccard_join,
         "simhash_dedup": dedup.simhash_dedup,
         # --- similarity search ---
         "knn_cosine": similarity.knn_cosine,
@@ -419,23 +420,13 @@ def oracle_sql() -> dict[str, str]:
         # independently. Caveat: a hot LSH bucket (> LAKETIDE_MAX_LSH_BUCKET
         # members) is star-capped, which preserves dedup components but
         # not the exact pair listing — no such bucket exists at sf0.01.
-        "minhash_dedup_verified": (
-            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "g AS (SELECT doc_id, CASE "
-            "WHEN len(toks) = 0 THEN [] "
-            # short docs: ONE gram over the available tokens, mirroring
-            # the kernel's zero-padded shingle (1- or 2-token gram
-            # strings never collide with 3-token ones: space counts differ)
-            "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-            "ELSE list_distinct(list_transform(range(1, len(toks) - 2 + 1), "
-            "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS grams FROM t) "
-            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
-            "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
-            "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard "
-            "FROM g a JOIN g b ON a.doc_id < b.doc_id "
-            "WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
-            "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.7"
-        ),
+        "minhash_dedup_verified": _trigram_jaccard_oracle(0.7),
+        # ngram_jaccard_join is EXACT by construction (prefix filtering
+        # is complete — dedup._prefix_rows docstring has the proof), so
+        # the brute-force all-pairs oracle matches with no recall caveat
+        # at ANY threshold; 0.5 is below the band where LSH recall is
+        # reliable, which is the point of the operator.
+        "ngram_jaccard_join": _trigram_jaccard_oracle(0.5),
         # VARCHAR substring == byte slicing here: the documents text is
         # pure ASCII (DuckDB substring does not accept BLOB).
         "frame_sample": (
@@ -455,6 +446,35 @@ def oracle_sql() -> dict[str, str]:
             "CAST(length(text) AS BIGINT) AS orig_bytes FROM documents"
         ),
     }
+
+
+def _trigram_jaccard_oracle(threshold: float) -> str:
+    """Exact ground truth for the trigram-set-Jaccard pair queries:
+    string word-trigram sets + set Jaccard (no hashing). The Ray
+    kernels' hashed-shingle Jaccard equals the string-set Jaccard
+    (injective whp). Short docs contribute ONE gram over the available
+    tokens, mirroring the kernel's zero-padded shingle (1- or 2-token
+    gram strings never collide with 3-token ones: space counts differ).
+    For minhash_dedup_verified the LSH recall at >=0.7 on this data is
+    1 - ~4e-12 (pairs sit at J >= 0.95) so exact-match holds, and a hot
+    LSH bucket (> LAKETIDE_MAX_LSH_BUCKET members) would be star-capped
+    — no such bucket exists at sf0.01; ngram_jaccard_join is exact by
+    construction (complete prefix filter, uncapped by default)."""
+    jac = (
+        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
+        "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
+    )
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "g AS (SELECT doc_id, CASE "
+        "WHEN len(toks) = 0 THEN [] "
+        "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+        "ELSE list_distinct(list_transform(range(1, len(toks) - 2 + 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS grams FROM t) "
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard "
+        "FROM g a JOIN g b ON a.doc_id < b.doc_id "
+        f"WHERE {jac} >= {threshold}"
+    )
 
 
 def _knn_lsh_oracle() -> str:

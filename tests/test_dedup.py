@@ -266,3 +266,59 @@ def test_doc_fingerprint_vectorized_matches_scalar(tmp_path):
 
     for i, s in enumerate(texts):
         assert fps[i] == ref(s), texts[i]
+
+
+def test_ngram_jaccard_join_exact_vs_bruteforce(tmp_path_factory):
+    """Completeness + exactness of the prefix-filtered similarity join:
+    the FULL pair listing at a low threshold (0.35 — below where LSH
+    recall is dependable) must equal brute-force all-pairs trigram
+    Jaccard, on a corpus with mid-similarity plants, exact duplicates,
+    short (1-/2-token), empty and null docs."""
+    d = tmp_path_factory.mktemp("njj")
+    rng = np.random.RandomState(11)
+    texts = [_rand_text(rng, n=60) for i in range(120)]
+    # plants across the similarity spectrum: replacing k spaced tokens
+    # of 60 kills ~3k of 58 trigrams -> J ~ (58-3k)/(58+3k): 0.90, 0.73,
+    # 0.59, 0.41, 0.32 — straddling the 0.35 threshold
+    for p, k in enumerate([1, 3, 5, 8, 10]):
+        toks = texts[p * 9].split()
+        for j in range(k):
+            toks[(j * 5) % len(toks)] = f"alt{p}x{j}"
+        texts.append(" ".join(toks))
+    texts += [texts[4], "", "solo", "two tokens", "two tokens", None]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+
+    def grams(s):
+        toks = (s or "").split()
+        if not toks:
+            return frozenset()
+        if len(toks) < 3:
+            return frozenset([" ".join(toks)])
+        return frozenset(
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        )
+
+    gs = [grams(s) for s in texts]
+    thr = 0.35
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            u = len(gs[a] | gs[b])
+            if u and len(gs[a] & gs[b]) / u >= thr:
+                want[(a, b)] = len(gs[a] & gs[b]) / u
+    assert len(want) >= 4  # plants at k=2/6/10 + exact-dup pairs qualify
+
+    out = dedup.ngram_jaccard_join(str(d), threshold=thr).to_pandas()
+    got = {
+        (int(r.doc_a), int(r.doc_b)): float(r.jaccard)
+        for r in out.itertuples()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
