@@ -157,6 +157,7 @@ def run_bench() -> dict:
         timed("exact_dedup_docs", text.exact_dedup_docs)
         timed("knn_cosine", similarity.knn_cosine)
         timed("minhash_lsh_candidates", dedup.minhash_lsh_candidates)
+        timed("ngram_jaccard_join", dedup.ngram_jaccard_join)
         timed("simhash_dedup", dedup.simhash_dedup)
         timed("embedding_near_dup", similarity.embedding_near_dup)
 

@@ -63,6 +63,16 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("history", help="committed-epoch log")
     sp.add_argument("--table", required=True)
 
+    sp = sub.add_parser(
+        "diff", help="change data feed between two retained epochs"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--from-epoch", type=int, required=True)
+    sp.add_argument("--to-epoch", type=int, required=True)
+    sp.add_argument(
+        "--out", help="write full change rows to this parquet path (else summary only)"
+    )
+
     sp = sub.add_parser("tail", help="follow a changelog dir, applying new epochs")
     sp.add_argument("--table", required=True)
     sp.add_argument("--changelog", required=True)
@@ -140,6 +150,27 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "history":
             t = LakeTable(args.table)
             print(json.dumps(t.history()))
+        elif args.cmd == "diff":
+            t = LakeTable(args.table)
+            ch = t.changes_between(args.from_epoch, args.to_epoch)
+            counts: dict[str, int] = {}
+            for v in ch["change_type"].to_pylist():
+                counts[v] = counts.get(v, 0) + 1
+            if args.out:
+                import pyarrow.parquet as pq
+
+                pq.write_table(ch, args.out)
+            print(
+                json.dumps(
+                    {
+                        "from_epoch": args.from_epoch,
+                        "to_epoch": args.to_epoch,
+                        "changes": ch.num_rows,
+                        "by_type": counts,
+                        "out": args.out,
+                    }
+                )
+            )
         elif args.cmd == "tail":
             t = LakeTable(
                 args.table,

@@ -454,6 +454,60 @@ def _load_live_partition(
     return t
 
 
+def _diff_live_tables(
+    t0: pa.Table | None, t1: pa.Table | None, schema: pa.Schema
+) -> pa.Table:
+    """Classify one partition's changes between two live-row snapshots
+    (both already tombstone-filtered): insert = key only in ``t1``
+    (postimage), update = key in both with different stored winner
+    ``(commit, seq)`` (postimage), delete = key only in ``t0``
+    (preimage). Vectorized via null-byte-joined key arrays +
+    ``pc.index_in`` — no join machinery, so list payload columns ride
+    along untouched."""
+    out_schema = schema.append(pa.field("change_type", pa.string()))
+
+    def _key(t: pa.Table) -> pa.ChunkedArray:
+        return pc.binary_join_element_wise(
+            pc.cast(t["repo"], pa.string()),
+            pc.cast(t["path"], pa.string()),
+            "\x00",
+        )
+
+    def _tag(t: pa.Table, tag: str) -> pa.Table:
+        return S.conform(t, schema).append_column(
+            "change_type", pa.array([tag] * t.num_rows, pa.string())
+        )
+
+    if (t1 is None or t1.num_rows == 0) and (t0 is None or t0.num_rows == 0):
+        return out_schema.empty_table()
+    if t0 is None or t0.num_rows == 0:
+        return _tag(t1, "insert")
+    if t1 is None or t1.num_rows == 0:
+        return _tag(t0, "delete")
+    k0, k1 = _key(t0), _key(t1)
+    idx = pc.index_in(k1, value_set=k0)
+    ins_mask = pc.is_null(idx)
+    old_commit = pc.take(t0["commit"], idx)
+    old_seq = pc.take(t0["seq"], idx)
+    ident_changed = pc.or_kleene(
+        pc.not_equal(old_commit, pc.cast(t1["commit"], old_commit.type)),
+        pc.not_equal(old_seq, pc.cast(t1["seq"], old_seq.type)),
+    )
+    upd_mask = pc.and_kleene(pc.invert(ins_mask), pc.fill_null(ident_changed, False))
+    jdx = pc.index_in(k0, value_set=k1)
+    del_mask = pc.is_null(jdx)
+    parts = []
+    if pc.any(ins_mask).as_py():
+        parts.append(_tag(t1.filter(ins_mask), "insert"))
+    if pc.any(upd_mask).as_py():
+        parts.append(_tag(t1.filter(upd_mask), "update"))
+    if pc.any(del_mask).as_py():
+        parts.append(_tag(t0.filter(del_mask), "delete"))
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables(parts, promote_options="default")
+
+
 class LakeTable:
     """A hash-partitioned Parquet lake table maintained by CDC replay.
 
@@ -583,6 +637,183 @@ class LakeTable:
     def current_epoch(self) -> int:
         man = self.current_manifest()
         return man.epoch if man else 0
+
+    def changes_between(self, from_epoch: int, to_epoch: int) -> pa.Table:
+        """Change data feed between two retained epochs (Delta-CDF /
+        Iceberg-changelog analog; reference analog: the per-sync
+        processing_stats delta the ops surface reports,
+        /root/reference/migrations/001_initial_schema.up.sql:75-88 —
+        generalized to row-level changes). Returns one row per changed
+        key with ``change_type``:
+
+        - ``insert``: key live at ``to_epoch``, absent at ``from_epoch``
+          (postimage columns)
+        - ``update``: key live at both, stored winner identity
+          ``(commit, seq)`` differs (postimage columns; a re-delivered
+          noop leaves the stored winner untouched, so it does NOT
+          surface here)
+        - ``delete``: key live at ``from_epoch``, absent at ``to_epoch``
+          (preimage columns; across a RESCALE boundary the preimage is
+          skinny — key + winner identity, payload columns null)
+
+        Distribution: when both manifests share a partition count, one
+        Ray task per partition diffs base+delta folds pairwise (the
+        co-partitioning invariant — same key, same partition). Across a
+        rescale, old-snapshot KEYS re-key to the new partitioning and
+        move through one Ray Data exchange of skinny (repo, path,
+        commit, seq) rows — content never re-shuffles."""
+        if from_epoch > to_epoch:
+            raise ValueError(
+                f"changes_between: from_epoch {from_epoch} > to_epoch {to_epoch}"
+            )
+        m0, m1 = self.manifest_at(from_epoch), self.manifest_at(to_epoch)
+        for ep, man in ((from_epoch, m0), (to_epoch, m1)):
+            if not man:
+                raise ValueError(
+                    f"epoch {ep} not retained (gc'd or never committed)"
+                )
+        schema = S.unify(
+            self._unified_schema(m0) or S.snapshot_schema(),
+            self._unified_schema(m1) or S.snapshot_schema(),
+        )
+        schema = pa.schema([f for f in schema if f.name != S.DELETED_COLUMN])
+        out_schema = schema.append(pa.field("change_type", pa.string()))
+        if from_epoch == to_epoch:
+            return out_schema.empty_table()
+        table_dir, merge = self.table_dir, self.merge
+        import ray as _ray
+
+        if m0.num_partitions == m1.num_partitions:
+
+            @_ray.remote(num_cpus=1)
+            def _diff_one(info0: dict | None, info1: dict | None) -> pa.Table:
+                from laketide.stages.apply import limit_arrow_threads
+
+                limit_arrow_threads(1)
+                t0 = (
+                    _load_live_partition(table_dir, info0, merge, drop_deleted=True)
+                    if info0
+                    else None
+                )
+                t1 = (
+                    _load_live_partition(table_dir, info1, merge, drop_deleted=True)
+                    if info1
+                    else None
+                )
+                return _diff_live_tables(t0, t1, schema)
+
+            ids = sorted(
+                set(m0.partitions) | set(m1.partitions), key=int
+            )
+            parts = _ray.get(
+                [
+                    _diff_one.remote(m0.partitions.get(k), m1.partitions.get(k))
+                    for k in ids
+                ]
+            )
+        else:
+            parts = self._changes_across_rescale(m0, m1, schema)
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return out_schema.empty_table()
+        out = pa.concat_tables(parts, promote_options="default")
+        return out.sort_by(
+            [("repo", "ascending"), ("path", "ascending")]
+        )
+
+    def _changes_across_rescale(
+        self, m0: M.Manifest, m1: M.Manifest, schema: pa.Schema
+    ) -> list[pa.Table]:
+        """Diff across a partition-count change: skinny old-key rows
+        re-keyed under the NEW partition count flow through one Ray Data
+        groupby; each group's task loads its new partition and
+        classifies. Driver-injected marker rows guarantee every new
+        partition forms a group (an all-inserts partition has no old
+        keys). Delete preimages are skinny by construction (documented
+        in ``changes_between``)."""
+        import ray as _ray
+        import ray.data as _rd
+
+        from laketide.stages.partition import assign_partitions
+
+        table_dir, merge = self.table_dir, self.merge
+        new_p = m1.num_partitions
+        skinny_schema = pa.schema(
+            [
+                ("part", pa.int64()),
+                ("repo", pa.string()),
+                ("path", pa.string()),
+                ("commit", pa.string()),
+                ("seq", pa.int64()),
+                ("marker", pa.bool_()),
+            ]
+        )
+
+        @_ray.remote(num_cpus=1)
+        def _skinny_old(info: dict) -> pa.Table:
+            from laketide.stages.apply import limit_arrow_threads
+
+            limit_arrow_threads(1)
+            t = _load_live_partition(table_dir, info, merge, drop_deleted=True)
+            if t is None or t.num_rows == 0:
+                return skinny_schema.empty_table()
+            return pa.table(
+                {
+                    "part": assign_partitions(t, new_p),
+                    "repo": pc.cast(t["repo"], pa.string()),
+                    "path": pc.cast(t["path"], pa.string()),
+                    "commit": pc.cast(t["commit"], pa.string()),
+                    "seq": pc.cast(t["seq"], pa.int64()),
+                    "marker": pa.array([False] * t.num_rows, pa.bool_()),
+                }
+            )
+
+        refs = [
+            _skinny_old.remote(info)
+            for info in m0.partitions.values()
+            if info.get("file") or info.get("deltas")
+        ]
+        markers = pa.table(
+            {
+                "part": pa.array(list(range(new_p)), pa.int64()),
+                "repo": pa.array([None] * new_p, pa.string()),
+                "path": pa.array([None] * new_p, pa.string()),
+                "commit": pa.array([None] * new_p, pa.string()),
+                "seq": pa.array([None] * new_p, pa.int64()),
+                "marker": pa.array([True] * new_p, pa.bool_()),
+            }
+        )
+        skinny = _rd.from_arrow_refs(refs + [_ray.put(markers)])
+        partitions1 = {k: dict(v) for k, v in m1.partitions.items()}
+
+        def diff_group(g: pa.Table) -> pa.Table:
+            from laketide.stages.apply import limit_arrow_threads
+
+            limit_arrow_threads(1)
+            out_schema = schema.append(pa.field("change_type", pa.string()))
+            if g.num_rows == 0:
+                return out_schema.empty_table()
+            part = int(g["part"][0].as_py())
+            g = g.filter(pc.invert(pc.fill_null(g["marker"], False)))
+            info1 = partitions1.get(str(part))
+            t1 = (
+                _load_live_partition(table_dir, info1, merge, drop_deleted=True)
+                if info1
+                else None
+            )
+            # old side is already skinny: conform adds the missing
+            # payload columns as nulls
+            t0 = S.conform(g.drop_columns(["part", "marker"]), schema)
+            return _diff_live_tables(t0, t1, schema)
+
+        diffed = skinny.groupby("part").map_groups(
+            diff_group, batch_format="pyarrow"
+        )
+        return [
+            p
+            for p in (_ray.get(r) for r in diffed.to_arrow_refs())
+            if p.num_rows
+        ]
 
     def _unified_schema(self, man: M.Manifest) -> pa.Schema | None:
         s = man.stats.get("schema_b64")

@@ -1001,3 +1001,93 @@ def test_actor_exchange_honors_hwm_filter_off(tmp_path):
     assert r["totals"]["replays_dropped"] == 0
     assert r["totals"]["stale_dropped"] == 1
     assert t.state_table()["content"][0].as_py() == "new"
+
+
+def _expected_changes(files, n0, n1):
+    def smap(n):
+        e = expected_state(files[:n])
+        if not hasattr(e, "itertuples"):
+            e = e.to_pandas()
+        return {(r.repo, r.path): (r.commit, r.seq) for r in e.itertuples()}
+
+    s0, s1 = smap(n0), smap(n1)
+    want = {}
+    for k in s1:
+        if k not in s0:
+            want[k] = "insert"
+        elif s1[k] != s0[k]:
+            want[k] = "update"
+    for k in s0:
+        if k not in s1:
+            want[k] = "delete"
+    return want
+
+
+def test_changes_between_matches_oracle(changelog, tmp_path):
+    """Change data feed (aligned partitions) == the diff of the DuckDB
+    window-oracle states at the two epochs; self-diff empty; unknown
+    epoch raises; postimages carry content, delete preimages too."""
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    t.replay(os.path.dirname(changelog[0]))
+    ch = t.changes_between(1, 3)
+    got = {
+        (r.repo, r.path): r.change_type for r in ch.to_pandas().itertuples()
+    }
+    want = _expected_changes(changelog, 1, 3)
+    assert got == want
+    assert set(want.values()) == {"insert", "update", "delete"}  # fixture has all
+    df = ch.to_pandas()
+    assert df[df.change_type != "delete"].content.notna().all()
+    # aligned-path deletes carry the full preimage
+    assert df[df.change_type == "delete"].content.notna().all()
+    assert t.changes_between(2, 2).num_rows == 0
+    with pytest.raises(ValueError):
+        t.changes_between(0, 2)
+    with pytest.raises(ValueError):
+        t.changes_between(3, 1)
+
+
+def test_changes_between_across_rescale(tmp_path):
+    """Crossing a rescale boundary: skinny old keys re-key through the
+    Ray Data exchange; classification still matches the oracle diff
+    (delete preimages documented skinny)."""
+    files = generate_changelog(str(tmp_path / "log"), n_events=4000, n_epochs=4, seed=5)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    for f in files[:2]:
+        t.apply_epoch(f)
+    t.rescale(12)
+    t2 = LakeTable(str(tmp_path / "t"), num_partitions=12)
+    for f in files[2:]:
+        t2.apply_epoch(f)
+    ch = t2.changes_between(1, 4)
+    got = {
+        (r.repo, r.path): r.change_type for r in ch.to_pandas().itertuples()
+    }
+    assert got == _expected_changes(files, 1, 4)
+
+
+def test_cli_diff(tmp_path):
+    from laketide.__main__ import main
+
+    files = generate_changelog(str(tmp_path / "log"), n_events=1500, n_epochs=2, seed=9)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t.replay(str(tmp_path / "log"))
+    out = str(tmp_path / "diff.parquet")
+    import contextlib, io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main(
+            [
+                "diff",
+                "--table", str(tmp_path / "t"),
+                "--from-epoch", "1",
+                "--to-epoch", "2",
+                "--out", out,
+            ]
+        )
+    assert rc == 0
+    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    want = _expected_changes(files, 1, 2)
+    assert rep["changes"] == len(want)
+    assert pq.read_table(out).num_rows == len(want)
