@@ -125,6 +125,32 @@ def _cdc_replay_final(sf_dir: str) -> Any:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _cdc_changes_feed(sf_dir: str) -> Any:
+    """Replay the cached changelog, then emit the row-level change data
+    feed between epoch 1 and the final epoch
+    (``LakeTable.changes_between``); the oracle diffs the two DuckDB
+    window-states with a full outer join. Projects the winner identity
+    (change_type, commit, seq) — delete rows carry the preimage winner."""
+    from laketide.pipelines.cdc import LakeTable
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    log_dir = _replay_log_dir(sf_tag)
+    import glob
+
+    files = sorted(glob.glob(os.path.join(log_dir, "epoch-*.parquet")))
+    work = tempfile.mkdtemp(prefix="laketide_cdf_", dir="/tmp")
+    try:
+        table = LakeTable(os.path.join(work, "table"), num_partitions=32)
+        for f in files:
+            table.apply_epoch(f)
+        ch = table.changes_between(1, len(files))
+        return ch.select(["repo", "path", "change_type", "commit", "seq"])
+    finally:
+        import shutil
+
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from laketide.functions import dedup, multimodal, relational as R, similarity, text
 
@@ -141,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_counts": R.session_counts,
         "value_cents_by_user_type": R.value_cents_by_user_type,
         "cdc_replay_final": _cdc_replay_final,
+        "cdc_changes_feed": _cdc_changes_feed,
         "cdc_coalesce_fieldwise": R.cdc_coalesce_fieldwise,
         "lookup_join_overlap": R.lookup_join_overlap,
         # --- relational (SURVEY §2.4, §2.6, §2.7) ---
@@ -210,6 +237,31 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
             f"FROM read_parquet('{replay_glob}', union_by_name=true)"
             ") WHERE rn = 1 AND op != 'delete'"
+        ),
+        # change data feed: full-outer diff of the epoch-1 window-state
+        # vs the final window-state over the SAME cached changelog
+        "cdc_changes_feed": (
+            "WITH e0 AS (SELECT repo, path, commit, seq FROM ("
+            "SELECT *, row_number() OVER ("
+            "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
+            # epoch files are ZERO-indexed: epoch-000.parquet is the
+            # first epoch == the engine's committed epoch_id 1
+            f"FROM read_parquet('{os.path.join(_replay_log_dir(oracle_sf), 'epoch-000.parquet')}', union_by_name=true)"
+            ") WHERE rn = 1 AND op != 'delete'), "
+            "e1 AS (SELECT repo, path, commit, seq FROM ("
+            "SELECT *, row_number() OVER ("
+            "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
+            f"FROM read_parquet('{replay_glob}', union_by_name=true)"
+            ") WHERE rn = 1 AND op != 'delete') "
+            "SELECT * FROM ("
+            "SELECT repo, path, "
+            "CASE WHEN e0.commit IS NULL THEN 'insert' "
+            "WHEN e1.commit IS NULL THEN 'delete' "
+            "WHEN e0.commit <> e1.commit OR e0.seq <> e1.seq THEN 'update' END AS change_type, "
+            "coalesce(e1.commit, e0.commit) AS commit, "
+            "coalesce(e1.seq, e0.seq) AS seq "
+            "FROM e0 FULL JOIN e1 USING (repo, path)) "
+            "WHERE change_type IS NOT NULL"
         ),
         "cdc_lww_latest": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events "
