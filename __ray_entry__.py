@@ -99,12 +99,12 @@ def _replay_log_dir(sf_tag: str) -> str:
     return changelog_dir_for(sf_tag, n_events)
 
 
-def _cdc_replay_final(sf_dir: str) -> Any:
-    """Full engine replay of a deterministic synthetic changelog sized to
-    the scale factor; final state checked against the DuckDB LWW window
-    oracle (reference: sql/vulnerabilities.sql:66-90)."""
+def _with_replayed_table(sf_dir: str, fn: Callable[[Any, list[str]], Any]) -> Any:
+    """Shared replay scaffolding for the engine-backed queries: replay
+    the cached deterministic changelog into a temp LakeTable, hand
+    ``(table, epoch_files)`` to ``fn``, clean up. One copy keeps the
+    query and its oracle reading identical bytes forever."""
     from laketide.pipelines.cdc import LakeTable
-    from laketide.sources.changelog import changelog_dir_for
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     log_dir = _replay_log_dir(sf_tag)
@@ -116,13 +116,23 @@ def _cdc_replay_final(sf_dir: str) -> Any:
         table = LakeTable(os.path.join(work, "table"), num_partitions=32)
         for f in files:
             table.apply_epoch(f)
-        return table.read().select_columns(
-            ["repo", "path", "commit", "seq", "lang", "content"]
-        ).materialize()
+        return fn(table, files)
     finally:
         import shutil
 
         shutil.rmtree(work, ignore_errors=True)
+
+
+def _cdc_replay_final(sf_dir: str) -> Any:
+    """Full engine replay of a deterministic synthetic changelog sized to
+    the scale factor; final state checked against the DuckDB LWW window
+    oracle (reference: sql/vulnerabilities.sql:66-90)."""
+    return _with_replayed_table(
+        sf_dir,
+        lambda table, files: table.read()
+        .select_columns(["repo", "path", "commit", "seq", "lang", "content"])
+        .materialize(),
+    )
 
 
 def _cdc_changes_feed(sf_dir: str) -> Any:
@@ -131,24 +141,12 @@ def _cdc_changes_feed(sf_dir: str) -> Any:
     (``LakeTable.changes_between``); the oracle diffs the two DuckDB
     window-states with a full outer join. Projects the winner identity
     (change_type, commit, seq) — delete rows carry the preimage winner."""
-    from laketide.pipelines.cdc import LakeTable
-
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    log_dir = _replay_log_dir(sf_tag)
-    import glob
-
-    files = sorted(glob.glob(os.path.join(log_dir, "epoch-*.parquet")))
-    work = tempfile.mkdtemp(prefix="laketide_cdf_", dir="/tmp")
-    try:
-        table = LakeTable(os.path.join(work, "table"), num_partitions=32)
-        for f in files:
-            table.apply_epoch(f)
-        ch = table.changes_between(1, len(files))
-        return ch.select(["repo", "path", "change_type", "commit", "seq"])
-    finally:
-        import shutil
-
-        shutil.rmtree(work, ignore_errors=True)
+    return _with_replayed_table(
+        sf_dir,
+        lambda table, files: table.changes_between(1, len(files)).select(
+            ["repo", "path", "change_type", "commit", "seq"]
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

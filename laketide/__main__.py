@@ -153,9 +153,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "diff":
             t = LakeTable(args.table)
             ch = t.changes_between(args.from_epoch, args.to_epoch)
-            counts: dict[str, int] = {}
-            for v in ch["change_type"].to_pylist():
-                counts[v] = counts.get(v, 0) + 1
+            import pyarrow.compute as pc
+
+            vc = pc.value_counts(ch["change_type"].combine_chunks())
+            counts = {
+                str(f["values"]): int(f["counts"]) for f in vc.to_pylist()
+            }
             if args.out:
                 import pyarrow.parquet as pq
 

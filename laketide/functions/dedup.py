@@ -608,6 +608,27 @@ _NGRAM_JOIN_MAX_BUCKET = int(
 )  # 0 = uncapped (exact); capping trades completeness for hot-key safety
 
 
+def _doc_sorted_unique_grams(
+    grams: np.ndarray, g_counts: np.ndarray, secondary: np.ndarray | None = None
+):
+    """Per-doc sorted-unique gram rows, one lexsort + shift-compare
+    dedup (shared by the df pre-pass and the prefix emitter so the
+    dedup semantics can never diverge). Sort order within a doc is
+    (secondary, gram-hash) when ``secondary`` is given (duplicate grams
+    share both keys, so neighbour-dedup still sees them adjacent), else
+    gram-hash. Returns ``(g2, d2)``: gram and doc-ordinal arrays."""
+    n = len(g_counts)
+    doc_of = np.repeat(np.arange(n, dtype=np.int64), g_counts)
+    keys = (
+        (grams, doc_of) if secondary is None else (grams, secondary, doc_of)
+    )
+    order = np.lexsort(keys)
+    g2, d2 = grams[order], doc_of[order]
+    keep = np.ones(len(g2), dtype=bool)
+    keep[1:] = (d2[1:] != d2[:-1]) | (g2[1:] != g2[:-1])
+    return g2[keep], d2[keep]
+
+
 def _gram_df_top(docs: rd.Dataset, top_c: int = 1 << 16) -> pa.Table:
     """Global document frequencies of the ``top_c`` most common trigram
     hashes — the one extra pass that makes prefix filtering selective
@@ -631,13 +652,8 @@ def _gram_df_top(docs: rd.Dataset, top_c: int = 1 << 16) -> pa.Table:
             return pa.table(
                 {"gram": pa.array([], pa.int64()), "df": pa.array([], pa.int64())}
             )
-        n = len(g_counts)
-        doc_of = np.repeat(np.arange(n, dtype=np.int64), g_counts)
-        order = np.lexsort((grams, doc_of))
-        g2, d2 = grams[order], doc_of[order]
-        keep = np.ones(len(g2), dtype=bool)
-        keep[1:] = (d2[1:] != d2[:-1]) | (g2[1:] != g2[:-1])
-        u, c = np.unique(g2[keep], return_counts=True)
+        g2, _ = _doc_sorted_unique_grams(grams, g_counts)
+        u, c = np.unique(g2, return_counts=True)
         return pa.table(
             {"gram": pa.array(u.view(np.int64)), "df": pa.array(c.astype(np.int64))}
         )
@@ -763,7 +779,6 @@ def _prefix_rows(t: pa.Table, thr: float, top_df: pa.Table | None = None) -> pa.
     )
     if len(grams) == 0 or n == 0:
         return out_empty
-    doc_of = np.repeat(np.arange(n, dtype=np.int64), g_counts)
     if top_df is not None and top_df.num_rows:
         tg = top_df["gram"].to_numpy(zero_copy_only=False).view(np.uint64)
         tdf = top_df["df"].to_numpy(zero_copy_only=False)
@@ -772,14 +787,8 @@ def _prefix_rows(t: pa.Table, thr: float, top_df: pa.Table | None = None) -> pa.
         dfk = np.where(tg[pos] == grams, tdf[pos], 0).astype(np.int64)
     else:
         dfk = np.zeros(len(grams), dtype=np.int64)
-    # lexsort: doc, then df (rare first), then hash; duplicate grams
-    # share (df, hash) so the neighbour-dedup below still sees them
-    # adjacent
-    order = np.lexsort((grams, dfk, doc_of))
-    g2, d2 = grams[order], doc_of[order]
-    keep = np.ones(len(g2), dtype=bool)
-    keep[1:] = (d2[1:] != d2[:-1]) | (g2[1:] != g2[:-1])
-    g2, d2 = g2[keep], d2[keep]
+    # per-doc order: df (rare first), then hash
+    g2, d2 = _doc_sorted_unique_grams(grams, g_counts, secondary=dfk)
     s = np.bincount(d2, minlength=n).astype(np.int64)
     offs = np.concatenate([[0], np.cumsum(s)[:-1]]).astype(np.int64)
     rank = np.arange(len(g2), dtype=np.int64) - offs[d2]

@@ -454,6 +454,15 @@ def _load_live_partition(
     return t
 
 
+def _gather_nonempty(ds: "ray.data.Dataset") -> list[pa.Table]:
+    """Materialize a (small) Dataset's blocks, dropping the zero-row
+    EMPTY-SCHEMA blocks Ray emits from shuffle groups with no output
+    (they break ``pa.concat_tables``)."""
+    import ray as _ray
+
+    return [p for p in (_ray.get(r) for r in ds.to_arrow_refs()) if p.num_rows]
+
+
 def _diff_live_tables(
     t0: pa.Table | None, t1: pa.Table | None, schema: pa.Schema
 ) -> pa.Table:
@@ -656,12 +665,44 @@ class LakeTable:
           (preimage columns; across a RESCALE boundary the preimage is
           skinny — key + winner identity, payload columns null)
 
+        Convenience gather of ``changes_dataset`` — one sorted Arrow
+        table on the driver; for a large span on a big table use
+        ``changes_dataset`` (streaming, stays distributed)."""
+        ds = self.changes_dataset(from_epoch, to_epoch)
+        parts = _gather_nonempty(ds)
+        if not parts:
+            m0, m1 = self.manifest_at(from_epoch), self.manifest_at(to_epoch)
+            return self._changes_schema(m0, m1)[1].empty_table()
+        out = pa.concat_tables(parts, promote_options="default")
+        return out.sort_by(
+            [("repo", "ascending"), ("path", "ascending")]
+        )
+
+    def _changes_schema(
+        self, m0: M.Manifest, m1: M.Manifest
+    ) -> tuple[pa.Schema, pa.Schema]:
+        schema = S.unify(
+            self._unified_schema(m0) or S.snapshot_schema(),
+            self._unified_schema(m1) or S.snapshot_schema(),
+        )
+        schema = pa.schema([f for f in schema if f.name != S.DELETED_COLUMN])
+        return schema, schema.append(pa.field("change_type", pa.string()))
+
+    def changes_dataset(
+        self, from_epoch: int, to_epoch: int
+    ) -> "ray.data.Dataset":
+        """Change data feed as a streaming Dataset (the scale surface —
+        change rows never concentrate on the driver).
+
         Distribution: when both manifests share a partition count, one
         Ray task per partition diffs base+delta folds pairwise (the
         co-partitioning invariant — same key, same partition). Across a
         rescale, old-snapshot KEYS re-key to the new partitioning and
         move through one Ray Data exchange of skinny (repo, path,
         commit, seq) rows — content never re-shuffles."""
+        import ray as _ray
+        import ray.data as _rd
+
         if from_epoch > to_epoch:
             raise ValueError(
                 f"changes_between: from_epoch {from_epoch} > to_epoch {to_epoch}"
@@ -672,53 +713,36 @@ class LakeTable:
                 raise ValueError(
                     f"epoch {ep} not retained (gc'd or never committed)"
                 )
-        schema = S.unify(
-            self._unified_schema(m0) or S.snapshot_schema(),
-            self._unified_schema(m1) or S.snapshot_schema(),
-        )
-        schema = pa.schema([f for f in schema if f.name != S.DELETED_COLUMN])
-        out_schema = schema.append(pa.field("change_type", pa.string()))
+        schema, out_schema = self._changes_schema(m0, m1)
         if from_epoch == to_epoch:
-            return out_schema.empty_table()
+            return _rd.from_arrow(out_schema.empty_table())
         table_dir, merge = self.table_dir, self.merge
-        import ray as _ray
+        if m0.num_partitions != m1.num_partitions:
+            return self._changes_across_rescale(m0, m1, schema)
 
-        if m0.num_partitions == m1.num_partitions:
+        @_ray.remote(num_cpus=1)
+        def _diff_one(info0: dict | None, info1: dict | None) -> pa.Table:
+            from laketide.stages.apply import limit_arrow_threads
 
-            @_ray.remote(num_cpus=1)
-            def _diff_one(info0: dict | None, info1: dict | None) -> pa.Table:
-                from laketide.stages.apply import limit_arrow_threads
-
-                limit_arrow_threads(1)
-                t0 = (
-                    _load_live_partition(table_dir, info0, merge, drop_deleted=True)
-                    if info0
-                    else None
-                )
-                t1 = (
-                    _load_live_partition(table_dir, info1, merge, drop_deleted=True)
-                    if info1
-                    else None
-                )
-                return _diff_live_tables(t0, t1, schema)
-
-            ids = sorted(
-                set(m0.partitions) | set(m1.partitions), key=int
+            limit_arrow_threads(1)
+            t0 = (
+                _load_live_partition(table_dir, info0, merge, drop_deleted=True)
+                if info0
+                else None
             )
-            parts = _ray.get(
-                [
-                    _diff_one.remote(m0.partitions.get(k), m1.partitions.get(k))
-                    for k in ids
-                ]
+            t1 = (
+                _load_live_partition(table_dir, info1, merge, drop_deleted=True)
+                if info1
+                else None
             )
-        else:
-            parts = self._changes_across_rescale(m0, m1, schema)
-        parts = [p for p in parts if p.num_rows]
-        if not parts:
-            return out_schema.empty_table()
-        out = pa.concat_tables(parts, promote_options="default")
-        return out.sort_by(
-            [("repo", "ascending"), ("path", "ascending")]
+            return _diff_live_tables(t0, t1, schema)
+
+        ids = sorted(set(m0.partitions) | set(m1.partitions), key=int)
+        return _rd.from_arrow_refs(
+            [
+                _diff_one.remote(m0.partitions.get(k), m1.partitions.get(k))
+                for k in ids
+            ]
         )
 
     def _changes_across_rescale(
@@ -806,14 +830,9 @@ class LakeTable:
             t0 = S.conform(g.drop_columns(["part", "marker"]), schema)
             return _diff_live_tables(t0, t1, schema)
 
-        diffed = skinny.groupby("part").map_groups(
+        return skinny.groupby("part").map_groups(
             diff_group, batch_format="pyarrow"
         )
-        return [
-            p
-            for p in (_ray.get(r) for r in diffed.to_arrow_refs())
-            if p.num_rows
-        ]
 
     def _unified_schema(self, man: M.Manifest) -> pa.Schema | None:
         s = man.stats.get("schema_b64")

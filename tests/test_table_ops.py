@@ -1040,6 +1040,8 @@ def test_changes_between_matches_oracle(changelog, tmp_path):
     assert df[df.change_type != "delete"].content.notna().all()
     # aligned-path deletes carry the full preimage
     assert df[df.change_type == "delete"].content.notna().all()
+    # streaming surface: same rows, never concentrated on the driver
+    assert t.changes_dataset(1, 3).count() == len(want)
     assert t.changes_between(2, 2).num_rows == 0
     with pytest.raises(ValueError):
         t.changes_between(0, 2)
