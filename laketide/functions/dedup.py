@@ -31,6 +31,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from laketide.functions.reads import scrubbed_read
+
 logger = logging.getLogger(__name__)
 
 _N_PERM = 64
@@ -354,7 +356,7 @@ def minhash_lsh_candidates(sf_dir: str) -> rd.Dataset:
     their coarse partition, so pair emission and dedup stay exact."""
     import ray as _ray
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_parts = _coarse_n_parts()
     # instance-closure task (perm params built once on the driver and
     # shipped with the fn): actor pools pay ~1.5s startup per query for
@@ -519,7 +521,7 @@ def _verify_pairs_exact(
     )
     need_ref = ray.put(need)
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     # task-based stage (no reserved actors), computed ONCE and reused by
     # both join sides
     shingles = docs.map_batches(
@@ -932,7 +934,7 @@ def ngram_jaccard_join(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     import ray
 
     thr = float(threshold)
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_parts = _coarse_n_parts()
     # frequency pre-pass -> bounded common-gram table, broadcast ONCE
     # via ray.put and read from the local object store in every map task
@@ -1038,7 +1040,7 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
     members plus representative-vs-rest, with the drop logged."""
     import ray as _ray
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_parts = _coarse_n_parts()
     hasher = SimHasher()
 

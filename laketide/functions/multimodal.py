@@ -19,6 +19,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from laketide.functions.reads import scrubbed_read
+
 FEATURE_DIM = 16
 
 
@@ -39,7 +41,7 @@ def _binary_buffers(col: pa.Array) -> tuple[np.ndarray, memoryview]:
 def blob_table(sf_dir: str) -> rd.Dataset:
     """documents -> (doc_id, payload: binary, n_bytes) — the opaque-blob
     column layout used for image/audio payloads."""
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
         payload = pc.cast(t["text"], pa.binary())

@@ -91,16 +91,9 @@ def _from_pandas(df: "pd.DataFrame") -> pa.Table:
 
 
 def _read(sf_dir: str, name: str, columns: list[str] | None = None) -> rd.Dataset:
-    ds = rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
-    # pandas-written parquet carries dict-valued schema metadata that
-    # Ray's join aggregators cannot hash ("Failed to hash the schemas"
-    # log storms); scrub it at the read so every downstream op sees a
-    # clean schema
-    return ds.map_batches(
-        lambda t: t.replace_schema_metadata(None),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    from laketide.functions.reads import scrubbed_read
+
+    return scrubbed_read(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 def _key_hash_u64(col: "pa.ChunkedArray") -> "np.ndarray":

@@ -34,7 +34,9 @@ def query_vector_sql_literal(dim: int = EMBED_DIM, seed: int = _QUERY_SEED) -> s
 
 
 def _emb(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=columns)
+    from laketide.functions.reads import scrubbed_read
+
+    return scrubbed_read(f"{sf_dir}/embeddings.parquet", columns=columns)
 
 
 def _embed_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:

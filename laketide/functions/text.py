@@ -23,7 +23,9 @@ from laketide.stages.normalize import sha256_hex_column
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+    from laketide.functions.reads import scrubbed_read
+
+    return scrubbed_read(f"{sf_dir}/documents.parquet", columns=columns)
 
 
 def doc_sha256(sf_dir: str) -> rd.Dataset:
