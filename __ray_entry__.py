@@ -149,6 +149,12 @@ def _cdc_changes_feed(sf_dir: str) -> Any:
     )
 
 
+def _asof_join(sf_dir: str) -> Any:
+    from laketide.functions.asof import asof_join_events_orders
+
+    return asof_join_events_orders(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from laketide.functions import dedup, multimodal, relational as R, similarity, text
 
@@ -168,7 +174,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changes_feed": _cdc_changes_feed,
         "cdc_coalesce_fieldwise": R.cdc_coalesce_fieldwise,
         "lookup_join_overlap": R.lookup_join_overlap,
+        "asof_join_events_orders": _asof_join,
         # --- relational (SURVEY §2.4, §2.6, §2.7) ---
+        "top_orders_per_customer": R.top_orders_per_customer,
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
         "orders_by_status": R.orders_by_status,
@@ -287,6 +295,24 @@ def oracle_sql() -> dict[str, str]:
         "cdc_first_event_per_user_type": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1"
+        ),
+        # deterministic as-of: tie on o_orderdate -> highest o_orderkey
+        # (LATERAL instead of ASOF JOIN, whose equal-date pick is
+        # unspecified)
+        "asof_join_events_orders": (
+            "SELECT e.event_id, e.user_id, e.ts, "
+            "o.o_orderkey AS asof_orderkey, o.o_totalprice AS asof_totalprice "
+            "FROM events e LEFT JOIN LATERAL ("
+            "  SELECT o_orderkey, o_totalprice FROM orders o "
+            "  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+            "  ORDER BY o.o_orderdate DESC, o_orderkey DESC LIMIT 1"
+            ") o ON TRUE"
+        ),
+        "top_orders_per_customer": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_custkey IS NOT NULL "
+            "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
         ),
         "hwm_per_user": (
             "SELECT user_id, max(ts) AS hwm_ts, count(*) AS n_events FROM events GROUP BY user_id"

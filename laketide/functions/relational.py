@@ -373,6 +373,65 @@ def top_orders(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _head_k_per_key(t: pa.Table, key: str, order: str, k: int) -> pa.Table:
+    """Vectorized per-key top-k: one sort (key asc, order desc nulls
+    last, tie id asc), then rank-within-segment < k via numpy — no
+    per-key Python. Associative: applying it per batch and again on the
+    merged survivors yields the global per-key top-k."""
+    import numpy as np
+
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by(
+        [(key, "ascending"), (order, "descending"), ("o_orderkey", "ascending")],
+        null_placement="at_end",
+    )
+    same = _adjacent_same(t[key].combine_chunks())
+    n = t.num_rows
+    starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
+    counts = np.append(starts[1:], n) - starts
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    return t.filter(pa.array(rank < k))
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-group top-k (windowed O1 analog: row_number() <= k per
+    partition). Combiner pattern: each batch keeps at most k rows per
+    customer BEFORE the shuffle — the exchange carries O(k x customers),
+    not the full table — then the co-located groups take the final
+    top-k. Ties on price break to the lowest o_orderkey."""
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    n_parts = _coarse_n_parts()
+
+    def local_prune(t: pa.Table) -> pa.Table:
+        # a null customer key is not a group (oracle: WHERE o_custkey IS
+        # NOT NULL) — _adjacent_same treats nulls as per-row groups,
+        # which would keep EVERY null-key row
+        t = t.filter(pc.is_valid(t["o_custkey"]))
+        t = _head_k_per_key(t, "o_custkey", "o_totalprice", k)
+        part = _coarse_parts(_key_hash_u64(t["o_custkey"]), n_parts=n_parts)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def final_k(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("o_custkey", pa.int64()),
+                    ("o_totalprice", pa.float64()),
+                ]
+            ).empty_table()
+        return _head_k_per_key(t.drop_columns(["part"]), "o_custkey", "o_totalprice", k)
+
+    return (
+        ds.map_batches(local_prune, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(final_k, batch_format="pyarrow")
+    )
+
+
 def orders_by_status(sf_dir: str) -> rd.Dataset:
     return (
         _read(sf_dir, "orders", columns=["o_orderstatus"])
