@@ -169,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "recent_events": R.recent_events,
         "window_counts": R.window_counts,
         "session_counts": R.session_counts,
+        "rolling_count_1h": R.rolling_count_1h,
         "value_cents_by_user_type": R.value_cents_by_user_type,
         "cdc_replay_final": _cdc_replay_final,
         "cdc_changes_feed": _cdc_changes_feed,
@@ -295,6 +296,14 @@ def oracle_sql() -> dict[str, str]:
         "cdc_first_event_per_user_type": (
             "SELECT event_id, ts, user_id, event_type, value, props FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1"
+        ),
+        # null-ts rows excluded: their RANGE frame is the null-peer
+        # group, not a time window
+        "rolling_count_1h": (
+            "SELECT event_id, user_id, ts, "
+            "count(*) OVER (PARTITION BY user_id ORDER BY ts "
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_last_hour "
+            "FROM events WHERE ts IS NOT NULL"
         ),
         # deterministic as-of: tie on o_orderdate -> highest o_orderkey
         # (LATERAL instead of ASOF JOIN, whose equal-date pick is

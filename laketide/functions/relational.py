@@ -432,6 +432,75 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> rd.Dataset:
     )
 
 
+def rolling_count_1h(sf_dir: str) -> rd.Dataset:
+    """Range-based rolling window aggregate (O5 extension): for every
+    event, how many events the SAME user produced in the trailing hour,
+    inclusive of the event itself — SQL
+    ``count(*) OVER (PARTITION BY user_id ORDER BY ts RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)``.
+
+    Plan: coarse co-partition by user hash, then ONE cython-level
+    ``groupby().rolling('1h', closed='both')`` per co-located group (no
+    per-user Python), plus a vectorized peers-after adjustment: the SQL
+    RANGE frame ends at the LAST ts-peer, while pandas rolling ends at
+    the current row. Null-ts rows are excluded (their RANGE frame is
+    the null-peer group, a different query); null user_id is ONE
+    partition, like SQL PARTITION BY."""
+    import numpy as np
+
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    n_parts = _coarse_n_parts()
+
+    def with_part(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["ts"]))
+        part = _coarse_parts(_key_hash_u64(t["user_id"]), n_parts=n_parts)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def roll_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("ts", pa.timestamp("us")),
+                    ("n_last_hour", pa.int64()),
+                ]
+            ).empty_table()
+        df = t.drop_columns(["part"]).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="stable").reset_index(
+            drop=True
+        )
+        base = (
+            df.set_index("ts")
+            .groupby("user_id", dropna=False)["event_id"]
+            .rolling("1h", closed="both")
+            .count()
+        )
+        # group order == frame order (pre-sorted by user_id, NaN last),
+        # so positional alignment is exact
+        df["n_last_hour"] = base.to_numpy().astype(np.int64)
+        g = df.groupby(["user_id", "ts"], dropna=False)
+        sizes = g["event_id"].transform("size").to_numpy()
+        pos = g.cumcount().to_numpy()
+        df["n_last_hour"] += sizes - 1 - pos
+        return pa.table(
+            {
+                "event_id": pa.array(df["event_id"], pa.int64()),
+                "user_id": pa.Array.from_pandas(df["user_id"], type=pa.int64()),
+                "ts": pa.Array.from_pandas(df["ts"], type=pa.timestamp("us")),
+                "n_last_hour": pa.array(df["n_last_hour"], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(roll_group, batch_format="pyarrow")
+    )
+
+
 def orders_by_status(sf_dir: str) -> rd.Dataset:
     return (
         _read(sf_dir, "orders", columns=["o_orderstatus"])

@@ -37,6 +37,10 @@ def corner_sf_dir(tmp_path_factory):
             "props": ["p"] * n,
         }
     )
+    # planted exact ts-peers for user 8: the SQL RANGE frame includes
+    # LATER peers with equal ts — the kernel's peers-after adjustment
+    ev.loc[ev.index[:4], "user_id"] = 8
+    ev.loc[ev.index[:4], "ts"] = base + pd.Timedelta(seconds=12345)
     pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), str(d / "events.parquet"))
 
     m = 120
@@ -91,7 +95,10 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", ["asof_join_events_orders", "top_orders_per_customer"])
+@pytest.mark.parametrize(
+    "name",
+    ["asof_join_events_orders", "top_orders_per_customer", "rolling_count_1h"],
+)
 def test_corner_corpus_matches_oracle(ray_session, corner_sf_dir, name):
     got = _canon(entrymod.queries()[name](corner_sf_dir).to_pandas())
     want = _canon(_oracle(corner_sf_dir, entrymod.oracle_sql()[name]))
