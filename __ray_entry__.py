@@ -203,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_filter_en": text.docs_filter_en,
         "docs_by_source": text.docs_by_source,
         "doc_sample_hash": text.doc_sample_hash,
+        "length_quantiles_by_lang": text.length_quantiles_by_lang,
+        "stratified_sample_docs": text.stratified_sample_docs,
         "doc_summary": text.doc_summary,
         "langid_ngram": text.langid_ngram,
         "doc_fingerprint": text.doc_fingerprint,
@@ -420,6 +422,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents WHERE "
             "(CAST(doc_id AS HUGEINT) * 2654435761) "
             "% 18446744073709551616 % 100 < 5"
+        ),
+        "length_quantiles_by_lang": (
+            "SELECT lang, "
+            "quantile_disc(n_chars, 0.25) AS q25, quantile_disc(n_chars, 0.50) AS q50, "
+            "quantile_disc(n_chars, 0.75) AS q75, quantile_disc(n_chars, 0.95) AS q95 "
+            "FROM documents GROUP BY lang"
+        ),
+        # integer floor-division rate (//) and the doc_sample_hash
+        # uint64-wraparound hash — both mirrored exactly by the kernel
+        "stratified_sample_docs": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), "
+            "tgt AS (SELECT min(n) AS t FROM c) "
+            "SELECT d.doc_id, d.lang FROM documents d "
+            "JOIN c USING (lang) CROSS JOIN tgt "
+            "WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) "
+            "% 18446744073709551616 % 10000 < (t * 10000) // n"
         ),
         "doc_sha256": "SELECT doc_id, sha256(text) AS sha FROM documents",
         "docs_by_lang": (

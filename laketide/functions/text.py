@@ -379,6 +379,86 @@ def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
     return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
 
 
+def length_quantiles_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
+    """Grouped exact quantiles (stratified corpus stats): the
+    doc_length_quantiles value-count-histogram scheme, keyed by lang —
+    per-batch (lang, len) -> count partials via Arrow group_by, one tiny
+    grouped sum, per-lang cumulative read-off on the driver. Exact at
+    any corpus size; the shuffle carries only the histogram."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["lang", "n_chars"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"lang": t["lang"], "len": pc.cast(t["n_chars"], pa.int64())})
+            .group_by(["lang", "len"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "len", "c"])
+
+    hist = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "len"])
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+        .sort_values(["lang", "len"])
+    )
+    rows = {f"q{int(q*100)}": [] for q in qs}
+    langs = []
+    for lang, grp in hist.groupby("lang", dropna=False, sort=True):
+        langs.append(lang)
+        total = int(grp["n"].sum())
+        cum = grp["n"].cumsum()
+        for q in qs:
+            rank = max(1, math.ceil(q * total)) if total else 0
+            idx = (cum >= rank).idxmax() if total else None
+            rows[f"q{int(q*100)}"].append(int(grp.loc[idx, "len"]) if total else None)
+    return pa.table(
+        {
+            "lang": pa.array(langs, pa.string()),
+            **{k: pa.array(v, pa.int64()) for k, v in rows.items()},
+        }
+    )
+
+
+def stratified_sample_docs(sf_dir: str, per_10k: int = 10_000) -> rd.Dataset:
+    """Stratified deterministic sampling: every lang stratum is
+    downsampled to ~the SMALLEST stratum's size (class balancing for
+    training mixes). Two passes: a tiny per-lang count aggregate fixes
+    each stratum's keep-rate, then the doc_sample_hash uint64-wraparound
+    hash filters reproducibly — no RNG, layout-independent, and the
+    oracle recomputes the identical rates with window counts."""
+    counts = (
+        _docs(sf_dir, columns=["lang"])
+        .groupby("lang")
+        .count()
+        .to_pandas()
+    )
+    n_by_lang = dict(zip(counts["lang"], counts["count()"].astype(int)))
+    target = min(n_by_lang.values()) if n_by_lang else 0
+    # integer floor division, mirrored by the oracle's // — a float rate
+    # would diverge on the boundary hash values
+    thresh = {l: (target * per_10k) // n for l, n in n_by_lang.items()}
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(per_10k)
+        # vectorized per-stratum threshold: one boolean mask per lang
+        # (strata are few), no per-row Python
+        langs_np = t["lang"].to_numpy(zero_copy_only=False)
+        th = np.zeros(t.num_rows, dtype=np.uint64)
+        for l, v in thresh.items():
+            th[langs_np == l] = v
+        return t.filter(pa.array(h < th))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def doc_sample_hash(sf_dir: str) -> rd.Dataset:
     """Deterministic hash-based 5% sampling (reproducible sampling for
     training-data pipelines — NOT random_sample, which is seed+layout
