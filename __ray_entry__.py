@@ -155,6 +155,12 @@ def _asof_join(sf_dir: str) -> Any:
     return asof_join_events_orders(sf_dir)
 
 
+def _range_join(sf_dir: str) -> Any:
+    from laketide.functions.asof import range_join_order_events
+
+    return range_join_order_events(sf_dir)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from laketide.functions import dedup, multimodal, relational as R, similarity, text
 
@@ -176,6 +182,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_coalesce_fieldwise": R.cdc_coalesce_fieldwise,
         "lookup_join_overlap": R.lookup_join_overlap,
         "asof_join_events_orders": _asof_join,
+        "range_join_order_events": _range_join,
         # --- relational (SURVEY §2.4, §2.6, §2.7) ---
         "top_orders_per_customer": R.top_orders_per_customer,
         "q1_pricing": R.q1_pricing,
@@ -318,6 +325,15 @@ def oracle_sql() -> dict[str, str]:
             "  WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
             "  ORDER BY o.o_orderdate DESC, o_orderkey DESC LIMIT 1"
             ") o ON TRUE"
+        ),
+        # count(e.ts): matched rows only -> 0 for orders with no events
+        # in window (incl. null custkey / null orderdate)
+        "range_join_order_events": (
+            "SELECT o.o_orderkey, count(e.ts) AS n_events_week "
+            "FROM orders o LEFT JOIN events e "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
+            "AND e.ts <= o.o_orderdate + INTERVAL 7 DAY "
+            "GROUP BY o.o_orderkey"
         ),
         "top_orders_per_customer": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "

@@ -102,7 +102,8 @@ def _key_hash_u64(col: "pa.ChunkedArray") -> "np.ndarray":
     siphash with categorize=False)."""
     import numpy as np
 
-    col = col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
     if pa.types.is_integer(col.type) or pa.types.is_temporal(col.type):
         return (
             pc.fill_null(pc.cast(col, pa.int64()), -1)

@@ -97,7 +97,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize(
     "name",
-    ["asof_join_events_orders", "top_orders_per_customer", "rolling_count_1h"],
+    [
+        "asof_join_events_orders",
+        "top_orders_per_customer",
+        "rolling_count_1h",
+        "range_join_order_events",
+    ],
 )
 def test_corner_corpus_matches_oracle(ray_session, corner_sf_dir, name):
     got = _canon(entrymod.queries()[name](corner_sf_dir).to_pandas())
