@@ -161,6 +161,13 @@ def run_bench() -> dict:
         timed("simhash_dedup", dedup.simhash_dedup)
         timed("embedding_near_dup", similarity.embedding_near_dup)
 
+        from laketide.functions import asof
+
+        timed("asof_join_events_orders", asof.asof_join_events_orders)
+        timed("range_join_order_events", asof.range_join_order_events)
+        timed("rolling_count_1h", R.rolling_count_1h)
+        timed("top_orders_per_customer", R.top_orders_per_customer)
+
     ray.shutdown()
     return {
         "metric": "cdc_replay_seconds",
