@@ -161,6 +161,24 @@ def _range_join(sf_dir: str) -> Any:
     return range_join_order_events(sf_dir)
 
 
+def _anti_join_customers(sf_dir: str) -> Any:
+    """Possibly-EMPTY result: Ray's to_pandas() on all-empty blocks
+    drops the schema entirely (columns == []), which would fail the
+    driver's schema compare even when the oracle is also empty — so
+    concat the non-empty blocks into a pyarrow Table and pin the
+    schema explicitly when none survive."""
+    import pyarrow as pa
+    import ray
+
+    from laketide.functions.relational import customers_without_orders
+
+    ds = customers_without_orders(sf_dir)
+    parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
+    if parts:
+        return pa.concat_tables(parts)
+    return pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]).empty_table()
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from laketide.functions import dedup, multimodal, relational as R, similarity, text
 
@@ -185,6 +203,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join_order_events": _range_join,
         # --- relational (SURVEY §2.4, §2.6, §2.7) ---
         "top_orders_per_customer": R.top_orders_per_customer,
+        "customers_with_orders": R.customers_with_orders,
+        "customers_without_orders": _anti_join_customers,
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
         "orders_by_status": R.orders_by_status,
@@ -334,6 +354,14 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
             "AND e.ts <= o.o_orderdate + INTERVAL 7 DAY "
             "GROUP BY o.o_orderkey"
+        ),
+        "customers_with_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+        ),
+        "customers_without_orders": (
+            "SELECT c_custkey, c_name FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
         ),
         "top_orders_per_customer": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "

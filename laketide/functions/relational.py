@@ -433,6 +433,86 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> rd.Dataset:
     )
 
 
+def _customer_order_membership(sf_dir: str, keep_members: bool) -> rd.Dataset:
+    """Shared semi/anti join core: customer keys vs the set of custkeys
+    appearing in orders. Each batch of orders pre-dedups its keys
+    (combiner), both sides co-partition by a coarse key hash, and one
+    np.isin per co-located group decides membership — a single shuffle
+    of pre-deduplicated keys, no row-payload exchange, no broadcast
+    (both sides may be huge at scale)."""
+    import numpy as np
+
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    n_parts = _coarse_n_parts()
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64())
+        part = _coarse_parts(_key_hash_u64(key), n_parts=n_parts)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "key": key,
+                "c_name": t["c_name"],
+                "side": pa.array(np.zeros(t.num_rows, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        # per-batch dedup: the shuffle carries distinct keys only
+        key = pc.unique(
+            pc.drop_null(pc.cast(t["o_custkey"], pa.int64()).combine_chunks())
+        )
+        part = _coarse_parts(_key_hash_u64(key), n_parts=n_parts)
+        n = len(key)
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "key": key,
+                "c_name": pa.nulls(n, pa.string()),
+                "side": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    tagged = cust.map_batches(
+        tag_cust, batch_format="pyarrow", zero_copy_batch=True
+    ).union(orders.map_batches(tag_orders, batch_format="pyarrow", zero_copy_batch=True))
+
+    def member_group(t: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string())]
+        ).empty_table()
+        if t.num_rows == 0:
+            return empty
+        sides = t["side"].combine_chunks().to_numpy(zero_copy_only=False)
+        cust_rows = t.filter(pa.array(sides == 0))
+        if cust_rows.num_rows == 0:
+            return empty
+        okeys = (
+            t.filter(pa.array(sides == 1))["key"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ckeys = cust_rows["key"].combine_chunks().to_numpy(zero_copy_only=False)
+        member = np.isin(ckeys, okeys)
+        keep = cust_rows.filter(pa.array(member if keep_members else ~member))
+        return pa.table({"c_custkey": keep["key"], "c_name": keep["c_name"]})
+
+    return tagged.groupby("part").map_groups(member_group, batch_format="pyarrow")
+
+
+def customers_with_orders(sf_dir: str) -> rd.Dataset:
+    """Semi join (EXISTS): customers that placed at least one order."""
+    return _customer_order_membership(sf_dir, keep_members=True)
+
+
+def customers_without_orders(sf_dir: str) -> rd.Dataset:
+    """Anti join (NOT EXISTS): customers with no orders at all."""
+    return _customer_order_membership(sf_dir, keep_members=False)
+
+
 def rolling_count_1h(sf_dir: str) -> rd.Dataset:
     """Range-based rolling window aggregate (O5 extension): for every
     event, how many events the SAME user produced in the trailing hour,

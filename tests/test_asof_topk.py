@@ -71,12 +71,26 @@ def corner_sf_dir(tmp_path_factory):
     pq.write_table(
         pa.Table.from_pandas(orders, preserve_index=False), str(d / "orders.parquet")
     )
+    # customers 0..39: 25..39 mostly have NO orders (order custkeys are
+    # 5..24) -> the anti join is NON-empty here, unlike the sf tables
+    cust = pd.DataFrame(
+        {
+            "c_custkey": np.arange(40, dtype="int64"),
+            "c_name": [f"Customer#{i:09d}" for i in range(40)],
+            "c_nationkey": np.zeros(40, dtype="int64"),
+            "c_acctbal": np.zeros(40),
+            "c_mktsegment": ["BUILDING"] * 40,
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(cust, preserve_index=False), str(d / "customer.parquet")
+    )
     return str(d)
 
 
 def _oracle(corner_sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("events", "orders"):
+    for t in ("events", "orders", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{corner_sf_dir}/{t}.parquet')"
         )
@@ -102,6 +116,8 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "top_orders_per_customer",
         "rolling_count_1h",
         "range_join_order_events",
+        "customers_with_orders",
+        "customers_without_orders",
     ],
 )
 def test_corner_corpus_matches_oracle(ray_session, corner_sf_dir, name):
