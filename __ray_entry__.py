@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational (SURVEY §2.4, §2.6, §2.7) ---
         "top_orders_per_customer": R.top_orders_per_customer,
         "customers_with_orders": R.customers_with_orders,
+        "user_event_pivot": R.user_event_pivot,
         "customers_without_orders": _anti_join_customers,
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
@@ -354,6 +355,17 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
             "AND e.ts <= o.o_orderdate + INTERVAL 7 DAY "
             "GROUP BY o.o_orderkey"
+        ),
+        "user_event_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+            "CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' "
+            "THEN CAST(ROUND(value*100) AS BIGINT) END), 0) AS BIGINT) AS purchase_cents "
+            "FROM events GROUP BY user_id"
         ),
         "customers_with_orders": (
             "SELECT c_custkey, c_name FROM customer c "

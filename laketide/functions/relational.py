@@ -433,6 +433,51 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> rd.Dataset:
     )
 
 
+_PIVOT_TYPES = ("click", "signup", "error", "view", "purchase")
+
+
+def user_event_pivot(sf_dir: str) -> rd.Dataset:
+    """Pivot / wide conditional aggregate: one row per user with a count
+    column per event type plus purchase value cents. Per-batch Arrow
+    group_by partials over 0/1 indicator columns (the shuffle carries
+    ~distinct-users-per-batch rows, not events), then one small grouped
+    sum. Null event_type matches no indicator (SQL FILTER semantics);
+    empty purchase sums are 0 (oracle COALESCEs)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        cols = {"user_id": t["user_id"]}
+        for ty in _PIVOT_TYPES:
+            cols[f"n_{ty}"] = pc.fill_null(
+                pc.cast(pc.equal(t["event_type"], ty), pa.int64()), 0
+            )
+        is_purchase = pc.fill_null(pc.equal(t["event_type"], "purchase"), False)
+        cents = pc.if_else(
+            pc.and_(is_purchase, pc.is_valid(t["value"])),
+            _cents(pc.fill_null(t["value"], 0.0)),
+            pa.scalar(0, pa.int64()),
+        )
+        cols["purchase_cents"] = cents
+        names = [f"n_{ty}" for ty in _PIVOT_TYPES] + ["purchase_cents"]
+        g = (
+            pa.table(cols)
+            .group_by(["user_id"])
+            .aggregate([(n, "sum") for n in names])
+        )
+        return g.rename_columns(["user_id", *names])
+
+    aggs = [
+        Sum(f"n_{ty}", alias_name=f"n_{ty}") for ty in _PIVOT_TYPES
+    ] + [Sum("purchase_cents", alias_name="purchase_cents")]
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(*aggs)
+    )
+
+
 def _customer_order_membership(sf_dir: str, keep_members: bool) -> rd.Dataset:
     """Shared semi/anti join core: customer keys vs the set of custkeys
     appearing in orders. Each batch of orders pre-dedups its keys

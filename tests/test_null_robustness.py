@@ -26,7 +26,9 @@ _NULLABLE_QUERIES = [
     "events_stats_view",
     "hwm_per_user",
     "value_cents_by_user_type",
+    "user_event_pivot",
     "session_counts",
+    "rolling_count_1h",
     "doc_quality",
     "lookup_join_overlap",
     "token_counts",
