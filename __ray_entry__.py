@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": R.top_orders_per_customer,
         "customers_with_orders": R.customers_with_orders,
         "user_event_pivot": R.user_event_pivot,
+        "running_value_total": R.running_value_total,
         "customers_without_orders": _anti_join_customers,
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
@@ -355,6 +356,15 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
             "AND e.ts <= o.o_orderdate + INTERVAL 7 DAY "
             "GROUP BY o.o_orderkey"
+        ),
+        # NULLS FIRST pinned (DuckDB default is NULLS LAST; Arrow sort
+        # uses at_start) — ROWS frame needs a total order, event_id ties
+        "running_value_total": (
+            "SELECT event_id, user_id, "
+            "CAST(SUM(COALESCE(CAST(ROUND(value*100) AS BIGINT), 0)) "
+            "OVER (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents "
+            "FROM events WHERE user_id IS NOT NULL"
         ),
         "user_event_pivot": (
             "SELECT user_id, "

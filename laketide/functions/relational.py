@@ -478,6 +478,77 @@ def user_event_pivot(sf_dir: str) -> rd.Dataset:
     )
 
 
+def running_value_total(sf_dir: str) -> rd.Dataset:
+    """Expanding window / running total: cumulative value cents per user
+    in (ts, event_id) order — SQL ``SUM(...) OVER (PARTITION BY user_id
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)``. Coarse
+    co-partition by user hash, one lexsort per group, then a global
+    cumsum minus each segment's starting offset — fully vectorized,
+    no per-user loop. Null value adds 0 (SQL SUM skips nulls); null ts
+    sorts first (DuckDB ASC NULLS FIRST inside window ORDER BY is NOT
+    the default — we pin NULLS FIRST in the oracle to match Arrow's
+    at_start placement)."""
+    import numpy as np
+
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    n_parts = _coarse_n_parts()
+
+    def with_part(t: pa.Table) -> pa.Table:
+        # null users excluded on both sides (oracle WHERE user_id IS NOT
+        # NULL): _adjacent_same splits null keys per-row, SQL PARTITION
+        # BY pools them — neither is obviously right for a running total
+        t = t.filter(pc.is_valid(t["user_id"]))
+        part = _coarse_parts(_key_hash_u64(t["user_id"]), n_parts=n_parts)
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def running_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("event_id", pa.int64()),
+                    ("user_id", pa.int64()),
+                    ("running_cents", pa.int64()),
+                ]
+            ).empty_table()
+        t = t.drop_columns(["part"]).sort_by(
+            [
+                ("user_id", "ascending"),
+                ("ts", "ascending"),
+                ("event_id", "ascending"),
+            ],
+            null_placement="at_start",
+        )
+        n = t.num_rows
+        cents = (
+            pc.fill_null(_cents(pc.fill_null(t["value"], 0.0)), 0)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        cum = np.cumsum(cents)
+        same = _adjacent_same(t["user_id"].combine_chunks())
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
+        counts = np.append(starts[1:], n) - starts
+        # subtract the cumulative total just before each segment start
+        base = np.where(starts > 0, cum[starts - 1], 0)
+        running = cum - np.repeat(base, counts)
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "running_cents": pa.array(running, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(running_group, batch_format="pyarrow")
+    )
+
+
 def _customer_order_membership(sf_dir: str, keep_members: bool) -> rd.Dataset:
     """Shared semi/anti join core: customer keys vs the set of custkeys
     appearing in orders. Each batch of orders pre-dedups its keys

@@ -118,6 +118,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
         "range_join_order_events",
         "customers_with_orders",
         "customers_without_orders",
+        "running_value_total",
     ],
 )
 def test_corner_corpus_matches_oracle(ray_session, corner_sf_dir, name):
