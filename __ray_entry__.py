@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_orders": R.customers_with_orders,
         "user_event_pivot": R.user_event_pivot,
         "running_value_total": R.running_value_total,
+        "events_rollup": R.events_rollup,
         "customers_without_orders": _anti_join_customers,
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
@@ -356,6 +357,10 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
             "AND e.ts <= o.o_orderdate + INTERVAL 7 DAY "
             "GROUP BY o.o_orderkey"
+        ),
+        "events_rollup": (
+            "SELECT user_id, event_type, count(*) AS n FROM events "
+            "GROUP BY ROLLUP(user_id, event_type)"
         ),
         # NULLS FIRST pinned (DuckDB default is NULLS LAST; Arrow sort
         # uses at_start) — ROWS frame needs a total order, event_id ties

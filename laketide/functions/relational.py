@@ -549,6 +549,77 @@ def running_value_total(sf_dir: str) -> rd.Dataset:
     )
 
 
+def events_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(user_id, event_type): counts at three levels —
+    (user, type), (user), and grand total — with NULL markers on the
+    rolled-up columns, like the SQL. Cascading aggregation: the finest
+    level is the only pass over the events (per-batch Arrow partials);
+    each coarser level re-aggregates the PREVIOUS level's small result,
+    so the big input is read once. Assumes non-null grouping keys (a
+    genuine NULL key would be indistinguishable from a rollup marker
+    without GROUPING() — same caveat as plain SQL ROLLUP output)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"user_id": t["user_id"], "event_type": t["event_type"]})
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["user_id", "event_type", "c"])
+
+    finest = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("c", alias_name="n"))
+        # materialize the SMALL finest level: it is consumed three times
+        # (sum + two unions) and must not re-scan the events each time
+        .materialize()
+    )
+
+    def null_type(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": pa.nulls(t.num_rows, pa.string()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    by_user = (
+        finest.groupby("user_id")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(null_type, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    total = int(finest.sum("n") or 0)
+    grand = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.nulls(1, pa.int64()),
+                "event_type": pa.nulls(1, pa.string()),
+                "n": pa.array([total], pa.int64()),
+            }
+        )
+    )
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": pc.cast(t["event_type"], pa.string()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return (
+        finest.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)
+        .union(by_user)
+        .union(grand)
+    )
+
+
 def _customer_order_membership(sf_dir: str, keep_members: bool) -> rd.Dataset:
     """Shared semi/anti join core: customer keys vs the set of custkeys
     appearing in orders. Each batch of orders pre-dedups its keys
