@@ -179,6 +179,19 @@ def _anti_join_customers(sf_dir: str) -> Any:
     return pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]).empty_table()
 
 
+def _lazy(module: str, fn: str) -> Callable[[str], Any]:
+    """Late-bound query callable: import the functions module at call
+    time (keeps queries() enumeration import-light)."""
+
+    def call(sf_dir: str) -> Any:
+        import importlib
+
+        mod = importlib.import_module(f"laketide.functions.{module}")
+        return getattr(mod, fn)(sf_dir)
+
+    return call
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from laketide.functions import dedup, multimodal, relational as R, similarity, text
 
@@ -208,6 +221,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_value_total": R.running_value_total,
         "events_rollup": R.events_rollup,
         "customers_without_orders": _anti_join_customers,
+        "user_event_gaps": _lazy("analytics", "user_event_gaps"),
+        "mode_event_type_per_user": _lazy("analytics", "mode_event_type_per_user"),
+        "distinct_users_by_type": _lazy("analytics", "distinct_users_by_type"),
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
         "orders_by_status": R.orders_by_status,
@@ -357,6 +373,31 @@ def oracle_sql() -> dict[str, str]:
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate "
             "AND e.ts <= o.o_orderdate + INTERVAL 7 DAY "
             "GROUP BY o.o_orderkey"
+        ),
+        # inter-arrival gaps: exact integer microseconds; users with <2
+        # timestamped events emit no row
+        "user_event_gaps": (
+            "WITH g AS (SELECT user_id, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS gap "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL) "
+            "SELECT user_id, count(gap) AS n_gaps, "
+            "CAST(sum(gap) AS BIGINT) AS total_gap_us, "
+            "CAST(max(gap) AS BIGINT) AS max_gap_us "
+            "FROM g GROUP BY user_id HAVING count(gap) > 0"
+        ),
+        "mode_event_type_per_user": (
+            "SELECT user_id, event_type, n FROM ("
+            "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY user_id, event_type) "
+            "QUALIFY row_number() OVER (PARTITION BY user_id "
+            "ORDER BY n DESC, event_type) = 1"
+        ),
+        "distinct_users_by_type": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
+            "GROUP BY event_type"
         ),
         "events_rollup": (
             "SELECT user_id, event_type, count(*) AS n FROM events "

@@ -27,6 +27,9 @@ _NULLABLE_QUERIES = [
     "hwm_per_user",
     "value_cents_by_user_type",
     "user_event_pivot",
+    "user_event_gaps",
+    "mode_event_type_per_user",
+    "distinct_users_by_type",
     "session_counts",
     "rolling_count_1h",
     "doc_quality",
