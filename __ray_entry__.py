@@ -224,6 +224,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_gaps": _lazy("analytics", "user_event_gaps"),
         "mode_event_type_per_user": _lazy("analytics", "mode_event_type_per_user"),
         "distinct_users_by_type": _lazy("analytics", "distinct_users_by_type"),
+        # approximate by construction (HLL sketch) -> rows-only; pytest
+        # pins <5% relative error vs the exact distinct count
+        "hll_distinct_users": _lazy("analytics", "hll_distinct_users"),
+        "promo_revenue_by_brand": _lazy("analytics", "promo_revenue_by_brand"),
+        "order_keys_per_customer": _lazy("analytics", "order_keys_per_customer"),
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
         "orders_by_status": R.orders_by_status,
@@ -398,6 +403,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
             "GROUP BY event_type"
+        ),
+        "promo_revenue_by_brand": (
+            "SELECT p_brand, CAST(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY p_brand"
+        ),
+        "order_keys_per_customer": (
+            "SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' "
+            "ORDER BY o_orderkey) AS order_keys FROM ("
+            "SELECT o_custkey, o_orderkey FROM orders WHERE o_custkey IS NOT NULL "
+            "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) <= 5"
+            ") GROUP BY o_custkey"
         ),
         "events_rollup": (
             "SELECT user_id, event_type, count(*) AS n FROM events "

@@ -203,3 +203,192 @@ def distinct_users_by_type(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+_HLL_P = 12
+_HLL_M = 1 << _HLL_P
+
+
+def hll_distinct_users(sf_dir: str) -> pa.Table:
+    """HyperLogLog distinct-user estimate — the sketch path for COUNT
+    (DISTINCT) at 100 TB, where the exact pair-dedup shuffle
+    (``distinct_users_by_type``) would exchange one row per distinct
+    pair. Registers merge by MAX, so the partial per batch is at most
+    4096 tiny rows regardless of batch size and the exchange is
+    O(m x blocks), independent of cardinality.
+
+    Deterministic (siphash via pandas, fixed key) and mergeable; the
+    standard alpha_m bias constant + linear-counting small-range
+    correction. Approximate by construction -> registered rows-only,
+    with a pytest pinning relative error < 5% vs the exact count."""
+    import math
+
+    import pandas as pd
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        col = t["user_id"].combine_chunks()
+        col = col.filter(pc.is_valid(col))
+        if len(col) == 0:
+            return pa.schema([("reg", pa.int64()), ("rho", pa.int64())]).empty_table()
+        h = pd.util.hash_array(
+            col.to_numpy(zero_copy_only=False), categorize=False
+        ).astype(np.uint64)
+        reg = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        w = (h & np.uint64((1 << (64 - _HLL_P)) - 1)).astype(np.uint64)
+        # exact floor(log2) for < 2^53 via frexp (w fits: 52 bits)
+        _, exp = np.frexp(w.astype(np.float64))
+        rho = (64 - _HLL_P) - exp + 1  # w == 0 -> exp 0 -> rho 53
+        regs = np.zeros(_HLL_M, dtype=np.int64)
+        np.maximum.at(regs, reg, rho)
+        nz = np.flatnonzero(regs)
+        return pa.table(
+            {"reg": pa.array(nz, pa.int64()), "rho": pa.array(regs[nz], pa.int64())}
+        )
+
+    merged = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("reg")
+        .aggregate(Max("rho", alias_name="rho"))
+        .take_all()
+    )  # <= 4096 rows — the only driver materialization
+    regs = np.zeros(_HLL_M, dtype=np.int64)
+    for r in merged:
+        regs[r["reg"]] = r["rho"]
+    alpha = 0.7213 / (1 + 1.079 / _HLL_M)
+    est = alpha * _HLL_M * _HLL_M / float(np.sum(np.power(2.0, -regs)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * _HLL_M and zeros:
+        est = _HLL_M * math.log(_HLL_M / zeros)
+    return pa.table({"n_users_est": pa.array([int(round(est))], pa.int64())})
+
+
+def promo_revenue_by_brand(sf_dir: str) -> rd.Dataset:
+    """Revenue cents per part brand: broadcast join of the small `part`
+    dimension into the `lineitem` fact scan (reference analog: the
+    by-ID lookup merge, internal/merger/merger.go:74-105). The part
+    side is ray.put ONCE as (sorted keys, brand codes) and read from
+    the local object store by every map task — no shuffle of lineitem;
+    the only exchange is the ~|brands| partial-sum rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from laketide.functions.relational import _cents
+
+    part = (
+        _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+        .to_arrow_refs()
+    )
+    pt = pa.concat_tables([p for p in ray.get(part) if p.num_rows])
+    keys = pt["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
+    brands = pt["p_brand"].combine_chunks()
+    order = np.argsort(keys, kind="stable")
+    dict_arr = pc.dictionary_encode(brands.take(pa.array(order)))
+    if isinstance(dict_arr, pa.ChunkedArray):  # pc.cast/encode may chunk
+        dict_arr = dict_arr.combine_chunks()
+    side_ref = ray.put(
+        (
+            keys[order],
+            dict_arr.indices.to_numpy(zero_copy_only=False),
+            dict_arr.dictionary.to_pylist(),
+        )
+    )
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        skeys, scodes, names = ray.get(side_ref)
+        pk = pc.fill_null(t["l_partkey"], -1).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(skeys, pk)
+        pos_c = np.minimum(pos, len(skeys) - 1)
+        hit = skeys[pos_c] == pk
+        rev = pc.cast(
+            _cents(
+                pc.multiply(
+                    t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+                )
+            ),
+            pa.float64(),
+        )
+        tmp = pa.table(
+            {
+                "code": pa.array(scodes[pos_c[hit]], pa.int64()),
+                "rev": rev.filter(pa.array(hit)),
+            }
+        )
+        g = tmp.group_by(["code"]).aggregate([("rev", "sum")])
+        codes = g["code"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_brand": pa.array([names[c] for c in codes], pa.string()),
+                "rev": g["rev_sum"],
+            }
+        )
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("p_brand")
+        .aggregate(Sum("rev", alias_name="rev_f"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": t["p_brand"],
+                "revenue_cents": pc.cast(t["rev_f"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _smallest_k_per_key(t: pa.Table, key: str, order: str, k: int) -> pa.Table:
+    """Vectorized per-key bottom-k (ascending ``order``): one sort +
+    rank-within-segment mask. Associative — per-batch prune then final
+    prune equals global bottom-k."""
+    if t.num_rows == 0:
+        return t
+    t = t.sort_by([(key, "ascending"), (order, "ascending")])
+    same = _adjacent_same(t[key].combine_chunks())
+    n = t.num_rows
+    starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
+    counts = np.append(starts[1:], n) - starts
+    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
+    return t.filter(pa.array(rank < k))
+
+
+def order_keys_per_customer(sf_dir: str, k: int = 5) -> rd.Dataset:
+    """Ordered collect (string_agg): the first ``k`` order keys per
+    customer, ascending, joined with ','. The per-batch bottom-k prune
+    caps the exchange at k rows per customer per batch; the final
+    reduce builds the joined string via Arrow list aggregation +
+    ``binary_join`` — no per-group Python."""
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderkey"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_custkey"]))
+        t = _smallest_k_per_key(t, "o_custkey", "o_orderkey", k)
+        return _cpart_col(t, "o_custkey")
+
+    def final(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_cpart"])
+        if t.num_rows == 0:
+            return pa.schema(
+                [("o_custkey", pa.int64()), ("order_keys", pa.string())]
+            ).empty_table()
+        t = _smallest_k_per_key(t, "o_custkey", "o_orderkey", k)
+        # t is sorted (custkey, orderkey) — hash_list preserves row order
+        t = t.set_column(1, "k_str", pc.cast(t["o_orderkey"], pa.string()))
+        lists = t.group_by(["o_custkey"]).aggregate([("k_str", "list")])
+        joined = pc.binary_join(lists["k_str_list"], ",")
+        return pa.table({"o_custkey": lists["o_custkey"], "order_keys": joined})
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(final, batch_format="pyarrow")
+    )
