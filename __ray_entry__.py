@@ -228,6 +228,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # pins <5% relative error vs the exact distinct count
         "hll_distinct_users": _lazy("analytics", "hll_distinct_users"),
         "promo_revenue_by_brand": _lazy("analytics", "promo_revenue_by_brand"),
+        "corr_qty_price": _lazy("analytics", "corr_qty_price"),
+        "funnel_view_click_purchase": _lazy("analytics", "funnel_view_click_purchase"),
         "order_keys_per_customer": _lazy("analytics", "order_keys_per_customer"),
         "q1_pricing": R.q1_pricing,
         "top_orders": R.top_orders,
@@ -403,6 +405,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
             "GROUP BY event_type"
+        ),
+        # correlation from EXACT integer moments; the final expression is
+        # written identically on both sides (HUGEINT -> DOUBLE casts at
+        # the same points) so the doubles are bit-identical
+        "corr_qty_price": (
+            "WITH m AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x, "
+            "CAST(ROUND(l_extendedprice) AS BIGINT) AS y FROM lineitem), "
+            "s AS (SELECT l_returnflag, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy FROM m "
+            "GROUP BY l_returnflag) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "CAST(n*sxy - sx*sy AS DOUBLE) / sqrt("
+            "CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE)) "
+            "AS corr_qty_price FROM s"
+        ),
+        # strictly-after sequential funnel (first view -> first later
+        # click -> first later purchase)
+        "funnel_view_click_purchase": (
+            "WITH b AS (SELECT user_id, event_type, ts FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "v AS (SELECT user_id, min(ts) AS t1 FROM b WHERE event_type='view' "
+            "GROUP BY user_id), "
+            "c AS (SELECT b.user_id, min(b.ts) AS t2 FROM b JOIN v USING (user_id) "
+            "WHERE b.event_type='click' AND b.ts > v.t1 GROUP BY b.user_id), "
+            "p AS (SELECT b.user_id, min(b.ts) AS t3 FROM b JOIN c USING (user_id) "
+            "WHERE b.event_type='purchase' AND b.ts > c.t2 GROUP BY b.user_id) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase"
         ),
         "promo_revenue_by_brand": (
             "SELECT p_brand, CAST(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) "

@@ -346,6 +346,138 @@ def promo_revenue_by_brand(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def corr_qty_price(sf_dir: str) -> pa.Table:
+    """Grouped Pearson correlation (l_quantity vs rounded
+    l_extendedprice dollars) per l_returnflag — the moment-sketch
+    pattern: each batch emits EXACT integer partial moments (n, sx, sy,
+    sxx, syy, sxy) per group, one tiny grouped sum merges them, and the
+    driver finishes with arbitrary-precision Python ints so the final
+    double math is bit-identical to the oracle's HUGEINT->DOUBLE
+    expression. int64 moment bound: sum(y^2) with y <= ~1.1e5 dollars
+    holds ~7e8 rows per group; beyond that the partials need a 128-bit
+    (hi, lo) split.
+
+    y is whole DOLLARS, not cents, precisely for that bound."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_extendedprice"]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        x = pc.cast(t["l_quantity"], pa.int64())
+        y = pc.cast(
+            pc.round(t["l_extendedprice"], ndigits=0, round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        tmp = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "n": pa.array(np.ones(t.num_rows), pa.int64()),
+                "sx": x,
+                "sy": y,
+                "sxx": pc.multiply(x, x),
+                "syy": pc.multiply(y, y),
+                "sxy": pc.multiply(x, y),
+            }
+        )
+        g = tmp.group_by(["l_returnflag"]).aggregate(
+            [(c, "sum") for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
+        )
+        return g.rename_columns(["l_returnflag", "n", "sx", "sy", "sxx", "syy", "sxy"])
+
+    rows = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            *[Sum(c, alias_name=c) for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
+        )
+        .take_all()
+    )  # one row per flag — the only driver materialization
+    import math
+
+    flags, ns, corrs = [], [], []
+    for r in sorted(rows, key=lambda r: r["l_returnflag"]):
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
+        num = n * sxy - sx * sy
+        da, db = n * sxx - sx * sx, n * syy - sy * sy
+        corr = float(num) / math.sqrt(float(da) * float(db))
+        flags.append(r["l_returnflag"])
+        ns.append(n)
+        corrs.append(corr)
+    return pa.table(
+        {
+            "l_returnflag": pa.array(flags, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "corr_qty_price": pa.array(corrs, pa.float64()),
+        }
+    )
+
+
+_FUNNEL_SCHEMA = pa.schema(
+    [("n_view", pa.int64()), ("n_click", pa.int64()), ("n_purchase", pa.int64())]
+)
+
+
+def funnel_view_click_purchase(sf_dir: str) -> pa.Table:
+    """Sequential funnel: users who viewed, then clicked strictly after
+    their first view, then purchased strictly after that first
+    qualifying click. A per-key ORDERED pattern match — not expressible
+    as independent aggregates — done in one coarse shuffle: every
+    user's (type, ts) rows co-locate, and the partition reduce resolves
+    all three stages for ALL its users with sorted-segment numpy (first
+    view per user, first later click, first later purchase), emitting
+    just three partial counts per partition."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    stages = ("view", "click", "purchase")
+
+    def pre(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])),
+            pc.is_in(t["event_type"], value_set=pa.array(stages)),
+        )
+        return _cpart_col(t.filter(keep), "user_id")
+
+    def reduce_funnel(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_cpart"])
+        if t.num_rows == 0:
+            return _FUNNEL_SCHEMA.empty_table()
+        t = t.sort_by([("user_id", "ascending"), ("ts", "ascending")])
+        u = t["user_id"].combine_chunks()
+        ts = pc.cast(
+            pc.cast(t["ts"].combine_chunks(), pa.timestamp("us")), pa.int64()
+        ).to_numpy()
+        ty = t["event_type"].combine_chunks()
+        same = _adjacent_same(u)
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
+        counts = np.append(starts[1:], t.num_rows) - starts
+        gid = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
+        sentinel = np.iinfo(np.int64).max
+        prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
+        ok = np.ones(len(starts), dtype=bool)  # reached stage k-1
+        out = []
+        for stage in stages:
+            m = pc.equal(ty, stage).to_numpy(zero_copy_only=False)
+            m &= ok[gid] & (ts > prev[gid])
+            firsts = np.full(len(starts), sentinel, dtype=np.int64)
+            np.minimum.at(firsts, gid[m], ts[m])
+            ok = firsts != sentinel
+            prev = firsts
+            out.append(int(ok.sum()))
+        return pa.table({k: pa.array([v], pa.int64()) for k, v in zip(
+            ["n_view", "n_click", "n_purchase"], out)})
+
+    parts = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(reduce_funnel, batch_format="pyarrow")
+        .take_all()
+    )  # one tiny row per partition
+    tot = {k: sum(int(p[k]) for p in parts) for k in ("n_view", "n_click", "n_purchase")}
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in tot.items()})
+
+
 def _smallest_k_per_key(t: pa.Table, key: str, order: str, k: int) -> pa.Table:
     """Vectorized per-key bottom-k (ascending ``order``): one sort +
     rank-within-segment mask. Associative — per-batch prune then final

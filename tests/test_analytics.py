@@ -47,6 +47,58 @@ def test_smallest_k_per_key_associative():
     )
 
 
+def test_funnel_strictly_after_planted():
+    """Planted sequences: user 1 completes the funnel, user 2's click
+    ties the view timestamp (strict > rejects it), user 3 purchases
+    BEFORE clicking (rejected at stage 3)."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    rows = [
+        # user 1: view@10, click@20, purchase@30 -> full funnel
+        (1, "view", 10), (1, "click", 20), (1, "purchase", 30),
+        # user 2: click at the SAME us as the first view -> no stage 2
+        (2, "view", 10), (2, "click", 10), (2, "purchase", 40),
+        # user 3: purchase precedes the qualifying click -> no stage 3
+        (3, "view", 10), (3, "purchase", 15), (3, "click", 20),
+        # user 4: view only
+        (4, "view", 5),
+    ]
+    n = len(rows)
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[1] for r in rows]),
+            "value": pa.array([1.0] * n),
+            "props": pa.array([""] * n),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(ev, f"{d}/events.parquet")
+        out = analytics.funnel_view_click_purchase(d)
+    assert out["n_view"][0].as_py() == 4
+    assert out["n_click"][0].as_py() == 2  # users 1 and 3
+    assert out["n_purchase"][0].as_py() == 1  # user 1 only
+
+
+def test_corr_matches_numpy_reference():
+    import duckdb
+    import pandas as pd
+
+    got = analytics.corr_qty_price(SF_DIR).to_pandas().set_index("l_returnflag")
+    df = duckdb.sql(
+        f"SELECT l_returnflag, CAST(l_quantity AS BIGINT) x, "
+        f"CAST(ROUND(l_extendedprice) AS BIGINT) y "
+        f"FROM read_parquet('{SF_DIR}/lineitem.parquet')"
+    ).df()
+    for flag, grp in df.groupby("l_returnflag"):
+        ref = np.corrcoef(grp["x"], grp["y"])[0, 1]
+        assert abs(got.loc[flag, "corr_qty_price"] - ref) < 1e-9, flag
+
+
 def test_gaps_reduce_matches_pandas():
     """The reduceat gap kernel vs a plain pandas groupby-diff reference
     on a corpus with ties and singleton users."""

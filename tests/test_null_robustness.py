@@ -30,6 +30,7 @@ _NULLABLE_QUERIES = [
     "user_event_gaps",
     "mode_event_type_per_user",
     "distinct_users_by_type",
+    "funnel_view_click_purchase",
     "session_counts",
     "rolling_count_1h",
     "doc_quality",
