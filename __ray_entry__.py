@@ -265,6 +265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
         "minhash_dedup_verified": dedup.minhash_dedup_verified,
         "ngram_jaccard_join": dedup.ngram_jaccard_join,
+        "dup_components": dedup.dup_components,
         "simhash_dedup": dedup.simhash_dedup,
         # --- similarity search ---
         "knn_cosine": similarity.knn_cosine,
@@ -690,6 +691,7 @@ def oracle_sql() -> dict[str, str]:
         # at ANY threshold; 0.5 is below the band where LSH recall is
         # reliable, which is the point of the operator.
         "ngram_jaccard_join": _trigram_jaccard_oracle(0.5),
+        "dup_components": _dup_components_oracle(0.5),
         # VARCHAR substring == byte slicing here: the documents text is
         # pure ASCII (DuckDB substring does not accept BLOB).
         "frame_sample": (
@@ -737,6 +739,33 @@ def _trigram_jaccard_oracle(threshold: float) -> str:
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard "
         "FROM g a JOIN g b ON a.doc_id < b.doc_id "
         f"WHERE {jac} >= {threshold}"
+    )
+
+
+def _dup_components_oracle(threshold: float) -> str:
+    """Connected components over the SAME exact trigram-Jaccard edges as
+    ``ngram_jaccard_join``'s oracle, via a recursive transitive-closure
+    CTE: component(x) = min node reachable from x (including itself)."""
+    jac = (
+        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
+        "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
+    )
+    return (
+        "WITH RECURSIVE "
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "g AS (SELECT doc_id, CASE "
+        "WHEN len(toks) = 0 THEN [] "
+        "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+        "ELSE list_distinct(list_transform(range(1, len(toks) - 2 + 1), "
+        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS grams FROM t), "
+        "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        f"FROM g a JOIN g b ON a.doc_id < b.doc_id WHERE {jac} >= {threshold}), "
+        "edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs "
+        "UNION SELECT doc_b, doc_a FROM pairs), "
+        "reach(x, y) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) "
+        "UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x) "
+        "SELECT x AS doc_id, CAST(min(y) AS BIGINT) AS component "
+        "FROM reach GROUP BY x"
     )
 
 

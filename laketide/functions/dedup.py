@@ -1121,3 +1121,208 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
         .groupby("pair_part")
         .map_groups(_dedup_pairs_group, batch_format="pyarrow")
     )
+
+
+# ------------------------------------------------------- dedup clustering
+_COMP_SCHEMA = pa.schema([("doc_id", pa.int64()), ("component", pa.int64())])
+
+
+def _components_minlabel(et: pa.Table) -> pa.Table:
+    """Driver fast path: min-label propagation with pointer jumping over
+    a COLLECTED edge table (numpy fixpoint — no Python per-edge loop).
+    Used when the edge set fits the driver budget; the distributed
+    star-contraction path handles the rest."""
+    a = et["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = et["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ea, eb = inv[: len(a)], inv[len(a) :]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ea], label[eb])
+        new = label.copy()
+        np.minimum.at(new, ea, m)
+        np.minimum.at(new, eb, m)
+        new = new[new]  # pointer jump: labels are node indices
+        if np.array_equal(new, label):
+            break
+        label = new
+    while not np.array_equal(label, label[label]):
+        label = label[label]
+    return pa.table(
+        {"doc_id": pa.array(nodes, pa.int64()), "component": pa.array(nodes[label], pa.int64())}
+    )
+
+
+def _star_emit(t: pa.Table, which: str, n_parts: int) -> pa.Table:
+    """Map side of a star half-round: orient each undirected edge into
+    (center u, neighbor v) rows — both directions for large-star, only
+    larger-endpoint centers for small-star — keyed on a coarse hash of
+    u so each reduce call handles MANY centers vectorized."""
+    a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if which == "large":
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+    else:
+        u = np.maximum(a, b)
+        v = np.minimum(a, b)
+    part = _coarse_parts(u.view(np.uint64), n_parts=n_parts)
+    return pa.table(
+        {
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "star_part": pa.array(part, pa.int64()),
+        }
+    )
+
+
+def _star_reduce(g: pa.Table, which: str) -> pa.Table:
+    """Reduce side of a star half-round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — public algorithm): per center
+    u with neighbor set G(u), m = min(G(u) + {u}); large-star rewires
+    every neighbor v > u to m, small-star rewires every v in
+    G(u) + {u} except m to m. One lexsort + boundary pass for ALL
+    centers in the partition; output edges re-normalized to
+    doc_a < doc_b and deduped."""
+    if "star_part" in g.column_names:
+        g = g.drop_columns(["star_part"])
+    if g.num_rows == 0:
+        return _int64_table([], ["doc_a", "doc_b"])
+    t = g.sort_by([("u", "ascending"), ("v", "ascending")])
+    u = t["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+    v = t["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(u)
+    newg = np.ones(n, dtype=bool)
+    newg[1:] = u[1:] != u[:-1]
+    starts = np.flatnonzero(newg)
+    counts = np.append(starts[1:], n) - starts
+    centers = u[starts]
+    vmin = v[starts]  # sorted by v within center -> first is min
+    m = np.minimum(centers, vmin)
+    m_rows = np.repeat(m, counts)
+    if which == "large":
+        keep = v > u
+        lo, hi = m_rows[keep], v[keep]
+    else:
+        keep = v != m_rows
+        lo, hi = m_rows[keep], v[keep]
+        # plus the center itself (centers are > their vmin by
+        # construction, so u != m always on rows that exist here)
+        lo = np.concatenate([lo, m])
+        hi = np.concatenate([hi, centers])
+    pairs = np.stack([np.minimum(lo, hi), np.maximum(lo, hi)], axis=1)
+    pairs = pairs[pairs[:, 0] != pairs[:, 1]]
+    return _int64_table([pairs], ["doc_a", "doc_b"])
+
+
+def _edges_checksum(edges: rd.Dataset) -> tuple[int, int]:
+    """(count, order-independent u64 checksum) of a canonical edge
+    Dataset — the distributed convergence test for the star loop (the
+    edge multiset is never driver-collected)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).view(np.uint64)
+        mix = ((a * _BUCKET_MIX) ^ (b * np.uint64(0x9E3779B97F4A7C15))) * _BUCKET_MIX
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                # store the u64 partial as its i64 bit pattern (pa.array
+                # would overflow on values >= 2^63)
+                "chk": pa.array(
+                    [int(np.sum(mix, dtype=np.uint64).astype(np.int64))], pa.int64()
+                ),
+            }
+        )
+
+    rows = edges.map_batches(partial, batch_format="pyarrow").take_all()
+    n = sum(int(r["n"]) for r in rows)
+    chk = 0
+    for r in rows:
+        chk = (chk + int(r["chk"])) & 0xFFFFFFFFFFFFFFFF
+    return n, chk
+
+
+def _components_star(edges: rd.Dataset, max_rounds: int = 64) -> rd.Dataset:
+    """Distributed connected components by alternating large-star /
+    small-star contractions — O(log n) rounds of coarse-keyed shuffles
+    over the EDGE list only (no giant label join per hop); at fixpoint
+    every component is a star centered at its min node."""
+    n_parts = _coarse_n_parts()
+
+    def half(ds: rd.Dataset, which: str) -> rd.Dataset:
+        return (
+            ds.map_batches(
+                lambda t, w=which: _star_emit(t, w, n_parts),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .groupby("star_part")
+            .map_groups(
+                lambda g, w=which: _star_reduce(g, w), batch_format="pyarrow"
+            )
+            .materialize()
+        )
+
+    prev = _edges_checksum(edges)
+    for _ in range(max_rounds):
+        edges = half(half(edges, "large"), "small")
+        cur = _edges_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError("star contraction did not converge")
+
+    def to_mapping(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["doc_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = np.concatenate([b, a])  # children -> root, root -> itself
+        comp = np.concatenate([a, a])
+        part = _coarse_parts(doc.view(np.uint64), n_parts=n_parts)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc, pa.int64()),
+                "component": pa.array(comp, pa.int64()),
+                "map_part": pa.array(part, pa.int64()),
+            }
+        )
+
+    return (
+        edges.map_batches(to_mapping, batch_format="pyarrow")
+        .groupby("map_part")
+        .map_groups(
+            lambda g: _dedup_pairs_group(g, part_col="map_part"),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def dup_components(
+    sf_dir: str,
+    threshold: float = 0.5,
+    driver_budget_rows: int = 2_000_000,
+    force_distributed: bool = False,
+) -> pa.Table | rd.Dataset:
+    """Duplicate-cluster assignment: connected components over the EXACT
+    n-gram Jaccard edges (``ngram_jaccard_join``), labeling every doc
+    that has at least one near-duplicate with its component id (= min
+    doc_id in the cluster) — the step a training-data dedup pipeline
+    runs after pair generation to pick one canonical doc per cluster.
+
+    Adaptive like the verify stages: the edge list (O(dup pairs), tiny
+    relative to the corpus) is counted first; under the driver budget a
+    numpy min-label fixpoint finishes locally, otherwise the
+    large-star/small-star contraction runs fully distributed. Both
+    paths are equivalence-tested, including multi-hop chain graphs."""
+    edges = ngram_jaccard_join(sf_dir, threshold).select_columns(["doc_a", "doc_b"])
+    edges = edges.materialize()
+    if not force_distributed and edges.count() <= driver_budget_rows:
+        import ray
+
+        parts = [p for p in ray.get(edges.to_arrow_refs()) if p.num_rows]
+        if not parts:
+            return _COMP_SCHEMA.empty_table()
+        return _components_minlabel(pa.concat_tables(parts))
+    return _components_star(edges)

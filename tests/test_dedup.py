@@ -12,6 +12,8 @@ import pytest
 
 from laketide.functions import dedup
 
+SF_DIR = "/root/testdata/sf0.01"
+
 _WORDS = [f"w{i:03d}" for i in range(400)]
 
 
@@ -322,3 +324,47 @@ def test_ngram_jaccard_join_exact_vs_bruteforce(tmp_path_factory):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_components_minlabel_vs_star_equivalence():
+    """The driver min-label fixpoint and the distributed star
+    contraction must produce identical components — including multi-hop
+    chains (a path graph needs log-rounds of propagation, which a
+    single-round implementation would get wrong)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.RandomState(5)
+    edges = []
+    # a 60-node path graph: one long component rooted at 0
+    edges += [(i, i + 1) for i in range(60)]
+    # random small clusters on higher ids
+    for base in range(100, 400, 20):
+        k = rng.randint(2, 6)
+        members = base + rng.choice(20, size=k, replace=False)
+        members.sort()
+        edges += [(int(members[0]), int(m)) for m in members[1:]]
+    a = pa.array([min(e) for e in edges], pa.int64())
+    b = pa.array([max(e) for e in edges], pa.int64())
+    et = pa.table({"doc_a": a, "doc_b": b})
+
+    local = dedup._components_minlabel(et).to_pandas()
+    star = (
+        dedup._components_star(rd.from_arrow(et))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    local = local.sort_values("doc_id").reset_index(drop=True)
+    assert local.equals(star)
+    # the path graph collapsed to root 0
+    assert (local[local.doc_id <= 60].component == 0).all()
+
+
+def test_dup_components_distributed_path_matches_fast_path():
+    got_fast = dedup.dup_components(SF_DIR).to_pandas()
+    got_star = dedup.dup_components(SF_DIR, force_distributed=True).to_pandas()
+    f = got_fast.sort_values("doc_id").reset_index(drop=True)
+    s = got_star.sort_values("doc_id").reset_index(drop=True)
+    assert f.equals(s)
+    assert len(f) > 0
