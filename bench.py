@@ -168,6 +168,15 @@ def run_bench() -> dict:
         timed("rolling_count_1h", R.rolling_count_1h)
         timed("top_orders_per_customer", R.top_orders_per_customer)
 
+        from laketide.functions import analytics as A
+
+        timed("user_event_gaps", A.user_event_gaps)
+        timed("funnel_view_click_purchase", A.funnel_view_click_purchase)
+        timed("distinct_users_by_type", A.distinct_users_by_type)
+        timed("hll_distinct_users", A.hll_distinct_users)
+        timed("promo_revenue_by_brand", A.promo_revenue_by_brand)
+        timed("dup_components", dedup.dup_components)
+
     ray.shutdown()
     return {
         "metric": "cdc_replay_seconds",
