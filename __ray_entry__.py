@@ -229,6 +229,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _lazy("analytics", "hll_distinct_users"),
         "promo_revenue_by_brand": _lazy("analytics", "promo_revenue_by_brand"),
         "corr_qty_price": _lazy("analytics", "corr_qty_price"),
+        "daily_active_users": _lazy("analytics", "daily_active_users"),
+        "value_histogram": _lazy("analytics", "value_histogram"),
+        "events_per_user_quantiles": _lazy("analytics", "events_per_user_quantiles"),
         "funnel_view_click_purchase": _lazy("analytics", "funnel_view_click_purchase"),
         "order_keys_per_customer": _lazy("analytics", "order_keys_per_customer"),
         "q1_pricing": R.q1_pricing,
@@ -406,6 +409,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
             "GROUP BY event_type"
+        ),
+        "daily_active_users": (
+            "SELECT date_trunc('day', ts) AS day, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events "
+            "WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY day"
+        ),
+        "value_histogram": (
+            "SELECT CAST(floor(value/10) AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents "
+            "FROM events WHERE value IS NOT NULL GROUP BY bucket"
+        ),
+        "events_per_user_quantiles": (
+            "WITH c AS (SELECT count(*) AS n FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY user_id) "
+            "SELECT CAST(quantile_disc(n, 0.25) AS BIGINT) AS q25, "
+            "CAST(quantile_disc(n, 0.50) AS BIGINT) AS q50, "
+            "CAST(quantile_disc(n, 0.75) AS BIGINT) AS q75, "
+            "CAST(quantile_disc(n, 0.95) AS BIGINT) AS q95 FROM c"
         ),
         # correlation from EXACT integer moments; the final expression is
         # written identically on both sides (HUGEINT -> DOUBLE casts at

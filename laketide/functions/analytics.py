@@ -157,52 +157,69 @@ def mode_event_type_per_user(sf_dir: str) -> rd.Dataset:
     )
 
 
-def distinct_users_by_type(sf_dir: str) -> rd.Dataset:
-    """Exact distributed COUNT(DISTINCT user_id) per event_type. The
-    classic two-level scheme: per-batch pair dedup (the exchange
-    carries unique (type, user) pairs, not events), one coarse shuffle
-    keyed on hash(type, user) — a pair always lands in one partition,
-    so per-partition dedup is globally exact — then a tiny per-type
-    partial count merged by a second (trivially small) grouped sum."""
+def _exact_distinct_users(
+    keyed: rd.Dataset, key: str, key_type: pa.DataType, out_count: str
+) -> rd.Dataset:
+    """Exact distributed COUNT(DISTINCT user_id) per ``key`` over a
+    Dataset of (key, user_id) rows. The classic two-level scheme:
+    per-batch pair dedup (the exchange carries unique pairs, not
+    events), one coarse shuffle keyed on hash(key, user) — a pair
+    always lands in one partition, so per-partition dedup is globally
+    exact — then a tiny per-key partial count merged by a second
+    (trivially small) grouped sum."""
     from ray.data.aggregate import Sum
 
-    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
-
     def pre(t: pa.Table) -> pa.Table:
-        t = t.filter(
-            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["event_type"]))
-        )
-        g = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t[key])))
+        g = t.group_by([key, "user_id"]).aggregate([([], "count_all")])
         g = g.drop_columns([g.column_names[-1]])
-        return _cpart_col(g, "event_type", "user_id")
+        return _cpart_col(g, key, "user_id")
 
     def count_partial(g: pa.Table) -> pa.Table:
         t = g.drop_columns(["_cpart"])
         if t.num_rows == 0:
             return pa.schema(
-                [("event_type", pa.string()), ("n_partial", pa.int64())]
+                [(key, key_type), ("n_partial", pa.int64())]
             ).empty_table()
-        uniq = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
-        per_type = uniq.group_by(["event_type"]).aggregate([([], "count_all")])
-        return per_type.rename_columns(["event_type", "n_partial"])
+        uniq = t.group_by([key, "user_id"]).aggregate([([], "count_all")])
+        per_key = uniq.group_by([key]).aggregate([([], "count_all")])
+        return per_key.rename_columns([key, "n_partial"])
 
     agg = (
-        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        keyed.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_cpart")
         .map_groups(count_partial, batch_format="pyarrow")
-        .groupby("event_type")
-        .aggregate(Sum("n_partial", alias_name="n_users_f"))
+        .groupby(key)
+        .aggregate(Sum("n_partial", alias_name="n_f"))
     )
 
     def finish(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": t["event_type"],
-                "n_users": pc.cast(t["n_users_f"], pa.int64()),
-            }
-        )
+        return pa.table({key: t[key], out_count: pc.cast(t["n_f"], pa.int64())})
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def distinct_users_by_type(sf_dir: str) -> rd.Dataset:
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    return _exact_distinct_users(ds, "event_type", pa.string(), "n_users")
+
+
+def daily_active_users(sf_dir: str) -> rd.Dataset:
+    """DAU: exact distinct users per UTC day — the time-keyed variant
+    of the pair-dedup distinct scheme; the day floor happens in the
+    map task so only (day, user) pairs enter the exchange."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_day(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"]))
+        t = t.filter(keep)
+        day = pc.floor_temporal(
+            pc.cast(t["ts"], pa.timestamp("us")), unit="day"
+        )
+        return pa.table({"day": day, "user_id": t["user_id"]})
+
+    keyed = ds.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+    return _exact_distinct_users(keyed, "day", pa.timestamp("us"), "n_users")
 
 
 _HLL_P = 12
@@ -344,6 +361,97 @@ def promo_revenue_by_brand(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def value_histogram(sf_dir: str, width: float = 10.0) -> rd.Dataset:
+    """Bucketed value distribution (count + exact cents total per
+    fixed-width bucket): per-batch Arrow group_by partials, one tiny
+    grouped sum — the bucket count is bounded so the exchange is
+    O(buckets x blocks) regardless of input size."""
+    from ray.data.aggregate import Sum
+
+    from laketide.functions.relational import _cents
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks()
+        v = v.filter(pc.is_valid(v))
+        bucket = pc.cast(pc.floor(pc.divide(v, pa.scalar(width))), pa.int64())
+        tmp = pa.table(
+            {
+                "bucket": bucket,
+                "n": pa.array(np.ones(len(v)), pa.int64()),
+                "cents": pc.cast(_cents(v), pa.float64()),
+            }
+        )
+        g = tmp.group_by(["bucket"]).aggregate([("n", "sum"), ("cents", "sum")])
+        return g.rename_columns(["bucket", "n", "cents"])
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n_f"), Sum("cents", alias_name="cents_f"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": t["bucket"],
+                "n": pc.cast(t["n_f"], pa.int64()),
+                "value_cents": pc.cast(t["cents_f"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def events_per_user_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
+    """Quantiles of an AGGREGATE (events-per-user distribution): grouped
+    count, then the exact distributed value-count histogram over the
+    counts (the ``doc_length_quantiles`` scheme — exact at any scale
+    because distinct count-values are bounded), quantile read on the
+    driver. DuckDB ``quantile_disc`` (lower) semantics."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    def cpre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["user_id"]))
+        g = t.group_by(["user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "np"])
+
+    per_user = (
+        _read(sf_dir, "events", columns=["user_id"])
+        .map_batches(cpre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("np", alias_name="n"))
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            t["n"].to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {"v": pa.array(vals, pa.int64()), "c": pa.array(counts.astype(np.int64))}
+        )
+
+    hist = (
+        per_user.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    out = {}
+    for q in qs:
+        rank = max(1, math.ceil(q * total)) if total else 0
+        idx = (cum >= rank).idxmax() if total else None
+        out[f"q{int(q * 100)}"] = int(hist.loc[idx, "v"]) if total else None
+    return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
 
 
 def corr_qty_price(sf_dir: str) -> pa.Table:

@@ -31,6 +31,9 @@ _NULLABLE_QUERIES = [
     "mode_event_type_per_user",
     "distinct_users_by_type",
     "funnel_view_click_purchase",
+    "daily_active_users",
+    "value_histogram",
+    "events_per_user_quantiles",
     "session_counts",
     "rolling_count_1h",
     "doc_quality",
