@@ -747,41 +747,40 @@ def _trigram_jaccard_oracle(threshold: float) -> str:
     LSH bucket (> LAKETIDE_MAX_LSH_BUCKET members) would be star-capped
     — no such bucket exists at sf0.01; ngram_jaccard_join is exact by
     construction (complete prefix filter, uncapped by default)."""
-    jac = (
-        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
-        "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
-    )
     return (
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-        "g AS (SELECT doc_id, CASE "
-        "WHEN len(toks) = 0 THEN [] "
-        "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-        "ELSE list_distinct(list_transform(range(1, len(toks) - 2 + 1), "
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS grams FROM t) "
-        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {jac} AS jaccard "
+        f"WITH {_TRIGRAM_GRAMS_CTE} "
+        f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_TRIGRAM_JAC_EXPR} AS jaccard "
         "FROM g a JOIN g b ON a.doc_id < b.doc_id "
-        f"WHERE {jac} >= {threshold}"
+        f"WHERE {_TRIGRAM_JAC_EXPR} >= {threshold}"
     )
+
+
+# Shared between the pair oracle and the components oracle: the
+# components result is defined over EXACTLY the same edge set, so the
+# gram-building rules must come from one place.
+_TRIGRAM_GRAMS_CTE = (
+    "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "g AS (SELECT doc_id, CASE "
+    "WHEN len(toks) = 0 THEN [] "
+    "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
+    "ELSE list_distinct(list_transform(range(1, len(toks) - 2 + 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS grams FROM t)"
+)
+_TRIGRAM_JAC_EXPR = (
+    "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
+    "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
+)
 
 
 def _dup_components_oracle(threshold: float) -> str:
     """Connected components over the SAME exact trigram-Jaccard edges as
     ``ngram_jaccard_join``'s oracle, via a recursive transitive-closure
     CTE: component(x) = min node reachable from x (including itself)."""
-    jac = (
-        "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
-        "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
-    )
     return (
         "WITH RECURSIVE "
-        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-        "g AS (SELECT doc_id, CASE "
-        "WHEN len(toks) = 0 THEN [] "
-        "WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')] "
-        "ELSE list_distinct(list_transform(range(1, len(toks) - 2 + 1), "
-        "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS grams FROM t), "
+        f"{_TRIGRAM_GRAMS_CTE}, "
         "pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b "
-        f"FROM g a JOIN g b ON a.doc_id < b.doc_id WHERE {jac} >= {threshold}), "
+        f"FROM g a JOIN g b ON a.doc_id < b.doc_id WHERE {_TRIGRAM_JAC_EXPR} >= {threshold}), "
         "edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs "
         "UNION SELECT doc_b, doc_a FROM pairs), "
         "reach(x, y) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) "

@@ -27,6 +27,7 @@ from laketide.functions.relational import (
     _from_pandas,  # noqa: F401  (re-export convenience for tests)
     _key_hash_u64,
     _read,
+    _segments,
 )
 
 
@@ -88,8 +89,7 @@ def user_event_gaps(sf_dir: str) -> rd.Dataset:
         gaps = ts[1:] - ts[:-1]
         # row-group index per row, then per *valid gap* (gap i belongs
         # to the group of row i+1 iff same[i])
-        starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
-        counts = np.append(starts[1:], n) - starts
+        starts, counts = _segments(u)
         gid_rows = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
         gid = gid_rows[1:][same]
         if len(gid) == 0:
@@ -412,8 +412,6 @@ def events_per_user_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Tab
     counts (the ``doc_length_quantiles`` scheme — exact at any scale
     because distinct count-values are bounded), quantile read on the
     driver. DuckDB ``quantile_disc`` (lower) semantics."""
-    import math
-
     from ray.data.aggregate import Sum
 
     def cpre(t: pa.Table) -> pa.Table:
@@ -437,6 +435,8 @@ def events_per_user_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Tab
             {"v": pa.array(vals, pa.int64()), "c": pa.array(counts.astype(np.int64))}
         )
 
+    from laketide.functions.text import quantile_read
+
     hist = (
         per_user.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("v")
@@ -444,13 +444,7 @@ def events_per_user_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Tab
         .to_pandas()
         .sort_values("v")
     )
-    total = int(hist["n"].sum())
-    cum = hist["n"].cumsum()
-    out = {}
-    for q in qs:
-        rank = max(1, math.ceil(q * total)) if total else 0
-        idx = (cum >= rank).idxmax() if total else None
-        out[f"q{int(q * 100)}"] = int(hist.loc[idx, "v"]) if total else None
+    out = quantile_read(hist, "v", qs)
     return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
 
 
@@ -510,7 +504,12 @@ def corr_qty_price(sf_dir: str) -> pa.Table:
         sxx, syy, sxy = int(r["sxx"]), int(r["syy"]), int(r["sxy"])
         num = n * sxy - sx * sy
         da, db = n * sxx - sx * sx, n * syy - sy * sy
-        corr = float(num) / math.sqrt(float(da) * float(db))
+        # zero-variance group: the oracle's x/0.0 is NULL in DuckDB
+        corr = (
+            None
+            if da == 0 or db == 0
+            else float(num) / math.sqrt(float(da) * float(db))
+        )
         flags.append(r["l_returnflag"])
         ns.append(n)
         corrs.append(corr)
@@ -557,9 +556,7 @@ def funnel_view_click_purchase(sf_dir: str) -> pa.Table:
             pc.cast(t["ts"].combine_chunks(), pa.timestamp("us")), pa.int64()
         ).to_numpy()
         ty = t["event_type"].combine_chunks()
-        same = _adjacent_same(u)
-        starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
-        counts = np.append(starts[1:], t.num_rows) - starts
+        starts, counts = _segments(u)
         gid = np.repeat(np.arange(len(starts), dtype=np.int64), counts)
         sentinel = np.iinfo(np.int64).max
         prev = np.full(len(starts), np.iinfo(np.int64).min, dtype=np.int64)
@@ -587,18 +584,11 @@ def funnel_view_click_purchase(sf_dir: str) -> pa.Table:
 
 
 def _smallest_k_per_key(t: pa.Table, key: str, order: str, k: int) -> pa.Table:
-    """Vectorized per-key bottom-k (ascending ``order``): one sort +
-    rank-within-segment mask. Associative — per-batch prune then final
-    prune equals global bottom-k."""
-    if t.num_rows == 0:
-        return t
-    t = t.sort_by([(key, "ascending"), (order, "ascending")])
-    same = _adjacent_same(t[key].combine_chunks())
-    n = t.num_rows
-    starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
-    counts = np.append(starts[1:], n) - starts
-    rank = np.arange(n, dtype=np.int64) - np.repeat(starts, counts)
-    return t.filter(pa.array(rank < k))
+    """Per-key bottom-k: the shared rank-within-segment combiner with
+    ascending order (see relational._head_k_per_key)."""
+    from laketide.functions.relational import _head_k_per_key
+
+    return _head_k_per_key(t, key, order, k, descending=False, tiebreak=None)
 
 
 def order_keys_per_customer(sf_dir: str, k: int = 5) -> rd.Dataset:

@@ -43,6 +43,18 @@ def _adjacent_same(col: pa.ChunkedArray) -> "np.ndarray":
     return pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
 
 
+def _segments(col: pa.ChunkedArray) -> tuple:
+    """(starts, counts) of the equal-key runs of a SORTED column,
+    null-safe (nulls form one run). The shared boundary arithmetic for
+    every sorted-segment kernel."""
+    import numpy as np
+
+    same = _adjacent_same(col)
+    starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
+    counts = np.append(starts[1:], len(col)) - starts
+    return starts, counts
+
+
 def keep_extreme(
     t: pa.Table, keys: list[str], order: list[str], keep: str = "last"
 ) -> pa.Table:
@@ -374,19 +386,27 @@ def top_orders(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _head_k_per_key(t: pa.Table, key: str, order: str, k: int) -> pa.Table:
-    """Vectorized per-key top-k: one sort (key asc, order desc nulls
-    last, tie id asc), then rank-within-segment < k via numpy — no
-    per-key Python. Associative: applying it per batch and again on the
-    merged survivors yields the global per-key top-k."""
+def _head_k_per_key(
+    t: pa.Table,
+    key: str,
+    order: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = "o_orderkey",
+) -> pa.Table:
+    """Vectorized per-key top-k (or bottom-k with ``descending=False``):
+    one sort (key asc, order desc/asc nulls last, optional tie column
+    asc), then rank-within-segment < k via numpy — no per-key Python.
+    Associative: applying it per batch and again on the merged
+    survivors yields the global per-key top-k."""
     import numpy as np
 
     if t.num_rows == 0:
         return t
-    t = t.sort_by(
-        [(key, "ascending"), (order, "descending"), ("o_orderkey", "ascending")],
-        null_placement="at_end",
-    )
+    keys = [(key, "ascending"), (order, "descending" if descending else "ascending")]
+    if tiebreak:
+        keys.append((tiebreak, "ascending"))
+    t = t.sort_by(keys, null_placement="at_end")
     same = _adjacent_same(t[key].combine_chunks())
     n = t.num_rows
     starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)

@@ -338,6 +338,24 @@ def dedup_stats(sf_dir: str) -> pa.Table:
     )
 
 
+def quantile_read(hist, val_col: str, qs) -> dict:
+    """Driver read-off of an exact value-count histogram (pandas frame
+    sorted by ``val_col`` with count column ``n``): for each q the
+    smallest value whose cumulative count reaches ceil(q*n) — DuckDB
+    ``quantile_disc`` rank semantics (verified empirically). Shared by
+    every quantile operator so the rank rule lives in ONE place."""
+    import math
+
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum()
+    out = {}
+    for q in qs:
+        rank = max(1, math.ceil(q * total)) if total else 0
+        idx = (cum >= rank).idxmax() if total else None
+        out[f"q{int(q*100)}"] = int(hist.loc[idx, val_col]) if total else None
+    return out
+
+
 def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
     """EXACT length quantiles via a distributed value-count histogram:
     per-batch (n_chars -> count) partials, one tiny grouped sum, then
@@ -365,17 +383,7 @@ def doc_length_quantiles(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Table:
         .to_pandas()
         .sort_values("len")
     )
-    total = int(hist["n"].sum())
-    cum = hist["n"].cumsum()
-    out = {}
-    for q in qs:
-        # DuckDB quantile_disc rank semantics (verified empirically):
-        # the smallest value whose cumulative count reaches ceil(q*n)
-        import math
-
-        rank = max(1, math.ceil(q * total)) if total else 0
-        idx = (cum >= rank).idxmax() if total else None
-        out[f"q{int(q*100)}"] = int(hist.loc[idx, "len"]) if total else None
+    out = quantile_read(hist, "len", qs)
     return pa.table({k: pa.array([v], pa.int64()) for k, v in out.items()})
 
 
@@ -385,8 +393,6 @@ def length_quantiles_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Tabl
     per-batch (lang, len) -> count partials via Arrow group_by, one tiny
     grouped sum, per-lang cumulative read-off on the driver. Exact at
     any corpus size; the shuffle carries only the histogram."""
-    import math
-
     from ray.data.aggregate import Sum
 
     ds = _docs(sf_dir, columns=["lang", "n_chars"])
@@ -410,12 +416,9 @@ def length_quantiles_by_lang(sf_dir: str, qs=(0.25, 0.5, 0.75, 0.95)) -> pa.Tabl
     langs = []
     for lang, grp in hist.groupby("lang", dropna=False, sort=True):
         langs.append(lang)
-        total = int(grp["n"].sum())
-        cum = grp["n"].cumsum()
-        for q in qs:
-            rank = max(1, math.ceil(q * total)) if total else 0
-            idx = (cum >= rank).idxmax() if total else None
-            rows[f"q{int(q*100)}"].append(int(grp.loc[idx, "len"]) if total else None)
+        got = quantile_read(grp, "len", qs)
+        for k, v in got.items():
+            rows[k].append(v)
     return pa.table(
         {
             "lang": pa.array(langs, pa.string()),

@@ -99,6 +99,27 @@ def test_corr_matches_numpy_reference():
         assert abs(got.loc[flag, "corr_qty_price"] - ref) < 1e-9, flag
 
 
+def test_corr_zero_variance_group_is_null():
+    """A constant-x group must yield NULL (the oracle's x/0.0 in DuckDB),
+    not a ZeroDivisionError."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    li = pa.table(
+        {
+            "l_returnflag": pa.array(["A", "A", "Z"]),
+            "l_quantity": pa.array([5.0, 5.0, 3.0]),  # A: zero variance
+            "l_extendedprice": pa.array([10.0, 20.0, 30.0]),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(li, f"{d}/lineitem.parquet")
+        out = analytics.corr_qty_price(d).to_pandas().set_index("l_returnflag")
+    assert np.isnan(out.loc["A", "corr_qty_price"])
+    assert np.isnan(out.loc["Z", "corr_qty_price"])  # single row: da=db=0
+
+
 def test_gaps_reduce_matches_pandas():
     """The reduceat gap kernel vs a plain pandas groupby-diff reference
     on a corpus with ties and singleton users."""
