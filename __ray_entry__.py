@@ -230,11 +230,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_by_brand": _lazy("analytics", "promo_revenue_by_brand"),
         "corr_qty_price": _lazy("analytics", "corr_qty_price"),
         "daily_active_users": _lazy("analytics", "daily_active_users"),
+        "user_retention_7d": _lazy("analytics", "user_retention_7d"),
+        "blob_chunk_dedup": _lazy("multimodal", "blob_chunk_dedup"),
         "value_histogram": _lazy("analytics", "value_histogram"),
         "events_per_user_quantiles": _lazy("analytics", "events_per_user_quantiles"),
         "funnel_view_click_purchase": _lazy("analytics", "funnel_view_click_purchase"),
         "order_keys_per_customer": _lazy("analytics", "order_keys_per_customer"),
         "q1_pricing": R.q1_pricing,
+        "q3_shipping_priority": R.q3_shipping_priority,
         "top_orders": R.top_orders,
         "orders_by_status": R.orders_by_status,
         "join_customer_orders": R.join_customer_orders,
@@ -410,10 +413,40 @@ def oracle_sql() -> dict[str, str]:
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
             "GROUP BY event_type"
         ),
+        "q3_shipping_priority": (
+            "SELECT l_orderkey, CAST(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents, o_orderdate "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-06-01' "
+            "AND l_shipdate > TIMESTAMP '1998-06-01' "
+            "GROUP BY l_orderkey, o_orderdate "
+            "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
+        ),
         "daily_active_users": (
             "SELECT date_trunc('day', ts) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events "
             "WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY day"
+        ),
+        "user_retention_7d": (
+            "WITH p AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id "
+            "FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL) "
+            "SELECT l.day, CAST(count(*) AS BIGINT) AS n_active, "
+            "CAST(count(r.user_id) AS BIGINT) AS n_retained_7d "
+            "FROM p AS l LEFT JOIN p AS r ON r.user_id = l.user_id "
+            "AND r.day = l.day + INTERVAL 7 DAY GROUP BY l.day"
+        ),
+        # VARCHAR substring == byte slicing here (ASCII corpus); the
+        # engine's sha256-per-chunk stands in for chunk bytes
+        "blob_chunk_dedup": (
+            "WITH c AS (SELECT substring(text, CAST(i*64+1 AS BIGINT), 64) AS chunk "
+            "FROM documents, unnest(range(CAST(ceil(length(text)/64.0) AS BIGINT))) AS t(i) "
+            "WHERE text IS NOT NULL) "
+            "SELECT CAST(count(*) AS BIGINT) AS total_chunks, "
+            "CAST(count(DISTINCT chunk) AS BIGINT) AS distinct_chunks, "
+            "CAST(count(DISTINCT chunk) AS DOUBLE) / CAST(count(*) AS DOUBLE) "
+            "AS distinct_ratio FROM c"
         ),
         "value_histogram": (
             "SELECT CAST(floor(value/10) AS BIGINT) AS bucket, "

@@ -363,6 +363,79 @@ def promo_revenue_by_brand(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def user_retention_7d(sf_dir: str) -> rd.Dataset:
+    """Cohort retention: per activity day, how many of that day's
+    distinct users were also active exactly 7 days later. Partitioned
+    by hash(user) so BOTH sides of the self-match co-locate — each
+    partition deduplicates its (day, user) pairs and resolves the
+    day+7 membership with one pandas hash-merge, emitting per-day
+    partials merged by a tiny grouped sum."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])))
+        day = pc.floor_temporal(pc.cast(t["ts"], pa.timestamp("us")), unit="day")
+        pairs = (
+            pa.table({"day": day, "user_id": t["user_id"]})
+            .group_by(["day", "user_id"])
+            .aggregate([([], "count_all")])
+            .drop_columns(["count_all"])
+        )
+        return _cpart_col(pairs, "user_id")
+
+    def reduce_retention(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_cpart"])
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("day", pa.timestamp("us")),
+                    ("n_active_p", pa.int64()),
+                    ("n_retained_p", pa.int64()),
+                ]
+            ).empty_table()
+        uniq = (
+            t.group_by(["day", "user_id"]).aggregate([([], "count_all")])
+        ).drop_columns(["count_all"])
+        df = uniq.to_pandas()
+        nxt = df.assign(day=df["day"] - pd.Timedelta(days=7), hit=1)
+        m = df.merge(nxt, on=["day", "user_id"], how="left")
+        per_day = m.groupby("day", sort=False).agg(
+            n_active_p=("user_id", "size"), n_retained_p=("hit", "count")
+        )
+        out = per_day.reset_index()
+        return pa.table(
+            {
+                "day": pa.array(out["day"].astype("datetime64[us]")),
+                "n_active_p": pa.array(out["n_active_p"].to_numpy(), pa.int64()),
+                "n_retained_p": pa.array(out["n_retained_p"].to_numpy(), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(reduce_retention, batch_format="pyarrow")
+        .groupby("day")
+        .aggregate(
+            Sum("n_active_p", alias_name="a_f"), Sum("n_retained_p", alias_name="r_f")
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day": t["day"],
+                "n_active": pc.cast(t["a_f"], pa.int64()),
+                "n_retained_7d": pc.cast(t["r_f"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def value_histogram(sf_dir: str, width: float = 10.0) -> rd.Dataset:
     """Bucketed value distribution (count + exact cents total per
     fixed-width bucket): per-batch Arrow group_by partials, one tiny

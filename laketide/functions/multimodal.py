@@ -215,3 +215,82 @@ def blob_resize(
         return pa.table({"doc_id": t["doc_id"], **col, "orig_bytes": t["n_bytes"]})
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=512)
+
+
+_CHUNK_BYTES = 64
+
+
+def blob_chunk_dedup(sf_dir: str, chunk_bytes: int = _CHUNK_BYTES) -> pa.Table:
+    """Chunk-level blob deduplication (storage-dedup style): split every
+    payload into fixed-size chunks, count total vs distinct chunks and
+    the resulting dedup ratio. The chunk boundaries come from one
+    vectorized offsets grid over the zero-copy buffer view; each chunk's
+    sha256 stands in for its bytes through the distinct-count exchange
+    (32-byte rows instead of payload bytes — collision-free in
+    practice, the same injective-whp argument as the hashed-shingle
+    Jaccard kernels). Distinct counting reuses the exact pair-dedup
+    coarse-shuffle scheme.
+
+    Reference analog: data-hash computation + dedup short-circuit
+    (internal/merger/merger.go:118-133), applied per chunk."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+
+    n_parts = _coarse_n_parts()
+
+    def chunks(t: pa.Table) -> pa.Table:
+        payload = t["payload"].combine_chunks()
+        valid = payload.filter(pc.is_valid(payload))
+        if len(valid) == 0:
+            return pa.table(
+                {
+                    "sha": pa.array([], pa.binary()),
+                    "chunk_part": pa.array([], pa.int64()),
+                }
+            )
+        offs, data = _binary_buffers(valid)
+        shas = []
+        for i in range(len(valid)):
+            lo, hi = offs[i], offs[i + 1]
+            for c0 in range(lo, hi, chunk_bytes):
+                shas.append(hashlib.sha256(data[c0 : min(c0 + chunk_bytes, hi)]).digest())
+        sha_arr = pa.array(shas, pa.binary())
+        # partition key straight from the digest bytes: one buffer view,
+        # every 4th u64 word is a digest's first 8 bytes
+        h = np.frombuffer(b"".join(shas), dtype=np.uint64)[::4].copy()
+        part = _coarse_parts(h, n_parts=n_parts)
+        return pa.table({"sha": sha_arr, "chunk_part": pa.array(part, pa.int64())})
+
+    def count_partial(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["chunk_part"])
+        if t.num_rows == 0:
+            return pa.table(
+                {"total_p": pa.array([], pa.int64()), "distinct_p": pa.array([], pa.int64())}
+            )
+        uniq = t.group_by(["sha"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "total_p": pa.array([t.num_rows], pa.int64()),
+                "distinct_p": pa.array([uniq.num_rows], pa.int64()),
+            }
+        )
+
+    rows = (
+        blob_table(sf_dir)
+        .map_batches(chunks, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("chunk_part")
+        .map_groups(count_partial, batch_format="pyarrow")
+        .take_all()
+    )  # a handful of tiny partial rows
+    total = sum(int(r["total_p"]) for r in rows)
+    distinct = sum(int(r["distinct_p"]) for r in rows)
+    ratio = float(distinct) / float(total) if total else None
+    return pa.table(
+        {
+            "total_chunks": pa.array([total], pa.int64()),
+            "distinct_chunks": pa.array([distinct], pa.int64()),
+            "distinct_ratio": pa.array([ratio], pa.float64()),
+        }
+    )

@@ -886,6 +886,108 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
     )
 
 
+_Q3_CUTOFF = "1998-06-01"
+
+
+def q3_shipping_priority(sf_dir: str) -> pa.Table:
+    """TPC-H Q3-style shipping-priority pipeline: segment-filtered
+    customers (broadcast key set) prune the orders scan, date filters
+    prune both scans, a per-batch revenue combiner collapses lineitems
+    before the one hash join, and the top-10 is per-batch pruned then
+    driver-merged — no global sort. Plan shape: broadcast small side +
+    filtered big-big join + combiner + local top-k."""
+    import numpy as np
+    import ray
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(pd.Timestamp(_Q3_CUTOFF), pa.timestamp("us"))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def ckeys(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.equal(t["c_mktsegment"], "BUILDING"), False)
+        return t.filter(m).select(["c_custkey"])
+
+    ck = pa.concat_tables(
+        [p for p in ray.get(cust.map_batches(ckeys, batch_format="pyarrow").to_arrow_refs()) if p.num_rows]
+    )
+    keys_ref = ray.put(np.sort(ck["c_custkey"].to_numpy(zero_copy_only=False)))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        m = pc.fill_null(pc.less(t["o_orderdate"], cutoff), False)
+        t = t.filter(m)
+        ckey = pc.fill_null(t["o_custkey"], -1).to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ckey)
+        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
+        hit = keys[pos_c] == ckey if len(keys) else np.zeros(len(ckey), bool)
+        return t.filter(pa.array(hit)).select(["o_orderkey", "o_orderdate"])
+
+    o_f = orders.map_batches(o_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.greater(t["l_shipdate"], cutoff), False)
+        t = t.filter(m)
+        rev = _cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        )
+        tmp = pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev": pc.cast(rev, pa.float64())}
+        )
+        g = tmp.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+        return g.rename_columns(["l_orderkey", "rev"])
+
+    joined = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).join(
+        o_f,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    per_order = joined.groupby("l_orderkey").aggregate(
+        Sum("rev", alias_name="rev_f"), Max("o_orderdate", alias_name="o_orderdate")
+    )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("rev_f", "descending"), ("l_orderkey", "ascending")])
+        return t.slice(0, 10)
+
+    tops = [
+        p
+        for p in ray.get(
+            per_order.map_batches(local_top, batch_format="pyarrow").to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    if not tops:
+        return pa.schema(
+            [
+                ("l_orderkey", pa.int64()),
+                ("revenue_cents", pa.int64()),
+                ("o_orderdate", pa.timestamp("us")),
+            ]
+        ).empty_table()
+    merged = (
+        pa.concat_tables(tops)
+        .sort_by([("rev_f", "descending"), ("l_orderkey", "ascending")])
+        .slice(0, 10)
+    )
+    return pa.table(
+        {
+            "l_orderkey": merged["l_orderkey"],
+            "revenue_cents": pc.cast(merged["rev_f"], pa.int64()),
+            "o_orderdate": pc.cast(merged["o_orderdate"], pa.timestamp("us")),
+        }
+    )
+
+
 def top_customers_by_spend(sf_dir: str) -> rd.Dataset:
     """Grouped sum -> broadcast name lookup -> top-20 (O1 + J1 + A5)."""
     spend = (

@@ -32,6 +32,8 @@ _NULLABLE_QUERIES = [
     "distinct_users_by_type",
     "funnel_view_click_purchase",
     "daily_active_users",
+    "user_retention_7d",
+    "blob_chunk_dedup",
     "value_histogram",
     "events_per_user_quantiles",
     "session_counts",
