@@ -176,6 +176,12 @@ def run_bench() -> dict:
         timed("hll_distinct_users", A.hll_distinct_users)
         timed("promo_revenue_by_brand", A.promo_revenue_by_brand)
         timed("dup_components", dedup.dup_components)
+        timed("q3_shipping_priority", R.q3_shipping_priority)
+        timed("user_retention_7d", A.user_retention_7d)
+
+        from laketide.functions import multimodal as MM
+
+        timed("blob_chunk_dedup", MM.blob_chunk_dedup)
 
     ray.shutdown()
     return {

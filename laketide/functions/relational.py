@@ -889,13 +889,19 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
 _Q3_CUTOFF = "1998-06-01"
 
 
-def q3_shipping_priority(sf_dir: str) -> pa.Table:
+def q3_shipping_priority(
+    sf_dir: str, broadcast_budget_rows: int = 5_000_000
+) -> pa.Table:
     """TPC-H Q3-style shipping-priority pipeline: segment-filtered
     customers (broadcast key set) prune the orders scan, date filters
-    prune both scans, a per-batch revenue combiner collapses lineitems
-    before the one hash join, and the top-10 is per-batch pruned then
-    driver-merged — no global sort. Plan shape: broadcast small side +
-    filtered big-big join + combiner + local top-k."""
+    prune both scans, a per-batch revenue combiner collapses lineitems,
+    and the top-10 is per-batch pruned then driver-merged — no global
+    sort. ADAPTIVE join (the repo's broadcast-or-shuffle pattern): the
+    filtered orders side is usually tiny after the segment + date
+    predicates, so under the budget it is broadcast once via ray.put
+    and the lineitem scan never shuffles at all (one tiny grouped-sum
+    exchange of order partials); a hash join is the fallback when the
+    filtered side is large."""
     import numpy as np
     import ray
     from ray.data.aggregate import Sum
@@ -925,15 +931,22 @@ def q3_shipping_priority(sf_dir: str) -> pa.Table:
         hit = keys[pos_c] == ckey if len(keys) else np.zeros(len(ckey), bool)
         return t.filter(pa.array(hit)).select(["o_orderkey", "o_orderdate"])
 
-    o_f = orders.map_batches(o_filter, batch_format="pyarrow", zero_copy_batch=True)
+    o_f = orders.map_batches(
+        o_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
     li = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"]
     )
 
-    def li_partial(t: pa.Table) -> pa.Table:
+    def li_partial(t: pa.Table, okeys: "np.ndarray | None" = None) -> pa.Table:
         m = pc.fill_null(pc.greater(t["l_shipdate"], cutoff), False)
         t = t.filter(m)
+        if okeys is not None:  # broadcast semi-filter: only surviving orders
+            lk = pc.fill_null(t["l_orderkey"], -1).to_numpy(zero_copy_only=False)
+            pos = np.minimum(np.searchsorted(okeys, lk), max(len(okeys) - 1, 0))
+            hit = okeys[pos] == lk if len(okeys) else np.zeros(len(lk), bool)
+            t = t.filter(pa.array(hit))
         rev = _cents(
             pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
         )
@@ -943,17 +956,45 @@ def q3_shipping_priority(sf_dir: str) -> pa.Table:
         g = tmp.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
         return g.rename_columns(["l_orderkey", "rev"])
 
-    joined = li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True).join(
-        o_f,
-        join_type="inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
+    if o_f.count() <= broadcast_budget_rows:
+        # broadcast path: no lineitem shuffle, no join actors
+        ot = pa.concat_tables(
+            [p for p in ray.get(o_f.to_arrow_refs()) if p.num_rows]
+        )
+        if ot.num_rows:
+            ot = ot.sort_by([("o_orderkey", "ascending")])
+        okeys = ot["o_orderkey"].to_numpy(zero_copy_only=False) if ot.num_rows else np.array([], np.int64)
+        okeys_ref = ray.put(okeys)
 
-    per_order = joined.groupby("l_orderkey").aggregate(
-        Sum("rev", alias_name="rev_f"), Max("o_orderdate", alias_name="o_orderdate")
-    )
+        def li_b(t: pa.Table) -> pa.Table:
+            return li_partial(t, ray.get(okeys_ref))
+
+        per_order = (
+            li.map_batches(li_b, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("l_orderkey")
+            .aggregate(Sum("rev", alias_name="rev_f"))
+        )
+        dates = ot["o_orderdate"] if ot.num_rows else pa.chunked_array([pa.array([], pa.timestamp("us"))])
+
+        def attach_date(m: pa.Table) -> pa.Table:
+            pos = np.searchsorted(
+                okeys, m["l_orderkey"].to_numpy(zero_copy_only=False)
+            )
+            return m.append_column("o_orderdate", dates.take(pa.array(pos, pa.int64())))
+    else:
+        joined = li.map_batches(
+            li_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).join(
+            o_f,
+            join_type="inner",
+            num_partitions=16,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        per_order = joined.groupby("l_orderkey").aggregate(
+            Sum("rev", alias_name="rev_f"), Max("o_orderdate", alias_name="o_orderdate")
+        )
+        attach_date = None
 
     def local_top(t: pa.Table) -> pa.Table:
         t = t.sort_by([("rev_f", "descending"), ("l_orderkey", "ascending")])
@@ -979,6 +1020,8 @@ def q3_shipping_priority(sf_dir: str) -> pa.Table:
         .sort_by([("rev_f", "descending"), ("l_orderkey", "ascending")])
         .slice(0, 10)
     )
+    if attach_date is not None:  # broadcast path: date joined on the final 10
+        merged = attach_date(merged)
     return pa.table(
         {
             "l_orderkey": merged["l_orderkey"],

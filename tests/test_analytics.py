@@ -99,6 +99,17 @@ def test_corr_matches_numpy_reference():
         assert abs(got.loc[flag, "corr_qty_price"] - ref) < 1e-9, flag
 
 
+def test_q3_broadcast_and_join_paths_agree():
+    """The adaptive broadcast path and the hash-join fallback must
+    produce the identical top-10 (same rows, same order)."""
+    from laketide.functions.relational import q3_shipping_priority
+
+    bc = q3_shipping_priority(SF_DIR)
+    jn = q3_shipping_priority(SF_DIR, broadcast_budget_rows=0)
+    assert bc.to_pydict() == jn.to_pydict()
+    assert bc.num_rows == 10
+
+
 def test_corr_zero_variance_group_is_null():
     """A constant-x group must yield NULL (the oracle's x/0.0 in DuckDB),
     not a ZeroDivisionError."""

@@ -368,3 +368,48 @@ def test_dup_components_distributed_path_matches_fast_path():
     s = got_star.sort_values("doc_id").reset_index(drop=True)
     assert f.equals(s)
     assert len(f) > 0
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 40), st.integers(0, 40)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_property_minlabel_components_vs_unionfind(edges):
+    """The numpy min-label fixpoint equals a plain union-find reference
+    on arbitrary small graphs (multi-edges, cycles, chains)."""
+    import pyarrow as pa
+
+    a = pa.array([min(e) for e in edges], pa.int64())
+    b = pa.array([max(e) for e in edges], pa.int64())
+    got = {
+        r["doc_id"]: r["component"]
+        for r in dedup._components_minlabel(pa.table({"doc_a": a, "doc_b": b})).to_pylist()
+    }
+
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for x, y in edges:
+        parent[find(x)] = find(y)
+    comps = {}
+    for n in parent:
+        comps.setdefault(find(n), []).append(n)
+    want = {}
+    for members in comps.values():
+        root = min(members)
+        for m in members:
+            want[m] = root
+    assert got == want
