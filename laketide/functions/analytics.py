@@ -318,11 +318,10 @@ def promo_revenue_by_brand(sf_dir: str) -> rd.Dataset:
     )
 
     def pre(t: pa.Table) -> pa.Table:
+        from laketide.functions.relational import _sorted_member
+
         skeys, scodes, names = ray.get(side_ref)
-        pk = pc.fill_null(t["l_partkey"], -1).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(skeys, pk)
-        pos_c = np.minimum(pos, len(skeys) - 1)
-        hit = skeys[pos_c] == pk
+        hit, pos_c = _sorted_member(skeys, t["l_partkey"].combine_chunks())
         rev = pc.cast(
             _cents(
                 pc.multiply(

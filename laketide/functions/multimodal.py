@@ -233,9 +233,6 @@ def blob_chunk_dedup(sf_dir: str, chunk_bytes: int = _CHUNK_BYTES) -> pa.Table:
 
     Reference analog: data-hash computation + dedup short-circuit
     (internal/merger/merger.go:118-133), applied per chunk."""
-    import ray
-    from ray.data.aggregate import Sum
-
     from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
 
     n_parts = _coarse_n_parts()

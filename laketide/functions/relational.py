@@ -886,6 +886,22 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
     )
 
 
+def _sorted_member(keys, col: pa.ChunkedArray):
+    """(hit_mask, clamped_positions) of ``col`` values in a SORTED
+    int key array — the broadcast semi-filter core (null-safe: null
+    values never match, even when the fill value collides with a real
+    key). One shared implementation for every broadcast lookup."""
+    import numpy as np
+
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    vals = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+    if len(keys) == 0:
+        z = np.zeros(len(vals), dtype=bool)
+        return z, np.zeros(len(vals), dtype=np.int64)
+    pos = np.minimum(np.searchsorted(keys, vals), len(keys) - 1)
+    return valid & (keys[pos] == vals), pos
+
+
 _Q3_CUTOFF = "1998-06-01"
 
 
@@ -914,10 +930,17 @@ def q3_shipping_priority(
         m = pc.fill_null(pc.equal(t["c_mktsegment"], "BUILDING"), False)
         return t.filter(m).select(["c_custkey"])
 
-    ck = pa.concat_tables(
-        [p for p in ray.get(cust.map_batches(ckeys, batch_format="pyarrow").to_arrow_refs()) if p.num_rows]
+    ck_parts = [
+        p
+        for p in ray.get(cust.map_batches(ckeys, batch_format="pyarrow").to_arrow_refs())
+        if p.num_rows
+    ]
+    ckeys_np = (
+        np.sort(pa.concat_tables(ck_parts)["c_custkey"].to_numpy(zero_copy_only=False))
+        if ck_parts
+        else np.array([], np.int64)
     )
-    keys_ref = ray.put(np.sort(ck["c_custkey"].to_numpy(zero_copy_only=False)))
+    keys_ref = ray.put(ckeys_np)
 
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
 
@@ -925,10 +948,7 @@ def q3_shipping_priority(
         keys = ray.get(keys_ref)
         m = pc.fill_null(pc.less(t["o_orderdate"], cutoff), False)
         t = t.filter(m)
-        ckey = pc.fill_null(t["o_custkey"], -1).to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ckey)
-        pos_c = np.minimum(pos, max(len(keys) - 1, 0))
-        hit = keys[pos_c] == ckey if len(keys) else np.zeros(len(ckey), bool)
+        hit, _ = _sorted_member(keys, t["o_custkey"].combine_chunks())
         return t.filter(pa.array(hit)).select(["o_orderkey", "o_orderdate"])
 
     o_f = orders.map_batches(
@@ -943,9 +963,7 @@ def q3_shipping_priority(
         m = pc.fill_null(pc.greater(t["l_shipdate"], cutoff), False)
         t = t.filter(m)
         if okeys is not None:  # broadcast semi-filter: only surviving orders
-            lk = pc.fill_null(t["l_orderkey"], -1).to_numpy(zero_copy_only=False)
-            pos = np.minimum(np.searchsorted(okeys, lk), max(len(okeys) - 1, 0))
-            hit = okeys[pos] == lk if len(okeys) else np.zeros(len(lk), bool)
+            hit, _ = _sorted_member(okeys, t["l_orderkey"].combine_chunks())
             t = t.filter(pa.array(hit))
         rev = _cents(
             pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
@@ -958,11 +976,14 @@ def q3_shipping_priority(
 
     if o_f.count() <= broadcast_budget_rows:
         # broadcast path: no lineitem shuffle, no join actors
-        ot = pa.concat_tables(
-            [p for p in ray.get(o_f.to_arrow_refs()) if p.num_rows]
+        o_parts = [p for p in ray.get(o_f.to_arrow_refs()) if p.num_rows]
+        ot = (
+            pa.concat_tables(o_parts).sort_by([("o_orderkey", "ascending")])
+            if o_parts
+            else pa.schema(
+                [("o_orderkey", pa.int64()), ("o_orderdate", pa.timestamp("us"))]
+            ).empty_table()
         )
-        if ot.num_rows:
-            ot = ot.sort_by([("o_orderkey", "ascending")])
         okeys = ot["o_orderkey"].to_numpy(zero_copy_only=False) if ot.num_rows else np.array([], np.int64)
         okeys_ref = ray.put(okeys)
 

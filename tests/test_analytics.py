@@ -110,6 +110,49 @@ def test_q3_broadcast_and_join_paths_agree():
     assert bc.num_rows == 10
 
 
+def test_q3_empty_selectivity_returns_empty():
+    """No BUILDING customer / no qualifying order must yield an EMPTY
+    top-10 table, not an ArrowInvalid from concatenating zero blocks."""
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from laketide.functions.relational import q3_shipping_priority
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table(
+                {"c_custkey": pa.array([1, 2], pa.int64()), "c_mktsegment": pa.array(["MACHINERY", "FURNITURE"])}
+            ),
+            f"{d}/customer.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "o_orderkey": pa.array([10], pa.int64()),
+                    "o_custkey": pa.array([1], pa.int64()),
+                    "o_orderdate": pa.array([pd.Timestamp("1997-01-01")], pa.timestamp("us")),
+                }
+            ),
+            f"{d}/orders.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "l_orderkey": pa.array([10], pa.int64()),
+                    "l_extendedprice": pa.array([100.0]),
+                    "l_discount": pa.array([0.0]),
+                    "l_shipdate": pa.array([pd.Timestamp("1999-01-01")], pa.timestamp("us")),
+                }
+            ),
+            f"{d}/lineitem.parquet",
+        )
+        out = q3_shipping_priority(d)
+    assert out.num_rows == 0
+    assert out.column_names == ["l_orderkey", "revenue_cents", "o_orderdate"]
+
+
 def test_corr_zero_variance_group_is_null():
     """A constant-x group must yield NULL (the oracle's x/0.0 in DuckDB),
     not a ZeroDivisionError."""
