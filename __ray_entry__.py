@@ -161,22 +161,41 @@ def _range_join(sf_dir: str) -> Any:
     return range_join_order_events(sf_dir)
 
 
-def _anti_join_customers(sf_dir: str) -> Any:
-    """Possibly-EMPTY result: Ray's to_pandas() on all-empty blocks
-    drops the schema entirely (columns == []), which would fail the
-    driver's schema compare even when the oracle is also empty — so
-    concat the non-empty blocks into a pyarrow Table and pin the
-    schema explicitly when none survive."""
+def _collect_pinned(ds: Any, schema: "pa.Schema") -> Any:
+    """Collect a possibly-EMPTY Dataset result: Ray's to_pandas() on
+    all-empty blocks drops the schema entirely (columns == []), which
+    would fail the driver's schema compare even when the oracle is also
+    empty — so concat the non-empty blocks into a pyarrow Table and pin
+    the schema explicitly when none survive."""
     import pyarrow as pa
     import ray
 
-    from laketide.functions.relational import customers_without_orders
-
-    ds = customers_without_orders(sf_dir)
     parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
     if parts:
         return pa.concat_tables(parts)
-    return pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]).empty_table()
+    return schema.empty_table()
+
+
+def _anti_join_customers(sf_dir: str) -> Any:
+    import pyarrow as pa
+
+    from laketide.functions.relational import customers_without_orders
+
+    return _collect_pinned(
+        customers_without_orders(sf_dir),
+        pa.schema([("c_custkey", pa.int64()), ("c_name", pa.string())]),
+    )
+
+
+def _outliers_pinned(sf_dir: str) -> Any:
+    import pyarrow as pa
+
+    from laketide.functions.analytics import user_value_outliers
+
+    return _collect_pinned(
+        user_value_outliers(sf_dir),
+        pa.schema([("user_id", pa.int64()), ("n_outliers", pa.int64())]),
+    )
 
 
 def _lazy(module: str, fn: str) -> Callable[[str], Any]:
@@ -231,6 +250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corr_qty_price": _lazy("analytics", "corr_qty_price"),
         "daily_active_users": _lazy("analytics", "daily_active_users"),
         "user_retention_7d": _lazy("analytics", "user_retention_7d"),
+        "user_value_outliers": _outliers_pinned,
         "blob_chunk_dedup": _lazy("multimodal", "blob_chunk_dedup"),
         "value_histogram": _lazy("analytics", "value_histogram"),
         "events_per_user_quantiles": _lazy("analytics", "events_per_user_quantiles"),
@@ -428,6 +448,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events "
             "WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY day"
+        ),
+        # per-user 3-sigma outliers; the mean/std expression matches the
+        # engine term-for-term (exact integer moments -> identical IEEE)
+        "user_value_outliers": (
+            "WITH e AS (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS c "
+            "FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL), "
+            "m AS (SELECT user_id, count(*) AS n, sum(c) AS s, sum(c*c) AS ss "
+            "FROM e GROUP BY user_id) "
+            "SELECT e.user_id, CAST(count(*) AS BIGINT) AS n_outliers "
+            "FROM e JOIN m USING (user_id) "
+            "WHERE abs(CAST(c AS DOUBLE) - CAST(s AS DOUBLE)/CAST(n AS DOUBLE)) "
+            "> 3*sqrt(greatest((CAST(ss AS DOUBLE) - "
+            "CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/CAST(n AS DOUBLE))"
+            "/CAST(n AS DOUBLE), 0)) "
+            "GROUP BY e.user_id"
         ),
         "user_retention_7d": (
             "WITH p AS (SELECT DISTINCT date_trunc('day', ts) AS day, user_id "

@@ -362,6 +362,96 @@ def promo_revenue_by_brand(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def user_value_outliers(sf_dir: str, sigmas: float = 3.0) -> rd.Dataset:
+    """Per-user anomaly counting (3-sigma outliers vs the user's own
+    value distribution) — the two-pass broadcast-stats pattern: pass 1
+    reduces events to exact integer moments per user (n, sum, sum-of-
+    squares in cents — tiny), which are broadcast ONCE via ray.put;
+    pass 2 re-scans events and flags rows vectorized against the
+    looked-up mean/std. No shuffle carries event rows; the only
+    exchanges are the moment partials and the outlier counts. The
+    mean/std expression mirrors the oracle term-for-term (same IEEE
+    ops, `greatest(var, 0)` guard both sides) so the boundary compare
+    is bit-identical."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from laketide.functions.relational import _cents, _sorted_member
+
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def cents_tbl(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["value"])))
+        return pa.table({"user_id": t["user_id"], "c": _cents(t["value"])})
+
+    def moments(t: pa.Table) -> pa.Table:
+        t = cents_tbl(t)
+        c = t["c"]
+        tmp = pa.table(
+            {
+                "user_id": t["user_id"],
+                "n": pa.array(np.ones(t.num_rows), pa.int64()),
+                "s": c,
+                "ss": pc.multiply(c, c),
+            }
+        )
+        g = tmp.group_by(["user_id"]).aggregate(
+            [("n", "sum"), ("s", "sum"), ("ss", "sum")]
+        )
+        return g.rename_columns(["user_id", "n", "s", "ss"])
+
+    stats_rows = [
+        p
+        for p in ray.get(
+            ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("user_id")
+            .aggregate(
+                Sum("n", alias_name="n"),
+                Sum("s", alias_name="s"),
+                Sum("ss", alias_name="ss"),
+            )
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    if not stats_rows:
+        empty = pa.schema(
+            [("user_id", pa.int64()), ("n_outliers", pa.int64())]
+        ).empty_table()
+        return rd.from_arrow(empty)
+    st = pa.concat_tables(stats_rows).sort_by([("user_id", "ascending")])
+    users = st["user_id"].to_numpy(zero_copy_only=False)
+    n_f = st["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s_f = st["s"].to_numpy(zero_copy_only=False).astype(np.float64)
+    ss_f = st["ss"].to_numpy(zero_copy_only=False).astype(np.float64)
+    mean = s_f / n_f
+    std = np.sqrt(np.maximum((ss_f - s_f * s_f / n_f) / n_f, 0.0))
+    stats_ref = ray.put((users, mean, std))
+
+    def flag(t: pa.Table) -> pa.Table:
+        su, smean, sstd = ray.get(stats_ref)
+        t = cents_tbl(t)
+        hit, pos = _sorted_member(su, t["user_id"].combine_chunks())
+        c_f = t["c"].to_numpy(zero_copy_only=False).astype(np.float64)
+        out = hit & (np.abs(c_f - smean[pos]) > sigmas * sstd[pos])
+        kept = t.filter(pa.array(out))
+        g = kept.group_by(["user_id"]).aggregate([([], "count_all")])
+        return g.rename_columns(["user_id", "np"])
+
+    agg = (
+        ds.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Sum("np", alias_name="n_f"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"user_id": t["user_id"], "n_outliers": pc.cast(t["n_f"], pa.int64())}
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def user_retention_7d(sf_dir: str) -> rd.Dataset:
     """Cohort retention: per activity day, how many of that day's
     distinct users were also active exactly 7 days later. Partitioned

@@ -110,6 +110,33 @@ def test_q3_broadcast_and_join_paths_agree():
     assert bc.num_rows == 10
 
 
+def test_outliers_planted_spike():
+    """A user with tightly clustered values plus one huge spike flags
+    exactly the spike; a uniform user flags nothing."""
+    import tempfile
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    vals = [10.0] * 30 + [10.5] * 30 + [500.0]  # user 1: spike at the end
+    vals2 = [float(v) for v in range(40)]  # user 2: uniform, no 3-sigma
+    n = len(vals) + len(vals2)
+    ev = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([pd.Timestamp("2024-01-01")] * n, pa.timestamp("us")),
+            "user_id": pa.array([1] * len(vals) + [2] * len(vals2), pa.int64()),
+            "event_type": pa.array(["x"] * n),
+            "value": pa.array(vals + vals2),
+            "props": pa.array([""] * n),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(ev, f"{d}/events.parquet")
+        out = analytics.user_value_outliers(d).to_pandas()
+    assert dict(zip(out["user_id"], out["n_outliers"])) == {1: 1}
+
+
 def test_q3_empty_selectivity_returns_empty():
     """No BUILDING customer / no qualifying order must yield an EMPTY
     top-10 table, not an ArrowInvalid from concatenating zero blocks."""

@@ -33,6 +33,7 @@ _NULLABLE_QUERIES = [
     "funnel_view_click_purchase",
     "daily_active_users",
     "user_retention_7d",
+    "user_value_outliers",
     "blob_chunk_dedup",
     "value_histogram",
     "events_per_user_quantiles",
