@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
         "top_tokens": text.top_tokens,
+        "top_tokens_by_lang": text.top_tokens_by_lang,
         "doc_quality": text.doc_quality,
         "docs_filter_en": text.docs_filter_en,
         "docs_by_source": text.docs_by_source,
@@ -723,6 +724,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(*) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
             "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "top_tokens_by_lang": (
+            "SELECT lang, token, n FROM ("
+            "SELECT lang, token, CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents "
+            "WHERE lang IS NOT NULL) GROUP BY lang, token) "
+            "QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, token) <= 10"
         ),
         "doc_quality": (
             "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "

@@ -503,3 +503,66 @@ def token_counts_bpe(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         BpeishTokenizer(), batch_format="pandas"
     )
+
+
+def top_tokens_by_lang(sf_dir: str, k: int = 10) -> rd.Dataset:
+    """Grouped explode-then-top-k: the k most frequent tokens per lang
+    (n desc, token asc ties). Counts must complete BEFORE any pruning,
+    so the plan is: per-batch (lang, token) count partials -> one
+    grouped sum -> per-batch top-k prune (valid post-aggregation,
+    associative) -> tiny per-lang reduce on a coarse lang partition."""
+    import numpy as np
+
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+    from laketide.functions.relational import _head_k_per_key, _key_hash_u64
+
+    ds = _docs(sf_dir, columns=["lang", "text"])
+    n_parts = _coarse_n_parts()
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["lang"]))
+        toks_list = pc.split_pattern(t["text"], " ")
+        lens = (
+            pc.fill_null(pc.list_value_length(toks_list), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lang_rep = np.repeat(
+            t["lang"].to_numpy(zero_copy_only=False), lens
+        )
+        g = (
+            pa.table(
+                {"lang": pa.array(lang_rep, pa.string()), "token": pc.list_flatten(toks_list)}
+            )
+            .group_by(["lang", "token"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["lang", "token", "c"])
+
+    counts = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "token"])
+        .aggregate(Sum("c", alias_name="n"))
+    )
+
+    def prune(t: pa.Table) -> pa.Table:
+        t = t.set_column(
+            t.column_names.index("n"), "n", pc.cast(t["n"], pa.int64())
+        )
+        t = _head_k_per_key(t, "lang", "n", k, descending=True, tiebreak="token")
+        part = _coarse_parts(_key_hash_u64(t["lang"]), n_parts=n_parts)
+        return t.append_column("_cpart", pa.array(part, pa.int64()))
+
+    def final(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_cpart"])
+        if t.num_rows == 0:
+            return pa.schema(
+                [("lang", pa.string()), ("token", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        return _head_k_per_key(t, "lang", "n", k, descending=True, tiebreak="token")
+
+    return (
+        counts.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(final, batch_format="pyarrow")
+    )

@@ -40,6 +40,7 @@ _NULLABLE_QUERIES = [
     "session_counts",
     "rolling_count_1h",
     "doc_quality",
+    "top_tokens_by_lang",
     "lookup_join_overlap",
     "token_counts",
     "doc_summary",
