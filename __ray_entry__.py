@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _anti_join_customers,
         "user_event_gaps": _lazy("analytics", "user_event_gaps"),
         "mode_event_type_per_user": _lazy("analytics", "mode_event_type_per_user"),
+        "event_type_transitions": _lazy("analytics", "event_type_transitions"),
         "distinct_users_by_type": _lazy("analytics", "distinct_users_by_type"),
         # approximate by construction (HLL sketch) -> rows-only; pytest
         # pins <5% relative error vs the exact distinct count
@@ -420,6 +421,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(gap) AS BIGINT) AS total_gap_us, "
             "CAST(max(gap) AS BIGINT) AS max_gap_us "
             "FROM g GROUP BY user_id HAVING count(gap) > 0"
+        ),
+        # transitions over the FILTERED sequence (null type/ts/user rows
+        # removed before LAG, matching the engine's pre-filter)
+        "event_type_transitions": (
+            "WITH s AS (SELECT user_id, event_type, lag(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "AND event_type IS NOT NULL) "
+            "SELECT prev_type, event_type AS next_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM s "
+            "WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type"
         ),
         "mode_event_type_per_user": (
             "SELECT user_id, event_type, n FROM ("

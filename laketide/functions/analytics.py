@@ -116,6 +116,71 @@ def user_event_gaps(sf_dir: str) -> rd.Dataset:
     )
 
 
+def event_type_transitions(sf_dir: str) -> rd.Dataset:
+    """First-order transition counts (Markov matrix of the event
+    stream): for each user's (ts, event_id)-ordered sequence, count
+    (prev_type -> next_type) pairs, summed across users. Same
+    co-located-user sorted pass as the gap kernel — the adjacent-type
+    pairs come from two array shifts and the per-partition Arrow
+    group_by collapses them to at most |types|^2 partial rows before
+    the final tiny grouped sum."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(
+                pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])),
+                pc.is_valid(t["event_type"]),
+            )
+        )
+        return _cpart_col(t, "user_id")
+
+    def reduce_trans(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_cpart"])
+        empty = pa.schema(
+            [("prev_type", pa.string()), ("next_type", pa.string()), ("np", pa.int64())]
+        ).empty_table()
+        if t.num_rows < 2:
+            return empty
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        u = t["user_id"].combine_chunks()
+        same = _adjacent_same(u)  # adjacent rows of the SAME user
+        ty = t["event_type"].combine_chunks()
+        prev = ty.slice(0, len(ty) - 1).filter(pa.array(same))
+        nxt = ty.slice(1).filter(pa.array(same))
+        if len(prev) == 0:
+            return empty
+        g2 = (
+            pa.table({"prev_type": prev, "next_type": nxt})
+            .group_by(["prev_type", "next_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g2.rename_columns(["prev_type", "next_type", "np"])
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(reduce_trans, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("np", alias_name="n_f"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev_type": t["prev_type"],
+                "next_type": t["next_type"],
+                "n": pc.cast(t["n_f"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def mode_event_type_per_user(sf_dir: str) -> rd.Dataset:
     """Grouped mode (dominant category per key): the most frequent
     event_type per user, ties broken to the lexicographically smallest
