@@ -252,6 +252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": _lazy("analytics", "daily_active_users"),
         "user_retention_7d": _lazy("analytics", "user_retention_7d"),
         "user_value_outliers": _outliers_pinned,
+        "hopping_window_counts": _lazy("analytics", "hopping_window_counts"),
         "blob_chunk_dedup": _lazy("multimodal", "blob_chunk_dedup"),
         "value_histogram": _lazy("analytics", "value_histogram"),
         "events_per_user_quantiles": _lazy("analytics", "events_per_user_quantiles"),
@@ -461,6 +462,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT date_trunc('day', ts) AS day, "
             "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events "
             "WHERE ts IS NOT NULL AND user_id IS NOT NULL GROUP BY day"
+        ),
+        # hopping windows: every event belongs to the window starting at
+        # its half-hour floor and the one 30 minutes earlier
+        "hopping_window_counts": (
+            "WITH w AS (SELECT make_timestamp((epoch_us(ts) // 1800000000) "
+            "* 1800000000) AS w0 FROM events WHERE ts IS NOT NULL) "
+            "SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws FROM w) GROUP BY ws"
         ),
         # per-user 3-sigma outliers; the mean/std expression matches the
         # engine term-for-term (exact integer moments -> identical IEEE)

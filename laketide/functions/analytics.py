@@ -427,6 +427,51 @@ def promo_revenue_by_brand(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def hopping_window_counts(sf_dir: str) -> rd.Dataset:
+    """Hopping (overlapping) window aggregate — 1-hour windows advancing
+    every 30 minutes, so each event lands in exactly two windows. The
+    streaming-window primitive the tumbling ``window_counts`` cannot
+    express: the map task REPLICATES each row into its two window-start
+    keys vectorized (concat of two floored arrays), pre-counts per
+    batch, and one tiny grouped sum finishes — the exchange carries
+    window partials, never events."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    half_us = 30 * 60 * 1_000_000
+
+    def pre(t: pa.Table) -> pa.Table:
+        ts = t["ts"].combine_chunks()
+        ts = ts.filter(pc.is_valid(ts))
+        ts_us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        w0 = (ts_us // half_us) * half_us  # last half-hour boundary
+        starts = np.concatenate([w0, w0 - half_us])  # both covering windows
+        g = (
+            pa.table({"window_start": pa.array(starts, pa.int64())})
+            .group_by(["window_start"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["window_start", "c"])
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("window_start")
+        .aggregate(Sum("c", alias_name="n_f"))
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "window_start": pc.cast(t["window_start"], pa.timestamp("us")),
+                "n": pc.cast(t["n_f"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def user_value_outliers(sf_dir: str, sigmas: float = 3.0) -> rd.Dataset:
     """Per-user anomaly counting (3-sigma outliers vs the user's own
     value distribution) — the two-pass broadcast-stats pattern: pass 1

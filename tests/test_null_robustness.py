@@ -34,6 +34,8 @@ _NULLABLE_QUERIES = [
     "daily_active_users",
     "user_retention_7d",
     "user_value_outliers",
+    "hopping_window_counts",
+    "event_type_transitions",
     "blob_chunk_dedup",
     "value_histogram",
     "events_per_user_quantiles",
