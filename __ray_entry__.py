@@ -198,6 +198,21 @@ def _outliers_pinned(sf_dir: str) -> Any:
     )
 
 
+def _lazy_pinned(module: str, fn: str, fields: list) -> Callable[[str], Any]:
+    """_lazy + the _collect_pinned empty-schema guard for queries whose
+    result can legitimately be empty (all-null key corpora)."""
+
+    def call(sf_dir: str) -> Any:
+        import importlib
+
+        import pyarrow as pa
+
+        mod = importlib.import_module(f"laketide.functions.{module}")
+        return _collect_pinned(getattr(mod, fn)(sf_dir), pa.schema(fields))
+
+    return call
+
+
 def _lazy(module: str, fn: str) -> Callable[[str], Any]:
     """Late-bound query callable: import the functions module at call
     time (keeps queries() enumeration import-light)."""
@@ -242,7 +257,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_without_orders": _anti_join_customers,
         "user_event_gaps": _lazy("analytics", "user_event_gaps"),
         "mode_event_type_per_user": _lazy("analytics", "mode_event_type_per_user"),
-        "event_type_transitions": _lazy("analytics", "event_type_transitions"),
+        "event_type_transitions": _lazy_pinned(
+            "analytics",
+            "event_type_transitions",
+            [("prev_type", "string"), ("next_type", "string"), ("n", "int64")],
+        ),
         "distinct_users_by_type": _lazy("analytics", "distinct_users_by_type"),
         # approximate by construction (HLL sketch) -> rows-only; pytest
         # pins <5% relative error vs the exact distinct count
@@ -252,7 +271,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_active_users": _lazy("analytics", "daily_active_users"),
         "user_retention_7d": _lazy("analytics", "user_retention_7d"),
         "user_value_outliers": _outliers_pinned,
-        "hopping_window_counts": _lazy("analytics", "hopping_window_counts"),
+        "hopping_window_counts": _lazy_pinned(
+            "analytics",
+            "hopping_window_counts",
+            [("window_start", "timestamp[us]"), ("n", "int64")],
+        ),
         "blob_chunk_dedup": _lazy("multimodal", "blob_chunk_dedup"),
         "value_histogram": _lazy("analytics", "value_histogram"),
         "events_per_user_quantiles": _lazy("analytics", "events_per_user_quantiles"),
@@ -280,7 +303,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": text.token_counts,
         "token_counts_bpe": text.token_counts_bpe,
         "top_tokens": text.top_tokens,
-        "top_tokens_by_lang": text.top_tokens_by_lang,
+        "top_tokens_by_lang": _lazy_pinned(
+            "text",
+            "top_tokens_by_lang",
+            [("lang", "string"), ("token", "string"), ("n", "int64")],
+        ),
         "doc_quality": text.doc_quality,
         "docs_filter_en": text.docs_filter_en,
         "docs_by_source": text.docs_by_source,
@@ -466,8 +493,10 @@ def oracle_sql() -> dict[str, str]:
         # hopping windows: every event belongs to the window starting at
         # its half-hour floor and the one 30 minutes earlier
         "hopping_window_counts": (
-            "WITH w AS (SELECT make_timestamp((epoch_us(ts) // 1800000000) "
-            "* 1800000000) AS w0 FROM events WHERE ts IS NOT NULL) "
+            # floor (not truncate-toward-zero) division so pre-1970
+            # timestamps floor to the same window as the engine's numpy //
+            "WITH w AS (SELECT make_timestamp(CAST(floor(epoch_us(ts) / 1800000000.0) "
+            "AS BIGINT) * 1800000000) AS w0 FROM events WHERE ts IS NOT NULL) "
             "SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n FROM ("
             "SELECT unnest([w0, w0 - INTERVAL 30 MINUTE]) AS ws FROM w) GROUP BY ws"
         ),
