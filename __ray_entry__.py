@@ -315,6 +315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles_by_lang": text.length_quantiles_by_lang,
         "stratified_sample_docs": text.stratified_sample_docs,
         "doc_summary": text.doc_summary,
+        "doc_normalize": text.doc_normalize,
         "langid_ngram": text.langid_ngram,
         "doc_fingerprint": text.doc_fingerprint,
         # --- dedup suite ---
@@ -322,6 +323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_verified": dedup.minhash_dedup_verified,
         "ngram_jaccard_join": dedup.ngram_jaccard_join,
         "dup_components": dedup.dup_components,
+        "dedup_keep_canonical": dedup.dedup_keep_canonical,
         "simhash_dedup": dedup.simhash_dedup,
         # --- similarity search ---
         "knn_cosine": similarity.knn_cosine,
@@ -770,6 +772,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(len(regexp_extract_all(text, "
             "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe_tokens FROM documents"
         ),
+        "doc_normalize": (
+            "SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) "
+            "AS n_chars_norm FROM (SELECT doc_id, "
+            "trim(regexp_replace(regexp_replace(lower(text), '[,.;:!?]', '', 'g'), "
+            "' +', ' ', 'g'), ' ') AS norm_text FROM documents)"
+        ),
         "top_tokens": (
             "SELECT token, count(*) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
@@ -840,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         # reliable, which is the point of the operator.
         "ngram_jaccard_join": _trigram_jaccard_oracle(0.5),
         "dup_components": _dup_components_oracle(0.5),
+        "dedup_keep_canonical": _dedup_keep_canonical_oracle(0.5),
         # VARCHAR substring == byte slicing here: the documents text is
         # pure ASCII (DuckDB substring does not accept BLOB).
         "frame_sample": (
@@ -898,10 +907,10 @@ _TRIGRAM_JAC_EXPR = (
 )
 
 
-def _dup_components_oracle(threshold: float) -> str:
-    """Connected components over the SAME exact trigram-Jaccard edges as
-    ``ngram_jaccard_join``'s oracle, via a recursive transitive-closure
-    CTE: component(x) = min node reachable from x (including itself)."""
+def _components_cte(threshold: float) -> str:
+    """Shared WITH RECURSIVE prefix ending in ``comp(doc_id, component)``
+    — connected components over the SAME exact trigram-Jaccard edges as
+    ``ngram_jaccard_join``'s oracle (transitive closure, min label)."""
     return (
         "WITH RECURSIVE "
         f"{_TRIGRAM_GRAMS_CTE}, "
@@ -910,9 +919,23 @@ def _dup_components_oracle(threshold: float) -> str:
         "edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs "
         "UNION SELECT doc_b, doc_a FROM pairs), "
         "reach(x, y) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) "
-        "UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x) "
-        "SELECT x AS doc_id, CAST(min(y) AS BIGINT) AS component "
-        "FROM reach GROUP BY x"
+        "UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x), "
+        "comp AS (SELECT x AS doc_id, CAST(min(y) AS BIGINT) AS component "
+        "FROM reach GROUP BY x)"
+    )
+
+
+def _dup_components_oracle(threshold: float) -> str:
+    return f"{_components_cte(threshold)} SELECT doc_id, component FROM comp"
+
+
+def _dedup_keep_canonical_oracle(threshold: float) -> str:
+    """Anti-join of the non-canonical cluster members against the corpus."""
+    return (
+        f"{_components_cte(threshold)} "
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "LEFT JOIN comp c ON d.doc_id = c.doc_id "
+        "WHERE c.doc_id IS NULL OR c.component = d.doc_id"
     )
 
 

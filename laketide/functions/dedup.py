@@ -1326,3 +1326,36 @@ def dup_components(
             return _COMP_SCHEMA.empty_table()
         return _components_minlabel(pa.concat_tables(parts))
     return _components_star(edges)
+
+
+def dedup_keep_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """The end-to-end near-dup REMOVAL pass: run pair generation +
+    connected components (``dup_components``), keep every document that
+    is either untouched or its cluster's canonical (min doc_id) member.
+    The drop set is O(near-duplicate docs) — broadcast once via ray.put
+    as a sorted id array and anti-filtered inside the map tasks; the
+    corpus itself never shuffles.
+
+    Reference analog: the merge step's "withdraw duplicates, keep the
+    canonical record" behavior (internal/merger/merger.go:74-133)."""
+    import ray
+
+    from laketide.functions.relational import _sorted_member
+
+    comp = dup_components(sf_dir, threshold)
+    if not isinstance(comp, pa.Table):  # distributed path returned a Dataset
+        parts = [p for p in ray.get(comp.to_arrow_refs()) if p.num_rows]
+        comp = (
+            pa.concat_tables(parts) if parts else _COMP_SCHEMA.empty_table()
+        )
+    drop = comp.filter(pc.not_equal(comp["doc_id"], comp["component"]))
+    drop_ids = np.sort(drop["doc_id"].to_numpy(zero_copy_only=False))
+    drop_ref = ray.put(drop_ids)
+
+    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        hit, _ = _sorted_member(ray.get(drop_ref), t["doc_id"].combine_chunks())
+        return t.filter(pa.array(~hit))
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

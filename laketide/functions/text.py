@@ -566,3 +566,27 @@ def top_tokens_by_lang(sf_dir: str, k: int = 10) -> rd.Dataset:
         .groupby("_cpart")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def doc_normalize(sf_dir: str) -> rd.Dataset:
+    """Text normalization (the pre-tokenization cleanup every training
+    corpus runs): lowercase, strip the punctuation class, collapse
+    whitespace runs, trim. Pure Arrow kernels per batch — zero-copy in,
+    no Python strings. Emits the normalized text plus its length so the
+    oracle can verify content and derived stats in one row."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        x = pc.utf8_lower(t["text"])
+        x = pc.replace_substring_regex(x, pattern=_PUNCT_RE, replacement="")
+        x = pc.replace_substring_regex(x, pattern=" +", replacement=" ")
+        x = pc.utf8_trim(x, " ")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "norm_text": x,
+                "n_chars_norm": pc.cast(pc.utf8_length(x), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -43,6 +43,8 @@ _NULLABLE_QUERIES = [
     "rolling_count_1h",
     "doc_quality",
     "top_tokens_by_lang",
+    "doc_normalize",
+    "dedup_keep_canonical",
     "lookup_join_overlap",
     "token_counts",
     "doc_summary",
