@@ -266,6 +266,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate by construction (HLL sketch) -> rows-only; pytest
         # pins <5% relative error vs the exact distinct count
         "hll_distinct_users": _lazy("analytics", "hll_distinct_users"),
+        # Count-Min sketch: approximate by construction -> rows-only;
+        # pytest pins the one-sided and eps*N error bounds vs exact
+        "cms_token_counts": _lazy("analytics", "cms_token_counts"),
         "promo_revenue_by_brand": _lazy("analytics", "promo_revenue_by_brand"),
         "corr_qty_price": _lazy("analytics", "corr_qty_price"),
         "daily_active_users": _lazy("analytics", "daily_active_users"),

@@ -347,6 +347,90 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
     return pa.table({"n_users_est": pa.array([int(round(est))], pa.int64())})
 
 
+_CMS_W = 8192  # width per row: eps ~ e/8192 ~ 0.03% of stream length
+_CMS_D = 4  # depth: failure prob ~ e^-4
+
+
+def cms_token_counts(sf_dir: str, check_tokens: tuple = ("the", "data", "ray")) -> pa.Table:
+    """Count-Min sketch over the token stream — the mergeable
+    heavy-hitter sketch for frequency estimation when exact per-token
+    counts (``top_tokens``) would shuffle the whole vocabulary. Partial
+    sketches are (row, col) -> count cells summed by ONE grouped
+    aggregate (cells are bounded at d*w regardless of stream size);
+    point estimates read min over rows. One-sided guarantee: estimate
+    >= true count, and <= true + eps*N with prob 1-e^-d (pytest pins
+    both bounds against the exact counts).
+
+    Returns the estimated counts for ``check_tokens`` plus the stream
+    length. Approximate by construction -> rows-only registration."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from laketide.functions.text import _docs
+
+    ds = _docs(sf_dir, columns=["text"])
+    mults = (np.arange(_CMS_D, dtype=np.uint64) * np.uint64(2) + np.uint64(1)) * np.uint64(
+        0x9E3779B97F4A7C15
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t["text"], " "))
+        flat = toks.to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "n_stream": pa.array([], pa.int64()),
+                }
+            )
+        h = pd.util.hash_array(flat, categorize=False).astype(np.uint64)
+        cells = []
+        for r in range(_CMS_D):
+            col = ((h * mults[r]) >> np.uint64(64 - 13)).astype(np.int64)  # 2^13 = w
+            cells.append(r * _CMS_W + col)
+        cell_ids, counts = np.unique(np.concatenate(cells), return_counts=True)
+        n = np.zeros(len(cell_ids), dtype=np.int64)
+        n[0] = len(flat)  # stream-length partial rides the first cell row
+        return pa.table(
+            {
+                "cell": pa.array(cell_ids, pa.int64()),
+                "c": pa.array(counts.astype(np.int64)),
+                "n_stream": pa.array(n, pa.int64()),
+            }
+        )
+
+    merged = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(Sum("c", alias_name="c"), Sum("n_stream", alias_name="ns"))
+        .take_all()
+    )  # <= d*w tiny rows
+    sketch = np.zeros(_CMS_D * _CMS_W, dtype=np.int64)
+    n_stream = 0
+    for r in merged:
+        sketch[r["cell"]] = r["c"]
+        n_stream += int(r["ns"] or 0)
+    out_tok, out_est = [], []
+    for tok in check_tokens:
+        h = np.uint64(
+            pd.util.hash_array(np.array([tok], dtype=object), categorize=False)[0]
+        )
+        est = min(
+            int(sketch[r * _CMS_W + int((h * mults[r]) >> np.uint64(64 - 13))])
+            for r in range(_CMS_D)
+        )
+        out_tok.append(tok)
+        out_est.append(est)
+    return pa.table(
+        {
+            "token": pa.array(out_tok, pa.string()),
+            "est_count": pa.array(out_est, pa.int64()),
+            "n_stream": pa.array([n_stream] * len(out_tok), pa.int64()),
+        }
+    )
+
+
 def promo_revenue_by_brand(sf_dir: str) -> rd.Dataset:
     """Revenue cents per part brand: broadcast join of the small `part`
     dimension into the `lineitem` fact scan (reference analog: the

@@ -29,6 +29,30 @@ def test_hll_deterministic():
     assert a == b
 
 
+def test_cms_bounds_vs_exact():
+    """Count-Min guarantees: estimate >= true count (always) and
+    <= true + eps*N (w=8192 -> eps*N ~ 0.03% of the token stream;
+    assert the loose 1% bound)."""
+    import duckdb
+
+    toks = ("the", "data", "is")
+    out = analytics.cms_token_counts(SF_DIR, check_tokens=toks).to_pandas()
+    exact = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"SELECT token, count(*) FROM (SELECT unnest(string_split(text,' ')) "
+            f"AS token FROM read_parquet('{SF_DIR}/documents.parquet')) "
+            f"WHERE token IN {toks} GROUP BY token"
+        ).fetchall()
+    }
+    n_stream = int(out["n_stream"][0])
+    assert n_stream > 0
+    for _, row in out.iterrows():
+        true = exact.get(row["token"], 0)
+        assert row["est_count"] >= true, row["token"]
+        assert row["est_count"] <= true + 0.01 * n_stream, row["token"]
+
+
 def test_smallest_k_per_key_associative():
     """Pruning per batch then pruning the merged survivors must equal
     the global bottom-k (the combiner contract)."""
