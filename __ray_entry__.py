@@ -282,6 +282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blob_chunk_dedup": _lazy("multimodal", "blob_chunk_dedup"),
         "value_histogram": _lazy("analytics", "value_histogram"),
         "events_per_user_quantiles": _lazy("analytics", "events_per_user_quantiles"),
+        "orders_price_quantiles": _lazy("analytics", "orders_price_quantiles"),
         "funnel_view_click_purchase": _lazy("analytics", "funnel_view_click_purchase"),
         "order_keys_per_customer": _lazy("analytics", "order_keys_per_customer"),
         "q1_pricing": R.q1_pricing,
@@ -544,6 +545,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents "
             "FROM events WHERE value IS NOT NULL GROUP BY bucket"
+        ),
+        "orders_price_quantiles": (
+            "SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_cents, "
+            "CAST(quantile_disc(c, 0.95) AS BIGINT) AS p95_cents FROM ("
+            "SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders "
+            "WHERE o_totalprice IS NOT NULL)"
         ),
         "events_per_user_quantiles": (
             "WITH c AS (SELECT count(*) AS n FROM events "

@@ -347,6 +347,86 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
     return pa.table({"n_users_est": pa.array([int(round(est))], pa.int64())})
 
 
+def orders_price_quantiles(sf_dir: str, qs=(0.5, 0.95)) -> pa.Table:
+    """EXACT quantiles of a (near-)continuous column by two-pass
+    refinement — the selection algorithm for domains where a full
+    value-count histogram would be row-sized: pass 1 counts coarse
+    buckets (cents >> 16, bounded cells); the driver locates each
+    quantile's bucket and within-bucket rank from the cumulative; pass
+    2 re-scans ONLY the rows in the needed buckets and resolves the
+    exact value from their (tiny) exact value counts. Two streaming
+    scans, O(buckets + refined-bucket cardinality) driver state,
+    matches DuckDB ``quantile_disc`` exactly."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from laketide.functions.relational import _cents
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents_col(t: pa.Table) -> pa.ChunkedArray:
+        v = t["o_totalprice"].combine_chunks()
+        v = v.filter(pc.is_valid(v))
+        return _cents(v)
+
+    def bucket_pre(t: pa.Table) -> pa.Table:
+        c = cents_col(t).to_numpy(zero_copy_only=False)
+        b, n = np.unique(c >> 16, return_counts=True)
+        return pa.table(
+            {"b": pa.array(b, pa.int64()), "c": pa.array(n.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(bucket_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    total = int(hist["n"].sum())
+    if total == 0:
+        return pa.table(
+            {f"p{int(q * 100)}_cents": pa.array([None], pa.int64()) for q in qs}
+        )
+    cum = hist["n"].cumsum()
+    targets = {}  # bucket -> [(q, rank_within_bucket)]
+    for q in qs:
+        rank = max(1, math.ceil(q * total))
+        i = int((cum >= rank).idxmax())
+        before = int(cum.iloc[i - 1]) if i > 0 else 0
+        targets.setdefault(int(hist.loc[i, "b"]), []).append((q, rank - before))
+    need = np.array(sorted(targets), dtype=np.int64)
+
+    def refine_pre(t: pa.Table) -> pa.Table:
+        c = cents_col(t).to_numpy(zero_copy_only=False)
+        keep = np.isin(c >> 16, need)
+        v, n = np.unique(c[keep], return_counts=True)
+        return pa.table(
+            {"v": pa.array(v, pa.int64()), "c": pa.array(n.astype(np.int64))}
+        )
+
+    fine = (
+        ds.map_batches(refine_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    out = {}
+    for b, wants in targets.items():
+        grp = fine[(fine["v"].to_numpy() >> 16) == b].reset_index(drop=True)
+        gcum = grp["n"].cumsum()
+        for q, within in wants:
+            j = int((gcum >= within).idxmax())
+            out[f"p{int(q * 100)}_cents"] = int(grp.loc[j, "v"])
+    return pa.table(
+        {k: pa.array([out[k]], pa.int64()) for k in (f"p{int(q * 100)}_cents" for q in qs)}
+    )
+
+
 _CMS_W = 8192  # width per row: eps ~ e/8192 ~ 0.03% of stream length
 _CMS_D = 4  # depth: failure prob ~ e^-4
 
