@@ -287,6 +287,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_keys_per_customer": _lazy("analytics", "order_keys_per_customer"),
         "q1_pricing": R.q1_pricing,
         "q3_shipping_priority": R.q3_shipping_priority,
+        "q6_forecast_revenue": R.q6_forecast_revenue,
+        "q10_returned_items": R.q10_returned_items,
+        "customer_spend_quartile_counts": _lazy(
+            "analytics", "customer_spend_quartile_counts"
+        ),
         "top_orders": R.top_orders,
         "orders_by_status": R.orders_by_status,
         "join_customer_orders": R.join_customer_orders,
@@ -490,6 +495,36 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate > TIMESTAMP '1998-06-01' "
             "GROUP BY l_orderkey, o_orderdate "
             "ORDER BY revenue_cents DESC, l_orderkey LIMIT 10"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT CAST(coalesce(sum(CAST(ROUND(l_extendedprice*l_discount*100) "
+            "AS BIGINT)), 0) AS BIGINT) AS revenue_cents FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+        ),
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name, "
+            "CAST(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' AND l_returnflag = 'R' "
+            "GROUP BY c_custkey, c_name "
+            "ORDER BY revenue_cents DESC, c_custkey LIMIT 20"
+        ),
+        "customer_spend_quartile_counts": (
+            "WITH s AS (SELECT o_custkey, "
+            "CAST(sum(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sp "
+            "FROM orders GROUP BY o_custkey), "
+            "q AS (SELECT quantile_disc(sp, 0.25) AS q1, "
+            "quantile_disc(sp, 0.5) AS q2, quantile_disc(sp, 0.75) AS q3 FROM s) "
+            "SELECT CAST(CASE WHEN sp <= q1 THEN 1 WHEN sp <= q2 THEN 2 "
+            "WHEN sp <= q3 THEN 3 ELSE 4 END AS BIGINT) AS quartile, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(sp) AS BIGINT) AS total_cents "
+            "FROM s, q WHERE sp IS NOT NULL GROUP BY quartile ORDER BY quartile"
         ),
         "daily_active_users": (
             "SELECT date_trunc('day', ts) AS day, "

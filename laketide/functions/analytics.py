@@ -347,31 +347,23 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
     return pa.table({"n_users_est": pa.array([int(round(est))], pa.int64())})
 
 
-def orders_price_quantiles(sf_dir: str, qs=(0.5, 0.95)) -> pa.Table:
-    """EXACT quantiles of a (near-)continuous column by two-pass
+def _exact_quantiles(ds: rd.Dataset, cents_col, qs) -> dict:
+    """EXACT quantiles of a (near-)continuous int64 column by two-pass
     refinement — the selection algorithm for domains where a full
     value-count histogram would be row-sized: pass 1 counts coarse
-    buckets (cents >> 16, bounded cells); the driver locates each
+    buckets (value >> 16, bounded cells); the driver locates each
     quantile's bucket and within-bucket rank from the cumulative; pass
     2 re-scans ONLY the rows in the needed buckets and resolves the
     exact value from their (tiny) exact value counts. Two streaming
     scans, O(buckets + refined-bucket cardinality) driver state,
-    matches DuckDB ``quantile_disc`` exactly."""
+    matches DuckDB ``quantile_disc`` exactly. ``cents_col(t)`` maps a
+    batch to a null-free int64 numpy array; returns {q: value|None}."""
     import math
 
     from ray.data.aggregate import Sum
 
-    from laketide.functions.relational import _cents
-
-    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
-
-    def cents_col(t: pa.Table) -> pa.ChunkedArray:
-        v = t["o_totalprice"].combine_chunks()
-        v = v.filter(pc.is_valid(v))
-        return _cents(v)
-
     def bucket_pre(t: pa.Table) -> pa.Table:
-        c = cents_col(t).to_numpy(zero_copy_only=False)
+        c = cents_col(t)
         b, n = np.unique(c >> 16, return_counts=True)
         return pa.table(
             {"b": pa.array(b, pa.int64()), "c": pa.array(n.astype(np.int64))}
@@ -387,9 +379,7 @@ def orders_price_quantiles(sf_dir: str, qs=(0.5, 0.95)) -> pa.Table:
     )
     total = int(hist["n"].sum())
     if total == 0:
-        return pa.table(
-            {f"p{int(q * 100)}_cents": pa.array([None], pa.int64()) for q in qs}
-        )
+        return {q: None for q in qs}
     cum = hist["n"].cumsum()
     targets = {}  # bucket -> [(q, rank_within_bucket)]
     for q in qs:
@@ -400,7 +390,7 @@ def orders_price_quantiles(sf_dir: str, qs=(0.5, 0.95)) -> pa.Table:
     need = np.array(sorted(targets), dtype=np.int64)
 
     def refine_pre(t: pa.Table) -> pa.Table:
-        c = cents_col(t).to_numpy(zero_copy_only=False)
+        c = cents_col(t)
         keep = np.isin(c >> 16, need)
         v, n = np.unique(c[keep], return_counts=True)
         return pa.table(
@@ -421,9 +411,102 @@ def orders_price_quantiles(sf_dir: str, qs=(0.5, 0.95)) -> pa.Table:
         gcum = grp["n"].cumsum()
         for q, within in wants:
             j = int((gcum >= within).idxmax())
-            out[f"p{int(q * 100)}_cents"] = int(grp.loc[j, "v"])
+            out[q] = int(grp.loc[j, "v"])
+    return out
+
+
+def orders_price_quantiles(sf_dir: str, qs=(0.5, 0.95)) -> pa.Table:
+    """Exact p50/p95 of order totals (cents) via the two-pass bucket
+    refinement in :func:`_exact_quantiles`."""
+    from laketide.functions.relational import _cents
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents_col(t: pa.Table) -> "np.ndarray":
+        v = t["o_totalprice"].combine_chunks()
+        v = v.filter(pc.is_valid(v))
+        return _cents(v).to_numpy(zero_copy_only=False)
+
+    res = _exact_quantiles(ds, cents_col, qs)
     return pa.table(
-        {k: pa.array([out[k]], pa.int64()) for k in (f"p{int(q * 100)}_cents" for q in qs)}
+        {f"p{int(q * 100)}_cents": pa.array([res[q]], pa.int64()) for q in qs}
+    )
+
+
+def customer_spend_quartile_counts(sf_dir: str) -> pa.Table:
+    """Quartile segmentation of customers by total spend: distributed
+    per-customer grouped sum (one shuffle, materialized once), exact
+    quartile thresholds via the two-pass refinement (two streaming
+    scans of the small-er spend table), then one bucketing scan —
+    value-based buckets (ties share a bucket), so the result is
+    deterministic and SQL-expressible without positional ntile."""
+    from ray.data.aggregate import Count, Sum
+
+    from laketide.functions.relational import _cents
+
+    spend = (
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "o_custkey": t["o_custkey"],
+                    "cents": pc.cast(_cents(t["o_totalprice"]), pa.float64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("o_custkey")
+        .aggregate(Sum("cents", alias_name="sp_f"))
+        .materialize()
+    )
+
+    def sp_col(t: pa.Table) -> "np.ndarray":
+        v = t["sp_f"].combine_chunks()
+        v = v.filter(pc.is_valid(v))
+        return pc.cast(v, pa.int64()).to_numpy(zero_copy_only=False)
+
+    th = _exact_quantiles(spend, sp_col, (0.25, 0.5, 0.75))
+    if th[0.25] is None:
+        return pa.table(
+            {
+                "quartile": pa.array([], pa.int64()),
+                "n_customers": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+            }
+        )
+    q1, q2, q3 = th[0.25], th[0.5], th[0.75]
+
+    def bucket(t: pa.Table) -> pa.Table:
+        sp = sp_col(t)
+        quart = 1 + (sp > q1).astype(np.int64) + (sp > q2) + (sp > q3)
+        b, inv = np.unique(quart, return_inverse=True)
+        n = np.bincount(inv, minlength=len(b))
+        tot = np.zeros(len(b), np.int64)
+        np.add.at(tot, inv, sp)  # exact int64 partial (no float53 loss)
+        return pa.table(
+            {
+                "quartile": pa.array(b, pa.int64()),
+                "n": pa.array(n.astype(np.int64)),
+                "tot": pa.array(tot),
+            }
+        )
+
+    agg = (
+        spend.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("quartile")
+        .aggregate(Sum("n", alias_name="n_customers_f"), Sum("tot", alias_name="tot_f"))
+        .sort("quartile")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "quartile": pc.cast(t["quartile"], pa.int64()),
+                "n_customers": pc.cast(t["n_customers_f"], pa.int64()),
+                "total_cents": pc.cast(t["tot_f"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
     )
 
 

@@ -1052,6 +1052,202 @@ def q3_shipping_priority(
     )
 
 
+_Q6_LO, _Q6_HI = "1997-01-01", "1998-01-01"
+
+
+def q6_forecast_revenue(sf_dir: str) -> pa.Table:
+    """TPC-H Q6-style forecast-revenue scan: date range + discount band
+    + quantity cap, per-batch scalar partials — a pure filter+aggregate
+    with NO shuffle (each batch emits one int64 partial; the driver
+    sums a handful of rows). Reference analog: the filtered stats-view
+    counts (migrations/001_initial_schema.up.sql:132-144)."""
+    lo = pa.scalar(pd.Timestamp(_Q6_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(_Q6_HI), pa.timestamp("us"))
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        m = pc.and_kleene(
+            pc.and_kleene(pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)),
+            pc.and_kleene(
+                pc.and_kleene(
+                    pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                    pc.less_equal(t["l_discount"], pa.scalar(0.07)),
+                ),
+                pc.less(t["l_quantity"], pa.scalar(24.0)),
+            ),
+        )
+        t = t.filter(pc.fill_null(m, False))
+        rev = _cents(pc.multiply(t["l_extendedprice"], t["l_discount"]))
+        s = pc.sum(rev).as_py()
+        return pa.table({"p": pa.array([int(s or 0)], pa.int64())})
+
+    total = ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True).sum("p")
+    return pa.table({"revenue_cents": pa.array([int(total or 0)], pa.int64())})
+
+
+_Q10_LO, _Q10_HI = "1997-01-01", "1997-04-01"
+
+
+def q10_returned_items(sf_dir: str, broadcast_budget_rows: int = 5_000_000) -> pa.Table:
+    """TPC-H Q10-style returned-item report: top-20 customers by revenue
+    lost to returns in one quarter. ADAPTIVE join (the repo's
+    broadcast-or-shuffle pattern): the quarter-filtered orders side is
+    broadcast under a row budget (sorted key array + positional custkey
+    gather — the lineitem scan never shuffles), hash join as fallback.
+    Per-customer revenue partials collapse per batch BEFORE the one
+    tiny grouped sum; top-20 is per-batch pruned + driver merged (no
+    global sort); names attach via a semi-filtered customer scan on
+    only the final 20 keys."""
+    import numpy as np
+    import ray
+
+    lo = pa.scalar(pd.Timestamp(_Q10_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(_Q10_HI), pa.timestamp("us"))
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_kleene(
+            pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+        )
+        return t.filter(pc.fill_null(m, False)).select(["o_orderkey", "o_custkey"])
+
+    o_f = orders.map_batches(
+        o_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+    )
+
+    def li_rev(t: pa.Table) -> pa.Table:
+        m = pc.fill_null(pc.equal(t["l_returnflag"], "R"), False)
+        t = t.filter(m)
+        rev = _cents(
+            pc.multiply(t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        )
+        return pa.table(
+            {"l_orderkey": t["l_orderkey"], "rev": pc.cast(rev, pa.float64())}
+        )
+
+    if o_f.count() <= broadcast_budget_rows:
+        o_parts = [p for p in ray.get(o_f.to_arrow_refs()) if p.num_rows]
+        ot = (
+            pa.concat_tables(o_parts).sort_by([("o_orderkey", "ascending")])
+            if o_parts
+            else pa.schema(
+                [("o_orderkey", pa.int64()), ("o_custkey", pa.int64())]
+            ).empty_table()
+        )
+        okeys = (
+            ot["o_orderkey"].to_numpy(zero_copy_only=False)
+            if ot.num_rows
+            else np.array([], np.int64)
+        )
+        ocust = (
+            ot["o_custkey"].to_numpy(zero_copy_only=False)
+            if ot.num_rows
+            else np.array([], np.int64)
+        )
+        bc_ref = ray.put((okeys, ocust))
+
+        def li_partial(t: pa.Table) -> pa.Table:
+            keys, cust = ray.get(bc_ref)
+            r = li_rev(t)
+            hit, pos = _sorted_member(keys, r["l_orderkey"].combine_chunks())
+            r = pa.table(
+                {
+                    "o_custkey": pa.array(cust[pos[hit]], pa.int64()),
+                    "rev": r["rev"].filter(pa.array(hit)),
+                }
+            )
+            g = r.group_by(["o_custkey"]).aggregate([("rev", "sum")])
+            return g.rename_columns(["o_custkey", "rev"])
+
+        per_cust = (
+            li.map_batches(li_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("o_custkey")
+            .aggregate(Sum("rev", alias_name="rev_f"))
+        )
+    else:
+
+        def li_partial_j(t: pa.Table) -> pa.Table:
+            r = li_rev(t)
+            g = r.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
+            return g.rename_columns(["l_orderkey", "rev"])
+
+        per_cust = (
+            li.map_batches(li_partial_j, batch_format="pyarrow", zero_copy_batch=True)
+            .join(
+                o_f,
+                join_type="inner",
+                num_partitions=16,
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+            .groupby("o_custkey")
+            .aggregate(Sum("rev", alias_name="rev_f"))
+        )
+
+    def local_top(t: pa.Table) -> pa.Table:
+        t = t.sort_by([("rev_f", "descending"), ("o_custkey", "ascending")])
+        return t.slice(0, 20)
+
+    tops = [
+        p
+        for p in ray.get(
+            per_cust.map_batches(local_top, batch_format="pyarrow").to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    empty = pa.schema(
+        [("c_custkey", pa.int64()), ("c_name", pa.string()), ("revenue_cents", pa.int64())]
+    ).empty_table()
+    if not tops:
+        return empty
+    merged = (
+        pa.concat_tables(tops)
+        .sort_by([("rev_f", "descending"), ("o_custkey", "ascending")])
+        .slice(0, 20)
+    )
+    final_keys = np.sort(merged["o_custkey"].to_numpy(zero_copy_only=False))
+    keys_ref = ray.put(final_keys)
+
+    def name_filter(t: pa.Table) -> pa.Table:
+        hit, _ = _sorted_member(ray.get(keys_ref), t["c_custkey"].combine_chunks())
+        return t.filter(pa.array(hit))
+
+    name_parts = [
+        p
+        for p in ray.get(
+            _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+            .map_batches(name_filter, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    names = (
+        pa.concat_tables(name_parts).sort_by([("c_custkey", "ascending")])
+        if name_parts
+        else empty.select(["c_custkey", "c_name"])
+    )
+    nk = names["c_custkey"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(nk, merged["o_custkey"].to_numpy(zero_copy_only=False))
+    return pa.table(
+        {
+            "c_custkey": pc.cast(merged["o_custkey"], pa.int64()),
+            "c_name": names["c_name"].take(pa.array(pos, pa.int64())),
+            "revenue_cents": pc.cast(merged["rev_f"], pa.int64()),
+        }
+    )
+
+
 def top_customers_by_spend(sf_dir: str) -> rd.Dataset:
     """Grouped sum -> broadcast name lookup -> top-20 (O1 + J1 + A5)."""
     spend = (
