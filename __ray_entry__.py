@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_normalize": text.doc_normalize,
         "langid_ngram": text.langid_ngram,
         "doc_fingerprint": text.doc_fingerprint,
+        "doc_frequency": text.doc_frequency,
+        "token_postings": text.token_postings,
+        "top_bigrams": text.top_bigrams,
         # --- dedup suite ---
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
         "minhash_dedup_verified": dedup.minhash_dedup_verified,
@@ -827,6 +830,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, count(*) AS n FROM "
             "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
             "GROUP BY token ORDER BY n DESC, token LIMIT 50"
+        ),
+        "doc_frequency": (
+            "SELECT token, CAST(count(*) AS BIGINT) AS df FROM "
+            "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents) GROUP BY token ORDER BY df DESC, token LIMIT 100"
+        ),
+        "token_postings": (
+            "WITH pairs AS (SELECT DISTINCT doc_id, "
+            "unnest(string_split(text, ' ')) AS token FROM documents), "
+            "top AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM pairs "
+            "GROUP BY token ORDER BY df DESC, token LIMIT 20) "
+            "SELECT p.token, any_value(t.df) AS df, "
+            "array_to_string((list_sort(list(p.doc_id)))[1:50], ',') AS posting "
+            "FROM pairs p JOIN top t ON p.token = t.token "
+            "GROUP BY p.token ORDER BY p.token"
+        ),
+        "top_bigrams": (
+            "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), "
+            "b AS (SELECT tok || ' ' || lead(tok) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) AS bigram FROM t "
+            "QUALIFY bigram IS NOT NULL) "
+            "SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM b "
+            "GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50"
         ),
         "top_tokens_by_lang": (
             "SELECT lang, token, n FROM ("

@@ -590,3 +590,175 @@ def doc_normalize(sf_dir: str) -> rd.Dataset:
         )
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --- IR / index-building operators -----------------------------------------
+# Inverted-index primitives a retrieval or dedup pipeline needs on top of
+# the raw token counts: document frequency, posting lists, n-gram counts.
+
+
+def _doc_token_pairs(t: pa.Table) -> pa.Table:
+    """Distinct (doc_id, token) pairs for one batch — each document row
+    lives in exactly ONE batch, so per-batch distinct pairs are globally
+    distinct and partial document-frequency counts sum exactly."""
+    toks = pc.split_pattern(t["text"], " ")
+    lens = (
+        pc.fill_null(pc.list_value_length(toks), 0)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    doc_rep = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+    pairs = pa.table(
+        {"doc_id": pa.array(doc_rep, pa.int64()), "token": pc.list_flatten(toks)}
+    )
+    return pairs.group_by(["doc_id", "token"]).aggregate([])
+
+
+def _df_counts(sf_dir: str) -> rd.Dataset:
+    """token -> document frequency: per-batch distinct-pair partials,
+    one small (token, df) shuffle. Reference analog: the per-source
+    vulnerability counters (A5) generalized to an IR statistic."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = _doc_token_pairs(t).group_by(["token"]).aggregate([([], "count_all")])
+        return g.rename_columns(["token", "c"])
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="df"))
+    )
+
+
+def doc_frequency(sf_dir: str, k: int = 100) -> rd.Dataset:
+    """Top-k tokens by document frequency (distinct docs containing the
+    token), df desc / token asc."""
+    counts = _df_counts(sf_dir)
+
+    def cast(t: pa.Table) -> pa.Table:
+        return pa.table({"token": t["token"], "df": pc.cast(t["df"], pa.int64())})
+
+    return (
+        counts.map_batches(cast, batch_format="pyarrow")
+        .sort(["df", "token"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def token_postings(sf_dir: str, n_tokens: int = 20, k_docs: int = 50) -> pa.Table:
+    """Inverted index for the ``n_tokens`` highest-df tokens: posting
+    list = the first ``k_docs`` doc_ids ascending, comma-joined, plus
+    the token's full df. Two passes: (1) the tiny df top-k lands on the
+    driver and the token set is captured by value into the second scan
+    (a broadcast lookup, not a shuffle join); (2) per-batch distinct
+    pairs -> bottom-k prune per token (associative, caps the exchange
+    at k rows/token/batch) -> per-token list fold via Arrow ``list``
+    agg + ``binary_join``. Posting lists are CAPPED so a stop-word's
+    postings can never materialize the whole corpus on one reducer."""
+    from laketide.functions.analytics import _cpart_col, _smallest_k_per_key
+
+    top = (
+        doc_frequency(sf_dir, k=n_tokens)
+        .to_arrow_refs()
+    )
+    import ray
+
+    parts = [p for p in ray.get(top) if p.num_rows]
+    if not parts:
+        return pa.schema(
+            [("token", pa.string()), ("df", pa.int64()), ("posting", pa.string())]
+        ).empty_table()
+    top_t = pa.concat_tables(parts)
+    tok_set = pa.array(top_t["token"].to_pylist(), pa.string())
+    df_map = dict(zip(top_t["token"].to_pylist(), top_t["df"].to_pylist()))
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        pairs = _doc_token_pairs(t)
+        pairs = pairs.filter(pc.is_in(pairs["token"], value_set=tok_set))
+        pairs = _smallest_k_per_key(pairs, "token", "doc_id", k_docs)
+        return _cpart_col(pairs, "token")
+
+    def final(g: pa.Table) -> pa.Table:
+        t = g.drop_columns(["_cpart"])
+        if t.num_rows == 0:
+            return pa.schema(
+                [("token", pa.string()), ("posting", pa.string())]
+            ).empty_table()
+        t = _smallest_k_per_key(t, "token", "doc_id", k_docs)
+        # sorted (token, doc_id) — the list agg preserves row order
+        t = t.set_column(
+            t.column_names.index("doc_id"),
+            "d_str",
+            pc.cast(t["doc_id"], pa.string()),
+        )
+        lists = t.group_by(["token"]).aggregate([("d_str", "list")])
+        return pa.table(
+            {
+                "token": lists["token"],
+                "posting": pc.binary_join(lists["d_str_list"], ","),
+            }
+        )
+
+    posted = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(final, batch_format="pyarrow")
+    )
+    out_parts = [p for p in ray.get(posted.to_arrow_refs()) if p.num_rows]
+    if not out_parts:
+        return pa.schema(
+            [("token", pa.string()), ("df", pa.int64()), ("posting", pa.string())]
+        ).empty_table()
+    out = pa.concat_tables(out_parts).sort_by([("token", "ascending")])
+    dfs = pa.array([df_map[tk] for tk in out["token"].to_pylist()], pa.int64())
+    return pa.table(
+        {"token": out["token"], "df": dfs, "posting": out["posting"]}
+    )
+
+
+def top_bigrams(sf_dir: str, k: int = 50) -> rd.Dataset:
+    """Top-k word bigrams (adjacent token pairs within a document):
+    vectorized bigram construction from the flattened token array —
+    positions whose successor starts a new document are masked out via
+    the list offsets; ``binary_join_element_wise`` builds the pair
+    strings without a Python loop. Per-batch count partials, one small
+    (bigram, n) shuffle, top-k."""
+    ds = _docs(sf_dir, columns=["text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return pa.schema(
+                [("bigram", pa.string()), ("c", pa.int64())]
+            ).empty_table()
+        lens = (
+            pc.fill_null(pc.list_value_length(toks), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        starts = np.cumsum(lens)[:-1]  # flat index where each next doc begins
+        keep = np.ones(n - 1, dtype=bool)
+        keep[starts[(starts > 0) & (starts <= n - 1)] - 1] = False
+        left = flat.slice(0, n - 1).filter(pa.array(keep))
+        right = flat.slice(1, n - 1).filter(pa.array(keep))
+        bg = pc.binary_join_element_wise(left, right, " ")
+        vc = pc.value_counts(bg)
+        return pa.table(
+            {
+                "bigram": pc.struct_field(vc, "values"),
+                "c": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bigram")
+        .aggregate(Sum("c", alias_name="n"))
+        .sort(["n", "bigram"], descending=[True, False])
+        .limit(k)
+    )
