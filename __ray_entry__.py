@@ -289,6 +289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_shipping_priority": R.q3_shipping_priority,
         "q6_forecast_revenue": R.q6_forecast_revenue,
         "q10_returned_items": R.q10_returned_items,
+        "q4_order_priority": R.q4_order_priority,
+        "q12_line_priority": R.q12_line_priority,
+        "q18_large_orders": R.q18_large_orders,
         "customer_spend_quartile_counts": _lazy(
             "analytics", "customer_spend_quartile_counts"
         ),
@@ -516,6 +519,35 @@ def oracle_sql() -> dict[str, str]:
             "AND o_orderdate < TIMESTAMP '1997-04-01' AND l_returnflag = 'R' "
             "GROUP BY c_custkey, c_name "
             "ORDER BY revenue_cents DESC, c_custkey LIMIT 20"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+            "AND l_returnflag = 'R') "
+            "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+        ),
+        "q12_line_priority": (
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY l_linestatus ORDER BY l_linestatus"
+        ),
+        "q18_large_orders": (
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "
+            "CAST(ROUND(o_totalprice*100) AS BIGINT) AS total_cents, "
+            "CAST(qty AS BIGINT) AS total_qty FROM "
+            "(SELECT l_orderkey, sum(l_quantity) AS qty FROM lineitem "
+            "GROUP BY l_orderkey HAVING sum(l_quantity) > 150) "
+            "JOIN orders ON o_orderkey = l_orderkey "
+            "JOIN customer ON c_custkey = o_custkey "
+            "ORDER BY qty DESC, o_orderkey LIMIT 20"
         ),
         "customer_spend_quartile_counts": (
             "WITH s AS (SELECT o_custkey, "

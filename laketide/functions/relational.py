@@ -1248,6 +1248,347 @@ def q10_returned_items(sf_dir: str, broadcast_budget_rows: int = 5_000_000) -> p
     )
 
 
+_Q4_LO, _Q4_HI = "1997-01-01", "1997-04-01"
+
+
+def q4_order_priority(sf_dir: str, broadcast_budget_rows: int = 20_000_000) -> pa.Table:
+    """TPC-H Q4-style priority check: orders in one quarter with an
+    EXISTS lineitem probe (returned line as the late-line analog —
+    this dataset has no commit/receipt dates), counted per priority.
+    The semi-join side is reduced to DISTINCT keys per batch BEFORE the
+    exchange; under the row budget the key set is broadcast (sorted
+    array + searchsorted membership — the orders scan never shuffles),
+    else a distinct-key shuffle + hash join. Per-batch priority count
+    partials collapse before the tiny final groupby."""
+    import numpy as np
+    import ray
+
+    lo = pa.scalar(pd.Timestamp(_Q4_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(_Q4_HI), pa.timestamp("us"))
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_returnflag"])
+
+    def li_keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.fill_null(pc.equal(t["l_returnflag"], "R"), False))
+        g = t.select(["l_orderkey"]).group_by(["l_orderkey"]).aggregate([])
+        return g
+
+    keys_ds = li.map_batches(
+        li_keys, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_kleene(
+            pc.greater_equal(t["o_orderdate"], lo), pc.less(t["o_orderdate"], hi)
+        )
+        return t.filter(pc.fill_null(m, False)).select(["o_orderkey", "o_orderpriority"])
+
+    if keys_ds.count() <= broadcast_budget_rows:
+        kparts = [p for p in ray.get(keys_ds.to_arrow_refs()) if p.num_rows]
+        keys = (
+            np.unique(
+                pa.concat_tables(kparts)["l_orderkey"].to_numpy(zero_copy_only=False)
+            )
+            if kparts
+            else np.array([], np.int64)
+        )
+        keys_ref = ray.put(keys)
+
+        def count_pre(t: pa.Table) -> pa.Table:
+            t = o_filter(t)
+            hit, _ = _sorted_member(ray.get(keys_ref), t["o_orderkey"].combine_chunks())
+            t = t.filter(pa.array(hit))
+            g = t.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+            return g.rename_columns(["o_orderpriority", "c"])
+
+        counted = orders.map_batches(
+            count_pre, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        # per-batch distinct is NOT globally distinct — a key seen in two
+        # batches would join (and count) twice; one grouped pass dedups
+        from ray.data.aggregate import Count
+
+        uniq_keys = (
+            keys_ds.groupby("l_orderkey")
+            .aggregate(Count(alias_name="_c"))
+            .select_columns(["l_orderkey"])
+        )
+        joined = orders.map_batches(
+            o_filter, batch_format="pyarrow", zero_copy_batch=True
+        ).join(
+            uniq_keys,
+            join_type="inner",
+            num_partitions=16,
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+
+        def count_j(t: pa.Table) -> pa.Table:
+            g = t.group_by(["o_orderpriority"]).aggregate([([], "count_all")])
+            return g.rename_columns(["o_orderpriority", "c"])
+
+        counted = joined.map_batches(count_j, batch_format="pyarrow")
+
+    agg = (
+        counted.groupby("o_orderpriority")
+        .aggregate(Sum("c", alias_name="n"))
+        .sort("o_orderpriority")
+    )
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return pa.schema(
+            [("o_orderpriority", pa.string()), ("n_orders", pa.int64())]
+        ).empty_table()
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {"o_orderpriority": t["o_orderpriority"], "n_orders": pc.cast(t["n"], pa.int64())}
+    )
+
+
+_Q12_LO, _Q12_HI = "1997-01-01", "1998-01-01"
+_HIGH_PRIORITIES = ("1-URGENT", "2-HIGH")
+
+
+def q12_line_priority(
+    sf_dir: str, broadcast_budget_rows: int = 20_000_000
+) -> pa.Table:
+    """TPC-H Q12-style conditional aggregation: shipped lines in one
+    year, counted per l_linestatus split by the order's priority class
+    (high = 1-URGENT/2-HIGH). Under the budget the orders side collapses
+    to a broadcast (sorted keys, is_high bitmap) — the lineitem scan
+    emits 3-column partials and never shuffles; else lineitem pre-aggs
+    (orderkey, linestatus) counts before a hash join."""
+    import numpy as np
+    import ray
+
+    lo = pa.scalar(pd.Timestamp(_Q12_LO), pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(_Q12_HI), pa.timestamp("us"))
+    out_schema = pa.schema(
+        [
+            ("l_linestatus", pa.string()),
+            ("high_line_count", pa.int64()),
+            ("low_line_count", pa.int64()),
+        ]
+    )
+
+    li = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+    )
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        m = pc.and_kleene(
+            pc.greater_equal(t["l_shipdate"], lo), pc.less(t["l_shipdate"], hi)
+        )
+        return t.filter(pc.fill_null(m, False)).select(["l_orderkey", "l_linestatus"])
+
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def hl_partial(keyed: pa.Table, is_high: "np.ndarray") -> pa.Table:
+        hi_i = is_high.astype(np.int64)
+        tmp = pa.table(
+            {
+                "l_linestatus": keyed["l_linestatus"],
+                "h": pa.array(hi_i * keyed["c"].to_numpy(zero_copy_only=False)
+                              if "c" in keyed.column_names else hi_i),
+                "l": pa.array((1 - hi_i) * keyed["c"].to_numpy(zero_copy_only=False)
+                              if "c" in keyed.column_names else 1 - hi_i),
+            }
+        )
+        g = tmp.group_by(["l_linestatus"]).aggregate([("h", "sum"), ("l", "sum")])
+        return g.rename_columns(["l_linestatus", "h", "l"])
+
+    if orders.count() <= broadcast_budget_rows:
+        oparts = [p for p in ray.get(orders.to_arrow_refs()) if p.num_rows]
+        if oparts:
+            ot = pa.concat_tables(oparts)
+            ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
+            order_idx = np.argsort(ok)
+            ok = ok[order_idx]
+            high = (
+                pc.is_in(
+                    ot["o_orderpriority"],
+                    value_set=pa.array(_HIGH_PRIORITIES, pa.string()),
+                )
+                .to_numpy(zero_copy_only=False)[order_idx]
+            )
+        else:
+            ok, high = np.array([], np.int64), np.array([], bool)
+        bc = ray.put((ok, high))
+
+        def pre(t: pa.Table) -> pa.Table:
+            keys, is_high = ray.get(bc)
+            t = li_filter(t)
+            hit, pos = _sorted_member(keys, t["l_orderkey"].combine_chunks())
+            t = t.filter(pa.array(hit))
+            return hl_partial(t, is_high[pos[hit]])
+
+        partials = li.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+    else:
+
+        def li_pre(t: pa.Table) -> pa.Table:
+            t = li_filter(t)
+            g = t.group_by(["l_orderkey", "l_linestatus"]).aggregate([([], "count_all")])
+            return g.rename_columns(["l_orderkey", "l_linestatus", "c"])
+
+        joined = li.map_batches(
+            li_pre, batch_format="pyarrow", zero_copy_batch=True
+        ).join(
+            orders,
+            join_type="inner",
+            num_partitions=16,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def post(t: pa.Table) -> pa.Table:
+            is_high = pc.is_in(
+                t["o_orderpriority"], value_set=pa.array(_HIGH_PRIORITIES, pa.string())
+            ).to_numpy(zero_copy_only=False)
+            return hl_partial(t, is_high)
+
+        partials = joined.map_batches(post, batch_format="pyarrow")
+
+    agg = (
+        partials.groupby("l_linestatus")
+        .aggregate(Sum("h", alias_name="hs"), Sum("l", alias_name="ls"))
+        .sort("l_linestatus")
+    )
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return out_schema.empty_table()
+    t = pa.concat_tables(parts)
+    return pa.table(
+        {
+            "l_linestatus": t["l_linestatus"],
+            "high_line_count": pc.cast(t["hs"], pa.int64()),
+            "low_line_count": pc.cast(t["ls"], pa.int64()),
+        }
+    )
+
+
+def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20) -> pa.Table:
+    """TPC-H Q18-style large-volume orders: per-order quantity sums
+    (per-batch partials, one shuffle), HAVING > min_qty, top-k by
+    quantity — then the TINY winner set is broadcast back to
+    semi-filter the orders and customer scans (no second shuffle).
+    l_quantity values are small integers in double form, so float
+    partial sums are exact in any combine order."""
+    import numpy as np
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"])
+
+    def qty_pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["l_orderkey"]))
+        g = t.group_by(["l_orderkey"]).aggregate([("l_quantity", "sum")])
+        return g.rename_columns(["l_orderkey", "qty"])
+
+    sums = (
+        li.map_batches(qty_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("qty", alias_name="qty_s"))
+    )
+
+    def big_top(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["qty_s"], pa.scalar(float(min_qty))))
+        t = t.sort_by([("qty_s", "descending"), ("l_orderkey", "ascending")])
+        return t.slice(0, k)
+
+    tops = [
+        p
+        for p in ray.get(
+            sums.map_batches(big_top, batch_format="pyarrow").to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    empty = pa.schema(
+        [
+            ("c_custkey", pa.int64()),
+            ("c_name", pa.string()),
+            ("o_orderkey", pa.int64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("total_cents", pa.int64()),
+            ("total_qty", pa.int64()),
+        ]
+    ).empty_table()
+    if not tops:
+        return empty
+    win = (
+        pa.concat_tables(tops)
+        .sort_by([("qty_s", "descending"), ("l_orderkey", "ascending")])
+        .slice(0, k)
+    )
+    okeys = np.sort(win["l_orderkey"].to_numpy(zero_copy_only=False))
+    ok_ref = ray.put(okeys)
+
+    def o_sel(t: pa.Table) -> pa.Table:
+        hit, _ = _sorted_member(ray.get(ok_ref), t["o_orderkey"].combine_chunks())
+        return t.filter(pa.array(hit))
+
+    o_parts = [
+        p
+        for p in ray.get(
+            _read(
+                sf_dir,
+                "orders",
+                columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+            )
+            .map_batches(o_sel, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    if not o_parts:
+        return empty
+    od = pa.concat_tables(o_parts).sort_by([("o_orderkey", "ascending")])
+    ckeys = np.unique(od["o_custkey"].to_numpy(zero_copy_only=False))
+    ck_ref = ray.put(ckeys)
+
+    def c_sel(t: pa.Table) -> pa.Table:
+        hit, _ = _sorted_member(ray.get(ck_ref), t["c_custkey"].combine_chunks())
+        return t.filter(pa.array(hit))
+
+    c_parts = [
+        p
+        for p in ray.get(
+            _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+            .map_batches(c_sel, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    names = (
+        pa.concat_tables(c_parts).sort_by([("c_custkey", "ascending")])
+        if c_parts
+        else empty.select(["c_custkey", "c_name"])
+    )
+    # assemble the k final rows driver-side (all three pieces are tiny)
+    opos = np.searchsorted(
+        od["o_orderkey"].to_numpy(zero_copy_only=False),
+        win["l_orderkey"].to_numpy(zero_copy_only=False),
+    )
+    cust = od["o_custkey"].take(pa.array(opos, pa.int64()))
+    npos = np.searchsorted(
+        names["c_custkey"].to_numpy(zero_copy_only=False),
+        cust.to_numpy(zero_copy_only=False),
+    )
+    return pa.table(
+        {
+            "c_custkey": pc.cast(cust, pa.int64()),
+            "c_name": names["c_name"].take(pa.array(npos, pa.int64())),
+            "o_orderkey": pc.cast(win["l_orderkey"], pa.int64()),
+            "o_orderdate": pc.cast(
+                od["o_orderdate"].take(pa.array(opos, pa.int64())), pa.timestamp("us")
+            ),
+            "total_cents": pc.cast(_cents(od["o_totalprice"].take(pa.array(opos, pa.int64()))), pa.int64()),
+            "total_qty": pc.cast(win["qty_s"], pa.int64()),
+        }
+    )
+
+
 def top_customers_by_spend(sf_dir: str) -> rd.Dataset:
     """Grouped sum -> broadcast name lookup -> top-20 (O1 + J1 + A5)."""
     spend = (

@@ -270,3 +270,20 @@ def test_gaps_reduce_matches_pandas():
     np.testing.assert_array_equal(got["n_gaps"], ref["n_gaps"])
     np.testing.assert_array_equal(got["total_gap_us"], ref["total_gap_us"].astype(np.int64))
     np.testing.assert_array_equal(got["max_gap_us"], ref["max_gap_us"].astype(np.int64))
+
+
+def test_q4_q12_q10_broadcast_and_join_paths_agree():
+    """Each adaptive join's broadcast path and hash-join fallback must
+    produce identical results (q4's fallback additionally exercises the
+    global key dedup — per-batch distinct keys are NOT globally
+    distinct and would double-count without it)."""
+    from laketide.functions.relational import (
+        q4_order_priority,
+        q10_returned_items,
+        q12_line_priority,
+    )
+
+    for fn in (q4_order_priority, q12_line_priority, q10_returned_items):
+        bc = fn(SF_DIR)
+        jn = fn(SF_DIR, broadcast_budget_rows=0)
+        assert bc.to_pydict() == jn.to_pydict(), fn.__name__
