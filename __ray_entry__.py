@@ -331,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_ngram": text.langid_ngram,
         "doc_fingerprint": text.doc_fingerprint,
         "doc_frequency": text.doc_frequency,
+        "doc_rare_token_stats": text.doc_rare_token_stats,
         "token_postings": text.token_postings,
         "top_bigrams": text.top_bigrams,
         # --- dedup suite ---
@@ -867,6 +868,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(count(*) AS BIGINT) AS df FROM "
             "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token "
             "FROM documents) GROUP BY token ORDER BY df DESC, token LIMIT 100"
+        ),
+        "doc_rare_token_stats": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents WHERE text IS NOT NULL), "
+            "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token), "
+            "nd AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL) "
+            "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(d.df) AS BIGINT) AS sum_df, "
+            "CAST(min(d.df) AS BIGINT) AS min_df, "
+            "CAST(sum(CASE WHEN d.df * 10 <= (SELECT n FROM nd) THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS n_rare "
+            "FROM tok t JOIN df d ON t.token = d.token GROUP BY t.doc_id"
         ),
         "token_postings": (
             "WITH pairs AS (SELECT DISTINCT doc_id, "

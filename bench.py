@@ -177,7 +177,10 @@ def run_bench() -> dict:
         timed("promo_revenue_by_brand", A.promo_revenue_by_brand)
         timed("dup_components", dedup.dup_components)
         timed("q3_shipping_priority", R.q3_shipping_priority)
+        timed("q18_large_orders", R.q18_large_orders)
         timed("user_retention_7d", A.user_retention_7d)
+        timed("doc_frequency", text.doc_frequency)
+        timed("top_bigrams", text.top_bigrams)
 
         from laketide.functions import multimodal as MM
 

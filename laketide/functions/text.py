@@ -762,3 +762,85 @@ def top_bigrams(sf_dir: str, k: int = 50) -> rd.Dataset:
         .sort(["n", "bigram"], descending=[True, False])
         .limit(k)
     )
+
+
+def doc_rare_token_stats(sf_dir: str) -> rd.Dataset:
+    """Per-document rarity statistics against the GLOBAL document
+    frequency table — the two-pass broadcast-statistics pattern a
+    quality-filtering pipeline uses (rare-word ratio): pass 1 builds
+    (token, df) + the corpus doc count (small: one row per vocab term —
+    broadcastable via ray.put even for multi-million-term vocabularies;
+    for larger vocabs, broadcast only the sub-threshold rare set);
+    pass 2 rescans docs and resolves every stat with one index_in +
+    reduceat per batch. All-integer outputs, so the oracle is exact:
+    n_tokens, sum_df, min_df, and n_rare (df*10 <= n_docs)."""
+    import ray
+
+    dfs = _df_counts(sf_dir)
+    parts = [p for p in ray.get(dfs.to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return rd.from_arrow(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("sum_df", pa.int64()),
+                    ("min_df", pa.int64()),
+                    ("n_rare", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    dft = pa.concat_tables(parts)
+    tok_arr = dft["token"].combine_chunks()
+    df_np = (
+        pc.cast(dft["df"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    )
+
+    def count_pre(t: pa.Table) -> pa.Table:
+        n = int(pc.sum(pc.is_valid(t["text"])).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_docs = int(
+        _docs(sf_dir, columns=["text"])
+        .map_batches(count_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("n")
+        or 0
+    )
+    bc = ray.put((tok_arr, df_np))
+
+    def stats(t: pa.Table) -> pa.Table:
+        toks_bc, dfv_bc = ray.get(bc)
+        t = t.filter(pc.is_valid(t["text"]))
+        toks = pc.split_pattern(t["text"], " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        if len(lens) == 0:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("sum_df", pa.int64()),
+                    ("min_df", pa.int64()),
+                    ("n_rare", pa.int64()),
+                ]
+            ).empty_table()
+        idx = pc.index_in(pc.list_flatten(toks), value_set=toks_bc)
+        dfv = dfv_bc[idx.combine_chunks().to_numpy(zero_copy_only=False)]
+        # split("") yields [""], so every kept doc has >= 1 token and
+        # reduceat segments are never empty
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        rare = (dfv * 10 <= n_docs).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pa.array(lens),
+                "sum_df": pa.array(np.add.reduceat(dfv, starts)),
+                "min_df": pa.array(np.minimum.reduceat(dfv, starts)),
+                "n_rare": pa.array(np.add.reduceat(rare, starts)),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -54,6 +54,9 @@ _NULLABLE_QUERIES = [
     "knn_cosine",
     "knn_lsh",
     "embedding_label_count",
+    "doc_frequency",
+    "doc_rare_token_stats",
+    "top_bigrams",
 ]
 
 
