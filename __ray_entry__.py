@@ -332,6 +332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text.doc_fingerprint,
         "doc_frequency": text.doc_frequency,
         "doc_rare_token_stats": text.doc_rare_token_stats,
+        "benchmark_contamination": text.benchmark_contamination,
         "token_postings": text.token_postings,
         "top_bigrams": text.top_bigrams,
         # --- dedup suite ---
@@ -868,6 +869,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(count(*) AS BIGINT) AS df FROM "
             "(SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token "
             "FROM documents) GROUP BY token ORDER BY df DESC, token LIMIT 100"
+        ),
+        "benchmark_contamination": (
+            # shares the repo-wide trigram rule (_TRIGRAM_GRAMS_CTE below)
+            f"WITH {_TRIGRAM_GRAMS_CTE}, "
+            "gg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "bench AS (SELECT DISTINCT gram FROM gg WHERE doc_id < 20) "
+            "SELECT gg.doc_id, CAST(count(DISTINCT gg.gram) AS BIGINT) AS n_shared "
+            "FROM gg JOIN bench USING (gram) WHERE gg.doc_id >= 20 "
+            "GROUP BY gg.doc_id"
         ),
         "doc_rare_token_stats": (
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "

@@ -844,3 +844,109 @@ def doc_rare_token_stats(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         stats, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _word_trigram_rows(t: pa.Table) -> pa.Table:
+    """Distinct (doc_id, gram) word-trigram rows for one batch,
+    matching the repo's shared trigram rule (dedup kernels + SQL
+    `_TRIGRAM_GRAMS_CTE`): docs with >= 3 tokens emit every adjacent
+    3-token window; shorter non-empty docs emit ONE gram joining all
+    their tokens; null text emits nothing. Fully vectorized — the
+    trigram windows are gathered from the flattened token array via a
+    ragged-arange index, no per-doc Python."""
+    t = t.filter(pc.is_valid(t["text"]))
+    if t.num_rows == 0:
+        return pa.schema([("doc_id", pa.int64()), ("gram", pa.string())]).empty_table()
+    toks = pc.split_pattern(t["text"], " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_np = t["doc_id"].to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(toks).combine_chunks()
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+
+    short = lens < 3
+    short_grams = pc.binary_join(
+        toks.filter(pa.array(short)).combine_chunks(), " "
+    )
+    short_ids = pa.array(doc_np[short], pa.int64())
+
+    tri_n = np.maximum(lens - 2, 0)
+    tot = int(tri_n.sum())
+    if tot:
+        off = np.concatenate([[0], np.cumsum(tri_n)[:-1]]).astype(np.int64)
+        base = (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(off, tri_n)
+            + np.repeat(starts, tri_n)
+        )
+        l = flat.take(pa.array(base))
+        m = flat.take(pa.array(base + 1))
+        r = flat.take(pa.array(base + 2))
+        tri = pc.binary_join_element_wise(l, m, r, " ")
+        tri_ids = pa.array(np.repeat(doc_np, tri_n), pa.int64())
+    else:
+        tri = pa.array([], pa.string())
+        tri_ids = pa.array([], pa.int64())
+
+    rows = pa.table(
+        {
+            "doc_id": pa.concat_arrays([tri_ids, short_ids]),
+            "gram": pa.concat_arrays(
+                [tri.combine_chunks() if isinstance(tri, pa.ChunkedArray) else tri,
+                 short_grams.combine_chunks() if isinstance(short_grams, pa.ChunkedArray) else short_grams]
+            ),
+        }
+    )
+    return rows.group_by(["doc_id", "gram"]).aggregate([])
+
+
+def benchmark_contamination(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
+    """Benchmark-contamination scan (the decontamination step of a
+    training-data pipeline): for every corpus doc, how many DISTINCT
+    word trigrams it shares with a held-out benchmark set (here: docs
+    with doc_id < n_bench). The benchmark gram set is built from one
+    tiny filtered read and broadcast via ray.put (at 100 TB the
+    benchmark side — eval suites — stays small; the corpus side streams
+    and never shuffles: per-batch is_in filter + per-doc distinct
+    count). Docs sharing nothing are omitted, like the SQL inner join."""
+    import ray
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.fill_null(pc.less(t["doc_id"], pa.scalar(n_bench)), False)
+        )
+
+    bench_t = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(bench_filter, batch_format="pyarrow", zero_copy_batch=True)
+        .to_arrow_refs()
+    )
+    parts = [p for p in ray.get(bench_t) if p.num_rows]
+    if parts:
+        bench_rows = _word_trigram_rows(pa.concat_tables(parts))
+        bench_set = pc.unique(bench_rows["gram"].combine_chunks())
+    else:
+        bench_set = pa.array([], pa.string())
+    bc = ray.put(bench_set)
+
+    def scan(t: pa.Table) -> pa.Table:
+        bset = ray.get(bc)
+        t = t.filter(
+            pc.and_kleene(
+                pc.is_valid(t["doc_id"]),
+                pc.greater_equal(t["doc_id"], pa.scalar(n_bench)),
+            )
+        )
+        rows = _word_trigram_rows(t)
+        rows = rows.filter(pc.is_in(rows["gram"], value_set=bset))
+        g = rows.group_by(["doc_id"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["doc_id", "n_shared"])
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "n_shared": pc.cast(g["n_shared"], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        scan, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -57,6 +57,7 @@ _NULLABLE_QUERIES = [
     "doc_frequency",
     "doc_rare_token_stats",
     "top_bigrams",
+    "benchmark_contamination",
 ]
 
 
