@@ -292,6 +292,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": R.q4_order_priority,
         "q12_line_priority": R.q12_line_priority,
         "q18_large_orders": R.q18_large_orders,
+        "customer_order_counts": _lazy_pinned(
+            "relational",
+            "customer_order_counts",
+            [("c_custkey", "int64"), ("n_orders", "int64")],
+        ),
         "customer_spend_quartile_counts": _lazy(
             "analytics", "customer_spend_quartile_counts"
         ),
@@ -333,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": text.doc_frequency,
         "doc_rare_token_stats": text.doc_rare_token_stats,
         "benchmark_contamination": text.benchmark_contamination,
+        # k-means is iterative/approximate -> rows-only; pytest asserts
+        # partition totals, determinism and majority-label consistency
+        "kmeans_cluster_stats": _lazy("similarity", "kmeans_cluster_stats"),
         "token_postings": text.token_postings,
         "top_bigrams": text.top_bigrams,
         # --- dedup suite ---
@@ -540,6 +548,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
             "AND l_shipdate < TIMESTAMP '1998-01-01' "
             "GROUP BY l_linestatus ORDER BY l_linestatus"
+        ),
+        "customer_order_counts": (
+            "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders "
+            "FROM customer LEFT JOIN orders ON o_custkey = c_custkey "
+            "GROUP BY c_custkey"
         ),
         "q18_large_orders": (
             "SELECT c_custkey, c_name, o_orderkey, o_orderdate, "

@@ -1469,6 +1469,98 @@ def q12_line_priority(
     )
 
 
+def customer_order_counts(sf_dir: str) -> rd.Dataset:
+    """LEFT OUTER join + grouped count: every customer with its order
+    count, zero-filled for customers that never ordered. One shuffle of
+    pre-aggregated partials (orders pre-count per batch; customers ship
+    bare keys), tagged-union co-partition by coarse key hash, then one
+    vectorized sorted-member lookup per co-located group — both sides
+    may be huge, nothing is broadcast. Null customer keys can't match
+    (SQL ON-null semantics) and are emitted zero-count before the
+    exchange."""
+    import numpy as np
+
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+
+    n_parts = _coarse_n_parts()
+    out_schema = pa.schema([("c_custkey", pa.int64()), ("n_orders", pa.int64())])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = pc.drop_null(pc.cast(t["c_custkey"], pa.int64()).combine_chunks())
+        part = _coarse_parts(_key_hash_u64(key), n_parts=n_parts)
+        n_null = t.num_rows - len(key)
+        out = pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "key": key,
+                "c": pa.array(np.zeros(len(key), dtype=np.int64)),
+                "side": pa.array(np.zeros(len(key), dtype=np.int8), pa.int8()),
+            }
+        )
+        if n_null:
+            # null keys join nothing: short-circuit them to part -1,
+            # emitted as zero-count rows by the -1 group
+            out = pa.concat_tables(
+                [
+                    out,
+                    pa.table(
+                        {
+                            "part": pa.array([-1] * n_null, pa.int64()),
+                            "key": pa.array([None] * n_null, pa.int64()),
+                            "c": pa.array([0] * n_null, pa.int64()),
+                            "side": pa.array([0] * n_null, pa.int8()),
+                        }
+                    ),
+                ]
+            )
+        return out
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        key = pc.drop_null(pc.cast(t["o_custkey"], pa.int64()).combine_chunks())
+        g = pa.table({"key": key}).group_by(["key"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["key", "c"])
+        part = _coarse_parts(
+            _key_hash_u64(g["key"].combine_chunks()), n_parts=n_parts
+        )
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "key": g["key"],
+                "c": pc.cast(g["c"], pa.int64()),
+                "side": pa.array(np.ones(g.num_rows, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey"]).map_batches(
+        tag_cust, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey"]).map_batches(
+        tag_orders, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        side = g["side"].to_numpy(zero_copy_only=False)
+        cust_t = g.filter(pa.array(side == 0))
+        ord_t = g.filter(pa.array(side == 1))
+        agg = (
+            ord_t.select(["key", "c"]).group_by(["key"]).aggregate([("c", "sum")])
+        ).sort_by([("key", "ascending")])
+        keys = agg["key"].to_numpy(zero_copy_only=False)
+        sums = pc.cast(agg["c_sum"], pa.int64()).to_numpy(zero_copy_only=False)
+        hit, pos = _sorted_member(keys, cust_t["key"].combine_chunks())
+        n = np.zeros(cust_t.num_rows, dtype=np.int64)
+        n[hit] = sums[pos[hit]]
+        return pa.table(
+            {"c_custkey": cust_t["key"], "n_orders": pa.array(n)}
+        )
+
+    return cust.union(orders).groupby("part").map_groups(
+        final, batch_format="pyarrow"
+    )
+
+
 def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20) -> pa.Table:
     """TPC-H Q18-style large-volume orders: per-order quantity sums
     (per-batch partials, one shuffle), HAVING > min_qty, top-k by

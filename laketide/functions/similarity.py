@@ -639,3 +639,85 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
         return empty
     out = pa.concat_tables(parts, promote_options="default")
     return out.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+def kmeans_cluster_stats(sf_dir: str, n_centroids: int = 16) -> pa.Table:
+    """Distributed k-means clustering surface (the IVF quantizer as a
+    first-class op): every embedding assigns to its nearest cosine
+    centroid (per-batch matmul+argmax against the broadcast centroid
+    matrix); the output is per-cluster size plus the majority label and
+    its count — the label-purity view an embedding-curation pipeline
+    inspects. The shuffle carries only (cluster, label, count) partials
+    (bounded by n_centroids x n_labels, never corpus-sized). Seeded,
+    deterministic; approximate op (k-means is not SQL-expressible), so
+    correctness is pytest: partition totals + determinism +
+    majority-label consistency vs a driver-side recompute."""
+    cent = _train_centroids(sf_dir, n_centroids)
+    empty = pa.schema(
+        [
+            ("cluster", pa.int64()),
+            ("n_vecs", pa.int64()),
+            ("top_label", pa.int64()),
+            ("top_label_n", pa.int64()),
+        ]
+    ).empty_table()
+    if len(cent) == 0:
+        return empty
+    cref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = _drop_null_embeddings(t)
+        if t.num_rows == 0:
+            return pa.schema(
+                [("cluster", pa.int64()), ("label", pa.int64()), ("c", pa.int64())]
+            ).empty_table()
+        cent_v = ray.get(cref)
+        mat = _embed_matrix(t["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        a = (unit @ cent_v.T).argmax(axis=1).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "cluster": pa.array(a),
+                    "label": pc.cast(t["label"], pa.int64()),
+                }
+            )
+            .group_by(["cluster", "label"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["cluster", "label", "c"])
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        _emb(sf_dir, ["vec_id", "embedding", "label"])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby(["cluster", "label"])
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    import pyarrow.compute as pc
+
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return empty
+    # (cluster, label, n) is bounded by n_centroids x n_labels — the
+    # driver-side finish is O(that), independent of corpus size
+    t = pa.concat_tables(parts).sort_by(
+        [("cluster", "ascending"), ("n", "descending"), ("label", "ascending")]
+    )
+    cl = t["cluster"].to_numpy(zero_copy_only=False)
+    n = pc.cast(t["n"], pa.int64()).to_numpy(zero_copy_only=False)
+    first = np.concatenate([[True], cl[1:] != cl[:-1]])
+    totals = np.add.reduceat(n, np.flatnonzero(first))
+    return pa.table(
+        {
+            "cluster": pa.array(cl[first], pa.int64()),
+            "n_vecs": pa.array(totals.astype(np.int64)),
+            "top_label": t["label"].filter(pa.array(first)),
+            "top_label_n": pa.array(n[first]),
+        }
+    )

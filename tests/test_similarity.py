@@ -93,3 +93,42 @@ def test_knn_ivf_recall_vs_bruteforce(planted_embeddings):
     # every returned id must be genuinely high-scoring (no junk)
     floor = sorted((scores[i] for i in ref))[0]
     assert all(scores[i] >= floor - 0.2 for i in got)
+
+
+def test_kmeans_cluster_stats_partition_and_determinism():
+    """Cluster sizes must partition the non-null-embedding corpus, the
+    majority label must be consistent with a driver-side recompute, and
+    two runs must be identical (seeded training + argmax assignment)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from laketide.functions.similarity import (
+        _drop_null_embeddings,
+        _embed_matrix,
+        _train_centroids,
+        kmeans_cluster_stats,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    a = kmeans_cluster_stats(sf)
+    b = kmeans_cluster_stats(sf)
+    assert a.to_pydict() == b.to_pydict()
+
+    import pyarrow.parquet as pq
+
+    emb = _drop_null_embeddings(pq.read_table(f"{sf}/embeddings.parquet"))
+    assert sum(a["n_vecs"].to_pylist()) == emb.num_rows
+    assert all(x >= 1 for x in a["top_label_n"].to_pylist())
+
+    # driver recompute of the assignment -> same per-cluster majority
+    cent = _train_centroids(sf, 16)
+    mat = _embed_matrix(emb["embedding"])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    assign = ((mat / norms[:, None]) @ cent.T).argmax(axis=1)
+    labels = pc.cast(emb["label"], "int64").to_numpy(zero_copy_only=False)
+    got = dict(zip(a["cluster"].to_pylist(), a["top_label"].to_pylist()))
+    for c in set(assign.tolist()):
+        ls, cnts = np.unique(labels[assign == c], return_counts=True)
+        order = np.lexsort((ls, -cnts))  # count desc, label asc tie-break
+        assert got[int(c)] == int(ls[order[0]]), c
