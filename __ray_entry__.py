@@ -300,6 +300,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_spend_quartile_counts": _lazy(
             "analytics", "customer_spend_quartile_counts"
         ),
+        "q5_local_supplier_volume": _lazy("tpch", "q5_local_supplier_volume"),
+        "q7_volume_shipping": _lazy("tpch", "q7_volume_shipping"),
+        "q8_market_share": _lazy("tpch", "q8_market_share"),
+        "q9_product_profit": _lazy("tpch", "q9_product_profit"),
+        "q14_promo_revenue_pct": _lazy("tpch", "q14_promo_revenue_pct"),
+        "q15_top_supplier": _lazy("tpch", "q15_top_supplier"),
+        "q17_small_quantity_revenue": _lazy("tpch", "q17_small_quantity_revenue"),
+        "q19_discounted_revenue": _lazy("tpch", "q19_discounted_revenue"),
+        "q22_idle_customers": _lazy("tpch", "q22_idle_customers"),
         "top_orders": R.top_orders,
         "orders_by_status": R.orders_by_status,
         "join_customer_orders": R.join_customer_orders,
@@ -755,6 +764,133 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
             "CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
             "count(*) AS count_order FROM lineitem GROUP BY 1, 2"
+        ),
+        "q5_local_supplier_volume": (
+            "SELECT n_name, CAST(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name ORDER BY revenue_cents DESC, n_name"
+        ),
+        "q7_volume_shipping": (
+            "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1999-01-01' "
+            "AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2') "
+            "OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')) "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        # share = nation_cents / total_cents: both exact integer sums,
+        # divided with the same CAST points as the engine (bit-equal)
+        "q8_market_share": (
+            "WITH l AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) AS rev, "
+            "s_nationkey FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "JOIN region ON cn.n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND p_type = 'PROMO' "
+            "AND o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1999-01-01') "
+            "SELECT o_year, "
+            "CAST(sum(CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation "
+            "WHERE n_name = 'NATION_3') THEN rev ELSE 0 END) AS BIGINT) AS nation_cents, "
+            "CAST(sum(rev) AS BIGINT) AS total_cents, "
+            "CAST(CAST(sum(CASE WHEN s_nationkey = (SELECT n_nationkey FROM nation "
+            "WHERE n_name = 'NATION_3') THEN rev ELSE 0 END) AS BIGINT) AS DOUBLE) "
+            "/ CAST(CAST(sum(rev) AS BIGINT) AS DOUBLE) AS mkt_share "
+            "FROM l GROUP BY o_year ORDER BY o_year"
+        ),
+        # profit amount evaluated with the engine's exact double
+        # expression before the single ROUND-to-cents
+        "q9_product_profit": (
+            "SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(CAST(ROUND((l_extendedprice*(1-l_discount) "
+            "- p_retailprice*l_quantity)*100) AS BIGINT)) AS BIGINT) AS profit_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "q14_promo_revenue_pct": (
+            "SELECT CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) END), 0) "
+            "AS BIGINT) AS promo_cents, "
+            "CAST(coalesce(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) "
+            "AS BIGINT)), 0) AS BIGINT) AS total_cents, "
+            "100.0 * CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT) END), 0) "
+            "AS DOUBLE) / CAST(coalesce(sum(CAST(ROUND(l_extendedprice*(1-l_discount)"
+            "*100) AS BIGINT)), 0) AS DOUBLE) AS promo_pct "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1997-09-01' "
+            "AND l_shipdate < TIMESTAMP '1997-10-01'"
+        ),
+        "q15_top_supplier": (
+            "WITH r AS (SELECT l_suppkey, "
+            "CAST(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) "
+            "AS BIGINT) AS total_cents FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-04-01' AND l_suppkey IS NOT NULL "
+            "GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_cents FROM r "
+            "JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE total_cents = (SELECT max(total_cents) FROM r) ORDER BY s_suppkey"
+        ),
+        # avg qty is exact (integral quantities sum exactly in BIGINT),
+        # so the 0.2*avg threshold double is bit-equal to the engine's
+        "q17_small_quantity_revenue": (
+            "WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'), "
+            "a AS (SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq, "
+            "count(*) AS n FROM lineitem JOIN pk ON p_partkey = l_partkey "
+            "GROUP BY l_partkey) "
+            "SELECT CAST(coalesce(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)), 0) "
+            "AS BIGINT) AS total_cents, "
+            "CAST(coalesce(sum(CAST(ROUND(l_extendedprice*100) AS BIGINT)), 0) "
+            "AS DOUBLE) / 700.0 AS avg_yearly "
+            "FROM lineitem JOIN a ON lineitem.l_partkey = a.l_partkey "
+            "WHERE l_quantity < 0.2 * (CAST(sq AS DOUBLE) / CAST(n AS DOUBLE))"
+        ),
+        "q19_discounted_revenue": (
+            "SELECT CAST(coalesce(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) "
+            "AS BIGINT)), 0) AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 "
+            "AND l_quantity BETWEEN 20 AND 30)"
+        ),
+        # the avg-balance threshold comes from exact integer-cents
+        # moments; both sides compare CAST(cents AS DOUBLE) > avg
+        "q22_idle_customers": (
+            "WITH ac AS (SELECT CAST(sum(CAST(ROUND(c_acctbal*100) AS BIGINT)) "
+            "AS DOUBLE) / count(*) AS avg_c FROM customer "
+            "WHERE CAST(ROUND(c_acctbal*100) AS BIGINT) > 0) "
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers, "
+            "CAST(sum(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS total_cents "
+            "FROM customer, ac "
+            "WHERE CAST(CAST(ROUND(c_acctbal*100) AS BIGINT) AS DOUBLE) > avg_c "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
+            "GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
         "top_orders": "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
         "orders_by_status": "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1",
