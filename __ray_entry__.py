@@ -350,6 +350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-means is iterative/approximate -> rows-only; pytest asserts
         # partition totals, determinism and majority-label consistency
         "kmeans_cluster_stats": _lazy("similarity", "kmeans_cluster_stats"),
+        "tfidf_top_terms": text.tfidf_top_terms,
+        "vector_norm_stats_by_label": _lazy("similarity", "vector_norm_stats_by_label"),
         "token_postings": text.token_postings,
         "top_bigrams": text.top_bigrams,
         # --- dedup suite ---
@@ -1039,6 +1041,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN d.df * 10 <= (SELECT n FROM nd) THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_rare "
             "FROM tok t JOIN df d ON t.token = d.token GROUP BY t.doc_id"
+        ),
+        # idf division and ln() written exactly as the engine computes
+        # them (python/libm); tf*idf doubles are then bit-equal
+        "tfidf_top_terms": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents WHERE text IS NOT NULL), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            "df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1), "
+            "nd AS (SELECT count(*) AS n FROM documents WHERE text IS NOT NULL) "
+            "SELECT doc_id, token, CAST(tf AS DOUBLE) * "
+            "ln(CAST((SELECT n FROM nd) AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf "
+            "FROM tf JOIN df USING (token) "
+            "QUALIFY row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY tfidf DESC, token) <= 3"
+        ),
+        # integer milli-unit squared norms: ROUND(x*1000) per coordinate,
+        # int64 squares — order-independent exact sums on both sides
+        "vector_norm_stats_by_label": (
+            "WITH m AS MATERIALIZED (SELECT label, embedding FROM embeddings "
+            "WHERE embedding IS NOT NULL), "
+            "v AS (SELECT label, list_sum(list_transform(list_transform(embedding, "
+            "x -> CAST(ROUND(CAST(x AS DOUBLE)*1000) AS BIGINT)), y -> y*y)) AS nsq "
+            "FROM m) "
+            "SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n_vecs, "
+            "CAST(sum(nsq) AS BIGINT) AS sum_normsq_milli, "
+            "CAST(min(nsq) AS BIGINT) AS min_normsq_milli, "
+            "CAST(max(nsq) AS BIGINT) AS max_normsq_milli "
+            "FROM v GROUP BY label"
         ),
         "token_postings": (
             "WITH pairs AS (SELECT DISTINCT doc_id, "

@@ -721,3 +721,79 @@ def kmeans_cluster_stats(sf_dir: str, n_centroids: int = 16) -> pa.Table:
             "top_label_n": pa.array(n[first]),
         }
     )
+
+
+def vector_norm_stats_by_label(sf_dir: str) -> pa.Table:
+    """Per-label embedding-norm statistics over EXACT integer
+    milli-units: each coordinate rounds to round(x*1000) (half away
+    from zero, = DuckDB ROUND), the squared L2 norm becomes an int64
+    sum — order-independent, so the grouped sums are bit-exact against
+    the SQL list_transform oracle under any block split (a float
+    norm would depend on summation order). Labels are dimension-scale:
+    per-batch Arrow partials collapse before one tiny final groupby.
+    Null embeddings are excluded (not candidates); null labels form
+    their own group, matching SQL GROUP BY."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t)
+        if t.num_rows == 0:
+            return pa.schema(
+                [
+                    ("label", pa.int64()),
+                    ("s", pa.int64()),
+                    ("mn", pa.int64()),
+                    ("mx", pa.int64()),
+                    ("n", pa.int64()),
+                ]
+            ).empty_table()
+        m = _embed_matrix(t["embedding"]) * 1000.0
+        r = (np.floor(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+        nsq = (r * r).sum(axis=1)
+        g = (
+            pa.table(
+                {
+                    "label": pc.cast(t["label"], pa.int64()),
+                    "nsq": pa.array(nsq, pa.int64()),
+                }
+            )
+            .group_by(["label"])
+            .aggregate([("nsq", "sum"), ("nsq", "min"), ("nsq", "max"), ([], "count_all")])
+        )
+        return g.rename_columns(["label", "s", "mn", "mx", "n"])
+
+    agg = (
+        _emb(sf_dir, ["label", "embedding"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("label")
+        .aggregate(
+            Sum("s", alias_name="s_f"),
+            Min("mn", alias_name="mn_f"),
+            Max("mx", alias_name="mx_f"),
+            Sum("n", alias_name="n_f"),
+        )
+    )
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return pa.schema(
+            [
+                ("label", pa.int64()),
+                ("n_vecs", pa.int64()),
+                ("sum_normsq_milli", pa.int64()),
+                ("min_normsq_milli", pa.int64()),
+                ("max_normsq_milli", pa.int64()),
+            ]
+        ).empty_table()
+    t = pa.concat_tables([p.replace_schema_metadata(None) for p in parts])
+    return pa.table(
+        {
+            "label": t["label"],
+            "n_vecs": pc.cast(t["n_f"], pa.int64()),
+            "sum_normsq_milli": pc.cast(t["s_f"], pa.int64()),
+            "min_normsq_milli": pc.cast(t["mn_f"], pa.int64()),
+            "max_normsq_milli": pc.cast(t["mx_f"], pa.int64()),
+        }
+    ).sort_by([("label", "ascending")])

@@ -950,3 +950,91 @@ def benchmark_contamination(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         scan, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
+    """Per-document top-k TF-IDF terms (the IR ranking primitive a
+    training-data pipeline uses for keyword extraction / quality
+    weighting). Two streaming passes: (1) the global (token, df) table
+    + corpus doc count (vocab-scale -> ray.put broadcast, the
+    doc_rare_token_stats pattern); (2) rescan docs, compute per-doc
+    term frequencies batch-locally (each doc lives wholly in one row),
+    score tf * ln(n_docs/df), keep the per-doc top-k (score desc,
+    token asc — _head_k_per_key is exact per batch because a doc never
+    spans batches).
+
+    idf is computed with ``math.log`` per VOCAB entry on the driver —
+    bit-identical to DuckDB's ``ln()`` (both call libm log), where
+    numpy's vectorized log can differ in the last ulp and flip the
+    value hash."""
+    import math
+
+    import ray
+
+    from laketide.functions.relational import _head_k_per_key
+
+    out_schema = pa.schema(
+        [("doc_id", pa.int64()), ("token", pa.string()), ("tfidf", pa.float64())]
+    )
+    parts = [p for p in ray.get(_df_counts(sf_dir).to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return rd.from_arrow(out_schema.empty_table())
+    dft = pa.concat_tables(parts)
+    tok_arr = dft["token"].combine_chunks()
+    df_np = (
+        pc.cast(dft["df"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    )
+
+    def count_pre(t: pa.Table) -> pa.Table:
+        n = int(pc.sum(pc.is_valid(t["text"])).as_py() or 0)
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    n_docs = int(
+        _docs(sf_dir, columns=["text"])
+        .map_batches(count_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .sum("n")
+        or 0
+    )
+    idf_np = np.fromiter(
+        (math.log(n_docs / d) for d in df_np.tolist()), np.float64, len(df_np)
+    )
+    bc = ray.put((tok_arr, idf_np))
+
+    def score(t: pa.Table) -> pa.Table:
+        toks_bc, idf_bc = ray.get(bc)
+        t = t.filter(pc.is_valid(t["text"]))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(t["text"], " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        doc_rep = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        tf_t = (
+            pa.table(
+                {"doc_id": pa.array(doc_rep, pa.int64()), "token": pc.list_flatten(toks)}
+            )
+            .group_by(["doc_id", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["doc_id", "token", "tf"])
+        )
+        idx = pc.index_in(tf_t["token"], value_set=toks_bc)
+        # every scanned token is in the pass-1 vocabulary by construction
+        pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        tf = (
+            pc.cast(tf_t["tf"], pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        scored = pa.table(
+            {
+                "doc_id": tf_t["doc_id"],
+                "token": tf_t["token"],
+                "tfidf": pa.array(tf * idf_bc[pos], pa.float64()),
+            }
+        )
+        return _head_k_per_key(scored, "doc_id", "tfidf", k, tiebreak="token")
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
