@@ -351,6 +351,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partition totals, determinism and majority-label consistency
         "kmeans_cluster_stats": _lazy("similarity", "kmeans_cluster_stats"),
         "tfidf_top_terms": text.tfidf_top_terms,
+        "bigram_pmi": text.bigram_pmi,
+        "dedup_events_window": _lazy("analytics", "dedup_events_window"),
+        "orders_monthly_series": _lazy("analytics", "orders_monthly_series"),
         "vector_norm_stats_by_label": _lazy("similarity", "vector_norm_stats_by_label"),
         "token_postings": text.token_postings,
         "top_bigrams": text.top_bigrams,
@@ -1041,6 +1044,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN d.df * 10 <= (SELECT n FROM nd) THEN 1 ELSE 0 END) "
             "AS BIGINT) AS n_rare "
             "FROM tok t JOIN df d ON t.token = d.token GROUP BY t.doc_id"
+        ),
+        # windowed debounce: first (ts, event_id) per (user, type,
+        # 5-minute floor window); float-division floor matches numpy's
+        "dedup_events_window": (
+            "SELECT event_id, ts, user_id, event_type, "
+            "CAST(floor(epoch_us(ts) / 300000000.0) AS BIGINT) AS window_id "
+            "FROM events "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
+            "floor(epoch_us(ts) / 300000000.0) ORDER BY ts, event_id) = 1"
+        ),
+        "orders_monthly_series": (
+            "WITH c AS (SELECT date_trunc('month', o_orderdate) AS m, "
+            "count(*) AS n FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1) "
+            "SELECT m AS month, CAST(coalesce(n, 0) AS BIGINT) AS n_orders FROM ("
+            "SELECT unnest(generate_series((SELECT min(m) FROM c), "
+            "(SELECT max(m) FROM c), INTERVAL 1 MONTH)) AS m) "
+            "LEFT JOIN c USING (m)"
+        ),
+        # exact integer counts; the pmi double is the same ln() over the
+        # same division tree on both sides
+        "bigram_pmi": (
+            "WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok, "
+            "generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents), "
+            "b AS (SELECT tok || ' ' || lead(tok) OVER "
+            "(PARTITION BY doc_id ORDER BY pos) AS bigram FROM t "
+            "QUALIFY bigram IS NOT NULL), "
+            "bc AS (SELECT bigram, count(*) AS c FROM b GROUP BY bigram), "
+            "top AS (SELECT bigram, c FROM bc ORDER BY c DESC, bigram LIMIT 50), "
+            "uc AS (SELECT tok, count(*) AS cu FROM t GROUP BY tok), "
+            "nb AS (SELECT sum(c) AS n FROM bc), "
+            "nu AS (SELECT count(*) AS n FROM t) "
+            "SELECT top.bigram, CAST(top.c AS BIGINT) AS n_bigram, "
+            "ln((CAST(top.c AS DOUBLE) / CAST((SELECT n FROM nb) AS DOUBLE)) / "
+            "((CAST(ux.cu AS DOUBLE) / CAST((SELECT n FROM nu) AS DOUBLE)) * "
+            "(CAST(uy.cu AS DOUBLE) / CAST((SELECT n FROM nu) AS DOUBLE)))) AS pmi "
+            "FROM top JOIN uc ux ON ux.tok = string_split(top.bigram, ' ')[1] "
+            "JOIN uc uy ON uy.tok = string_split(top.bigram, ' ')[2]"
         ),
         # idf division and ln() written exactly as the engine computes
         # them (python/libm); tf*idf doubles are then bit-equal

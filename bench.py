@@ -186,6 +186,15 @@ def run_bench() -> dict:
 
         timed("blob_chunk_dedup", MM.blob_chunk_dedup)
 
+        from laketide.functions import tpch as T
+
+        timed("q5_local_supplier_volume", T.q5_local_supplier_volume)
+        timed("q9_product_profit", T.q9_product_profit)
+        timed("q19_discounted_revenue", T.q19_discounted_revenue)
+        timed("q22_idle_customers", T.q22_idle_customers)
+        timed("tfidf_top_terms", text.tfidf_top_terms)
+        timed("vector_norm_stats_by_label", similarity.vector_norm_stats_by_label)
+
     ray.shutdown()
     return {
         "metric": "cdc_replay_seconds",

@@ -1141,3 +1141,82 @@ def order_keys_per_customer(sf_dir: str, k: int = 5) -> rd.Dataset:
         .groupby("_cpart")
         .map_groups(final, batch_format="pyarrow")
     )
+
+
+def dedup_events_window(sf_dir: str, window_seconds: int = 300) -> rd.Dataset:
+    """Windowed streaming dedup: keep the FIRST event (ts, event_id)
+    per (user_id, event_type, fixed window) — the ingest-side
+    debouncer a CDC/event pipeline runs before storage (reference
+    analog: the idempotency/dupe-drop step, internal/merger/merger.go
+    dedupe semantics generalized to time buckets). Window id is
+    floor(epoch_us / W), computed with the same float division the
+    oracle uses (pre-1970 floors match). One coarse keyed shuffle;
+    keep_extreme is the per-batch pre-combiner AND the final reduce."""
+    from laketide.functions.relational import _coarse_key_reduce, keep_extreme
+
+    w_us = float(window_seconds) * 1e6
+
+    def w_col(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        w = pc.cast(
+            pc.floor(pc.divide(pc.cast(ts_us, pa.float64()), w_us)), pa.int64()
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "window_id": w,
+            }
+        )
+
+    keys = ["user_id", "event_type", "window_id"]
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"]).map_batches(
+        w_col, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return _coarse_key_reduce(
+        ds, keys, lambda t: keep_extreme(t, keys, ["ts", "event_id"], keep="first")
+    )
+
+
+def orders_monthly_series(sf_dir: str) -> pa.Table:
+    """Calendar-densified monthly order counts: grouped month counts
+    (per-batch Arrow partials, one tiny shuffle), then the month RANGE
+    is filled on the driver so gap months emit an explicit zero row —
+    the resample/gap-fill primitive a time-series view needs (a plain
+    GROUP BY silently skips empty months)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["o_orderdate"]))
+        m = pc.floor_temporal(t["o_orderdate"], unit="month")
+        g = pa.table({"m": m}).group_by(["m"]).aggregate([([], "count_all")])
+        return g.rename_columns(["m", "c"])
+
+    agg = (
+        _read(sf_dir, "orders", columns=["o_orderdate"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("m")
+        .aggregate(Sum("c", alias_name="n"))
+    )
+    out_schema = pa.schema([("month", pa.timestamp("us")), ("n_orders", pa.int64())])
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return out_schema.empty_table()
+    t = pa.concat_tables([p.replace_schema_metadata(None) for p in parts])
+    months = pc.cast(t["m"], pa.timestamp("us"))
+    counts = pc.cast(t["n"], pa.int64())
+    idx = pd.DatetimeIndex(months.to_pandas())
+    full = pd.date_range(idx.min(), idx.max(), freq="MS")
+    filled = pd.Series(
+        counts.to_numpy(zero_copy_only=False), index=idx
+    ).reindex(full, fill_value=0)
+    return pa.table(
+        {
+            "month": pa.array(filled.index.values.astype("datetime64[us]")),
+            "n_orders": pa.array(filled.to_numpy(), pa.int64()),
+        }
+    )

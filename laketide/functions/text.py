@@ -1038,3 +1038,128 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def bigram_pmi(sf_dir: str, k: int = 50) -> pa.Table:
+    """Pointwise mutual information of the top-k bigrams:
+    pmi = ln( (c_xy/N_bi) / ((c_x/N_uni) * (c_y/N_uni)) ) — the
+    collocation-strength score an n-gram phrase miner uses. Pass A
+    builds bigram count partials ONCE (materialized: counts, not
+    content), serving both the top-k and the exact N_bi total; pass B
+    rescans docs for the unigram counts of only the <=2k tokens the top
+    bigrams mention (broadcast membership filter) plus the exact N_uni,
+    folded into one scan via a null-token total row. PMI itself is
+    driver math over exact integer counts with libm log — bit-equal to
+    the oracle's ln() (the tfidf_top_terms precedent)."""
+    import math
+
+    import ray
+
+    out_schema = pa.schema(
+        [("bigram", pa.string()), ("n_bigram", pa.int64()), ("pmi", pa.float64())]
+    )
+    ds = _docs(sf_dir, columns=["text"])
+
+    def bigram_pre(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], " ")
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = len(flat)
+        if n < 2:
+            return pa.schema([("bigram", pa.string()), ("c", pa.int64())]).empty_table()
+        lens = (
+            pc.fill_null(pc.list_value_length(toks), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        starts = np.cumsum(lens)[:-1]
+        keep = np.ones(n - 1, dtype=bool)
+        keep[starts[(starts > 0) & (starts <= n - 1)] - 1] = False
+        left = flat.slice(0, n - 1).filter(pa.array(keep))
+        right = flat.slice(1, n - 1).filter(pa.array(keep))
+        vc = pc.value_counts(pc.binary_join_element_wise(left, right, " "))
+        return pa.table(
+            {
+                "bigram": pc.struct_field(vc, "values"),
+                "c": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        bigram_pre, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    n_bi = int(partials.sum("c") or 0)
+    if n_bi == 0:
+        return out_schema.empty_table()
+    top_parts = [
+        p
+        for p in ray.get(
+            partials.groupby("bigram")
+            .aggregate(Sum("c", alias_name="n"))
+            .sort(["n", "bigram"], descending=[True, False])
+            .limit(k)
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    top = pa.concat_tables([p.replace_schema_metadata(None) for p in top_parts])
+    bigrams = top["bigram"].to_pylist()
+    c_xy = pc.cast(top["n"], pa.int64()).to_pylist()
+    pair_toks = [b.split(" ") for b in bigrams]
+    needed = sorted({tok for pair in pair_toks for tok in pair})
+    need_set = pa.array(needed, pa.string())
+    bc = ray.put(need_set)
+
+    def uni_pre(t: pa.Table) -> pa.Table:
+        from laketide.functions.asof import _arr
+
+        flat = pc.list_flatten(pc.split_pattern(t["text"], " ")).combine_chunks()
+        total = len(flat)
+        hits = flat.filter(pc.is_in(flat, value_set=ray.get(bc)))
+        vc = pc.value_counts(hits)
+        return pa.table(
+            {
+                # the null-token row carries this batch's total token
+                # count — one scan serves both aggregates
+                "token": pa.concat_arrays(
+                    [_arr(pc.struct_field(vc, "values")), pa.array([None], pa.string())]
+                ),
+                "c": pa.concat_arrays(
+                    [
+                        _arr(pc.cast(pc.struct_field(vc, "counts"), pa.int64())),
+                        pa.array([total], pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    uni_parts = [
+        p
+        for p in ray.get(
+            ds.map_batches(uni_pre, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("token")
+            .aggregate(Sum("c", alias_name="n"))
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    ut = pa.concat_tables([p.replace_schema_metadata(None) for p in uni_parts])
+    counts: dict = {}
+    n_uni = 0
+    for tok, c in zip(ut["token"].to_pylist(), pc.cast(ut["n"], pa.int64()).to_pylist()):
+        if tok is None:
+            n_uni = c
+        else:
+            counts[tok] = c
+    pmi = [
+        math.log(
+            (cxy / n_bi) / ((counts[x] / n_uni) * (counts[y] / n_uni))
+        )
+        for cxy, (x, y) in zip(c_xy, pair_toks)
+    ]
+    return pa.table(
+        {
+            "bigram": pa.array(bigrams, pa.string()),
+            "n_bigram": pa.array(c_xy, pa.int64()),
+            "pmi": pa.array(pmi, pa.float64()),
+        }
+    )
