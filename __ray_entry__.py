@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_join": dedup.ngram_jaccard_join,
         "dup_components": dedup.dup_components,
         "dedup_keep_canonical": dedup.dedup_keep_canonical,
+        "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         "simhash_dedup": dedup.simhash_dedup,
         # --- similarity search ---
         "knn_cosine": similarity.knn_cosine,
@@ -1194,6 +1195,16 @@ def oracle_sql() -> dict[str, str]:
         # reliable, which is the point of the operator.
         "ngram_jaccard_join": _trigram_jaccard_oracle(0.5),
         "dup_components": _dup_components_oracle(0.5),
+        # deletion-neighborhood blocking is COMPLETE for distance<=1 and
+        # the verify is exact, so the brute-force oracle matches with no
+        # recall caveat (ASCII corpus: levenshtein chars == bytes)
+        "fuzzy_name_pairs": (
+            "WITH v AS (SELECT DISTINCT c_name FROM customer "
+            "WHERE c_name IS NOT NULL) "
+            "SELECT a.c_name AS name_a, b.c_name AS name_b "
+            "FROM v a JOIN v b ON a.c_name < b.c_name "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1"
+        ),
         "dedup_keep_canonical": _dedup_keep_canonical_oracle(0.5),
         # VARCHAR substring == byte slicing here: the documents text is
         # pure ASCII (DuckDB substring does not accept BLOB).

@@ -1359,3 +1359,160 @@ def dedup_keep_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         return t.filter(pa.array(~hit))
 
     return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _edit1_mask(a: list, b: list) -> np.ndarray:
+    """Vectorized exact Levenshtein<=1 check for candidate string pairs
+    (ASCII — codeunits == characters, matching DuckDB ``levenshtein``
+    on this corpus). Equal-length pairs: exactly one differing
+    position. Length-diff-1 pairs: the longer string with its first-
+    mismatch character deleted equals the shorter (one padded byte
+    matrix, a shifted equality grid and a suffix-AND — no per-pair
+    Python)."""
+    n = len(a)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    aa = np.asarray(a, dtype=bytes)
+    bb = np.asarray(b, dtype=bytes)
+    la = np.char.str_len(aa)
+    lb = np.char.str_len(bb)
+    w = max(int(aa.dtype.itemsize), int(bb.dtype.itemsize), 2)
+    A = np.frombuffer(aa.astype(f"S{w}").tobytes(), dtype="S1").reshape(n, w)
+    B = np.frombuffer(bb.astype(f"S{w}").tobytes(), dtype="S1").reshape(n, w)
+    out = np.zeros(n, dtype=bool)
+
+    same_len = la == lb
+    if same_len.any():
+        out[same_len] = (A[same_len] != B[same_len]).sum(axis=1) == 1
+
+    diff1 = np.abs(la - lb) == 1
+    if diff1.any():
+        idx = np.flatnonzero(diff1)
+        # orient: L = longer, S = shorter
+        swap = lb[idx] > la[idx]
+        L = np.where(swap[:, None], B[idx], A[idx])
+        S = np.where(swap[:, None], A[idx], B[idx])
+        ls = np.minimum(la[idx], lb[idx])
+        mism = L != S
+        k = np.argmax(mism, axis=1)  # first mismatch (always exists: pads differ)
+        # E[:, j] == (L[j+1] == S[j]); positions j >= len(S) vacuously ok
+        E = L[:, 1:] == S[:, :-1]
+        E |= np.arange(w - 1)[None, :] >= ls[:, None]
+        suffix_all = np.flip(
+            np.logical_and.accumulate(np.flip(E, axis=1), axis=1), axis=1
+        )
+        kk = np.minimum(k, w - 2)
+        out[idx] = np.where(k >= ls, True, suffix_all[np.arange(len(idx)), kk])
+    return out
+
+
+def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
+    """Fuzzy entity matching: all DISTINCT customer-name pairs within
+    Levenshtein distance 1 — the blocking + verify shape of a record-
+    linkage pipeline (reference analog: the alias/ID reconciliation in
+    the merger, internal/merger/merger.go key matching, generalized to
+    approximate keys). SymSpell-style deletion neighborhood: every name
+    emits itself plus each single-character deletion as a blocking key
+    (COMPLETE for distance<=1: an insertion pairs the shorter string
+    with the longer's deletion, a substitution pairs the two same-
+    position deletions); candidates co-locate via one coarse hashed
+    shuffle, pair-generate per sorted segment with a bounded shifted-
+    compare loop, dedup with one grouped pass, then the exact
+    vectorized <=1 verify drops the distance-2 collisions (shared
+    variant at different positions, e.g. 'ab'/'ba')."""
+    import ray
+
+    from laketide.functions.relational import _key_hash_u64, _segments
+
+    out_schema = pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
+    names = scrubbed_read(f"{sf_dir}/customer.parquet", columns=["c_name"])
+
+    def distinct_pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["c_name"]))
+        return t.group_by(["c_name"]).aggregate([])
+
+    from ray.data.aggregate import Count
+
+    vocab = (
+        names.map_batches(distinct_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_name")
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["c_name"])
+    )
+
+    n_parts = _coarse_n_parts()
+
+    def variants(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_name" not in t.column_names:
+            return pa.schema(
+                [("part", pa.int64()), ("var", pa.string()), ("name", pa.string())]
+            ).empty_table()
+        col = t["c_name"].combine_chunks()
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        max_len = int(lens.max()) if len(lens) else 0
+        outs = [pa.table({"var": col, "name": col})]  # 0-deletion: the name itself
+        for i in range(max_len):
+            m = pa.array(lens > i)
+            sub = col.filter(m)
+            var = pc.binary_join_element_wise(
+                pc.utf8_slice_codeunits(sub, 0, i),
+                pc.utf8_slice_codeunits(sub, i + 1, 2**30),
+                "",
+            )
+            outs.append(pa.table({"var": var, "name": sub}))
+        v = pa.concat_tables(outs)
+        part = _coarse_parts(_key_hash_u64(v["var"].combine_chunks()), n_parts=n_parts)
+        return v.add_column(0, "part", pa.array(part, pa.int64()))
+
+    def pair_gen(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2 or "var" not in g.column_names:
+            return out_schema.empty_table()
+        g = g.sort_by([("var", "ascending"), ("name", "ascending")])
+        var = g["var"].combine_chunks()
+        name = g["name"].combine_chunks()
+        starts, counts = _segments(var)
+        seg_id = np.repeat(np.arange(len(starts)), counts)
+        max_c = int(counts.max()) if len(counts) else 0
+        names_np = name.to_numpy(zero_copy_only=False)
+        outs_a, outs_b = [], []
+        for d in range(1, max_c):
+            same = seg_id[:-d] == seg_id[d:]
+            if same.any():
+                outs_a.append(names_np[:-d][same])
+                outs_b.append(names_np[d:][same])
+        if not outs_a:
+            return out_schema.empty_table()
+        return pa.table(
+            {
+                "name_a": pa.array(np.concatenate(outs_a), pa.string()),
+                "name_b": pa.array(np.concatenate(outs_b), pa.string()),
+            }
+        )
+
+    candidates = (
+        vocab.map_batches(variants, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .map_groups(pair_gen, batch_format="pyarrow")
+        .groupby(["name_a", "name_b"])
+        .aggregate(Count(alias_name="_c"))
+        .select_columns(["name_a", "name_b"])
+    )
+
+    def verify(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "name_a" not in t.column_names:
+            return out_schema.empty_table()
+        ok = _edit1_mask(t["name_a"].to_pylist(), t["name_b"].to_pylist())
+        return t.filter(pa.array(ok)).cast(out_schema)
+
+    parts = [
+        p
+        for p in ray.get(
+            candidates.map_batches(verify, batch_format="pyarrow").to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    if not parts:
+        return out_schema.empty_table()
+    return pa.concat_tables(parts).sort_by(
+        [("name_a", "ascending"), ("name_b", "ascending")]
+    )

@@ -413,3 +413,62 @@ def test_property_minlabel_components_vs_unionfind(edges):
         for m in members:
             want[m] = root
     assert got == want
+
+
+def test_edit1_mask_matches_scalar_levenshtein():
+    """Vectorized <=1 edit-distance verify == scalar DP reference on
+    adversarial cases: transpositions (distance 2 but shared deletion
+    variant), empty strings, pure prefixes, equal strings, first/last
+    char edits."""
+    import numpy as np
+
+    from laketide.functions.dedup import _edit1_mask
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    cases = [
+        ("ab", "ba"), ("abc", "abd"), ("abc", "ab"), ("abc", "bc"),
+        ("", "a"), ("", ""), ("a", "a"), ("abc", "abc"),
+        ("abc", "abcd"), ("abc", "xabc"), ("abc", "axc"), ("abc", "abx"),
+        ("xbc", "abc"), ("aab", "ab"), ("ab", "aab"), ("aaa", "aba"),
+        ("Customer#1", "Customer#2"), ("Customer#1", "Customer#12"),
+        ("abcdef", "abcfed"), ("ax", "xa"), ("aa", "aaa"), ("ba", "ab"),
+    ]
+    a = [x for x, _ in cases]
+    b = [y for _, y in cases]
+    got = _edit1_mask(a, b)
+    # the operator only ever sees DISTINCT pairs, but the kernel itself
+    # must classify equal strings as distance 0 (not 1)
+    want = np.array([lev(x, y) == 1 for x, y in cases])
+    assert got.tolist() == want.tolist(), list(zip(cases, got.tolist(), want.tolist()))
+
+
+def test_fuzzy_name_pairs_planted(tmp_path):
+    """Planted vocabulary: insertion, deletion, substitution pairs are
+    found; a transposition (distance 2) is not."""
+    import pyarrow.parquet as pq
+
+    from laketide.functions.dedup import fuzzy_name_pairs
+
+    names = ["alpha", "alphax", "alpa", "alpha1", "aplha", "beta", "betta", "zz", "zz2"]
+    pq.write_table(pa.table({"c_name": pa.array(names), "c_custkey": pa.array(range(len(names)))}),
+                   tmp_path / "customer.parquet")
+    t = fuzzy_name_pairs(str(tmp_path))
+    got = set(zip(t["name_a"].to_pylist(), t["name_b"].to_pylist()))
+    assert ("alpha", "alphax") in got      # insertion at end
+    assert ("alpa", "alpha") in got        # deletion
+    assert ("alpha", "alpha1") in got      # insertion
+    assert ("beta", "betta") in got        # insertion mid
+    assert ("zz", "zz2") in got
+    assert ("alpha", "aplha") not in got   # transposition = distance 2
+    for x, y in got:
+        assert x < y
