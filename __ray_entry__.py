@@ -354,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_pmi": text.bigram_pmi,
         "dedup_events_window": _lazy("analytics", "dedup_events_window"),
         "orders_monthly_series": _lazy("analytics", "orders_monthly_series"),
+        "revenue_pareto": _lazy("analytics", "revenue_pareto"),
         "vector_norm_stats_by_label": _lazy("similarity", "vector_norm_stats_by_label"),
         "token_postings": text.token_postings,
         "top_bigrams": text.top_bigrams,
@@ -1054,6 +1055,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
             "floor(epoch_us(ts) / 300000000.0) ORDER BY ts, event_id) = 1"
+        ),
+        # count/covered of a descending cumulative sum are invariant to
+        # tie order among equal revenues, so the single-key sort is safe
+        "revenue_pareto": (
+            "WITH s AS (SELECT o_custkey, CAST(sum(CAST(ROUND(o_totalprice*100) "
+            "AS BIGINT)) AS BIGINT) AS sp FROM orders "
+            "WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL "
+            "GROUP BY o_custkey), "
+            "w AS (SELECT sp, sum(sp) OVER (ORDER BY sp DESC "
+            "ROWS UNBOUNDED PRECEDING) AS cum FROM s), "
+            "tot AS (SELECT CAST(sum(sp) AS BIGINT) AS t FROM s) "
+            "SELECT CAST(count(*) FILTER (WHERE CAST(cum - sp AS DOUBLE) "
+            "< 0.8 * CAST(t AS DOUBLE)) AS BIGINT) AS n_top_customers, "
+            "t AS total_cents, "
+            "CAST(coalesce(sum(sp) FILTER (WHERE CAST(cum - sp AS DOUBLE) "
+            "< 0.8 * CAST(t AS DOUBLE)), 0) AS BIGINT) AS covered_cents "
+            "FROM w, tot GROUP BY t"
         ),
         "orders_monthly_series": (
             "WITH c AS (SELECT date_trunc('month', o_orderdate) AS m, "

@@ -606,11 +606,13 @@ def promo_revenue_by_brand(sf_dir: str) -> rd.Dataset:
 
     from laketide.functions.relational import _cents
 
-    part = (
-        _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
-        .to_arrow_refs()
-    )
-    pt = pa.concat_tables([p for p in ray.get(part) if p.num_rows])
+    # dimension read happens driver-side: a distributed scan of a
+    # dimension table costs ~0.5s fixed execution overhead (tpch._dim)
+    import pyarrow.parquet as pq
+
+    pt = pq.read_table(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).replace_schema_metadata(None)
     keys = pt["p_partkey"].combine_chunks().to_numpy(zero_copy_only=False)
     brands = pt["p_brand"].combine_chunks()
     order = np.argsort(keys, kind="stable")
@@ -1220,3 +1222,96 @@ def orders_monthly_series(sf_dir: str) -> pa.Table:
             "n_orders": pa.array(filled.to_numpy(), pa.int64()),
         }
     )
+
+
+def revenue_pareto(sf_dir: str, share: float = 0.8) -> pa.Table:
+    """Pareto / cumulative-distribution primitive: the smallest set of
+    customers whose summed order revenue covers ``share`` of the total.
+    Per-customer sums reduce on a coarse keyed shuffle; the aggregate
+    (one row per customer — orders-of-magnitude smaller than the fact)
+    range-sorts DESC, then a two-pass distributed prefix-sum runs over
+    the sorted blocks: pass 1 collects per-block row/sum stats (tiny),
+    pass 2 gives each block its exclusive offset and counts rows whose
+    cumulative-before is under the target. The count and covered sum
+    are invariant to tie order among equal revenues, so a single-key
+    sort is deterministic here. Raw Ray tasks are justified: a global
+    scan with a per-block carry is the one shape Dataset.map can't
+    express."""
+    import ray
+
+    from laketide.functions.relational import _cents, _coarse_key_reduce
+
+    out_schema = pa.schema(
+        [
+            ("n_top_customers", pa.int64()),
+            ("total_cents", pa.int64()),
+            ("covered_cents", pa.int64()),
+        ]
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["o_custkey"]), pc.is_valid(t["o_totalprice"]))
+        t = t.filter(m)
+        return pa.table(
+            {"o_custkey": t["o_custkey"], "sp": _cents(t["o_totalprice"])}
+        )
+
+    def reduce_fn(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.column_names:
+            return pa.schema(
+                [("o_custkey", pa.int64()), ("sp", pa.int64())]
+            ).empty_table()
+        g = t.group_by(["o_custkey"]).aggregate([("sp", "sum")])
+        return g.rename_columns(["o_custkey", "sp"])
+
+    per_cust = _coarse_key_reduce(
+        _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+            proj, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["o_custkey"],
+        reduce_fn,
+    ).sort("sp", descending=True)
+
+    refs = per_cust.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(t: pa.Table):
+        if t.num_rows == 0 or "sp" not in t.column_names:
+            return 0, 0
+        sp = t["sp"].combine_chunks().to_numpy(zero_copy_only=False)
+        return len(sp), int(sp.sum())
+
+    @ray.remote
+    def block_take(t: pa.Table, offset: int, target: float):
+        if t.num_rows == 0 or "sp" not in t.column_names:
+            return 0, 0
+        sp = t["sp"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        cum_before = offset + np.cumsum(sp) - sp
+        mask = cum_before.astype(np.float64) < target
+        return int(mask.sum()), int(sp[mask].sum())
+
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    total = sum(s for _, s in stats)
+    if total == 0:
+        return pa.table(
+            {
+                "n_top_customers": pa.array([0], pa.int64()),
+                "total_cents": pa.array([0], pa.int64()),
+                "covered_cents": pa.array([0], pa.int64()),
+            }
+        )
+    target = share * float(total)
+    offsets, acc = [], 0
+    for _n, s in stats:
+        offsets.append(acc)
+        acc += s
+    took = ray.get(
+        [block_take.remote(r, off, target) for r, off in zip(refs, offsets)]
+    )
+    return pa.table(
+        {
+            "n_top_customers": pa.array([sum(n for n, _ in took)], pa.int64()),
+            "total_cents": pa.array([total], pa.int64()),
+            "covered_cents": pa.array([sum(c for _, c in took)], pa.int64()),
+        }
+    ).cast(out_schema)

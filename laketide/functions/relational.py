@@ -2059,9 +2059,20 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
     broadcast map composed driver-side (J1 small-side pattern)."""
     import ray
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    # dimension chain read driver-side: three distributed scans cost
+    # ~0.5s fixed execution overhead EACH for dimension-sized tables
+    import pyarrow.parquet as pq
+
+    def _pq(name: str, cols: list[str]):
+        return (
+            pq.read_table(f"{sf_dir}/{name}.parquet", columns=cols)
+            .replace_schema_metadata(None)
+            .to_pandas()
+        )
+
+    cust = _pq("customer", ["c_custkey", "c_nationkey"])
+    nation = _pq("nation", ["n_nationkey", "n_regionkey"])
+    region = _pq("region", ["r_regionkey", "r_name"])
     dim = cust.merge(nation, left_on="c_nationkey", right_on="n_nationkey").merge(
         region, left_on="n_regionkey", right_on="r_regionkey"
     )[["c_custkey", "r_name"]]
