@@ -283,6 +283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": _lazy("analytics", "value_histogram"),
         "events_per_user_quantiles": _lazy("analytics", "events_per_user_quantiles"),
         "orders_price_quantiles": _lazy("analytics", "orders_price_quantiles"),
+        "orders_price_quantiles_cont": _lazy("analytics", "orders_price_quantiles_cont"),
         "funnel_view_click_purchase": _lazy("analytics", "funnel_view_click_purchase"),
         "order_keys_per_customer": _lazy("analytics", "order_keys_per_customer"),
         "q1_pricing": R.q1_pricing,
@@ -355,6 +356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_events_window": _lazy("analytics", "dedup_events_window"),
         "orders_monthly_series": _lazy("analytics", "orders_monthly_series"),
         "revenue_pareto": _lazy("analytics", "revenue_pareto"),
+        "user_value_mad": _lazy("analytics", "user_value_mad"),
         "vector_norm_stats_by_label": _lazy("similarity", "vector_norm_stats_by_label"),
         "token_postings": text.token_postings,
         "top_bigrams": text.top_bigrams,
@@ -650,6 +652,12 @@ def oracle_sql() -> dict[str, str]:
         "orders_price_quantiles": (
             "SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_cents, "
             "CAST(quantile_disc(c, 0.95) AS BIGINT) AS p95_cents FROM ("
+            "SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders "
+            "WHERE o_totalprice IS NOT NULL)"
+        ),
+        "orders_price_quantiles_cont": (
+            "SELECT quantile_cont(c, 0.5) AS p50_cont, "
+            "quantile_cont(c, 0.9) AS p90_cont FROM ("
             "SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c FROM orders "
             "WHERE o_totalprice IS NOT NULL)"
         ),
@@ -1055,6 +1063,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
             "floor(epoch_us(ts) / 300000000.0) ORDER BY ts, event_id) = 1"
+        ),
+        # robust stats over integer cents: quantile_disc medians keep
+        # everything integer (median() would interpolate to double)
+        "user_value_mad": (
+            "WITH e AS (SELECT user_id, CAST(ROUND(value*100) AS BIGINT) AS c "
+            "FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL), "
+            "m AS (SELECT user_id, quantile_disc(c, 0.5) AS med FROM e "
+            "GROUP BY user_id) "
+            "SELECT e.user_id, CAST(any_value(med) AS BIGINT) AS med_cents, "
+            "CAST(quantile_disc(abs(e.c - med), 0.5) AS BIGINT) AS mad_cents, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM e JOIN m USING (user_id) GROUP BY e.user_id"
         ),
         # count/covered of a descending cumulative sum are invariant to
         # tie order among equal revenues, so the single-key sort is safe

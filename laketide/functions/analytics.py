@@ -380,13 +380,25 @@ def _exact_quantiles(ds: rd.Dataset, cents_col, qs) -> dict:
     total = int(hist["n"].sum())
     if total == 0:
         return {q: None for q in qs}
+    ranks = {q: max(1, math.ceil(q * total)) for q in qs}
+    by_rank = _exact_rank_values(ds, cents_col, hist, sorted(set(ranks.values())))
+    return {q: by_rank[r] for q, r in ranks.items()}
+
+
+def _exact_rank_values(ds: rd.Dataset, cents_col, hist, ranks: list) -> dict:
+    """Resolve exact order statistics (1-indexed ranks) from the coarse
+    bucket histogram: locate each rank's bucket from the cumulative,
+    then one refinement scan over only the needed buckets (the second
+    pass of :func:`_exact_quantiles`, shared with the interpolated
+    quantile_cont variant)."""
+    from ray.data.aggregate import Sum
+
     cum = hist["n"].cumsum()
-    targets = {}  # bucket -> [(q, rank_within_bucket)]
-    for q in qs:
-        rank = max(1, math.ceil(q * total))
+    targets = {}  # bucket -> [(rank, rank_within_bucket)]
+    for rank in ranks:
         i = int((cum >= rank).idxmax())
         before = int(cum.iloc[i - 1]) if i > 0 else 0
-        targets.setdefault(int(hist.loc[i, "b"]), []).append((q, rank - before))
+        targets.setdefault(int(hist.loc[i, "b"]), []).append((rank, rank - before))
     need = np.array(sorted(targets), dtype=np.int64)
 
     def refine_pre(t: pa.Table) -> pa.Table:
@@ -409,9 +421,9 @@ def _exact_quantiles(ds: rd.Dataset, cents_col, qs) -> dict:
     for b, wants in targets.items():
         grp = fine[(fine["v"].to_numpy() >> 16) == b].reset_index(drop=True)
         gcum = grp["n"].cumsum()
-        for q, within in wants:
+        for rank, within in wants:
             j = int((gcum >= within).idxmax())
-            out[q] = int(grp.loc[j, "v"])
+            out[rank] = int(grp.loc[j, "v"])
     return out
 
 
@@ -1315,3 +1327,204 @@ def revenue_pareto(sf_dir: str, share: float = 0.8) -> pa.Table:
             "covered_cents": pa.array([sum(c for _, c in took)], pa.int64()),
         }
     ).cast(out_schema)
+
+
+def orders_price_quantiles_cont(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
+    """INTERPOLATED quantiles (SQL quantile_cont / percentile_cont) of
+    order totals: h = q*(n-1), linear interpolation between the exact
+    order statistics at floor(h)+1 and floor(h)+2 — both resolved by
+    the shared two-pass bucket refinement, so only the two needed
+    ranks' buckets are ever re-scanned. The interpolation double is
+    written exactly as DuckDB computes it (lo + (hi-lo)*frac)."""
+    import math
+
+    from ray.data.aggregate import Sum
+
+    from laketide.functions.relational import _cents
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+
+    def cents_col(t: pa.Table) -> "np.ndarray":
+        v = t["o_totalprice"].combine_chunks()
+        v = v.filter(pc.is_valid(v))
+        return _cents(v).to_numpy(zero_copy_only=False)
+
+    def bucket_pre(t: pa.Table) -> pa.Table:
+        c = cents_col(t)
+        b, n = np.unique(c >> 16, return_counts=True)
+        return pa.table(
+            {"b": pa.array(b, pa.int64()), "c": pa.array(n.astype(np.int64))}
+        )
+
+    hist = (
+        ds.map_batches(bucket_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+    total = int(hist["n"].sum())
+    cols = {}
+    if total == 0:
+        for q in qs:
+            cols[f"p{int(q * 100)}_cont"] = pa.array([None], pa.float64())
+        return pa.table(cols)
+    wanted: dict = {}
+    for q in qs:
+        h = q * (total - 1)
+        lo_r = int(math.floor(h)) + 1
+        hi_r = min(lo_r + 1, total)
+        wanted[q] = (lo_r, hi_r, h - math.floor(h))
+    ranks = sorted({r for lo, hi, _ in wanted.values() for r in (lo, hi)})
+    vals = _exact_rank_values(ds, cents_col, hist, ranks)
+    for q, (lo_r, hi_r, frac) in wanted.items():
+        lo, hi = float(vals[lo_r]), float(vals[hi_r])
+        cols[f"p{int(q * 100)}_cont"] = pa.array([lo + (hi - lo) * frac], pa.float64())
+    return pa.table(cols)
+
+
+def _median_from_sorted_pairs(
+    key: pa.ChunkedArray, val: np.ndarray, cnt: np.ndarray
+):
+    """Per-key quantile_disc(0.5) from (key, value, count) rows SORTED
+    by (key, value): smallest value whose within-key cumulative count
+    reaches ceil(n/2). Fully vectorized (segment cumsums + first-hit
+    gather); also returns each key's total count and the segment start
+    offsets."""
+    starts, seg_counts = _segments(key)
+    totals = np.add.reduceat(cnt, starts)
+    targets = (totals + 1) // 2  # ceil(n/2): quantile_disc semantics
+    cum = np.cumsum(cnt)
+    base = np.repeat(cum[starts] - cnt[starts], seg_counts)
+    cum_in = cum - base
+    seg_id = np.repeat(np.arange(len(starts), dtype=np.int64), seg_counts)
+    hit = cum_in >= np.repeat(targets, seg_counts)
+    pos = np.flatnonzero(hit)
+    first = pos[np.unique(seg_id[pos], return_index=True)[1]]
+    return val[first], totals, starts
+
+
+def user_value_mad(sf_dir: str) -> pa.Table:
+    """Per-user robust statistics: median and median-absolute-deviation
+    of event value cents (quantile_disc semantics — integers end to
+    end, so both are hash-exact vs the oracle). Two passes over events:
+    (1) per-(user, cents) count partials -> one coarse user-keyed
+    shuffle -> vectorized per-user median from the sorted count runs;
+    (2) the per-user median table broadcasts back (per-user aggregates
+    are broadcast-scale — the user_value_outliers precedent) and the
+    SAME kernel computes the median of |c - med|. No per-user Python:
+    both medians resolve via segment cumsums and one first-hit gather
+    per partition."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from laketide.functions.relational import _cents, _sorted_member
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("med_cents", pa.int64()),
+            ("mad_cents", pa.int64()),
+            ("n", pa.int64()),
+        ]
+    )
+    ds = _read(sf_dir, "events", columns=["user_id", "value"])
+
+    def pairs_pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["value"])))
+        g = (
+            pa.table({"user_id": t["user_id"], "c": _cents(t["value"])})
+            .group_by(["user_id", "c"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "c", "cnt"])
+        )
+        return _cpart_col(g, "user_id")
+
+    def med_final(g: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("user_id", pa.int64()), ("med", pa.int64()), ("n", pa.int64())]
+        ).empty_table()
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return empty
+        t = (
+            g.drop_columns(["_cpart"])
+            .group_by(["user_id", "c"])
+            .aggregate([("cnt", "sum")])
+            .rename_columns(["user_id", "c", "cnt"])
+            .sort_by([("user_id", "ascending"), ("c", "ascending")])
+        )
+        u = t["user_id"].combine_chunks()
+        med, totals, starts = _median_from_sorted_pairs(
+            u,
+            pc.cast(t["c"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False),
+            pc.cast(t["cnt"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False),
+        )
+        return pa.table(
+            {
+                "user_id": u.take(pa.array(starts, pa.int64())),
+                "med": pa.array(med, pa.int64()),
+                "n": pa.array(totals, pa.int64()),
+            }
+        )
+
+    med_parts = [
+        p
+        for p in ray.get(
+            ds.map_batches(pairs_pre, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_cpart")
+            .map_groups(med_final, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    if not med_parts:
+        return out_schema.empty_table()
+    med_t = pa.concat_tables(
+        [p.replace_schema_metadata(None) for p in med_parts]
+    ).sort_by([("user_id", "ascending")])
+    mkeys = med_t["user_id"].to_numpy(zero_copy_only=False)
+    mvals = med_t["med"].to_numpy(zero_copy_only=False)
+    bc = ray.put((mkeys, mvals))
+
+    def dev_pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["value"])))
+        keys, meds = ray.get(bc)
+        hit, pos = _sorted_member(keys, t["user_id"].combine_chunks())
+        c = _cents(t["value"]).to_numpy(zero_copy_only=False)
+        dev = np.abs(c - meds[pos])  # every valid user has a median
+        g = (
+            pa.table({"user_id": t["user_id"], "c": pa.array(dev, pa.int64())})
+            .group_by(["user_id", "c"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "c", "cnt"])
+        )
+        return _cpart_col(g, "user_id")
+
+    def mad_final(g: pa.Table) -> pa.Table:
+        t = med_final(g).rename_columns(["user_id", "mad", "n"])
+        return t.select(["user_id", "mad"])
+
+    mad_parts = [
+        p
+        for p in ray.get(
+            ds.map_batches(dev_pre, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_cpart")
+            .map_groups(mad_final, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    mad_t = pa.concat_tables(
+        [p.replace_schema_metadata(None) for p in mad_parts]
+    ).sort_by([("user_id", "ascending")])
+    # both tables carry exactly the users with >=1 valid value
+    assert mad_t.num_rows == med_t.num_rows
+    return pa.table(
+        {
+            "user_id": pc.cast(med_t["user_id"], pa.int64()),
+            "med_cents": pc.cast(med_t["med"], pa.int64()),
+            "mad_cents": pc.cast(mad_t["mad"], pa.int64()),
+            "n": pc.cast(med_t["n"], pa.int64()),
+        }
+    )

@@ -1116,13 +1116,16 @@ def bigram_pmi(sf_dir: str, k: int = 50) -> pa.Table:
         total = len(flat)
         hits = flat.filter(pc.is_in(flat, value_set=ray.get(bc)))
         vc = pc.value_counts(hits)
+        n = len(pc.struct_field(vc, "values"))
+        # the is_total row carries this batch's total token count — one
+        # scan serves both aggregates (an explicit flag, NOT a null
+        # token key: Ray's aggregate sort dies on null string keys)
         return pa.table(
             {
-                # the null-token row carries this batch's total token
-                # count — one scan serves both aggregates
                 "token": pa.concat_arrays(
-                    [_arr(pc.struct_field(vc, "values")), pa.array([None], pa.string())]
+                    [_arr(pc.struct_field(vc, "values")), pa.array([""], pa.string())]
                 ),
+                "is_total": pa.array([False] * n + [True], pa.bool_()),
                 "c": pa.concat_arrays(
                     [
                         _arr(pc.cast(pc.struct_field(vc, "counts"), pa.int64())),
@@ -1136,7 +1139,7 @@ def bigram_pmi(sf_dir: str, k: int = 50) -> pa.Table:
         p
         for p in ray.get(
             ds.map_batches(uni_pre, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("token")
+            .groupby(["token", "is_total"])
             .aggregate(Sum("c", alias_name="n"))
             .to_arrow_refs()
         )
@@ -1145,8 +1148,12 @@ def bigram_pmi(sf_dir: str, k: int = 50) -> pa.Table:
     ut = pa.concat_tables([p.replace_schema_metadata(None) for p in uni_parts])
     counts: dict = {}
     n_uni = 0
-    for tok, c in zip(ut["token"].to_pylist(), pc.cast(ut["n"], pa.int64()).to_pylist()):
-        if tok is None:
+    for tok, is_total, c in zip(
+        ut["token"].to_pylist(),
+        ut["is_total"].to_pylist(),
+        pc.cast(ut["n"], pa.int64()).to_pylist(),
+    ):
+        if is_total:
             n_uni = c
         else:
             counts[tok] = c

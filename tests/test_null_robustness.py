@@ -58,6 +58,11 @@ _NULLABLE_QUERIES = [
     "doc_rare_token_stats",
     "top_bigrams",
     "benchmark_contamination",
+    "dedup_events_window",
+    "user_value_mad",
+    "tfidf_top_terms",
+    "bigram_pmi",
+    "vector_norm_stats_by_label",
 ]
 
 
