@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_monthly_series": _lazy("analytics", "orders_monthly_series"),
         "revenue_pareto": _lazy("analytics", "revenue_pareto"),
         "user_value_mad": _lazy("analytics", "user_value_mad"),
+        "event_share_by_day": _lazy("analytics", "event_share_by_day"),
         "vector_norm_stats_by_label": _lazy("similarity", "vector_norm_stats_by_label"),
         "token_postings": text.token_postings,
         "top_bigrams": text.top_bigrams,
@@ -1063,6 +1064,17 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
             "floor(epoch_us(ts) / 300000000.0) ORDER BY ts, event_id) = 1"
+        ),
+        # share = n / day_total over exact integer counts, divided with
+        # the same cast tree on both sides
+        "event_share_by_day": (
+            "WITH c AS (SELECT date_trunc('day', ts) AS day, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE ts IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY day, event_type) "
+            "SELECT day, event_type, n, "
+            "CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY day) AS DOUBLE) "
+            "AS day_share FROM c"
         ),
         # robust stats over integer cents: quantile_disc medians keep
         # everything integer (median() would interpolate to double)

@@ -194,6 +194,10 @@ def run_bench() -> dict:
         timed("q22_idle_customers", T.q22_idle_customers)
         timed("tfidf_top_terms", text.tfidf_top_terms)
         timed("vector_norm_stats_by_label", similarity.vector_norm_stats_by_label)
+        timed("fuzzy_name_pairs", dedup.fuzzy_name_pairs)
+        timed("user_value_mad", A.user_value_mad)
+        timed("revenue_pareto", A.revenue_pareto)
+        timed("bigram_pmi", text.bigram_pmi)
 
     ray.shutdown()
     return {

@@ -1528,3 +1528,64 @@ def user_value_mad(sf_dir: str) -> pa.Table:
             "n": pc.cast(med_t["n"], pa.int64()),
         }
     )
+
+
+def event_share_by_day(sf_dir: str) -> pa.Table:
+    """Ratio-within-window aggregate: each (day, event_type)'s share of
+    that day's events. Counts reduce distributed (per-batch Arrow
+    partials, one small shuffle of day x type rows); the share division
+    happens once on the tiny aggregate with the same expression tree as
+    the oracle's window sum (exact integer counts -> bit-equal
+    doubles)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def pre(t: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(t["ts"]), pc.is_valid(t["event_type"]))
+        t = t.filter(m)
+        g = (
+            pa.table(
+                {
+                    "day": pc.floor_temporal(t["ts"], unit="day"),
+                    "event_type": t["event_type"],
+                }
+            )
+            .group_by(["day", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["day", "event_type", "c"])
+
+    agg = (
+        _read(sf_dir, "events", columns=["ts", "event_type"])
+        .map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["day", "event_type"])
+        .aggregate(Sum("c", alias_name="n_f"))
+    )
+    out_schema = pa.schema(
+        [
+            ("day", pa.timestamp("us")),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+            ("day_share", pa.float64()),
+        ]
+    )
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    if not parts:
+        return out_schema.empty_table()
+    t = pa.concat_tables([p.replace_schema_metadata(None) for p in parts]).sort_by(
+        [("day", "ascending"), ("event_type", "ascending")]
+    )
+    day = pc.cast(t["day"], pa.timestamp("us")).combine_chunks()
+    n = pc.cast(t["n_f"], pa.int64()).combine_chunks()
+    starts, seg_counts = _segments(day)
+    n_np = n.to_numpy(zero_copy_only=False)
+    day_tot = np.repeat(np.add.reduceat(n_np, starts), seg_counts)
+    share = n_np.astype(np.float64) / day_tot.astype(np.float64)
+    return pa.table(
+        {
+            "day": day,
+            "event_type": t["event_type"],
+            "n": n,
+            "day_share": pa.array(share, pa.float64()),
+        }
+    )

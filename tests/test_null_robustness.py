@@ -63,6 +63,7 @@ _NULLABLE_QUERIES = [
     "tfidf_top_terms",
     "bigram_pmi",
     "vector_norm_stats_by_label",
+    "event_share_by_day",
 ]
 
 
