@@ -293,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": R.q4_order_priority,
         "q12_line_priority": R.q12_line_priority,
         "q18_large_orders": R.q18_large_orders,
+        "fk_integrity_audit": _lazy("relational", "fk_integrity_audit"),
         "customer_order_counts": _lazy_pinned(
             "relational",
             "customer_order_counts",
@@ -353,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_cluster_stats": _lazy("similarity", "kmeans_cluster_stats"),
         "tfidf_top_terms": text.tfidf_top_terms,
         "bigram_pmi": text.bigram_pmi,
+        "bm25_search": text.bm25_search,
         "dedup_events_window": _lazy("analytics", "dedup_events_window"),
         "orders_monthly_series": _lazy("analytics", "orders_monthly_series"),
         "revenue_pareto": _lazy("analytics", "revenue_pareto"),
@@ -567,6 +569,18 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_shipdate >= TIMESTAMP '1997-01-01' "
             "AND l_shipdate < TIMESTAMP '1998-01-01' "
             "GROUP BY l_linestatus ORDER BY l_linestatus"
+        ),
+        # NOT EXISTS never matches a null probe key, so null keys count
+        # as orphans on both sides
+        "fk_integrity_audit": (
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_lineitem, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM lineitem l WHERE NOT EXISTS "
+            "(SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) "
+            "AS n_lineitem_orphans, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_orders, "
+            "(SELECT CAST(count(*) AS BIGINT) FROM orders o WHERE NOT EXISTS "
+            "(SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) "
+            "AS n_order_orphans"
         ),
         "customer_order_counts": (
             "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders "
@@ -1229,6 +1243,10 @@ def oracle_sql() -> dict[str, str]:
         # so equality with an exact O(n^2) oracle would be data-luck, not
         # correctness. Recall is proven by the planted-duplicate pytest.
         "langid_ngram": _langid_oracle(),
+        # BM25 over exact integer corpus stats; the score expression tree
+        # (idf * (tf*(k1+1)) / (tf + k1*(1-b+b*(dl/avgdl)))), the term
+        # ORDER of the final sum, and every cast point mirror the engine
+        "bm25_search": _bm25_oracle(),
         # Exact ground truth: string word-trigram sets + set Jaccard (no
         # hashing). The Ray pipeline's hashed-shingle Jaccard equals the
         # string-set Jaccard (injective whp), and LSH recall at the >=0.7
@@ -1343,6 +1361,46 @@ def _dedup_keep_canonical_oracle(threshold: float) -> str:
         "SELECT d.doc_id, d.lang FROM documents d "
         "LEFT JOIN comp c ON d.doc_id = c.doc_id "
         "WHERE c.doc_id IS NULL OR c.component = d.doc_id"
+    )
+
+
+def _bm25_oracle(k: int = 10) -> str:
+    """BM25 oracle generated from the SAME query tokens and constants
+    as the engine (laketide.functions.text.bm25_search); each query
+    token's term is written out explicitly so the score's addition
+    order matches the engine's accumulation loop."""
+    from laketide.functions.text import _BM25_B, _BM25_K1, _BM25_QUERY
+
+    k1, b = _BM25_K1, _BM25_B
+    df_ctes = ", ".join(
+        f"df{i} AS (SELECT count(DISTINCT doc_id) AS v FROM tok WHERE token = '{t}')"
+        for i, t in enumerate(_BM25_QUERY)
+    )
+    tf_cols = ", ".join(
+        f"count(*) FILTER (WHERE token = '{t}') AS tf{i}"
+        for i, t in enumerate(_BM25_QUERY)
+    )
+    terms = " + ".join(
+        (
+            f"ln((CAST(n AS DOUBLE) - (SELECT v FROM df{i}) + 0.5) / "
+            f"((SELECT v FROM df{i}) + 0.5) + 1.0) * "
+            f"(CAST(tf{i} AS DOUBLE) * ({k1} + 1.0)) / "
+            f"(CAST(tf{i} AS DOUBLE) + {k1} * (1.0 - {b} + {b} * "
+            "(CAST(d AS DOUBLE) / (CAST(tt AS DOUBLE) / CAST(n AS DOUBLE)))))"
+        )
+        for i in range(len(_BM25_QUERY))
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+        "FROM documents WHERE text IS NOT NULL), "
+        "dl AS (SELECT doc_id, count(*) AS d FROM tok GROUP BY doc_id), "
+        "st AS (SELECT (SELECT count(*) FROM documents WHERE text IS NOT NULL) AS n, "
+        "(SELECT sum(d) FROM dl) AS tt), "
+        f"{df_ctes}, "
+        f"tf AS (SELECT doc_id, {tf_cols} FROM tok GROUP BY doc_id) "
+        f"SELECT doc_id, {terms} AS score "
+        "FROM tf JOIN dl USING (doc_id), st "
+        f"ORDER BY score DESC, doc_id LIMIT {k}"
     )
 
 

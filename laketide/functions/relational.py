@@ -2123,3 +2123,119 @@ def revenue_by_region(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def fk_integrity_audit(
+    sf_dir: str, broadcast_budget_rows: int = 20_000_000
+) -> pa.Table:
+    """Referential-integrity audit — the data-quality gate an ingest
+    pipeline runs before publishing: counts of lineitem rows whose
+    orderkey matches no order and order rows whose custkey matches no
+    customer (null keys are orphans: a NOT EXISTS probe can never
+    match them), plus the scanned totals. Key sets broadcast as sorted
+    arrays under a row budget (counting needs ONE bit per probe row —
+    the q4 semi-join shape); above it each probe runs through the
+    schema-safe tagged-union lookup join and counts null markers."""
+    import numpy as np
+    import ray
+
+    def _orphan_count(
+        probe: rd.Dataset, probe_key: str, keys_ds: rd.Dataset, key_col: str, n_keys: int
+    ) -> tuple:
+        """(n_probe_rows, n_orphans) — adaptive semi-anti count."""
+        if n_keys <= broadcast_budget_rows:
+            kparts = [p for p in ray.get(keys_ds.to_arrow_refs()) if p.num_rows]
+            keys = (
+                np.unique(
+                    pc.drop_null(
+                        pa.concat_tables(
+                            [p.replace_schema_metadata(None) for p in kparts]
+                        )[key_col].combine_chunks()
+                    ).to_numpy(zero_copy_only=False)
+                )
+                if kparts
+                else np.array([], np.int64)
+            )
+            keys_ref = ray.put(keys)
+
+            def count_pre(t: pa.Table) -> pa.Table:
+                hit, _ = _sorted_member(
+                    ray.get(keys_ref), t[probe_key].combine_chunks()
+                )
+                return pa.table(
+                    {
+                        "n": pa.array([t.num_rows], pa.int64()),
+                        "orphans": pa.array([int((~hit).sum())], pa.int64()),
+                    }
+                )
+
+            agg = probe.map_batches(
+                count_pre, batch_format="pyarrow", zero_copy_batch=True
+            ).sum(["n", "orphans"])
+            return int(agg["sum(n)"] or 0), int(agg["sum(orphans)"] or 0)
+
+        from laketide.functions.tpch import _attach_by_key
+
+        marked = keys_ds.map_batches(
+            lambda t: pa.table(
+                {
+                    key_col: t[key_col],
+                    "hit": pa.array([1] * t.num_rows, pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        attached = _attach_by_key(
+            probe,
+            [(probe_key, pa.int64())],
+            probe_key,
+            marked,
+            key_col,
+            [("hit", pa.int8())],
+        )
+
+        def count_post(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "hit" not in t.column_names:
+                return pa.table(
+                    {"n": pa.array([0], pa.int64()), "orphans": pa.array([0], pa.int64())}
+                )
+            miss = pc.is_null(t["hit"])
+            return pa.table(
+                {
+                    "n": pa.array([t.num_rows], pa.int64()),
+                    "orphans": pa.array([int(pc.sum(pc.cast(miss, pa.int64())).as_py() or 0)], pa.int64()),
+                }
+            )
+
+        agg = attached.map_batches(count_post, batch_format="pyarrow").sum(
+            ["n", "orphans"]
+        )
+        return int(agg["sum(n)"] or 0), int(agg["sum(orphans)"] or 0)
+
+    import pyarrow.parquet as pq
+
+    n_orders = pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    n_cust = pq.ParquetFile(f"{sf_dir}/customer.parquet").metadata.num_rows
+    n_li, li_orphans = _orphan_count(
+        _read(sf_dir, "lineitem", columns=["l_orderkey"]),
+        "l_orderkey",
+        _read(sf_dir, "orders", columns=["o_orderkey"]),
+        "o_orderkey",
+        n_orders,
+    )
+    n_ord, ord_orphans = _orphan_count(
+        _read(sf_dir, "orders", columns=["o_custkey"]),
+        "o_custkey",
+        _read(sf_dir, "customer", columns=["c_custkey"]),
+        "c_custkey",
+        n_cust,
+    )
+    return pa.table(
+        {
+            "n_lineitem": pa.array([n_li], pa.int64()),
+            "n_lineitem_orphans": pa.array([li_orphans], pa.int64()),
+            "n_orders": pa.array([n_ord], pa.int64()),
+            "n_order_orphans": pa.array([ord_orphans], pa.int64()),
+        }
+    )

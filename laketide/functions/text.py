@@ -1170,3 +1170,108 @@ def bigram_pmi(sf_dir: str, k: int = 50) -> pa.Table:
             "pmi": pa.array(pmi, pa.float64()),
         }
     )
+
+
+_BM25_K1, _BM25_B = 1.5, 0.75
+_BM25_QUERY = ("data", "stream", "fast", "join")
+
+
+def bm25_search(sf_dir: str, k: int = 10) -> pa.Table:
+    """BM25 retrieval (Robertson/Lucene idf variant) of the corpus
+    against a fixed token query — the scoring core of a search /
+    contamination-lookup pipeline. Two streaming scans: (1) one-row
+    per-batch corpus statistics (doc count, total tokens, per-query-
+    token document frequencies — docs never span batches, so the
+    partials sum exactly); (2) vectorized per-doc term frequencies
+    (equality mask + reduceat over the flattened token array), the
+    BM25 formula evaluated with the SAME expression tree as the SQL
+    oracle (exact integer inputs -> bit-equal doubles), per-batch
+    top-k, driver merge."""
+    import math
+
+    import ray
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    q_toks = _BM25_QUERY
+
+    def stats_pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["text"]))
+        toks = pc.split_pattern(t["text"], " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        cols = {
+            "n_docs": pa.array([t.num_rows], pa.int64()),
+            "total_tokens": pa.array([int(lens.sum())], pa.int64()),
+        }
+        if len(lens):
+            starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            for i, tok in enumerate(q_toks):
+                eq = pc.equal(flat, tok).to_numpy(zero_copy_only=False)
+                per_doc = np.add.reduceat(eq.astype(np.int64), starts) * (lens > 0)
+                cols[f"df{i}"] = pa.array([int((per_doc > 0).sum())], pa.int64())
+        else:
+            for i in range(len(q_toks)):
+                cols[f"df{i}"] = pa.array([0], pa.int64())
+        return pa.table(cols)
+
+    stats = ds.map_batches(stats_pre, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["n_docs", "total_tokens"] + [f"df{i}" for i in range(len(q_toks))]
+    )
+    n_docs = int(stats["sum(n_docs)"] or 0)
+    if n_docs == 0:
+        return out_schema.empty_table()
+    total_tokens = int(stats["sum(total_tokens)"])
+    avgdl = float(total_tokens) / float(n_docs)
+    idf = [
+        math.log((float(n_docs) - stats[f"sum(df{i})"] + 0.5)
+                 / (stats[f"sum(df{i})"] + 0.5) + 1.0)
+        for i in range(len(q_toks))
+    ]
+    bc = ray.put((idf, avgdl))
+
+    def score(t: pa.Table) -> pa.Table:
+        idf_, avgdl_ = ray.get(bc)
+        t = t.filter(pc.is_valid(t["text"]))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(t["text"], " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        dl = lens.astype(np.float64)
+        sc = np.zeros(t.num_rows, np.float64)
+        denom_base = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dl / avgdl_))
+        for i, tok in enumerate(q_toks):
+            eq = pc.equal(flat, tok).to_numpy(zero_copy_only=False)
+            tf = (np.add.reduceat(eq.astype(np.int64), starts) * (lens > 0)).astype(
+                np.float64
+            )
+            sc += idf_[i] * (tf * (_BM25_K1 + 1.0)) / (tf + denom_base)
+        out = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "score": pa.array(sc, pa.float64()),
+            }
+        ).sort_by([("score", "descending"), ("doc_id", "ascending")])
+        return out.slice(0, k)
+
+    parts = [
+        p
+        for p in ray.get(
+            ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+            .to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    if not parts:
+        return out_schema.empty_table()
+    return (
+        pa.concat_tables(parts)
+        .sort_by([("score", "descending"), ("doc_id", "ascending")])
+        .slice(0, k)
+    )

@@ -41,3 +41,41 @@ def test_q17_empty_brand_returns_zero_row():
     df = _to_pandas(tpch.q17_small_quantity_revenue(SF, brand="Brand#NOPE"))
     assert len(df) == 1
     assert int(df["total_cents"].iloc[0]) == 0
+
+
+def test_fk_integrity_audit_fallback_and_planted_orphans(tmp_path):
+    """Orphan detection exact on a planted corpus (incl. null keys), and
+    the over-budget tagged-union path matches the broadcast path."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laketide.functions.relational import fk_integrity_audit
+
+    pq.write_table(
+        pa.table({"l_orderkey": pa.array([1, 1, 2, 9, None], pa.int64())}),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                "o_custkey": pa.array([10, None, 99], pa.int64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([10, 11], pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    want = {
+        "n_lineitem": 5,
+        "n_lineitem_orphans": 2,  # orderkey 9 + the null key
+        "n_orders": 3,
+        "n_order_orphans": 2,  # custkey 99 + the null key
+    }
+    for budget in (20_000_000, 0):
+        t = fk_integrity_audit(str(tmp_path), broadcast_budget_rows=budget)
+        got = {k: t[k][0].as_py() for k in want}
+        assert got == want, (budget, got)
