@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text.tfidf_top_terms,
         "bigram_pmi": text.bigram_pmi,
         "bm25_search": text.bm25_search,
+        "dataset_split_assign": text.dataset_split_assign,
+        "langid_confusion": text.langid_confusion,
         "dedup_events_window": _lazy("analytics", "dedup_events_window"),
         "orders_monthly_series": _lazy("analytics", "orders_monthly_series"),
         "revenue_pareto": _lazy("analytics", "revenue_pareto"),
@@ -1247,6 +1249,21 @@ def oracle_sql() -> dict[str, str]:
         # (idf * (tf*(k1+1)) / (tf + k1*(1-b+b*(dl/avgdl)))), the term
         # ORDER of the final sum, and every cast point mirror the engine
         "bm25_search": _bm25_oracle(),
+        "dataset_split_assign": (
+            "SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' "
+            "ELSE 'test' END AS split, lang, CAST(count(*) AS BIGINT) AS n "
+            "FROM (SELECT lang, (CAST(doc_id AS HUGEINT) * 2654435761) "
+            "% 18446744073709551616 % 100 AS h FROM documents) "
+            "GROUP BY split, lang"
+        ),
+        # confusion matrix over the SAME deterministic classifier the
+        # langid_ngram oracle reproduces in SQL
+        "langid_confusion": (
+            f"WITH pred AS ({_langid_oracle()}) "
+            "SELECT d.lang, p.lang_pred, CAST(count(*) AS BIGINT) AS n "
+            "FROM pred p JOIN documents d USING (doc_id) "
+            "GROUP BY d.lang, p.lang_pred"
+        ),
         # Exact ground truth: string word-trigram sets + set Jaccard (no
         # hashing). The Ray pipeline's hashed-shingle Jaccard equals the
         # string-set Jaccard (injective whp), and LSH recall at the >=0.7

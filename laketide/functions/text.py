@@ -1275,3 +1275,74 @@ def bm25_search(sf_dir: str, k: int = 10) -> pa.Table:
         .sort_by([("score", "descending"), ("doc_id", "ascending")])
         .slice(0, k)
     )
+
+
+def dataset_split_assign(sf_dir: str) -> rd.Dataset:
+    """Deterministic train/val/test split assignment — the reproducible
+    80/10/10 partitioner a training pipeline runs before export
+    (hash-based, NOT random_sample: identical at any parallelism or
+    block layout). Same uint64-wraparound hash as doc_sample_hash;
+    output is the per-(split, lang) count matrix."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "lang"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) % np.uint64(100)
+        split = np.where(h < 80, "train", np.where(h < 90, "val", "test"))
+        g = (
+            pa.table({"split": pa.array(split, pa.string()), "lang": t["lang"]})
+            .group_by(["split", "lang"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["split", "lang", "c"])
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["split", "lang"])
+        .aggregate(Sum("c", alias_name="n_f"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"split": t["split"], "lang": t["lang"], "n": pc.cast(t["n_f"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def langid_confusion(sf_dir: str) -> rd.Dataset:
+    """Model-eval confusion matrix: labeled lang vs the n-gram
+    classifier's prediction, counted per (lang, lang_pred) cell — the
+    quality-report join a labeling pipeline emits. One scan: the
+    classifier runs per batch (instance closure, profiles built once)
+    and the per-batch count partials collapse to at most |langs|^2
+    rows before the tiny final groupby."""
+    import pandas as _pd
+
+    from ray.data.aggregate import Sum
+
+    clf = LangIdNgram()
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def pre(df: "_pd.DataFrame") -> "_pd.DataFrame":
+        pred = clf(df[["doc_id", "text"]])
+        out = _pd.DataFrame({"lang": df["lang"].to_numpy(), "lang_pred": pred["lang_pred"].to_numpy()})
+        g = out.groupby(["lang", "lang_pred"], dropna=False).size().reset_index(name="c")
+        return g
+
+    agg = (
+        ds.map_batches(pre, batch_format="pandas")
+        .groupby(["lang", "lang_pred"])
+        .aggregate(Sum("c", alias_name="n_f"))
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "lang": t["lang"],
+                "lang_pred": t["lang_pred"],
+                "n": pc.cast(t["n_f"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
