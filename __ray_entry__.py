@@ -362,6 +362,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_pareto": _lazy("analytics", "revenue_pareto"),
         "user_value_mad": _lazy("analytics", "user_value_mad"),
         "event_share_by_day": _lazy("analytics", "event_share_by_day"),
+        "user_type_bitmask": _lazy("analytics", "user_type_bitmask"),
+        "orders_monthly_growth": _lazy("analytics", "orders_monthly_growth"),
         "vector_norm_stats_by_label": _lazy("similarity", "vector_norm_stats_by_label"),
         "token_postings": text.token_postings,
         "top_bigrams": text.top_bigrams,
@@ -1080,6 +1082,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
             "floor(epoch_us(ts) / 300000000.0) ORDER BY ts, event_id) = 1"
+        ),
+        "orders_monthly_growth": (
+            "WITH c AS (SELECT date_trunc('month', o_orderdate) AS m, "
+            "count(*) AS n FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1), "
+            "r AS (SELECT m AS month, CAST(coalesce(n, 0) AS BIGINT) AS n_orders "
+            "FROM (SELECT unnest(generate_series((SELECT min(m) FROM c), "
+            "(SELECT max(m) FROM c), INTERVAL 1 MONTH)) AS m) "
+            "LEFT JOIN c USING (m)) "
+            "SELECT month, n_orders, "
+            "CASE WHEN lag(n_orders) OVER (ORDER BY month) = 0 THEN NULL "
+            "ELSE 100.0 * (CAST(n_orders AS DOUBLE) - "
+            "CAST(lag(n_orders) OVER (ORDER BY month) AS DOUBLE)) "
+            "/ CAST(lag(n_orders) OVER (ORDER BY month) AS DOUBLE) END "
+            "AS growth_pct FROM r"
+        ),
+        # bit i = alphabetical event type i; bit_or is order-free
+        "user_type_bitmask": (
+            "SELECT user_id, CAST(bit_or(CASE event_type "
+            "WHEN 'click' THEN 1 WHEN 'error' THEN 2 WHEN 'purchase' THEN 4 "
+            "WHEN 'signup' THEN 8 WHEN 'view' THEN 16 ELSE 0 END) AS BIGINT) "
+            "AS type_mask, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY user_id"
         ),
         # share = n / day_total over exact integer counts, divided with
         # the same cast tree on both sides

@@ -1589,3 +1589,104 @@ def event_share_by_day(sf_dir: str) -> pa.Table:
             "day_share": pa.array(share, pa.float64()),
         }
     )
+
+
+_TYPE_BITS = ("click", "error", "purchase", "signup", "view")
+
+
+def user_type_bitmask(sf_dir: str) -> rd.Dataset:
+    """Bitwise-OR aggregate: per user, the bitmask of event types ever
+    seen (bit i = alphabetical type i) plus the event count — the
+    compact feature-flag encoding a profile store keeps. Per-batch OR
+    partials (an 8-bit column exchanges instead of raw types); the OR
+    is idempotent/associative so any combine order matches the SQL
+    bit_or."""
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    bits = {t: 1 << i for i, t in enumerate(_TYPE_BITS)}
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["event_type"])))
+        ty = t["event_type"].combine_chunks()
+        b = np.zeros(t.num_rows, np.int64)
+        for name, bit in bits.items():
+            b |= pc.equal(ty, name).to_numpy(zero_copy_only=False) * bit
+        # per-user OR of the bits via one sorted segment pass (a max
+        # would be wrong when a user mixes types within the batch)
+        t2 = pa.table(
+            {"user_id": t["user_id"], "b": pa.array(b, pa.int64())}
+        ).sort_by([("user_id", "ascending")])
+        u = t2["user_id"].combine_chunks()
+        starts, counts = _segments(u)
+        bb = t2["b"].to_numpy(zero_copy_only=False)
+        ors = np.bitwise_or.reduceat(bb, starts)
+        return pa.table(
+            {
+                "user_id": u.take(pa.array(starts, pa.int64())),
+                "mask": pa.array(ors, pa.int64()),
+                "c": pa.array(counts, pa.int64()),
+            }
+        )
+
+    def or_reduce(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return pa.schema(
+                [("user_id", pa.int64()), ("mask", pa.int64()), ("c", pa.int64())]
+            ).empty_table()
+        t = g.drop_columns(["_cpart"]).sort_by([("user_id", "ascending")])
+        u = t["user_id"].combine_chunks()
+        starts, _counts = _segments(u)
+        ors = np.bitwise_or.reduceat(
+            t["mask"].to_numpy(zero_copy_only=False), starts
+        )
+        sums = np.add.reduceat(t["c"].to_numpy(zero_copy_only=False), starts)
+        return pa.table(
+            {
+                "user_id": u.take(pa.array(starts, pa.int64())),
+                "mask": pa.array(ors, pa.int64()),
+                "c": pa.array(sums, pa.int64()),
+            }
+        )
+
+    def tag(t: pa.Table) -> pa.Table:
+        return _cpart_col(pre(t), "user_id")
+
+    out = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(or_reduce, batch_format="pyarrow")
+    )
+    return out.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "type_mask": pc.cast(t["mask"], pa.int64()),
+                "n_events": pc.cast(t["c"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def orders_monthly_growth(sf_dir: str) -> pa.Table:
+    """Month-over-month growth: the densified monthly series (zero rows
+    for gap months) extended with lag-based percent change — the KPI
+    view on top of a streaming aggregate; the window math runs on the
+    tiny month table driver-side, with the same expression tree as the
+    SQL lag window (NULL for the first month and zero baselines)."""
+    t = orders_monthly_series(sf_dir)
+    n = pc.cast(t["n_orders"], pa.int64()).to_numpy(zero_copy_only=False)
+    growth = np.full(len(n), np.nan)
+    if len(n) > 1:
+        prev = n[:-1].astype(np.float64)
+        cur = n[1:].astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            g = 100.0 * (cur - prev) / prev
+        g[prev == 0] = np.nan
+        growth[1:] = g
+    return pa.table(
+        {
+            "month": t["month"],
+            "n_orders": t["n_orders"],
+            "growth_pct": pa.array(growth, pa.float64(), mask=np.isnan(growth)),
+        }
+    )

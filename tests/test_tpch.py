@@ -79,3 +79,60 @@ def test_fk_integrity_audit_fallback_and_planted_orphans(tmp_path):
         t = fk_integrity_audit(str(tmp_path), broadcast_budget_rows=budget)
         got = {k: t[k][0].as_py() for k in want}
         assert got == want, (budget, got)
+
+
+def test_attach_by_key_adversarial_shapes():
+    """The shared tagged-union lookup join must survive the shapes that
+    crash Dataset.join: all-null left keys, empty right side, and keep
+    left rows with null values on miss; duplicate right keys resolve to
+    ONE value (first by sort), never a row explosion."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from laketide.functions.tpch import _attach_by_key
+
+    left = rd.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 2, None, 9], pa.int64()),
+                "payload": pa.array(["a", "b", "c", "d"], pa.string()),
+            }
+        )
+    )
+    right = rd.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array([1, 1, 2], pa.int64()),
+                "v": pa.array([10, 11, 20], pa.int64()),
+            }
+        )
+    )
+    out = _attach_by_key(
+        left,
+        [("k", pa.int64()), ("payload", pa.string())],
+        "k",
+        right,
+        "rk",
+        [("v", pa.int64())],
+    ).to_pandas()
+    assert len(out) == 4  # every left row exactly once
+    got = {row["payload"]: row["v"] for _, row in out.iterrows()}
+    import pandas as pd
+
+    assert got["a"] in (10, 11)  # duplicate right key: one value wins
+    assert got["b"] == 20
+    assert pd.isna(got["c"]) and pd.isna(got["d"])  # null key + miss -> null
+
+    # empty right side: all left rows survive with null values
+    empty_right = rd.from_arrow(
+        pa.schema([("rk", pa.int64()), ("v", pa.int64())]).empty_table()
+    )
+    out2 = _attach_by_key(
+        left,
+        [("k", pa.int64()), ("payload", pa.string())],
+        "k",
+        empty_right,
+        "rk",
+        [("v", pa.int64())],
+    ).to_pandas()
+    assert len(out2) == 4 and out2["v"].isna().all()
