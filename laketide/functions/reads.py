@@ -2,21 +2,23 @@
 
 pandas-written parquet carries dict-valued schema metadata that Ray's
 shuffle/join planners cannot hash ("Failed to hash the schemas (for
-deduplication)" log storms, and schema-dedup silently disabled). Scrub
-the metadata at the read — the scrub map fuses with the parquet read
-task, so it costs nothing — and every downstream op sees a clean,
-hashable schema.
+deduplication)" log storms, and schema-dedup silently disabled).
+Passing an explicitly metadata-scrubbed schema to ``read_parquet``
+cleans the blocks AT THE READ OPERATOR itself — a post-read scrub map
+only fixed downstream stages, while the read's own SplitBlocks output
+still warned on every task.
 """
 
 from __future__ import annotations
 
+import pyarrow as pa
+import pyarrow.parquet as pq
 import ray.data as rd
 
 
 def scrubbed_read(path: str, columns: list[str] | None = None) -> rd.Dataset:
-    ds = rd.read_parquet(path, columns=columns)
-    return ds.map_batches(
-        lambda t: t.replace_schema_metadata(None),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    full = pq.read_schema(path).remove_metadata()
+    schema = (
+        pa.schema([full.field(c) for c in columns]) if columns is not None else full
     )
+    return rd.read_parquet(path, schema=schema, columns=columns)
