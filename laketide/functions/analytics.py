@@ -347,6 +347,30 @@ def hll_distinct_users(sf_dir: str) -> pa.Table:
     return pa.table({"n_users_est": pa.array([int(round(est))], pa.int64())})
 
 
+def _bucket_hist(ds: rd.Dataset, cents_col):
+    """Pass 1 of the exact-quantile machinery: coarse (value >> 16)
+    bucket counts as a b-sorted pandas frame with columns b/n — the
+    contract _exact_rank_values expects. One definition for both the
+    quantile_disc and quantile_cont entry points."""
+    from ray.data.aggregate import Sum
+
+    def bucket_pre(t: pa.Table) -> pa.Table:
+        c = cents_col(t)
+        b, n = np.unique(c >> 16, return_counts=True)
+        return pa.table(
+            {"b": pa.array(b, pa.int64()), "c": pa.array(n.astype(np.int64))}
+        )
+
+    return (
+        ds.map_batches(bucket_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("b")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+        .sort_values("b")
+        .reset_index(drop=True)
+    )
+
+
 def _exact_quantiles(ds: rd.Dataset, cents_col, qs) -> dict:
     """EXACT quantiles of a (near-)continuous int64 column by two-pass
     refinement — the selection algorithm for domains where a full
@@ -360,23 +384,7 @@ def _exact_quantiles(ds: rd.Dataset, cents_col, qs) -> dict:
     batch to a null-free int64 numpy array; returns {q: value|None}."""
     import math
 
-    from ray.data.aggregate import Sum
-
-    def bucket_pre(t: pa.Table) -> pa.Table:
-        c = cents_col(t)
-        b, n = np.unique(c >> 16, return_counts=True)
-        return pa.table(
-            {"b": pa.array(b, pa.int64()), "c": pa.array(n.astype(np.int64))}
-        )
-
-    hist = (
-        ds.map_batches(bucket_pre, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("b")
-        .aggregate(Sum("c", alias_name="n"))
-        .to_pandas()
-        .sort_values("b")
-        .reset_index(drop=True)
-    )
+    hist = _bucket_hist(ds, cents_col)
     total = int(hist["n"].sum())
     if total == 0:
         return {q: None for q in qs}
@@ -1305,13 +1313,8 @@ def revenue_pareto(sf_dir: str, share: float = 0.8) -> pa.Table:
     stats = ray.get([block_stats.remote(r) for r in refs])
     total = sum(s for _, s in stats)
     if total == 0:
-        return pa.table(
-            {
-                "n_top_customers": pa.array([0], pa.int64()),
-                "total_cents": pa.array([0], pa.int64()),
-                "covered_cents": pa.array([0], pa.int64()),
-            }
-        )
+        # the oracle's GROUP BY over an empty aggregate yields 0 rows
+        return out_schema.empty_table()
     target = share * float(total)
     offsets, acc = [], 0
     for _n, s in stats:
@@ -1335,10 +1338,8 @@ def orders_price_quantiles_cont(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
     order statistics at floor(h)+1 and floor(h)+2 — both resolved by
     the shared two-pass bucket refinement, so only the two needed
     ranks' buckets are ever re-scanned. The interpolation double is
-    written exactly as DuckDB computes it (lo + (hi-lo)*frac)."""
+    written exactly as DuckDB computes it (lo*(1-frac) + hi*frac)."""
     import math
-
-    from ray.data.aggregate import Sum
 
     from laketide.functions.relational import _cents
 
@@ -1349,21 +1350,7 @@ def orders_price_quantiles_cont(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
         v = v.filter(pc.is_valid(v))
         return _cents(v).to_numpy(zero_copy_only=False)
 
-    def bucket_pre(t: pa.Table) -> pa.Table:
-        c = cents_col(t)
-        b, n = np.unique(c >> 16, return_counts=True)
-        return pa.table(
-            {"b": pa.array(b, pa.int64()), "c": pa.array(n.astype(np.int64))}
-        )
-
-    hist = (
-        ds.map_batches(bucket_pre, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("b")
-        .aggregate(Sum("c", alias_name="n"))
-        .to_pandas()
-        .sort_values("b")
-        .reset_index(drop=True)
-    )
+    hist = _bucket_hist(ds, cents_col)
     total = int(hist["n"].sum())
     cols = {}
     if total == 0:
@@ -1380,7 +1367,12 @@ def orders_price_quantiles_cont(sf_dir: str, qs=(0.5, 0.9)) -> pa.Table:
     vals = _exact_rank_values(ds, cents_col, hist, ranks)
     for q, (lo_r, hi_r, frac) in wanted.items():
         lo, hi = float(vals[lo_r]), float(vals[hi_r])
-        cols[f"p{int(q * 100)}_cont"] = pa.array([lo + (hi - lo) * frac], pa.float64())
+        # DuckDB quantile_cont interpolates lo*(1-frac) + hi*frac —
+        # lo + (hi-lo)*frac differs in the last ulp (caught by a fuzz
+        # run against DuckDB at sf0.001: 111/1800 cases diverged)
+        cols[f"p{int(q * 100)}_cont"] = pa.array(
+            [lo * (1.0 - frac) + hi * frac], pa.float64()
+        )
     return pa.table(cols)
 
 

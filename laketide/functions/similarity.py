@@ -751,7 +751,18 @@ def vector_norm_stats_by_label(sf_dir: str) -> pa.Table:
                 ]
             ).empty_table()
         m = _embed_matrix(t["embedding"]) * 1000.0
-        r = (np.floor(np.abs(m) + 0.5) * np.sign(m)).astype(np.int64)
+        # round with the SAME kernel the oracle's ROUND uses (Arrow
+        # half_towards_infinity == DuckDB std-round): the floor(|m|+0.5)
+        # trick over-rounds doubles one ulp below k+0.5 (review fuzz:
+        # floor-trick(0.49999999999999994)=1, DuckDB ROUND=0)
+        flat = pc.round(
+            pa.array(m.reshape(-1)), ndigits=0, round_mode="half_towards_infinity"
+        )
+        r = (
+            pc.cast(flat, pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .reshape(m.shape)
+        )
         nsq = (r * r).sum(axis=1)
         g = (
             pa.table(

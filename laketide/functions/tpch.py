@@ -75,8 +75,15 @@ def _map_arrays(t: pa.Table, key: str, *vals: str):
 
 
 def _gather(keys, vals: pa.Array, col: pa.ChunkedArray):
-    """(hit_mask, gathered_vals) of a broadcast int->val map."""
-    hit, pos = _sorted_member(keys, col if isinstance(col, pa.Array) else col.combine_chunks())
+    """(hit_mask, gathered_vals) of a broadcast int->val map. An EMPTY
+    map means every probe misses (all-null values) — vals.take on the
+    clamped positions would raise ArrowIndexError instead."""
+    arr = col if isinstance(col, pa.Array) else col.combine_chunks()
+    if len(keys) == 0:
+        import numpy as np
+
+        return np.zeros(len(arr), dtype=bool), pa.nulls(len(arr), vals.type)
+    hit, pos = _sorted_member(keys, arr)
     return hit, vals.take(pa.array(pos, pa.int64()))
 
 
@@ -102,7 +109,11 @@ def _orders_map_or_none(
 ) -> tuple | None:
     """Adaptive side: collect (o_orderkey -> vals...) as broadcast-able
     sorted arrays when under the row budget, else None (caller falls
-    back to a hash join). The q10 idiom shared by every query here."""
+    back to a hash join). The q10 idiom shared by every query here.
+    Callers that already know the row count from a parquet footer pass
+    an effectively-infinite budget so no counting scan runs (q7/q9 were
+    materializing the FULL unfiltered orders just to count it — exactly
+    on the over-budget path that then re-read it for the join)."""
     import numpy as np
 
     if o_ds.count() > budget_rows:
@@ -480,7 +491,11 @@ def q7_volume_shipping(
         ).filter(pa.array(s_hit & is_pair))
         return t
 
-    omap = _orders_map_or_none(orders.materialize(), broadcast_budget_rows, "o_custkey")
+    omap = (
+        _orders_map_or_none(orders, 2**62, "o_custkey")
+        if _table_rows(sf_dir, "orders") <= broadcast_budget_rows
+        else None
+    )
     cmap = None
     if _table_rows(sf_dir, "customer") <= broadcast_budget_rows:
         cmap = _cust_map(sf_dir)
@@ -885,7 +900,11 @@ def q9_product_profit(
             }
         ).filter(pa.array(s_hit & p_hit))
 
-    omap = _orders_map_or_none(orders.materialize(), broadcast_budget_rows, "o_year")
+    omap = (
+        _orders_map_or_none(orders, 2**62, "o_year")
+        if _table_rows(sf_dir, "orders") <= broadcast_budget_rows
+        else None
+    )
     if omap is not None:
         o_ref = ray.put(omap)
 

@@ -136,3 +136,44 @@ def test_attach_by_key_adversarial_shapes():
         [("v", pa.int64())],
     ).to_pandas()
     assert len(out2) == 4 and out2["v"].isna().all()
+
+
+def test_gather_empty_map_is_all_miss():
+    """An empty broadcast map must mean 'every probe misses', not an
+    ArrowIndexError from take() on clamped positions (reachable via an
+    empty filtered-orders window on the q5/q7/q8/q9 broadcast path)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from laketide.functions.tpch import _gather
+
+    hit, vals = _gather(
+        np.array([], np.int64),
+        pa.array([], pa.int64()),
+        pa.chunked_array([pa.array([1, 2, 3], pa.int64())]),
+    )
+    assert hit.tolist() == [False, False, False]
+    assert vals.null_count == 3
+
+
+def test_q5_empty_region_returns_empty():
+    t = tpch.q5_local_supplier_volume(SF, region="NOWHERE")
+    assert t.num_rows == 0
+
+
+def test_quantile_cont_matches_duckdb_at_sf0001():
+    """The interpolation formula must be DuckDB's lo*(1-f) + hi*f —
+    lo + (hi-lo)*f diverges in the last ulp exactly at this scale
+    (caught by review fuzzing; the sf0.01 oracle gate passed by luck)."""
+    import duckdb
+
+    from laketide.functions.analytics import orders_price_quantiles_cont
+
+    got = _to_pandas(orders_price_quantiles_cont(SF))
+    want = duckdb.connect().execute(
+        "SELECT quantile_cont(c, 0.5) AS p50_cont, quantile_cont(c, 0.9) AS p90_cont "
+        "FROM (SELECT CAST(ROUND(o_totalprice*100) AS BIGINT) AS c "
+        f"FROM read_parquet('{SF}/orders.parquet') WHERE o_totalprice IS NOT NULL)"
+    ).df()
+    assert got["p50_cont"].iloc[0] == want["p50_cont"].iloc[0]
+    assert got["p90_cont"].iloc[0] == want["p90_cont"].iloc[0]
