@@ -13,13 +13,16 @@ multi-join + filtered-aggregate shapes Ray-Data-first.
 Scale notes (100 TB lens): the big facts (lineitem, orders, customer)
 always STREAM — no driver materialization. True dimension tables
 (supplier, nation, region, part: fixed small cardinality per the
-schema) are collected once and broadcast via ``ray.put`` as sorted key
-arrays + positional gathers inside ``map_batches``. Mid-size sides
-(filtered orders, customer key maps, distinct order-customer keys) use
-the repo's ADAPTIVE pattern: broadcast under a row budget, hash-join
-fallback above it (the q10/q4 idiom in relational.py). Monetary sums
-are integer cents end-to-end so float summation order can never flip
-the oracle's value hash.
+schema) are read once driver-side and broadcast via ``ray.put`` as
+sorted key arrays + positional gathers inside ``map_batches``.
+Mid-size sides (filtered orders, customer key maps, distinct
+order-customer keys) use the repo's ADAPTIVE pattern: broadcast under
+a row budget (decided from parquet footers, never a counting scan of
+an unfiltered table), else the ``_attach_by_key`` tagged-union
+co-partition lookup join — NOT ``Dataset.join``, whose aggregator
+loses the block schema on empty partitions (see ``_attach_by_key``).
+Monetary sums are integer cents end-to-end so float summation order
+can never flip the oracle's value hash.
 """
 
 from __future__ import annotations
