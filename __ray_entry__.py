@@ -357,6 +357,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": text.bm25_search,
         "dataset_split_assign": text.dataset_split_assign,
         "langid_confusion": text.langid_confusion,
+        "docs_containing": _lazy_pinned(
+            "text", "docs_containing", [("doc_id", "int64"), ("n_hits", "int64")]
+        ),
+        # pinned: the nullable corpus can legitimately contain zero
+        # purchase events (all-empty to_pandas drops the schema)
+        "purchase_attribution": _lazy_pinned(
+            "analytics",
+            "purchase_attribution",
+            [
+                ("user_id", "int64"),
+                ("n_purchases", "int64"),
+                ("n_attributed", "int64"),
+                ("attributed_cents", "int64"),
+            ],
+        ),
         "dedup_events_window": _lazy("analytics", "dedup_events_window"),
         "orders_monthly_series": _lazy("analytics", "orders_monthly_series"),
         "revenue_pareto": _lazy("analytics", "revenue_pareto"),
@@ -1082,6 +1097,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM events "
             "QUALIFY row_number() OVER (PARTITION BY user_id, event_type, "
             "floor(epoch_us(ts) / 300000000.0) ORDER BY ts, event_id) = 1"
+        ),
+        "docs_containing": (
+            "SELECT doc_id, CAST((length(text) - length(replace(text, 'stream', ''))) "
+            "// 6 AS BIGINT) AS n_hits FROM documents WHERE text LIKE '%stream%'"
+        ),
+        # attributed iff a click of the same user exists in
+        # [purchase_ts - 1h, purchase_ts]; value is exact integer cents
+        "purchase_attribution": (
+            "WITH p AS (SELECT user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS c "
+            "FROM events WHERE event_type = 'purchase' "
+            "AND user_id IS NOT NULL AND ts IS NOT NULL), "
+            "a AS (SELECT p.*, EXISTS (SELECT 1 FROM events c2 "
+            "WHERE c2.event_type = 'click' AND c2.user_id = p.user_id "
+            "AND c2.ts <= p.ts AND c2.ts >= p.ts - INTERVAL 60 MINUTE) AS attr "
+            "FROM p) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases, "
+            "CAST(sum(CASE WHEN attr THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed, "
+            "CAST(coalesce(sum(CASE WHEN attr THEN c END), 0) AS BIGINT) "
+            "AS attributed_cents FROM a GROUP BY user_id"
         ),
         "orders_monthly_growth": (
             "WITH c AS (SELECT date_trunc('month', o_orderdate) AS m, "

@@ -1682,3 +1682,94 @@ def orders_monthly_growth(sf_dir: str) -> pa.Table:
             "growth_pct": pa.array(growth, pa.float64(), mask=np.isnan(growth)),
         }
     )
+
+
+def purchase_attribution(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
+    """Last-touch attribution: each purchase is attributed iff the same
+    user clicked within the preceding hour (boundary inclusive) — the
+    marketing-attribution join an event pipeline materializes. One
+    coarse user-keyed shuffle of only click/purchase rows; each
+    co-located group resolves every user's purchases against their
+    clicks with ONE C-level ``merge_asof`` (backward, tolerance) — the
+    asof_join_events_orders machinery turned inward. Attributed value
+    is exact integer cents."""
+    import pandas as pd
+
+    from laketide.functions.relational import _cents
+
+    out_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("n_purchases", pa.int64()),
+            ("n_attributed", pa.int64()),
+            ("attributed_cents", pa.int64()),
+        ]
+    )
+    tol = pd.Timedelta(minutes=window_minutes)
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type", "value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["ts"])),
+            pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"])),
+        )
+        t = t.filter(keep)
+        out = pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": pc.cast(t["ts"], pa.timestamp("us")),
+                "is_purchase": pc.equal(t["event_type"], "purchase"),
+                "c": _cents(t["value"]),
+            }
+        )
+        return _cpart_col(out, "user_id")
+
+    def attr(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0 or "user_id" not in g.column_names:
+            return out_schema.empty_table()
+        df = g.drop_columns(["_cpart"]).to_pandas()
+        p = df[df["is_purchase"]].sort_values(["ts", "user_id"]).reset_index(drop=True)
+        c = df[~df["is_purchase"]].sort_values(["ts", "user_id"]).reset_index(drop=True)
+        if len(p) == 0:
+            return out_schema.empty_table()
+        merged = pd.merge_asof(
+            p,
+            c[["user_id", "ts"]].rename(columns={"ts": "click_ts"}),
+            left_on="ts",
+            right_on="click_ts",
+            by="user_id",
+            direction="backward",
+            tolerance=tol,
+        )
+        merged["attr"] = merged["click_ts"].notna()
+        # cents came through pandas as float64 (nullable int64 -> NaN);
+        # integral doubles < 2^53 sum exactly, NaN skipped like SQL NULL
+        merged["ac"] = merged["c"].where(merged["attr"])
+        out = (
+            merged.groupby("user_id", sort=False)
+            .agg(
+                n_purchases=("attr", "size"),
+                n_attributed=("attr", "sum"),
+                attributed_cents=("ac", "sum"),
+            )
+            .reset_index()
+        )
+        return pa.table(
+            {
+                "user_id": pa.array(out["user_id"].to_numpy(), pa.int64()),
+                "n_purchases": pa.array(out["n_purchases"].to_numpy(), pa.int64()),
+                "n_attributed": pa.array(
+                    out["n_attributed"].to_numpy().astype(np.int64), pa.int64()
+                ),
+                "attributed_cents": pa.array(
+                    out["attributed_cents"].fillna(0).to_numpy().astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(attr, batch_format="pyarrow")
+    )

@@ -1346,3 +1346,19 @@ def langid_confusion(sf_dir: str) -> rd.Dataset:
         ),
         batch_format="pyarrow",
     )
+
+
+def docs_containing(sf_dir: str, pattern: str = "stream") -> rd.Dataset:
+    """Literal containment scan: docs containing ``pattern`` with their
+    non-overlapping hit counts — the predicate-pushdown-shaped filter a
+    corpus grep runs (Arrow count_substring, zero Python per row; the
+    oracle's replace-length diff counts the same non-overlapping
+    occurrences)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        hits = pc.cast(pc.count_substring(t["text"], pattern), pa.int64())
+        out = pa.table({"doc_id": t["doc_id"], "n_hits": hits})
+        return out.filter(pc.fill_null(pc.greater(hits, 0), False))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -64,6 +64,8 @@ _NULLABLE_QUERIES = [
     "bigram_pmi",
     "vector_norm_stats_by_label",
     "event_share_by_day",
+    "purchase_attribution",
+    "docs_containing",
 ]
 
 
