@@ -1312,8 +1312,10 @@ def revenue_pareto(sf_dir: str, share: float = 0.8) -> pa.Table:
 
     stats = ray.get([block_stats.remote(r) for r in refs])
     total = sum(s for _, s in stats)
-    if total == 0:
-        # the oracle's GROUP BY over an empty aggregate yields 0 rows
+    if sum(n for n, _ in stats) == 0:
+        # the oracle's GROUP BY over an EMPTY aggregate yields 0 rows;
+        # customers whose cents sum to zero still yield one zero row
+        # (the generic path below handles total == 0 correctly)
         return out_schema.empty_table()
     target = share * float(total)
     offsets, acc = [], 0
@@ -1598,6 +1600,11 @@ def user_type_bitmask(sf_dir: str) -> rd.Dataset:
 
     def pre(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_(pc.is_valid(t["user_id"]), pc.is_valid(t["event_type"])))
+        if t.num_rows == 0:
+            # reduceat on an empty array raises; _segments guard
+            return pa.schema(
+                [("user_id", pa.int64()), ("mask", pa.int64()), ("c", pa.int64())]
+            ).empty_table()
         ty = t["event_type"].combine_chunks()
         b = np.zeros(t.num_rows, np.int64)
         for name, bit in bits.items():

@@ -108,7 +108,7 @@ def _rev_cents(t: pa.Table) -> pa.ChunkedArray:
 
 
 def _orders_map_or_none(
-    o_ds: rd.Dataset, budget_rows: int, *vals: str
+    o_ds: rd.Dataset, budget_rows: int, *vals: str, skip_count: bool = False
 ) -> tuple | None:
     """Adaptive side: collect (o_orderkey -> vals...) as broadcast-able
     sorted arrays when under the row budget, else None (caller falls
@@ -119,7 +119,7 @@ def _orders_map_or_none(
     on the over-budget path that then re-read it for the join)."""
     import numpy as np
 
-    if o_ds.count() > budget_rows:
+    if not skip_count and o_ds.count() > budget_rows:
         return None
     schema = pa.schema(
         [("o_orderkey", pa.int64())]
@@ -495,7 +495,7 @@ def q7_volume_shipping(
         return t
 
     omap = (
-        _orders_map_or_none(orders, 2**62, "o_custkey")
+        _orders_map_or_none(orders, 2**62, "o_custkey", skip_count=True)
         if _table_rows(sf_dir, "orders") <= broadcast_budget_rows
         else None
     )
@@ -904,7 +904,7 @@ def q9_product_profit(
         ).filter(pa.array(s_hit & p_hit))
 
     omap = (
-        _orders_map_or_none(orders, 2**62, "o_year")
+        _orders_map_or_none(orders, 2**62, "o_year", skip_count=True)
         if _table_rows(sf_dir, "orders") <= broadcast_budget_rows
         else None
     )

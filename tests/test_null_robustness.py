@@ -66,6 +66,7 @@ _NULLABLE_QUERIES = [
     "event_share_by_day",
     "purchase_attribution",
     "docs_containing",
+    "user_type_bitmask",
 ]
 
 

@@ -177,3 +177,38 @@ def test_quantile_cont_matches_duckdb_at_sf0001():
     ).df()
     assert got["p50_cont"].iloc[0] == want["p50_cont"].iloc[0]
     assert got["p90_cont"].iloc[0] == want["p90_cont"].iloc[0]
+
+
+def test_revenue_pareto_zero_total_emits_one_row(tmp_path):
+    """Customers whose cents sum to zero: the oracle's GROUP BY t emits
+    ONE (0, 0, 0) row; only an EMPTY per-customer aggregate yields zero
+    rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laketide.functions.analytics import revenue_pareto
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2], pa.int64()),
+                "o_totalprice": pa.array([0.001, 0.002], pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    t = revenue_pareto(str(tmp_path))
+    assert t.num_rows == 1
+    assert t["total_cents"][0].as_py() == 0
+    assert t["n_top_customers"][0].as_py() == 0
+
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([], pa.int64()),
+                "o_totalprice": pa.array([], pa.float64()),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    assert revenue_pareto(str(tmp_path)).num_rows == 0
