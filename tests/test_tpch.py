@@ -212,3 +212,59 @@ def test_revenue_pareto_zero_total_emits_one_row(tmp_path):
         tmp_path / "orders.parquet",
     )
     assert revenue_pareto(str(tmp_path)).num_rows == 0
+
+
+def test_attach_by_key_property_vs_pandas_merge():
+    """Property check: _attach_by_key == pandas left merge on random
+    key/value tables with nulls and misses (right keys unique, as the
+    contract requires)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from laketide.functions.tpch import _attach_by_key
+
+    rng = np.random.RandomState(31)
+    for trial in range(4):
+        n_left = int(rng.randint(1, 200))
+        lk = rng.randint(0, 40, size=n_left).astype("float64")
+        lk[rng.rand(n_left) < 0.15] = np.nan
+        left_df = pd.DataFrame(
+            {
+                "k": pd.array(
+                    [None if np.isnan(x) else int(x) for x in lk], dtype="Int64"
+                ),
+                "payload": np.arange(n_left, dtype="int64"),
+            }
+        )
+        rkeys = rng.choice(np.arange(0, 50), size=int(rng.randint(1, 30)), replace=False)
+        right_df = pd.DataFrame(
+            {"rk": rkeys.astype("int64"), "v": (rkeys * 7).astype("int64")}
+        )
+        got = (
+            _attach_by_key(
+                rd.from_pandas(left_df),
+                [("k", pa.int64()), ("payload", pa.int64())],
+                "k",
+                rd.from_pandas(right_df),
+                "rk",
+                [("v", pa.int64())],
+            )
+            .to_pandas()
+            .sort_values("payload")
+            .reset_index(drop=True)
+        )
+        want = (
+            left_df.merge(right_df, left_on="k", right_on="rk", how="left")
+            .drop(columns=["rk"])
+            .sort_values("payload")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), trial
+        pd.testing.assert_series_equal(
+            got["v"].astype("Float64"),
+            want["v"].astype("Float64"),
+            check_names=False,
+            obj=f"trial{trial}",
+        )
