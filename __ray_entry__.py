@@ -254,6 +254,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": R.user_event_pivot,
         "running_value_total": R.running_value_total,
         "events_rollup": R.events_rollup,
+        "user_pivot_unpivot": _lazy("relational", "user_pivot_unpivot"),
+        "events_grouping_sets": _lazy("relational", "events_grouping_sets"),
         "customers_without_orders": _anti_join_customers,
         "user_event_gaps": _lazy("analytics", "user_event_gaps"),
         "mode_event_type_per_user": _lazy("analytics", "mode_event_type_per_user"),
@@ -747,6 +749,23 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": (
             "SELECT user_id, event_type, count(*) AS n FROM events "
             "GROUP BY ROLLUP(user_id, event_type)"
+        ),
+        "user_pivot_unpivot": (
+            "WITH w AS (SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase "
+            "FROM events GROUP BY user_id) "
+            "SELECT user_id, metric, CAST(n AS BIGINT) AS n FROM w "
+            "UNPIVOT (n FOR metric IN (n_click, n_signup, n_error, n_view, n_purchase))"
+        ),
+        # the () total row and any null-key group rows share (NULL, NULL)
+        # keys on BOTH sides — the multiset compare stays exact
+        "events_grouping_sets": (
+            "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM events GROUP BY GROUPING SETS ((user_id), (event_type), ())"
         ),
         # NULLS FIRST pinned (DuckDB default is NULLS LAST; Arrow sort
         # uses at_start) — ROWS frame needs a total order, event_id ties

@@ -2239,3 +2239,120 @@ def fk_integrity_audit(
             "n_order_orphans": pa.array([ord_orphans], pa.int64()),
         }
     )
+
+
+def user_pivot_unpivot(sf_dir: str) -> rd.Dataset:
+    """UNPIVOT (wide -> long melt): the per-user pivot counts re-shaped
+    into (user_id, metric, n) rows — the inverse reshaping operator of
+    user_event_pivot, streaming per batch (each wide row melts locally;
+    no shuffle beyond the pivot's own)."""
+    wide = user_event_pivot(sf_dir)
+    metrics = [f"n_{t}" for t in _PIVOT_TYPES]
+
+    def melt(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        n = t.num_rows
+        uid = t["user_id"].combine_chunks()
+        ids = uid.take(pa.array(np.tile(np.arange(n, dtype=np.int64), len(metrics))))
+        metric = pa.array(np.repeat(np.array(metrics, dtype=object), n), pa.string())
+        vals = pa.concat_arrays(
+            [pc.cast(t[m], pa.int64()).combine_chunks() for m in metrics]
+        )
+        return pa.table({"user_id": ids, "metric": metric, "n": vals})
+
+    return wide.map_batches(melt, batch_format="pyarrow")
+
+
+def events_grouping_sets(sf_dir: str) -> pa.Table:
+    """GROUPING SETS ((user_id), (event_type), ()) counts — the
+    multi-axis summary one pass of partials serves: per-batch Arrow
+    counts for BOTH axes plus the total ride one small exchange; the
+    driver unions the three tiny aggregates with explicit null filler
+    columns (SQL's grouping-set null semantics)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    # keys ride the shuffle as NON-null marker strings: a key column
+    # that is all-null within one aggregate partition comes back
+    # null-TYPED from Ray's aggregate and the block schemas diverge
+    NULLK = "\x00"
+
+    def _enc(col) -> pa.Array:
+        s = pc.cast(col, pa.string())
+        if isinstance(s, pa.ChunkedArray):
+            s = s.combine_chunks()
+        return pc.fill_null(s, NULLK)
+
+    def pre(t: pa.Table) -> pa.Table:
+        gu = (
+            t.select(["user_id"])
+            .group_by(["user_id"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "c"])
+        )
+        gt = (
+            t.select(["event_type"])
+            .group_by(["event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["k", "c"])
+        )
+        return pa.table(
+            {
+                "axis": pa.array(
+                    ["u"] * gu.num_rows + ["t"] * gt.num_rows, pa.string()
+                ),
+                "key": pa.concat_arrays([_enc(gu["k"]), _enc(gt["k"])]),
+                "c": pa.concat_arrays(
+                    [
+                        pc.cast(gu["c"], pa.int64()).combine_chunks(),
+                        pc.cast(gt["c"], pa.int64()).combine_chunks(),
+                    ]
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["axis", "key"])
+        .aggregate(Sum("c", alias_name="n_f"))
+    )
+    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+    if not parts:
+        return schema.empty_table()
+    t = pa.concat_tables([p.replace_schema_metadata(None) for p in parts])
+    axis = t["axis"].combine_chunks()
+    key = t["key"].combine_chunks()
+    n = pc.cast(t["n_f"], pa.int64()).combine_chunks()
+    is_u = pc.equal(axis, "u")
+    is_nullk = pc.equal(key, NULLK)
+    uk = pc.if_else(
+        pc.and_(is_u, pc.invert(is_nullk)),
+        pc.cast(
+            pc.if_else(pc.and_(is_u, pc.invert(is_nullk)), key, pa.scalar("0")),
+            pa.int64(),
+        ),
+        pa.scalar(None, pa.int64()),
+    )
+    tk = pc.if_else(
+        pc.and_(pc.invert(is_u), pc.invert(is_nullk)), key, pa.scalar(None, pa.string())
+    )
+    total = pc.sum(pc.if_else(is_u, n, pa.scalar(0, pa.int64()))).as_py()
+    rows = pa.table({"user_id": uk, "event_type": tk, "n": n})
+    total_row = pa.table(
+        {
+            "user_id": pa.nulls(1, pa.int64()),
+            "event_type": pa.nulls(1, pa.string()),
+            "n": pa.array([int(total or 0)], pa.int64()),
+        }
+    )
+    return pa.concat_tables([rows.cast(schema), total_row.cast(schema)])

@@ -67,6 +67,8 @@ _NULLABLE_QUERIES = [
     "purchase_attribution",
     "docs_containing",
     "user_type_bitmask",
+    "user_pivot_unpivot",
+    "events_grouping_sets",
 ]
 
 
