@@ -427,22 +427,37 @@ def _make_reduce_fn(file_index: list[tuple[str, tuple[int, ...] | None]], apply_
 
 
 def _load_live_partition(
-    table_dir: str, info: dict, merge: str, drop_deleted: bool = False
+    table_dir: str,
+    info: dict,
+    merge: str,
+    drop_deleted: bool = False,
+    key_filter: "tuple[str, str] | None" = None,
 ) -> pa.Table | None:
     """THE read-surface partition loader: base + deltas folded
     (merge-on-read), tombstone-flagged rows filtered, optionally the
     ``deleted`` bookkeeping column dropped. Every read path
     (state_table / state_table_at / read() / get / export_snapshot)
-    goes through here so the fold can never drift between surfaces."""
+    goes through here so the fold can never drift between surfaces.
+
+    ``key_filter=(repo, path)`` pushes an exact-key predicate into the
+    parquet reads: partition files are key-sorted, so row-group
+    statistics prune the scan to O(row group) instead of O(partition)
+    — the zone-map read path a point lookup needs at lake scale. The
+    MOR fold stays correct because folding is per-key and both base
+    and deltas are filtered to the SAME key."""
     from laketide.stages.apply import merge_partition
 
+    filters = None
+    if key_filter is not None:
+        filters = [("repo", "=", key_filter[0]), ("path", "=", key_filter[1])]
     base = (
-        pq.read_table(os.path.join(table_dir, info["file"]))
+        pq.read_table(os.path.join(table_dir, info["file"]), filters=filters)
         if info.get("file")
         else None
     )
     deltas = [
-        pq.read_table(os.path.join(table_dir, r)) for r in info.get("deltas") or []
+        pq.read_table(os.path.join(table_dir, r), filters=filters)
+        for r in info.get("deltas") or []
     ]
     if base is None and not deltas:
         return None
@@ -1389,9 +1404,13 @@ class LakeTable:
         info = man.partitions.get(str(part))
         if not info or (not info.get("file") and not info.get("deltas")):
             return S.snapshot_schema().empty_table()
-        t = _load_live_partition(self.table_dir, info, self.merge)
+        t = _load_live_partition(
+            self.table_dir, info, self.merge, key_filter=(repo, path)
+        )
         if t is None:
             return S.snapshot_schema().empty_table()
+        # the pushdown already filtered exactly; the mask is a cheap
+        # invariant guard on the tiny result
         mask = pc.and_(pc.equal(t["repo"], repo), pc.equal(t["path"], path))
         return t.filter(mask)
 

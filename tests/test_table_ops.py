@@ -1093,3 +1093,27 @@ def test_cli_diff(tmp_path):
     want = _expected_changes(files, 1, 2)
     assert rep["changes"] == len(want)
     assert pq.read_table(out).num_rows == len(want)
+
+
+def test_point_lookup_pushdown_matches_full_scan_both_layouts(changelog, tmp_path):
+    """get()'s key-filter pushdown (row-group stat pruning into the
+    parquet reads) must equal the full state for EVERY live key on both
+    layouts — including MOR keys whose winner lives in a delta file and
+    keys that were tombstoned (absent from both)."""
+    import os
+
+    for layout in ("cow", "mor"):
+        t = LakeTable(str(tmp_path / f"t_{layout}"), num_partitions=8, layout=layout)
+        t.replay(os.path.dirname(changelog[0]))
+        state = t.state_table().sort_by(
+            [("repo", "ascending"), ("path", "ascending")]
+        )
+        # sample every 25th live key + a known miss
+        for i in range(0, state.num_rows, 25):
+            repo = state["repo"][i].as_py()
+            path = state["path"][i].as_py()
+            row = t.get(repo, path)
+            assert row.num_rows == 1, (layout, repo, path)
+            assert row["commit"][0].as_py() == state["commit"][i].as_py()
+            assert row["content"][0].as_py() == state["content"][i].as_py()
+        assert t.get("no-such-repo", "nope").num_rows == 0
