@@ -313,6 +313,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_quantity_revenue": _lazy("tpch", "q17_small_quantity_revenue"),
         "q19_discounted_revenue": _lazy("tpch", "q19_discounted_revenue"),
         "q22_idle_customers": _lazy("tpch", "q22_idle_customers"),
+        "q13_order_count_distribution": _lazy("tpch2", "q13_order_count_distribution"),
+        "q11_important_parts": _lazy("tpch2", "q11_important_parts"),
+        "q16_part_supplier_counts": _lazy("tpch2", "q16_part_supplier_counts"),
+        "q20_excess_shippers": _lazy("tpch2", "q20_excess_shippers"),
+        "q2_min_cost_supplier": _lazy("tpch2", "q2_min_cost_supplier"),
+        "q21_waiting_suppliers": _lazy("tpch2", "q21_waiting_suppliers"),
         "top_orders": R.top_orders,
         "orders_by_status": R.orders_by_status,
         "join_customer_orders": R.join_customer_orders,
@@ -959,6 +965,88 @@ def oracle_sql() -> dict[str, str]:
             "WHERE CAST(CAST(ROUND(c_acctbal*100) AS BIGINT) AS DOUBLE) > avg_c "
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) "
             "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        # per-customer-ROW semantics (a null c_custkey row counts as its
+        # own zero-order customer, matching the engine's left-outer count)
+        "q13_order_count_distribution": (
+            "SELECT coalesce(n, 0) AS c_count, CAST(count(*) AS BIGINT) AS custdist "
+            "FROM customer LEFT JOIN (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n "
+            "FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1) o "
+            "ON c_custkey = o_custkey "
+            "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+        ),
+        # revenue-share threshold: both sides compare
+        # CAST(value AS DOUBLE) > 0.001 * CAST(total AS DOUBLE)
+        "q11_important_parts": (
+            "WITH pr AS (SELECT CAST(l_partkey AS BIGINT) AS p_partkey, "
+            "CAST(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) "
+            "AS BIGINT) AS value_cents "
+            "FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1) "
+            "SELECT p_partkey, value_cents FROM pr "
+            "WHERE CAST(value_cents AS DOUBLE) > 0.001 * "
+            "(SELECT CAST(sum(value_cents) AS DOUBLE) FROM pr) "
+            "ORDER BY value_cents DESC, p_partkey"
+        ),
+        "q16_part_supplier_counts": (
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM part JOIN lineitem ON p_partkey = l_partkey "
+            "WHERE p_brand <> 'Brand#5' AND p_size IN (1,4,9,14,19,23,36,45) "
+            "AND l_suppkey IS NOT NULL "
+            "GROUP BY 1,2,3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        # mean-quantity threshold from exact int64 sums; the division is
+        # written identically in the engine (0.5 * (total / n))
+        "q20_excess_shippers": (
+            "WITH q AS (SELECT CAST(l_suppkey AS BIGINT) AS sk, "
+            "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty "
+            "FROM lineitem JOIN part ON p_partkey = l_partkey "
+            "WHERE p_type = 'PROMO' AND l_shipdate >= TIMESTAMP '1997-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "AND l_suppkey IS NOT NULL AND l_quantity IS NOT NULL GROUP BY 1) "
+            "SELECT sk AS s_suppkey, s_name, n_name, total_qty "
+            "FROM q JOIN supplier s ON s.s_suppkey = q.sk "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE CAST(total_qty AS DOUBLE) > 0.5 * "
+            "((SELECT CAST(sum(total_qty) AS DOUBLE) FROM q) "
+            "/ (SELECT CAST(count(*) AS DOUBLE) FROM q)) "
+            "ORDER BY s_name, s_suppkey"
+        ),
+        # unit_cost is the same double division on both sides (bit-equal);
+        # ties resolve (cost, suppkey) ascending in engine and window alike
+        "q2_min_cost_supplier": (
+            "WITH rs AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
+            "s_acctbal, n_name FROM supplier "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'), "
+            "c AS (SELECT CAST(l_partkey AS BIGINT) AS p_partkey, "
+            "CAST(l_suppkey AS BIGINT) AS l_suppkey, "
+            "l_extendedprice/l_quantity AS unit_cost "
+            "FROM lineitem JOIN rs ON rs.s_suppkey = l_suppkey "
+            "JOIN part ON p_partkey = l_partkey "
+            "WHERE p_type = 'LARGE' AND l_extendedprice IS NOT NULL "
+            "AND l_quantity > 0 "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY l_partkey "
+            "ORDER BY l_extendedprice/l_quantity, l_suppkey) = 1) "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost "
+            "FROM c JOIN rs ON rs.s_suppkey = c.l_suppkey "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+        ),
+        "q21_waiting_suppliers": (
+            "WITH f AS (SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, "
+            "CAST(l_suppkey AS BIGINT) AS l_suppkey, "
+            "max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS any_r "
+            "FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderstatus = 'F' AND l_suppkey IS NOT NULL "
+            "AND l_orderkey IS NOT NULL GROUP BY 1,2), "
+            "w AS (SELECT l_suppkey, any_r, "
+            "count(*) OVER (PARTITION BY l_orderkey) AS n_supp, "
+            "sum(any_r) OVER (PARTITION BY l_orderkey) AS n_r FROM f) "
+            "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
+            "CAST(count(*) AS BIGINT) AS numwait "
+            "FROM w JOIN supplier ON s_suppkey = l_suppkey "
+            "WHERE any_r = 1 AND n_supp >= 2 AND n_r = 1 "
+            "GROUP BY 1,2 ORDER BY numwait DESC, s_name, s_suppkey LIMIT 20"
         ),
         "top_orders": "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
         "orders_by_status": "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY 1",

@@ -29,6 +29,14 @@ def test_fallback_join_matches_broadcast(fn):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=fn)
 
 
+def test_q21_fallback_join_matches_broadcast():
+    from laketide.functions.tpch2 import q21_waiting_suppliers
+
+    a = _canon(_to_pandas(q21_waiting_suppliers(SF)))
+    b = _canon(_to_pandas(q21_waiting_suppliers(SF, broadcast_budget_rows=0)))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj="q21")
+
+
 def test_q15_ties_return_all_max_suppliers():
     t = tpch.q15_top_supplier(SF)
     df = _to_pandas(t)
