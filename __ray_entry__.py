@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_ngram": text.langid_ngram,
         "doc_fingerprint": text.doc_fingerprint,
         "doc_frequency": text.doc_frequency,
+        "doc_token_diversity": text.doc_token_diversity,
+        "doc_bigram_repetition": text.doc_bigram_repetition,
         "doc_rare_token_stats": text.doc_rare_token_stats,
         "benchmark_contamination": text.benchmark_contamination,
         # k-means is iterative/approximate -> rows-only; pytest asserts
@@ -1208,6 +1210,35 @@ def oracle_sql() -> dict[str, str]:
         "docs_containing": (
             "SELECT doc_id, CAST((length(text) - length(replace(text, 'stream', ''))) "
             "// 6 AS BIGINT) AS n_hits FROM documents WHERE text LIKE '%stream%'"
+        ),
+        # Gopher-style lexical diversity: both ratios are the same double
+        # division on both sides (counts are exact ints)
+        "doc_token_diversity": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), "
+            "c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, "
+            "CAST(count(*) AS BIGINT) AS n_distinct, max(c) AS top_c FROM c GROUP BY 1) "
+            "SELECT doc_id, n_tokens, n_distinct, "
+            "CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr, "
+            "CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_ratio "
+            "FROM m"
+        ),
+        # Gopher dup-2gram fraction; <2-token docs emit 0.0 on both sides
+        "doc_bigram_repetition": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts "
+            "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), "
+            "b AS (SELECT doc_id, len(ts) - 1 AS nb, "
+            "list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bgs "
+            "FROM t), "
+            "e AS (SELECT doc_id, CASE WHEN nb > 0 THEN nb ELSE 0 END AS n_bigrams, "
+            "CASE WHEN nb > 0 THEN len(list_distinct(bgs)) ELSE 0 END AS n_distinct "
+            "FROM b) "
+            "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, "
+            "CAST(n_distinct AS BIGINT) AS n_distinct, "
+            "CASE WHEN n_bigrams > 0 THEN "
+            "1.0 - CAST(n_distinct AS DOUBLE) / CAST(n_bigrams AS DOUBLE) "
+            "ELSE 0.0 END AS dup_fraction FROM e"
         ),
         # attributed iff a click of the same user exists in
         # [purchase_ts - 1h, purchase_ts]; value is exact integer cents

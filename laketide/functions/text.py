@@ -1362,3 +1362,129 @@ def docs_containing(sf_dir: str, pattern: str = "stream") -> rd.Dataset:
         return out.filter(pc.fill_null(pc.greater(hits, 0), False))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_token_diversity(sf_dir: str) -> rd.Dataset:
+    """Per-document lexical-diversity quality signals: token count,
+    distinct-token count, type-token ratio and top-token ratio (the
+    Gopher-style 'fraction of tokens that are the single most frequent
+    token' repetition filter). Each document row lives in exactly one
+    batch, so everything is per-batch Arrow group_by — no shuffle,
+    embarrassingly parallel at any scale. Null doc_id/text rows are
+    excluded (they carry no trainable text and a null group key would
+    collapse distinct null docs)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["doc_id"]), pc.is_valid(t["text"])))
+        toks = pc.split_pattern(t["text"], " ")
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+        lens = n_tokens.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_rep = np.repeat(t["doc_id"].to_numpy(zero_copy_only=False), lens)
+        counts = (
+            pa.table(
+                {"doc_id": pa.array(doc_rep, pa.int64()), "token": pc.list_flatten(toks)}
+            )
+            .group_by(["doc_id", "token"])
+            .aggregate([([], "count_all")])
+        )
+        per_doc = counts.group_by(["doc_id"]).aggregate(
+            [("count_all", "max"), ([], "count_all")]
+        )
+        # per_doc columns: doc_id, count_all_max (top token), count_all (distinct)
+        keys, top_c = _map_sorted(per_doc, "doc_id", "count_all_max")
+        _, n_dist = _map_sorted(per_doc, "doc_id", "count_all")
+        pos = np.searchsorted(keys, t["doc_id"].to_numpy(zero_copy_only=False))
+        nt = pc.cast(n_tokens, pa.float64())
+        nd = pc.cast(pa.array(n_dist[pos], pa.int64()), pa.float64())
+        tc = pc.cast(pa.array(top_c[pos], pa.int64()), pa.float64())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n_tokens,
+                "n_distinct": pc.cast(nd, pa.int64()),
+                "ttr": pc.divide(nd, nt),
+                "top_token_ratio": pc.divide(tc, nt),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _map_sorted(t: pa.Table, key: str, val: str):
+    """(sorted_keys, vals_aligned) numpy pair from an Arrow group_by
+    result, for positional gathers back onto the source rows."""
+    s = t.sort_by([(key, "ascending")])
+    return (
+        s[key].to_numpy(zero_copy_only=False),
+        s[val].to_numpy(zero_copy_only=False),
+    )
+
+
+def doc_bigram_repetition(sf_dir: str) -> rd.Dataset:
+    """Per-document duplicate word-bigram fraction (the Gopher 'dup
+    2-gram fraction' repetition filter): 1 - distinct/total bigrams,
+    0.0 for docs with fewer than two tokens. Bigrams are built
+    vectorized from the flattened token stream (one binary_join over
+    shifted views, document boundaries masked out) — per-batch only,
+    no shuffle."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["doc_id"]), pc.is_valid(t["text"])))
+        toks = pc.split_pattern(t["text"], " ")
+        lens = (
+            pc.fill_null(pc.list_value_length(toks), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        n = len(flat)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        n_bi = np.maximum(lens - 1, 0)
+        out_tbl = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bigrams": pa.array(n_bi, pa.int64()),
+            }
+        )
+        if n < 2:
+            zero = pa.array(np.zeros(t.num_rows), pa.float64())
+            return out_tbl.append_column(
+                "n_distinct", pa.array(n_bi, pa.int64())
+            ).append_column("dup_fraction", zero)
+        # mask: position i starts a bigram iff i and i+1 are in the
+        # same document == i is not the last token of its document
+        ends = np.cumsum(lens) - 1  # last-token index per doc (len>0)
+        keep = np.ones(n - 1, dtype=bool)
+        valid_ends = ends[(lens > 0) & (ends < n - 1)]
+        keep[valid_ends] = False
+        bi = pc.binary_join_element_wise(flat.slice(0, n - 1), flat.slice(1), " ")
+        doc_rep = np.repeat(doc_ids, lens)[: n - 1][keep]
+        pairs = pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "bg": bi.filter(pa.array(keep)),
+            }
+        )
+        per_doc = (
+            pairs.group_by(["doc_id", "bg"])
+            .aggregate([])
+            .group_by(["doc_id"])
+            .aggregate([([], "count_all")])
+        )
+        keys, n_dist = _map_sorted(per_doc, "doc_id", "count_all")
+        # docs with zero bigrams are absent from per_doc: clamp + mask
+        if len(keys):
+            pos = np.minimum(np.searchsorted(keys, doc_ids), len(keys) - 1)
+            hit = keys[pos] == doc_ids
+            nd = np.where(hit, n_dist[pos], 0).astype(np.int64)
+        else:
+            nd = np.zeros(t.num_rows, np.int64)
+        nb_f = n_bi.astype(np.float64)
+        dup = np.where(n_bi > 0, 1.0 - nd / np.maximum(nb_f, 1.0), 0.0)
+        return out_tbl.append_column(
+            "n_distinct", pa.array(nd, pa.int64())
+        ).append_column("dup_fraction", pa.array(dup, pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
