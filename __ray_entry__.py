@@ -168,9 +168,10 @@ def _collect_pinned(ds: Any, schema: "pa.Schema") -> Any:
     empty — so concat the non-empty blocks into a pyarrow Table and pin
     the schema explicitly when none survive."""
     import pyarrow as pa
-    import ray
 
-    parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
+    from laketide.functions.reads import collect_tables
+
+    parts = collect_tables(ds)
     if parts:
         return pa.concat_tables(parts)
     return schema.empty_table()

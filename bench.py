@@ -190,6 +190,14 @@ def run_bench() -> dict:
 
         timed("q5_local_supplier_volume", T.q5_local_supplier_volume)
         timed("q9_product_profit", T.q9_product_profit)
+
+        from laketide.functions import tpch2 as T2
+
+        timed("q13_order_count_distribution", T2.q13_order_count_distribution)
+        timed("q16_part_supplier_counts", T2.q16_part_supplier_counts)
+        timed("q21_waiting_suppliers", T2.q21_waiting_suppliers)
+        timed("doc_token_diversity", text.doc_token_diversity)
+        timed("doc_bigram_repetition", text.doc_bigram_repetition)
         timed("q19_discounted_revenue", T.q19_discounted_revenue)
         timed("q22_idle_customers", T.q22_idle_customers)
         timed("tfidf_top_terms", text.tfidf_top_terms)

@@ -22,6 +22,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from laketide.functions.reads import collect_tables
+
 from laketide.functions.relational import (
     _adjacent_same,
     _from_pandas,  # noqa: F401  (re-export convenience for tests)
@@ -779,9 +781,7 @@ def user_value_outliers(sf_dir: str, sigmas: float = 3.0) -> rd.Dataset:
         )
         return g.rename_columns(["user_id", "n", "s", "ss"])
 
-    stats_rows = [
-        p
-        for p in ray.get(
+    stats_rows = collect_tables(
             ds.map_batches(moments, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("user_id")
             .aggregate(
@@ -789,10 +789,8 @@ def user_value_outliers(sf_dir: str, sigmas: float = 3.0) -> rd.Dataset:
                 Sum("s", alias_name="s"),
                 Sum("ss", alias_name="ss"),
             )
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     if not stats_rows:
         empty = pa.schema(
             [("user_id", pa.int64()), ("n_outliers", pa.int64())]
@@ -1225,7 +1223,7 @@ def orders_monthly_series(sf_dir: str) -> pa.Table:
         .aggregate(Sum("c", alias_name="n"))
     )
     out_schema = pa.schema([("month", pa.timestamp("us")), ("n_orders", pa.int64())])
-    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    parts = collect_tables(agg)
     if not parts:
         return out_schema.empty_table()
     t = pa.concat_tables([p.replace_schema_metadata(None) for p in parts])
@@ -1292,7 +1290,9 @@ def revenue_pareto(sf_dir: str, share: float = 0.8) -> pa.Table:
         reduce_fn,
     ).sort("sp", descending=True)
 
-    refs = per_cust.to_arrow_refs()
+    from laketide.functions.reads import collect_block_refs
+
+    refs = collect_block_refs(per_cust)
 
     @ray.remote
     def block_stats(t: pa.Table):
@@ -1462,16 +1462,12 @@ def user_value_mad(sf_dir: str) -> pa.Table:
             }
         )
 
-    med_parts = [
-        p
-        for p in ray.get(
+    med_parts = collect_tables(
             ds.map_batches(pairs_pre, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_cpart")
             .map_groups(med_final, batch_format="pyarrow")
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     if not med_parts:
         return out_schema.empty_table()
     med_t = pa.concat_tables(
@@ -1499,16 +1495,12 @@ def user_value_mad(sf_dir: str) -> pa.Table:
         t = med_final(g).rename_columns(["user_id", "mad", "n"])
         return t.select(["user_id", "mad"])
 
-    mad_parts = [
-        p
-        for p in ray.get(
+    mad_parts = collect_tables(
             ds.map_batches(dev_pre, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_cpart")
             .map_groups(mad_final, batch_format="pyarrow")
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     mad_t = pa.concat_tables(
         [p.replace_schema_metadata(None) for p in mad_parts]
     ).sort_by([("user_id", "ascending")])
@@ -1563,7 +1555,7 @@ def event_share_by_day(sf_dir: str) -> pa.Table:
             ("day_share", pa.float64()),
         ]
     )
-    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    parts = collect_tables(agg)
     if not parts:
         return out_schema.empty_table()
     t = pa.concat_tables([p.replace_schema_metadata(None) for p in parts]).sort_by(

@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from laketide.functions.reads import scrubbed_read
+from laketide.functions.reads import collect_tables, scrubbed_read
 
 logger = logging.getLogger(__name__)
 
@@ -469,7 +469,7 @@ def _gather_nonempty_blocks(ds: rd.Dataset) -> list:
     ``similarity._merge_topk``."""
     import ray
 
-    return [p for p in (ray.get(r) for r in ds.to_arrow_refs()) if p.num_rows]
+    return collect_tables(ds)
 
 
 def minhash_dedup_verified(sf_dir: str, threshold: float = 0.7) -> rd.Dataset:
@@ -1321,7 +1321,7 @@ def dup_components(
     if not force_distributed and edges.count() <= driver_budget_rows:
         import ray
 
-        parts = [p for p in ray.get(edges.to_arrow_refs()) if p.num_rows]
+        parts = collect_tables(edges)
         if not parts:
             return _COMP_SCHEMA.empty_table()
         return _components_minlabel(pa.concat_tables(parts))
@@ -1344,7 +1344,7 @@ def dedup_keep_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
 
     comp = dup_components(sf_dir, threshold)
     if not isinstance(comp, pa.Table):  # distributed path returned a Dataset
-        parts = [p for p in ray.get(comp.to_arrow_refs()) if p.num_rows]
+        parts = collect_tables(comp)
         comp = (
             pa.concat_tables(parts) if parts else _COMP_SCHEMA.empty_table()
         )
@@ -1520,18 +1520,14 @@ def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
         ok = _edit1_mask(t["name_a"].to_pylist(), t["name_b"].to_pylist())
         return t.filter(pa.array(ok)).cast(out_schema)
 
-    parts = [
-        p
-        for p in ray.get(
+    parts = collect_tables(
             vocab.map_batches(variants, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("part")
             .map_groups(pair_gen, batch_format="pyarrow")
             .groupby("part2")
             .map_groups(verify_part, batch_format="pyarrow")
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     if not parts:
         return out_schema.empty_table()
     return pa.concat_tables(parts).sort_by(

@@ -22,3 +22,38 @@ def scrubbed_read(path: str, columns: list[str] | None = None) -> rd.Dataset:
         pa.schema([full.field(c) for c in columns]) if columns is not None else full
     )
     return rd.read_parquet(path, schema=schema, columns=columns)
+
+
+def collect_tables(ds: rd.Dataset) -> list[pa.Table]:
+    """Driver-side collect of a SMALL Dataset (final aggregates,
+    dimension-scale results) as non-empty Arrow tables.
+
+    Streams the internal ref bundles instead of calling
+    ``Dataset.to_arrow_refs()``: to_arrow_refs materializes the dataset
+    into a MaterializedDataset first, which costs ~1.5s of fixed
+    overhead per call at 32 CPUs (measured at sf0.1 — 3.2s vs 1.7s for
+    the identical pipeline). Zero-row blocks are dropped here because
+    Ray emits them with EMPTY schemas from shuffle groups (concat would
+    raise ArrowInvalid). Blocks that arrive as pandas (pandas-format
+    map_groups outputs) are converted with the schema metadata
+    scrubbed."""
+    import ray
+
+    refs = [r for b in ds.iter_internal_ref_bundles() for r in b.block_refs]
+    out = []
+    for blk in ray.get(refs):
+        if not isinstance(blk, pa.Table):
+            blk = pa.Table.from_pandas(
+                blk, preserve_index=False
+            ).replace_schema_metadata(None)
+        if blk.num_rows:
+            out.append(blk)
+    return out
+
+
+def collect_block_refs(ds: rd.Dataset) -> list:
+    """Block ObjectRefs of an executed Dataset WITHOUT pulling them to
+    the driver (for fan-out over blocks via remote tasks). Same
+    rationale as ``collect_tables``: streams internal ref bundles to
+    skip to_arrow_refs' MaterializedDataset overhead."""
+    return [r for b in ds.iter_internal_ref_bundles() for r in b.block_refs]

@@ -21,6 +21,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
+
+from laketide.functions.reads import collect_tables
 from ray.data.aggregate import Count, Max, Min, Sum
 
 _CENTS = dict(ndigits=0, round_mode="half_towards_infinity")  # == DuckDB ROUND
@@ -930,11 +932,7 @@ def q3_shipping_priority(
         m = pc.fill_null(pc.equal(t["c_mktsegment"], "BUILDING"), False)
         return t.filter(m).select(["c_custkey"])
 
-    ck_parts = [
-        p
-        for p in ray.get(cust.map_batches(ckeys, batch_format="pyarrow").to_arrow_refs())
-        if p.num_rows
-    ]
+    ck_parts = collect_tables(cust.map_batches(ckeys, batch_format="pyarrow"))
     ckeys_np = (
         np.sort(pa.concat_tables(ck_parts)["c_custkey"].to_numpy(zero_copy_only=False))
         if ck_parts
@@ -976,7 +974,7 @@ def q3_shipping_priority(
 
     if o_f.count() <= broadcast_budget_rows:
         # broadcast path: no lineitem shuffle, no join actors
-        o_parts = [p for p in ray.get(o_f.to_arrow_refs()) if p.num_rows]
+        o_parts = collect_tables(o_f)
         ot = (
             pa.concat_tables(o_parts).sort_by([("o_orderkey", "ascending")])
             if o_parts
@@ -1021,13 +1019,9 @@ def q3_shipping_priority(
         t = t.sort_by([("rev_f", "descending"), ("l_orderkey", "ascending")])
         return t.slice(0, 10)
 
-    tops = [
-        p
-        for p in ray.get(
-            per_order.map_batches(local_top, batch_format="pyarrow").to_arrow_refs()
+    tops = collect_tables(
+            per_order.map_batches(local_top, batch_format="pyarrow")
         )
-        if p.num_rows
-    ]
     if not tops:
         return pa.schema(
             [
@@ -1137,7 +1131,7 @@ def q10_returned_items(sf_dir: str, broadcast_budget_rows: int = 5_000_000) -> p
         )
 
     if o_f.count() <= broadcast_budget_rows:
-        o_parts = [p for p in ray.get(o_f.to_arrow_refs()) if p.num_rows]
+        o_parts = collect_tables(o_f)
         ot = (
             pa.concat_tables(o_parts).sort_by([("o_orderkey", "ascending")])
             if o_parts
@@ -1199,13 +1193,9 @@ def q10_returned_items(sf_dir: str, broadcast_budget_rows: int = 5_000_000) -> p
         t = t.sort_by([("rev_f", "descending"), ("o_custkey", "ascending")])
         return t.slice(0, 20)
 
-    tops = [
-        p
-        for p in ray.get(
-            per_cust.map_batches(local_top, batch_format="pyarrow").to_arrow_refs()
+    tops = collect_tables(
+            per_cust.map_batches(local_top, batch_format="pyarrow")
         )
-        if p.num_rows
-    ]
     empty = pa.schema(
         [("c_custkey", pa.int64()), ("c_name", pa.string()), ("revenue_cents", pa.int64())]
     ).empty_table()
@@ -1223,15 +1213,11 @@ def q10_returned_items(sf_dir: str, broadcast_budget_rows: int = 5_000_000) -> p
         hit, _ = _sorted_member(ray.get(keys_ref), t["c_custkey"].combine_chunks())
         return t.filter(pa.array(hit))
 
-    name_parts = [
-        p
-        for p in ray.get(
+    name_parts = collect_tables(
             _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
             .map_batches(name_filter, batch_format="pyarrow", zero_copy_batch=True)
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     names = (
         pa.concat_tables(name_parts).sort_by([("c_custkey", "ascending")])
         if name_parts
@@ -1286,7 +1272,7 @@ def q4_order_priority(sf_dir: str, broadcast_budget_rows: int = 20_000_000) -> p
         return t.filter(pc.fill_null(m, False)).select(["o_orderkey", "o_orderpriority"])
 
     if keys_ds.count() <= broadcast_budget_rows:
-        kparts = [p for p in ray.get(keys_ds.to_arrow_refs()) if p.num_rows]
+        kparts = collect_tables(keys_ds)
         keys = (
             np.unique(
                 pa.concat_tables(kparts)["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -1337,7 +1323,7 @@ def q4_order_priority(sf_dir: str, broadcast_budget_rows: int = 20_000_000) -> p
         .aggregate(Sum("c", alias_name="n"))
         .sort("o_orderpriority")
     )
-    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    parts = collect_tables(agg)
     if not parts:
         return pa.schema(
             [("o_orderpriority", pa.string()), ("n_orders", pa.int64())]
@@ -1401,7 +1387,7 @@ def q12_line_priority(
         return g.rename_columns(["l_linestatus", "h", "l"])
 
     if orders.count() <= broadcast_budget_rows:
-        oparts = [p for p in ray.get(orders.to_arrow_refs()) if p.num_rows]
+        oparts = collect_tables(orders)
         if oparts:
             ot = pa.concat_tables(oparts)
             ok = ot["o_orderkey"].to_numpy(zero_copy_only=False)
@@ -1456,7 +1442,7 @@ def q12_line_priority(
         .aggregate(Sum("h", alias_name="hs"), Sum("l", alias_name="ls"))
         .sort("l_linestatus")
     )
-    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    parts = collect_tables(agg)
     if not parts:
         return out_schema.empty_table()
     t = pa.concat_tables(parts)
@@ -1602,16 +1588,12 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20) -> pa.Tab
         s = s.sort_by([("qty_s", "descending"), ("l_orderkey", "ascending")])
         return s.slice(0, k).cast(out_s)
 
-    tops = [
-        p
-        for p in ray.get(
+    tops = collect_tables(
             li.map_batches(qty_pre, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_cpart")
             .map_groups(part_top, batch_format="pyarrow")
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     empty = pa.schema(
         [
             ("c_custkey", pa.int64()),
@@ -1636,19 +1618,15 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20) -> pa.Tab
         hit, _ = _sorted_member(ray.get(ok_ref), t["o_orderkey"].combine_chunks())
         return t.filter(pa.array(hit))
 
-    o_parts = [
-        p
-        for p in ray.get(
+    o_parts = collect_tables(
             _read(
                 sf_dir,
                 "orders",
                 columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
             )
             .map_batches(o_sel, batch_format="pyarrow", zero_copy_batch=True)
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     if not o_parts:
         return empty
     od = pa.concat_tables(o_parts).sort_by([("o_orderkey", "ascending")])
@@ -1659,15 +1637,11 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20) -> pa.Tab
         hit, _ = _sorted_member(ray.get(ck_ref), t["c_custkey"].combine_chunks())
         return t.filter(pa.array(hit))
 
-    c_parts = [
-        p
-        for p in ray.get(
+    c_parts = collect_tables(
             _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
             .map_batches(c_sel, batch_format="pyarrow", zero_copy_batch=True)
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     names = (
         pa.concat_tables(c_parts).sort_by([("c_custkey", "ascending")])
         if c_parts
@@ -2144,7 +2118,7 @@ def fk_integrity_audit(
     ) -> tuple:
         """(n_probe_rows, n_orphans) — adaptive semi-anti count."""
         if n_keys <= broadcast_budget_rows:
-            kparts = [p for p in ray.get(keys_ds.to_arrow_refs()) if p.num_rows]
+            kparts = collect_tables(keys_ds)
             keys = (
                 np.unique(
                     pc.drop_null(
@@ -2319,7 +2293,7 @@ def events_grouping_sets(sf_dir: str) -> pa.Table:
         .groupby(["axis", "key"])
         .aggregate(Sum("c", alias_name="n_f"))
     )
-    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    parts = collect_tables(agg)
     schema = pa.schema(
         [
             ("user_id", pa.int64()),

@@ -18,6 +18,8 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 
+from laketide.functions.reads import collect_tables
+
 EMBED_DIM = 64
 _QUERY_SEED = 123
 
@@ -701,7 +703,7 @@ def kmeans_cluster_stats(sf_dir: str, n_centroids: int = 16) -> pa.Table:
     )
     import pyarrow.compute as pc
 
-    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    parts = collect_tables(agg)
     if not parts:
         return empty
     # (cluster, label, n) is bounded by n_centroids x n_labels — the
@@ -787,7 +789,7 @@ def vector_norm_stats_by_label(sf_dir: str) -> pa.Table:
             Sum("n", alias_name="n_f"),
         )
     )
-    parts = [p for p in ray.get(agg.to_arrow_refs()) if p.num_rows]
+    parts = collect_tables(agg)
     if not parts:
         return pa.schema(
             [

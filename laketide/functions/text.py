@@ -19,6 +19,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
+from laketide.functions.reads import collect_tables
 from laketide.stages.normalize import sha256_hex_column
 
 
@@ -658,13 +659,9 @@ def token_postings(sf_dir: str, n_tokens: int = 20, k_docs: int = 50) -> pa.Tabl
     postings can never materialize the whole corpus on one reducer."""
     from laketide.functions.analytics import _cpart_col, _smallest_k_per_key
 
-    top = (
-        doc_frequency(sf_dir, k=n_tokens)
-        .to_arrow_refs()
-    )
     import ray
 
-    parts = [p for p in ray.get(top) if p.num_rows]
+    parts = collect_tables(doc_frequency(sf_dir, k=n_tokens))
     if not parts:
         return pa.schema(
             [("token", pa.string()), ("df", pa.int64()), ("posting", pa.string())]
@@ -707,7 +704,7 @@ def token_postings(sf_dir: str, n_tokens: int = 20, k_docs: int = 50) -> pa.Tabl
         .groupby("_cpart")
         .map_groups(final, batch_format="pyarrow")
     )
-    out_parts = [p for p in ray.get(posted.to_arrow_refs()) if p.num_rows]
+    out_parts = collect_tables(posted)
     if not out_parts:
         return pa.schema(
             [("token", pa.string()), ("df", pa.int64()), ("posting", pa.string())]
@@ -777,7 +774,7 @@ def doc_rare_token_stats(sf_dir: str) -> rd.Dataset:
     import ray
 
     dfs = _df_counts(sf_dir)
-    parts = [p for p in ray.get(dfs.to_arrow_refs()) if p.num_rows]
+    parts = collect_tables(dfs)
     if not parts:
         return rd.from_arrow(
             pa.schema(
@@ -915,12 +912,11 @@ def benchmark_contamination(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
             pc.fill_null(pc.less(t["doc_id"], pa.scalar(n_bench)), False)
         )
 
-    bench_t = (
-        _docs(sf_dir, columns=["doc_id", "text"])
-        .map_batches(bench_filter, batch_format="pyarrow", zero_copy_batch=True)
-        .to_arrow_refs()
+    parts = collect_tables(
+        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            bench_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
     )
-    parts = [p for p in ray.get(bench_t) if p.num_rows]
     if parts:
         bench_rows = _word_trigram_rows(pa.concat_tables(parts))
         bench_set = pc.unique(bench_rows["gram"].combine_chunks())
@@ -976,7 +972,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     out_schema = pa.schema(
         [("doc_id", pa.int64()), ("token", pa.string()), ("tfidf", pa.float64())]
     )
-    parts = [p for p in ray.get(_df_counts(sf_dir).to_arrow_refs()) if p.num_rows]
+    parts = collect_tables(_df_counts(sf_dir))
     if not parts:
         return rd.from_arrow(out_schema.empty_table())
     dft = pa.concat_tables(parts)
@@ -1090,17 +1086,13 @@ def bigram_pmi(sf_dir: str, k: int = 50) -> pa.Table:
     n_bi = int(partials.sum("c") or 0)
     if n_bi == 0:
         return out_schema.empty_table()
-    top_parts = [
-        p
-        for p in ray.get(
+    top_parts = collect_tables(
             partials.groupby("bigram")
             .aggregate(Sum("c", alias_name="n"))
             .sort(["n", "bigram"], descending=[True, False])
             .limit(k)
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     top = pa.concat_tables([p.replace_schema_metadata(None) for p in top_parts])
     bigrams = top["bigram"].to_pylist()
     c_xy = pc.cast(top["n"], pa.int64()).to_pylist()
@@ -1135,16 +1127,12 @@ def bigram_pmi(sf_dir: str, k: int = 50) -> pa.Table:
             }
         )
 
-    uni_parts = [
-        p
-        for p in ray.get(
+    uni_parts = collect_tables(
             ds.map_batches(uni_pre, batch_format="pyarrow", zero_copy_batch=True)
             .groupby(["token", "is_total"])
             .aggregate(Sum("c", alias_name="n"))
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     ut = pa.concat_tables([p.replace_schema_metadata(None) for p in uni_parts])
     counts: dict = {}
     n_uni = 0
@@ -1260,14 +1248,10 @@ def bm25_search(sf_dir: str, k: int = 10) -> pa.Table:
         ).sort_by([("score", "descending"), ("doc_id", "ascending")])
         return out.slice(0, k)
 
-    parts = [
-        p
-        for p in ray.get(
+    parts = collect_tables(
             ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-            .to_arrow_refs()
+            
         )
-        if p.num_rows
-    ]
     if not parts:
         return out_schema.empty_table()
     return (

@@ -34,13 +34,16 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Sum
 
+from laketide.functions.reads import collect_tables
 from laketide.functions.relational import _cents, _read, _sorted_member
 
 
 def _collect(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
     """Driver-side collect of a SMALL Dataset (dimension tables, final
     aggregates), pinning the schema when every block is empty."""
-    parts = [p for p in ray.get(ds.to_arrow_refs()) if p.num_rows]
+    from laketide.functions.reads import collect_tables
+
+    parts = collect_tables(ds)
     if not parts:
         return schema.empty_table()
     return pa.concat_tables(
@@ -1309,7 +1312,7 @@ def q22_idle_customers(
         )
 
     if keys_ds.count() <= broadcast_budget_rows:
-        kparts = [p for p in ray.get(keys_ds.to_arrow_refs()) if p.num_rows]
+        kparts = collect_tables(keys_ds)
         keys = (
             np.unique(
                 pc.drop_null(

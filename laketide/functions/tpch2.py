@@ -76,12 +76,17 @@ def q13_order_count_distribution(sf_dir: str) -> pa.Table:
             {"c_count": g["c_count"], "custdist": pc.cast(g["count_all"], pa.int64())}
         )
 
-    agg = (
-        counts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("c_count")
-        .aggregate(Sum("custdist", alias_name="custdist"))
+    # per-batch histograms are at most |distinct order counts| rows each:
+    # merge them driver-side instead of paying a second Ray aggregate's
+    # ~2s fixed exchange cost (measured: 4.9s -> ~2.9s at sf0.1)
+    t = _collect(
+        counts.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())]),
     )
-    t = _collect(agg, pa.schema([("c_count", pa.int64()), ("custdist", pa.int64())]))
+    g = t.group_by(["c_count"]).aggregate([("custdist", "sum")])
+    t = pa.table(
+        {"c_count": g["c_count"], "custdist": pc.cast(g["custdist_sum"], pa.int64())}
+    )
     return t.sort_by([("custdist", "descending"), ("c_count", "descending")])
 
 

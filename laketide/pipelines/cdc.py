@@ -473,9 +473,9 @@ def _gather_nonempty(ds: "ray.data.Dataset") -> list[pa.Table]:
     """Materialize a (small) Dataset's blocks, dropping the zero-row
     EMPTY-SCHEMA blocks Ray emits from shuffle groups with no output
     (they break ``pa.concat_tables``)."""
-    import ray as _ray
+    from laketide.functions.reads import collect_tables
 
-    return [p for p in (_ray.get(r) for r in ds.to_arrow_refs()) if p.num_rows]
+    return collect_tables(ds)
 
 
 def _diff_live_tables(
