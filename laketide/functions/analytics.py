@@ -789,7 +789,7 @@ def user_value_outliers(sf_dir: str, sigmas: float = 3.0) -> rd.Dataset:
                 Sum("s", alias_name="s"),
                 Sum("ss", alias_name="ss"),
             )
-            
+
         )
     if not stats_rows:
         empty = pa.schema(
@@ -1294,18 +1294,28 @@ def revenue_pareto(sf_dir: str, share: float = 0.8) -> pa.Table:
 
     refs = collect_block_refs(per_cust)
 
-    @ray.remote
-    def block_stats(t: pa.Table):
+    def _sp(t) -> "np.ndarray | None":
+        # raw internal blocks (unlike to_arrow_refs' output) are not
+        # guaranteed Arrow — accept a pandas block too
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
         if t.num_rows == 0 or "sp" not in t.column_names:
+            return None
+        return t["sp"].combine_chunks().to_numpy(zero_copy_only=False)
+
+    @ray.remote
+    def block_stats(t):
+        sp = _sp(t)
+        if sp is None:
             return 0, 0
-        sp = t["sp"].combine_chunks().to_numpy(zero_copy_only=False)
         return len(sp), int(sp.sum())
 
     @ray.remote
-    def block_take(t: pa.Table, offset: int, target: float):
-        if t.num_rows == 0 or "sp" not in t.column_names:
+    def block_take(t, offset: int, target: float):
+        sp = _sp(t)
+        if sp is None:
             return 0, 0
-        sp = t["sp"].combine_chunks().to_numpy(zero_copy_only=False).astype(np.int64)
+        sp = sp.astype(np.int64)
         cum_before = offset + np.cumsum(sp) - sp
         mask = cum_before.astype(np.float64) < target
         return int(mask.sum()), int(sp[mask].sum())
@@ -1466,7 +1476,7 @@ def user_value_mad(sf_dir: str) -> pa.Table:
             ds.map_batches(pairs_pre, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_cpart")
             .map_groups(med_final, batch_format="pyarrow")
-            
+
         )
     if not med_parts:
         return out_schema.empty_table()
@@ -1499,7 +1509,7 @@ def user_value_mad(sf_dir: str) -> pa.Table:
             ds.map_batches(dev_pre, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_cpart")
             .map_groups(mad_final, batch_format="pyarrow")
-            
+
         )
     mad_t = pa.concat_tables(
         [p.replace_schema_metadata(None) for p in mad_parts]

@@ -1526,7 +1526,7 @@ def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
             .map_groups(pair_gen, batch_format="pyarrow")
             .groupby("part2")
             .map_groups(verify_part, batch_format="pyarrow")
-            
+
         )
     if not parts:
         return out_schema.empty_table()

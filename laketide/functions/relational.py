@@ -1216,7 +1216,7 @@ def q10_returned_items(sf_dir: str, broadcast_budget_rows: int = 5_000_000) -> p
     name_parts = collect_tables(
             _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
             .map_batches(name_filter, batch_format="pyarrow", zero_copy_batch=True)
-            
+
         )
     names = (
         pa.concat_tables(name_parts).sort_by([("c_custkey", "ascending")])
@@ -1592,7 +1592,7 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20) -> pa.Tab
             li.map_batches(qty_pre, batch_format="pyarrow", zero_copy_batch=True)
             .groupby("_cpart")
             .map_groups(part_top, batch_format="pyarrow")
-            
+
         )
     empty = pa.schema(
         [
@@ -1625,7 +1625,7 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20) -> pa.Tab
                 columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
             )
             .map_batches(o_sel, batch_format="pyarrow", zero_copy_batch=True)
-            
+
         )
     if not o_parts:
         return empty
@@ -1640,7 +1640,7 @@ def q18_large_orders(sf_dir: str, min_qty: float = 150.0, k: int = 20) -> pa.Tab
     c_parts = collect_tables(
             _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
             .map_batches(c_sel, batch_format="pyarrow", zero_copy_batch=True)
-            
+
         )
     names = (
         pa.concat_tables(c_parts).sort_by([("c_custkey", "ascending")])

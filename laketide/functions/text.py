@@ -1091,7 +1091,7 @@ def bigram_pmi(sf_dir: str, k: int = 50) -> pa.Table:
             .aggregate(Sum("c", alias_name="n"))
             .sort(["n", "bigram"], descending=[True, False])
             .limit(k)
-            
+
         )
     top = pa.concat_tables([p.replace_schema_metadata(None) for p in top_parts])
     bigrams = top["bigram"].to_pylist()
@@ -1131,7 +1131,7 @@ def bigram_pmi(sf_dir: str, k: int = 50) -> pa.Table:
             ds.map_batches(uni_pre, batch_format="pyarrow", zero_copy_batch=True)
             .groupby(["token", "is_total"])
             .aggregate(Sum("c", alias_name="n"))
-            
+
         )
     ut = pa.concat_tables([p.replace_schema_metadata(None) for p in uni_parts])
     counts: dict = {}
@@ -1250,7 +1250,7 @@ def bm25_search(sf_dir: str, k: int = 10) -> pa.Table:
 
     parts = collect_tables(
             ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-            
+
         )
     if not parts:
         return out_schema.empty_table()

@@ -41,8 +41,6 @@ from laketide.functions.relational import _cents, _read, _sorted_member
 def _collect(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
     """Driver-side collect of a SMALL Dataset (dimension tables, final
     aggregates), pinning the schema when every block is empty."""
-    from laketide.functions.reads import collect_tables
-
     parts = collect_tables(ds)
     if not parts:
         return schema.empty_table()

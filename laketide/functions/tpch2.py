@@ -22,7 +22,8 @@ a dimension's cardinality (per-part revenue, per-supplier quantity)
 collapse per batch BEFORE the shuffle and only the dimension-sized
 aggregate is collected driver-side. Q21's orders side is ADAPTIVE:
 filtered-key broadcast under a footer-derived row budget, else the
-``_attach_by_key`` tagged-union co-partition join. Monetary sums are
+F-order keys ride the qualify exchange itself as a tagged side (fused
+semi-join — one shuffle total, never two). Monetary sums are
 integer cents; data-derived thresholds (Q11 revenue share, Q20 mean
 quantity) are computed from exact integer sums with the division
 written identically in the oracle, so the double compare is bit-equal.
@@ -44,7 +45,6 @@ from laketide.functions.relational import (
     _sorted_member,
 )
 from laketide.functions.tpch import (
-    _attach_by_key,
     _between,
     _collect,
     _dim,
@@ -322,7 +322,7 @@ def q20_excess_shippers(sf_dir: str, ptype: str = "PROMO") -> pa.Table:
         *_map_arrays(supp.select(["s_suppkey", "s_name"]), "s_suppkey", "s_name"),
         t["s_suppkey"],
     )
-    _, n_name = _gather(nkeys, nname, pa.chunked_array([s_nat]))
+    n_hit, n_name = _gather(nkeys, nname, pa.chunked_array([s_nat]))
     out = pa.table(
         {
             "s_suppkey": t["s_suppkey"],
@@ -330,7 +330,12 @@ def q20_excess_shippers(sf_dir: str, ptype: str = "PROMO") -> pa.Table:
             "n_name": n_name,
             "total_qty": t["total_qty"],
         }
-    ).filter(pa.array(s_hit))  # inner-join semantics on the supplier dim
+    ).filter(
+        # inner-join semantics on BOTH dims: a supplier missing from the
+        # supplier table OR with a null/dangling nationkey drops, exactly
+        # like the oracle's JOIN supplier JOIN nation chain
+        pa.array(s_hit & n_hit)
+    )
     return out.sort_by([("s_name", "ascending"), ("s_suppkey", "ascending")])
 
 
@@ -463,8 +468,8 @@ def q21_waiting_suppliers(
     with a returned line. The EXISTS / NOT-EXISTS pair becomes
     per-order segment counts after one coarse shuffle keyed on the
     order. The filtered orders side is ADAPTIVE: key-set broadcast
-    under a footer-derived budget, else the tagged-union co-partition
-    join."""
+    under a footer-derived budget, else the F-keys are tagged into the
+    qualify exchange itself (fused semi-join, one shuffle total)."""
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey", "l_returnflag"])
     o_f = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"]).map_batches(
         lambda t: pa.table(
@@ -499,42 +504,6 @@ def q21_waiting_suppliers(
             .aggregate([("any_r", "max")])
         )
         return g.rename_columns(["l_orderkey", "l_suppkey", "any_r"])
-
-    if _table_rows(sf_dir, "orders") <= broadcast_budget_rows:
-        keys_t = _collect(o_f, pa.schema([("o_orderkey", pa.int64())]))
-        okeys = np.sort(
-            pc.drop_null(keys_t["o_orderkey"].combine_chunks()).to_numpy(
-                zero_copy_only=False
-            )
-        )
-        ok_ref = ray.put(okeys)
-
-        def filt(t: pa.Table) -> pa.Table:
-            t = to_pairs(t)
-            hit, _ = _sorted_member(ray.get(ok_ref), t["l_orderkey"].combine_chunks())
-            return t.filter(pa.array(hit))
-
-        pairs = li.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
-    else:
-        tagged = _attach_by_key(
-            li.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True),
-            [("l_orderkey", pa.int64()), ("l_suppkey", pa.int64()), ("any_r", pa.int64())],
-            "l_orderkey",
-            o_f.map_batches(
-                lambda t: t.append_column("is_f", pa.array(np.ones(t.num_rows, np.int8))),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            ),
-            "o_orderkey",
-            [("is_f", pa.int8())],
-        )
-        pairs = tagged.map_batches(
-            lambda t: t.filter(pc.fill_null(pc.equal(t["is_f"], 1), False)).drop_columns(
-                ["is_f"]
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
 
     def qualify(t: pa.Table) -> pa.Table:
         """Per co-located partition: combine pair partials, then per
@@ -574,13 +543,68 @@ def q21_waiting_suppliers(
         )
         return t.append_column("_cpart", pa.array(part, pa.int64()))
 
-    partials = (
-        pairs.map_batches(route, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_cpart")
-        .map_groups(
-            lambda g: qualify(g.drop_columns(["_cpart"])), batch_format="pyarrow"
+    if _table_rows(sf_dir, "orders") <= broadcast_budget_rows:
+        # broadcast path: the F-order key set ships once via ray.put and
+        # the lineitem scan filters before its one qualify shuffle
+        keys_t = _collect(o_f, pa.schema([("o_orderkey", pa.int64())]))
+        okeys = np.sort(
+            pc.drop_null(keys_t["o_orderkey"].combine_chunks()).to_numpy(
+                zero_copy_only=False
+            )
         )
-    )
+        ok_ref = ray.put(okeys)
+
+        def filt(t: pa.Table) -> pa.Table:
+            t = to_pairs(t)
+            hit, _ = _sorted_member(ray.get(ok_ref), t["l_orderkey"].combine_chunks())
+            return route(t.filter(pa.array(hit)))
+
+        tagged = li.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+        def finish(g: pa.Table) -> pa.Table:
+            return qualify(g.drop_columns(["_cpart"]))
+
+    else:
+        # over-budget path: fuse the semi-join INTO the qualify shuffle —
+        # pair partials (side 0) and F-order keys (side 1) co-partition on
+        # the same orderkey hash, one exchange total (an _attach_by_key
+        # pass here would shuffle the identical rows on the identical key
+        # a second time just to carry an is_f flag)
+        def tag_pairs(t: pa.Table) -> pa.Table:
+            p = to_pairs(t)
+            return route(p).append_column(
+                "side", pa.array(np.zeros(p.num_rows, np.int8), pa.int8())
+            )
+
+        def tag_keys(t: pa.Table) -> pa.Table:
+            key = pc.drop_null(t["o_orderkey"].combine_chunks())
+            p = pa.table(
+                {
+                    "l_orderkey": key,
+                    "l_suppkey": pa.nulls(len(key), pa.int64()),
+                    "any_r": pa.nulls(len(key), pa.int64()),
+                }
+            )
+            return route(p).append_column(
+                "side", pa.array(np.ones(len(key), np.int8), pa.int8())
+            )
+
+        tagged = li.map_batches(
+            tag_pairs, batch_format="pyarrow", zero_copy_batch=True
+        ).union(o_f.map_batches(tag_keys, batch_format="pyarrow", zero_copy_batch=True))
+
+        def finish(g: pa.Table) -> pa.Table:
+            side = g["side"].to_numpy(zero_copy_only=False)
+            fkeys = np.unique(
+                g.filter(pa.array(side == 1))["l_orderkey"].to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            pr = g.filter(pa.array(side == 0)).drop_columns(["_cpart", "side"])
+            hit, _ = _sorted_member(fkeys, pr["l_orderkey"].combine_chunks())
+            return qualify(pr.filter(pa.array(hit)))
+
+    partials = tagged.groupby("_cpart").map_groups(finish, batch_format="pyarrow")
     t = _collect(partials, pa.schema([("s_suppkey", pa.int64()), ("numwait", pa.int64())]))
     # supplier-cardinality aggregate: finish driver-side
     g = t.group_by(["s_suppkey"]).aggregate([("numwait", "sum")])

@@ -69,6 +69,8 @@ _NULLABLE_QUERIES = [
     "user_type_bitmask",
     "user_pivot_unpivot",
     "events_grouping_sets",
+    "doc_token_diversity",
+    "doc_bigram_repetition",
 ]
 
 

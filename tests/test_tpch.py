@@ -276,3 +276,62 @@ def test_attach_by_key_property_vs_pandas_merge():
             check_names=False,
             obj=f"trial{trial}",
         )
+
+
+def test_q20_drops_suppliers_with_dangling_nationkey(tmp_path):
+    """Inner-join semantics on BOTH dims: a supplier with a null or
+    dangling s_nationkey must drop (r3 review: the nation-gather hit
+    mask was discarded, fabricating a clamped n_name instead)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laketide.functions.tpch2 import q20_excess_shippers
+
+    pq.write_table(
+        pa.table(
+            {
+                "p_partkey": pa.array([1], pa.int64()),
+                "p_type": pa.array(["PROMO"], pa.string()),
+            }
+        ),
+        tmp_path / "part.parquet",
+    )
+    n = 4
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([1] * n, pa.int64()),
+                "l_suppkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "l_quantity": pa.array([100.0, 100.0, 100.0, 1.0]),
+                "l_shipdate": pa.array(
+                    [pd.Timestamp("1997-06-01")] * n, pa.timestamp("us")
+                ),
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+                "s_name": pa.array(["S1", "S2", "S3"], pa.string()),
+                "s_nationkey": pa.array([0, None, 9], pa.int64()),
+            }
+        ),
+        tmp_path / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1], pa.int64()),
+                "n_name": pa.array(["NATION_0", "NATION_1"], pa.string()),
+            }
+        ),
+        tmp_path / "nation.parquet",
+    )
+    t = q20_excess_shippers(str(tmp_path))
+    # suppliers 2 (null nationkey), 3 (dangling nationkey=9) and 4
+    # (absent from supplier) all drop; only supplier 1 survives
+    assert t["s_suppkey"].to_pylist() == [1]
+    assert t["n_name"].to_pylist() == ["NATION_0"]
