@@ -287,6 +287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_per_user_quantiles": _lazy("analytics", "events_per_user_quantiles"),
         "orders_price_quantiles": _lazy("analytics", "orders_price_quantiles"),
         "orders_price_quantiles_cont": _lazy("analytics", "orders_price_quantiles_cont"),
+        "orders_price_percent_rank": _lazy("analytics", "orders_price_percent_rank"),
         "funnel_view_click_purchase": _lazy("analytics", "funnel_view_click_purchase"),
         "order_keys_per_customer": _lazy("analytics", "order_keys_per_customer"),
         "q1_pricing": R.q1_pricing,
@@ -304,6 +305,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "customer_spend_quartile_counts": _lazy(
             "analytics", "customer_spend_quartile_counts"
+        ),
+        "customer_orders_full_outer": _lazy_pinned(
+            "relational",
+            "customer_orders_full_outer",
+            [
+                ("custkey", "int64"),
+                ("c_mktsegment", "string"),
+                ("n_orders", "int64"),
+                ("total_cents", "int64"),
+            ],
         ),
         "q5_local_supplier_volume": _lazy("tpch", "q5_local_supplier_volume"),
         "q7_volume_shipping": _lazy("tpch", "q7_volume_shipping"),
@@ -363,6 +374,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # k-means is iterative/approximate -> rows-only; pytest asserts
         # partition totals, determinism and majority-label consistency
         "kmeans_cluster_stats": _lazy("similarity", "kmeans_cluster_stats"),
+        "embedding_centroid_by_label": _lazy("similarity", "embedding_centroid_by_label"),
         "tfidf_top_terms": text.tfidf_top_terms,
         "bigram_pmi": text.bigram_pmi,
         "bm25_search": text.bm25_search,
@@ -1212,6 +1224,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST((length(text) - length(replace(text, 'stream', ''))) "
             "// 6 AS BIGINT) AS n_hits FROM documents WHERE text LIKE '%stream%'"
         ),
+        # FULL OUTER join: order aggregates GROUP BY custkey (the SQL
+        # null-key group is ONE row), unmatched sides kept, zero-filled
+        "customer_orders_full_outer": (
+            "WITH oa AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM orders GROUP BY 1) "
+            "SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment, "
+            "COALESCE(n, 0) AS n_orders, COALESCE(cents, 0) AS total_cents "
+            "FROM customer FULL OUTER JOIN oa ON c_custkey = o_custkey"
+        ),
+        "embedding_centroid_by_label": _centroid_oracle(),
+        # exact global window ranks via value-count histogram (no global
+        # sort engine-side); the int ratios divide identically
+        "orders_price_percent_rank": (
+            "SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents, "
+            "percent_rank() OVER (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) "
+            "AS pct_rank, "
+            "cume_dist() OVER (ORDER BY CAST(ROUND(o_totalprice*100) AS BIGINT)) "
+            "AS cume_dist "
+            "FROM orders WHERE o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL"
+        ),
         # Gopher-style lexical diversity: both ratios are the same double
         # division on both sides (counts are exact ints)
         "doc_token_diversity": (
@@ -1629,3 +1662,19 @@ def _langid_oracle() -> str:
     from laketide.functions.text import langid_oracle_sql
 
     return langid_oracle_sql()
+
+
+def _centroid_oracle() -> str:
+    """64 generated per-dimension exprs: exact int64 micro-unit sums,
+    one double division (embedding is FLOAT — the CAST to DOUBLE before
+    the multiply matters: a FLOAT*1e6 product rounds differently)."""
+    exprs = ", ".join(
+        f"CAST(sum(CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE)*1000000) "
+        f"AS BIGINT)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c{i}"
+        for i in range(64)
+    )
+    return (
+        f"SELECT label, CAST(count(*) AS BIGINT) AS n_vectors, {exprs} "
+        "FROM embeddings WHERE embedding IS NOT NULL "
+        "GROUP BY label ORDER BY label"
+    )

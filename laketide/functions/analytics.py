@@ -1782,3 +1782,87 @@ def purchase_attribution(sf_dir: str, window_minutes: int = 60) -> rd.Dataset:
         .groupby("_cpart")
         .map_groups(attr, batch_format="pyarrow")
     )
+
+
+def orders_price_percent_rank(sf_dir: str) -> rd.Dataset:
+    """Exact global window ranks (``percent_rank`` + ``cume_dist``
+    over order price) WITHOUT a global sort: pass 1 collapses the
+    table to a distinct-value count histogram (per-batch Arrow
+    value_counts, one tiny grouped sum — cardinality is bounded by the
+    price domain in cents, not the row count), the cumulative counts
+    broadcast via ray.put, and pass 2 gathers each row's
+    strictly-below / at-or-below counts positionally. Ranks are exact
+    int ratios, so the doubles are bit-equal to the oracle's window
+    functions. Null keys/prices are excluded (a null price has no rank)."""
+    import ray
+
+    from laketide.functions.relational import _cents
+
+    cols = ["o_orderkey", "o_totalprice"]
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t["o_orderkey"]), pc.is_valid(t["o_totalprice"]))
+        )
+        vc = pc.value_counts(pc.cast(_cents(t["o_totalprice"]), pa.int64()))
+        return pa.table(
+            {
+                "cents": pc.struct_field(vc, "values"),
+                "n": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
+        )
+
+    hist_parts = collect_tables(
+        _read(sf_dir, "orders", columns=cols).map_batches(
+            pre, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    out_schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("price_cents", pa.int64()),
+            ("pct_rank", pa.float64()),
+            ("cume_dist", pa.float64()),
+        ]
+    )
+    if not hist_parts:
+        return rd.from_arrow(out_schema.empty_table())
+    h = (
+        pa.concat_tables(hist_parts)
+        .group_by(["cents"])
+        .aggregate([("n", "sum")])
+        .sort_by([("cents", "ascending")])
+    )
+    vals = h["cents"].to_numpy(zero_copy_only=False)
+    counts = h["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(counts.sum())
+    cum_through = np.cumsum(counts)
+    cum_before = cum_through - counts
+    h_ref = ray.put((vals, cum_before, cum_through, total))
+
+    def rank(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_(pc.is_valid(t["o_orderkey"]), pc.is_valid(t["o_totalprice"]))
+        )
+        vals_, below_, through_, total_ = ray.get(h_ref)
+        cents = pc.cast(_cents(t["o_totalprice"]), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        pos = np.searchsorted(vals_, cents)
+        denom = float(total_ - 1) if total_ > 1 else 1.0
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+                "price_cents": pa.array(cents, pa.int64()),
+                # percent_rank = (rank-1)/(n-1); rank-1 == strictly-below
+                "pct_rank": pa.array(below_[pos].astype(np.float64) / denom),
+                # cume_dist = at-or-below / n
+                "cume_dist": pa.array(
+                    through_[pos].astype(np.float64) / float(total_)
+                ),
+            }
+        )
+
+    return _read(sf_dir, "orders", columns=cols).map_batches(
+        rank, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -2330,3 +2330,154 @@ def events_grouping_sets(sf_dir: str) -> pa.Table:
         }
     )
     return pa.concat_tables([rows.cast(schema), total_row.cast(schema)])
+
+
+def customer_orders_full_outer(sf_dir: str) -> rd.Dataset:
+    """FULL OUTER join (the one join shape the library's semi / anti /
+    left-outer / asof / range / overlap family lacked): every customer
+    row — matched or not — plus every per-custkey order aggregate with
+    no matching customer (dangling FKs and the SQL NULL-key order
+    group). Same tagged-union co-partition exchange as
+    ``customer_order_counts``; the right-only rows fall out of the
+    sorted-member probe for free (orders-aggregate keys no customer row
+    hit). Orders pre-aggregate per batch INCLUDING the null-key group
+    (one SQL ``GROUP BY o_custkey`` row), routed to the null partition
+    so its partials merge exactly once."""
+    import numpy as np
+
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+
+    n_parts = _coarse_n_parts()
+    out_schema = pa.schema(
+        [
+            ("custkey", pa.int64()),
+            ("c_mktsegment", pa.string()),
+            ("n_orders", pa.int64()),
+            ("total_cents", pa.int64()),
+        ]
+    )
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        key = pc.cast(t["c_custkey"], pa.int64()).combine_chunks()
+        valid = pc.is_valid(key).to_numpy(zero_copy_only=False)
+        part = np.where(
+            valid, _coarse_parts(_key_hash_u64(key), n_parts=n_parts), -1
+        )
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "key": key,
+                "seg": t["c_mktsegment"],
+                "n": pa.nulls(t.num_rows, pa.int64()),
+                "cents": pa.nulls(t.num_rows, pa.int64()),
+                "side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        """Per-batch per-custkey (count, cents) partials, null key KEPT
+        as one group (associative — rerun per co-located partition)."""
+        key = pc.cast(t["o_custkey"], pa.int64())
+        cents = pc.fill_null(
+            pc.cast(_cents(t["o_totalprice"]), pa.int64()), 0
+        )  # sum() ignores null prices; count(*) does not
+        g = (
+            pa.table(
+                {
+                    "key": key,
+                    "n": pa.array(np.ones(t.num_rows, np.int64)),
+                    "cents": cents,
+                }
+            )
+            .group_by(["key"])
+            .aggregate([("n", "sum"), ("cents", "sum")])
+        )
+        return g.rename_columns(["key", "n", "cents"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        g = o_partial(t) if "side" not in t.column_names else t
+        key = g["key"].combine_chunks()
+        valid = pc.is_valid(key).to_numpy(zero_copy_only=False)
+        part = np.where(
+            valid, _coarse_parts(_key_hash_u64(key), n_parts=n_parts), -1
+        )
+        return pa.table(
+            {
+                "part": pa.array(part, pa.int64()),
+                "key": key,
+                "seg": pa.nulls(g.num_rows, pa.string()),
+                "n": g["n"],
+                "cents": g["cents"],
+                "side": pa.array(np.ones(g.num_rows, np.int8), pa.int8()),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).map_batches(
+        tag_cust, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"]).map_batches(
+        tag_orders, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def final(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return out_schema.empty_table()
+        side = g["side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        # combine order partials (null key stays one group)
+        ra = (
+            rt.select(["key", "n", "cents"])
+            .group_by(["key"])
+            .aggregate([("n", "sum"), ("cents", "sum")])
+            .rename_columns(["key", "n", "cents"])
+        )
+        ra_valid = ra.filter(pc.is_valid(ra["key"])).sort_by([("key", "ascending")])
+        keys = ra_valid["key"].to_numpy(zero_copy_only=False)
+        hit, pos = _sorted_member(keys, lt["key"].combine_chunks())
+        take = pa.array(pos, pa.int64())
+        n_g = (
+            ra_valid["n"].combine_chunks().take(take)
+            if ra_valid.num_rows
+            else pa.nulls(lt.num_rows, pa.int64())
+        )
+        c_g = (
+            ra_valid["cents"].combine_chunks().take(take)
+            if ra_valid.num_rows
+            else pa.nulls(lt.num_rows, pa.int64())
+        )
+        hit_pa = pa.array(hit)
+        left = pa.table(
+            {
+                "custkey": lt["key"],
+                "c_mktsegment": lt["seg"],
+                "n_orders": pc.if_else(hit_pa, n_g, pa.scalar(0, pa.int64())),
+                "total_cents": pc.if_else(hit_pa, c_g, pa.scalar(0, pa.int64())),
+            }
+        )
+        # right-only: aggregate keys no customer row matched (incl. the
+        # null-key group, which can never match)
+        if ra.num_rows:
+            lkeys = np.unique(
+                pc.drop_null(lt["key"].combine_chunks()).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            rhit, _ = _sorted_member(lkeys, ra["key"].combine_chunks())
+            ro = ra.filter(pa.array(~rhit | pc.is_null(ra["key"]).to_numpy(zero_copy_only=False)))
+            right = pa.table(
+                {
+                    "custkey": ro["key"],
+                    "c_mktsegment": pa.nulls(ro.num_rows, pa.string()),
+                    "n_orders": pc.fill_null(ro["n"], 0),
+                    "total_cents": pc.fill_null(ro["cents"], 0),
+                }
+            )
+            left = pa.concat_tables([left.cast(out_schema), right.cast(out_schema)])
+        return left.cast(out_schema)
+
+    return (
+        cust.union(orders)
+        .groupby("part")
+        .map_groups(final, batch_format="pyarrow")
+    )

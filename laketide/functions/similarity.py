@@ -810,3 +810,67 @@ def vector_norm_stats_by_label(sf_dir: str) -> pa.Table:
             "max_normsq_milli": pc.cast(t["mx_f"], pa.int64()),
         }
     ).sort_by([("label", "ascending")])
+
+
+def embedding_centroid_by_label(sf_dir: str) -> pa.Table:
+    """Per-label centroid (class prototype) over EXACT integer
+    micro-units: coordinates round to round(x*1e6) int64 (Arrow
+    half_towards_infinity == DuckDB ROUND), per-label per-dimension
+    sums are order-independent int64, and the mean is ONE double
+    division written identically in the oracle — bit-exact under any
+    block split. Labels are dimension-scale, so per-batch partials
+    (label, n, 64 dim-sums) collapse before a driver-side merge; the
+    output columns are flat c0..c63 means in micro-units. Null
+    embeddings are excluded; null labels form their own group (SQL
+    GROUP BY)."""
+    import pyarrow.compute as pc
+
+    from laketide.functions.reads import collect_tables
+
+    dims = 64
+    sum_cols = [f"c{i}" for i in range(dims)]
+    aggs = [(c, "sum") for c in sum_cols] + [([], "count_all")]
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t)
+        schema = pa.schema(
+            [("label", pa.int64())]
+            + [(c, pa.int64()) for c in sum_cols]
+            + [("n", pa.int64())]
+        )
+        if t.num_rows == 0:
+            return schema.empty_table()
+        m = _embed_matrix(t["embedding"]) * 1_000_000.0
+        flat = pc.round(
+            pa.array(m.reshape(-1)), ndigits=0, round_mode="half_towards_infinity"
+        )
+        r = pc.cast(flat, pa.int64()).to_numpy(zero_copy_only=False).reshape(m.shape)
+        cols = {"label": pc.cast(t["label"], pa.int64())}
+        for i, c in enumerate(sum_cols):
+            cols[c] = pa.array(r[:, i], pa.int64())
+        g = pa.table(cols).group_by(["label"]).aggregate(aggs)
+        return g.rename_columns(["label"] + sum_cols + ["n"])
+
+    parts = collect_tables(
+        _emb(sf_dir, ["label", "embedding"]).map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    out_schema = pa.schema(
+        [("label", pa.int64()), ("n_vectors", pa.int64())]
+        + [(c, pa.float64()) for c in sum_cols]
+    )
+    if not parts:
+        return out_schema.empty_table()
+    g = (
+        pa.concat_tables([p.cast(parts[0].schema) for p in parts])
+        .group_by(["label"])
+        # merge partials: n SUMS here (count_all would count partial rows)
+        .aggregate([(c, "sum") for c in sum_cols] + [("n", "sum")])
+        .rename_columns(["label"] + sum_cols + ["n"])
+    )
+    n_f = pc.cast(g["n"], pa.float64())
+    out = {"label": g["label"], "n_vectors": g["n"]}
+    for c in sum_cols:
+        out[c] = pc.divide(pc.cast(g[c], pa.float64()), n_f)
+    return pa.table(out).cast(out_schema).sort_by([("label", "ascending")])

@@ -335,3 +335,63 @@ def test_q20_drops_suppliers_with_dangling_nationkey(tmp_path):
     # (absent from supplier) all drop; only supplier 1 survives
     assert t["s_suppkey"].to_pylist() == [1]
     assert t["n_name"].to_pylist() == ["NATION_0"]
+
+
+def test_full_outer_join_planted_dangling_and_null_keys(tmp_path):
+    """FULL OUTER join corners vs DuckDB on a planted corpus: dangling
+    order custkeys (right-only rows), the SQL null-key order GROUP
+    (exactly ONE right-only row however many null-key orders exist,
+    merged across batches), null-price sums, customers without orders,
+    and a null-custkey customer row."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laketide.functions.relational import customer_orders_full_outer
+
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2, None], pa.int64()),
+                "c_mktsegment": pa.array(["A", "B", "C"], pa.string()),
+            }
+        ),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 9, 9, None, None], pa.int64()),
+                "o_totalprice": pa.array([10.0, None, 5.5, 1.0, 2.0, 3.0]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    got = (
+        customer_orders_full_outer(str(tmp_path))
+        .to_pandas()
+        .sort_values(["custkey", "n_orders"], na_position="last")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            "WITH oa AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS cents "
+            f"FROM read_parquet('{tmp_path}/orders.parquet') GROUP BY 1) "
+            "SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_mktsegment, "
+            "COALESCE(n, 0) AS n_orders, COALESCE(cents, 0) AS total_cents "
+            f"FROM read_parquet('{tmp_path}/customer.parquet') "
+            "FULL OUTER JOIN oa ON c_custkey = o_custkey"
+        )
+        .df()
+        .sort_values(["custkey", "n_orders"], na_position="last")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) == 5  # 3 customers + dangling 9 + null group
+    pd.testing.assert_frame_equal(
+        got.astype({"custkey": "Float64"}),
+        want.astype({"custkey": "Float64"}),
+        check_dtype=False,
+        check_exact=True,
+    )
