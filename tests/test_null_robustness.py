@@ -71,6 +71,9 @@ _NULLABLE_QUERIES = [
     "events_grouping_sets",
     "doc_token_diversity",
     "doc_bigram_repetition",
+    "customer_orders_full_outer",
+    "orders_price_percent_rank",
+    "embedding_centroid_by_label",
 ]
 
 
@@ -149,10 +152,53 @@ def nullable_sf_dir(tmp_path_factory):
         {
             "vec_id": pa.array(list(range(m)), pa.int64()),
             "embedding": pa.array(emb, pa.list_(pa.float64())),
-            "label": pa.array([i % 7 for i in range(m)], pa.int64()),
+            # 5% null labels: SQL GROUP BY keeps the null group — the
+            # centroid/norm group paths must not die or drop it
+            "label": pa.array(
+                [None if rng.rand() < 0.05 else i % 7 for i in range(m)], pa.int64()
+            ),
         }
     )
     pq.write_table(et, str(d / "embeddings.parquet"))
+    # orders/customer with null + dangling keys: FULL OUTER right-only
+    # rows and the percent_rank null-price exclusion need them
+    no = 300
+    ok = rng.randint(0, 40, size=no).astype("float64")
+    ok[rng.rand(no) < 0.1] = np.nan
+    price = rng.rand(no) * 1000
+    price[rng.rand(no) < 0.1] = np.nan
+    orders = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(no, dtype="int64"),
+            "o_custkey": pd.array(
+                [None if np.isnan(x) else int(x) for x in ok], dtype="Int64"
+            ),
+            "o_orderstatus": [["F", "O", "P"][i % 3] for i in range(no)],
+            "o_totalprice": price,
+            "o_orderdate": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta(rng.randint(0, 10**6, size=no), unit="s"),
+            "o_orderpriority": [f"{i % 3}-X" for i in range(no)],
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(orders, preserve_index=False), str(d / "orders.parquet")
+    )
+    cust = pd.DataFrame(
+        {
+            # keys 0..24 only: custkeys 25..39 dangle (right-only rows)
+            "c_custkey": pd.array([None] + list(range(25)), dtype="Int64"),
+            "c_name": [f"c{i}" for i in range(26)],
+            "c_nationkey": pd.array([i % 5 for i in range(26)], dtype="Int64"),
+            "c_acctbal": rng.rand(26) * 100,
+            "c_mktsegment": pd.Series(
+                [None if i % 9 == 0 else f"SEG{i % 3}" for i in range(26)],
+                dtype="object",
+            ),
+        }
+    )
+    pq.write_table(
+        pa.Table.from_pandas(cust, preserve_index=False), str(d / "customer.parquet")
+    )
     return str(d)
 
 
@@ -165,7 +211,7 @@ def test_query_matches_oracle_with_nulls(name, nullable_sf_dir):
     if not isinstance(ray_df, pd.DataFrame):
         ray_df = ray_df.to_pandas()
     con = duckdb.connect()
-    for t in ("events", "documents", "embeddings"):
+    for t in ("events", "documents", "embeddings", "orders", "customer"):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
             f"read_parquet('{nullable_sf_dir}/{t}.parquet')"
