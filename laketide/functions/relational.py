@@ -844,9 +844,21 @@ def join_customer_orders(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
-def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
-    """Large-large hash join: lineitem ⋈ orders on orderkey (Ray Dataset
-    hash join, partitioned on the key), revenue per order status."""
+def join_orders_lineitem_revenue(
+    sf_dir: str, broadcast_budget_rows: int = 5_000_000
+) -> rd.Dataset:
+    """Revenue per order status: lineitem ⋈ orders on orderkey. ADAPTIVE
+    (footer-derived budget, the q3/q10 idiom): under the budget the
+    (orderkey -> status) map broadcasts once via ray.put and the
+    lineitem scan never shuffles at all — the whole query becomes one
+    streaming pass plus a tiny status aggregate (measured 3.4s -> ~1s
+    at sf0.1: Dataset.join costs ~2.6s fixed). Over the budget, the
+    large-large Ray Dataset hash join (partitioned on the key) with a
+    per-batch revenue combiner before the exchange — the 100 TB path."""
+    import pyarrow.parquet as _pq
+
+    import ray
+
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
 
     def pre_li(t: pa.Table) -> pa.Table:
@@ -857,29 +869,60 @@ def join_orders_lineitem_revenue(sf_dir: str) -> rd.Dataset:
         out = tmp.group_by(["l_orderkey"]).aggregate([("rev", "sum")])
         return out.rename_columns(["l_orderkey", "rev"])
 
-    li_partial = li.map_batches(pre_li, batch_format="pyarrow", zero_copy_batch=True)
-    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
-    joined = li_partial.join(
-        orders,
-        join_type="inner",
-        num_partitions=16,
-        on=("l_orderkey",),
-        right_on=("o_orderkey",),
-    )
-
-    def pre(t: pa.Table) -> pa.Table:
-        out = (
-            t.select(["o_orderstatus", "rev"])
-            .group_by(["o_orderstatus"])
-            .aggregate([("rev", "sum")])
+    n_orders = _pq.ParquetFile(f"{sf_dir}/orders.parquet").metadata.num_rows
+    if n_orders <= broadcast_budget_rows:
+        ot = _pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+        ).replace_schema_metadata(None)
+        ot = ot.filter(pc.is_valid(ot["o_orderkey"])).sort_by(
+            [("o_orderkey", "ascending")]
         )
-        return out.rename_columns(["o_orderstatus", "rev"])
+        keys = pc.cast(ot["o_orderkey"], pa.int64()).to_numpy(zero_copy_only=False)
+        status = ot["o_orderstatus"].combine_chunks()
+        o_ref = ray.put((keys, status))
 
-    agg = (
-        joined.map_batches(pre, batch_format="pyarrow")
-        .groupby("o_orderstatus")
-        .aggregate(Sum("rev", alias_name="rev_f"))
-    )
+        def rev_by_status(t: pa.Table) -> pa.Table:
+            t = pre_li(t)
+            keys_, status_ = ray.get(o_ref)
+            hit, pos = _sorted_member(keys_, t["l_orderkey"].combine_chunks())
+            st = (
+                status_.take(pa.array(pos, pa.int64()))
+                if len(keys_)
+                else pa.nulls(t.num_rows, pa.string())
+            )
+            out = (
+                pa.table({"o_orderstatus": st, "rev": t["rev"]})
+                .filter(pa.array(hit))  # inner-join semantics
+                .group_by(["o_orderstatus"])
+                .aggregate([("rev", "sum")])
+            )
+            return out.rename_columns(["o_orderstatus", "rev"])
+
+        partials = li.map_batches(
+            rev_by_status, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        li_partial = li.map_batches(pre_li, batch_format="pyarrow", zero_copy_batch=True)
+        orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderstatus"])
+        joined = li_partial.join(
+            orders,
+            join_type="inner",
+            num_partitions=16,
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        def pre(t: pa.Table) -> pa.Table:
+            out = (
+                t.select(["o_orderstatus", "rev"])
+                .group_by(["o_orderstatus"])
+                .aggregate([("rev", "sum")])
+            )
+            return out.rename_columns(["o_orderstatus", "rev"])
+
+        partials = joined.map_batches(pre, batch_format="pyarrow")
+
+    agg = partials.groupby("o_orderstatus").aggregate(Sum("rev", alias_name="rev_f"))
     return agg.map_batches(
         lambda t: pa.table(
             {"o_orderstatus": t["o_orderstatus"], "revenue_cents": pc.cast(t["rev_f"], pa.int64())}

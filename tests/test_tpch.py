@@ -395,3 +395,13 @@ def test_full_outer_join_planted_dangling_and_null_keys(tmp_path):
         check_dtype=False,
         check_exact=True,
     )
+
+
+def test_join_revenue_fallback_matches_broadcast():
+    from laketide.functions.relational import join_orders_lineitem_revenue
+
+    a = _canon(_to_pandas(join_orders_lineitem_revenue(SF)))
+    b = _canon(_to_pandas(join_orders_lineitem_revenue(SF, broadcast_budget_rows=0)))
+    pd.testing.assert_frame_equal(
+        a, b, check_dtype=False, check_exact=True, obj="join_rev"
+    )
