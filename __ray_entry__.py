@@ -284,6 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "blob_chunk_dedup": _lazy("multimodal", "blob_chunk_dedup"),
         "value_histogram": _lazy("analytics", "value_histogram"),
+        # HDR quantile sketch: rows-only by design (float log2 at bucket
+        # boundaries is not SQL-bit-stable); pytest pins determinism,
+        # mergeability and the 2^-5 relative-error bound vs exact
+        "value_quantile_sketch": _lazy("analytics", "value_quantile_sketch"),
         "events_per_user_quantiles": _lazy("analytics", "events_per_user_quantiles"),
         "orders_price_quantiles": _lazy("analytics", "orders_price_quantiles"),
         "orders_price_quantiles_cont": _lazy("analytics", "orders_price_quantiles_cont"),

@@ -1866,3 +1866,99 @@ def orders_price_percent_rank(sf_dir: str) -> rd.Dataset:
     return _read(sf_dir, "orders", columns=cols).map_batches(
         rank, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+_HDR_SUB_BITS = 5  # 32 sub-buckets per octave -> relative error <= 2^-5
+
+
+def _hdr_bucket(v: "np.ndarray", b: int = _HDR_SUB_BITS) -> "np.ndarray":
+    """HDR-histogram bucket ids for non-negative int64 values: values
+    below 2^b map to themselves (exact), larger values keep the top
+    ``b`` bits below the MSB (bounded RELATIVE error 2^-b). Pure integer
+    arithmetic (frexp exponents are exact for int64 < 2^53) — fully
+    deterministic, so the sketch is identical under any block split or
+    merge order, unlike rank-sampling sketches (KLL/t-digest)."""
+    v = np.maximum(v, 0)
+    small = v < (1 << b)
+    # exact exponent: frexp(v) = m * 2^e with m in [0.5, 1) -> e-1 = floor(log2 v)
+    _, e = np.frexp(np.maximum(v, 1).astype(np.float64))
+    e = e.astype(np.int64) - 1
+    shift = np.maximum(e - b, 0)
+    sub = (v >> shift) - (1 << b)  # top b bits below the MSB
+    ids = ((e - b + 1) << b) + sub + (1 << b)
+    return np.where(small, v, ids)
+
+
+def _hdr_upper(ids: "np.ndarray", b: int = _HDR_SUB_BITS) -> "np.ndarray":
+    """Inclusive upper edge of each bucket (the readout representative:
+    estimates never undershoot the true quantile)."""
+    small = ids < (1 << b)
+    oct_ = (ids >> b) - 1  # octave index (e - b + 1), so e = oct_ + b - 1
+    sub = (ids & ((1 << b) - 1)) + (1 << b)
+    shift = np.maximum(oct_ - 1, 0)  # = e - b
+    upper = ((sub + 1) << shift) - 1
+    return np.where(small, ids, upper)
+
+
+def value_quantile_sketch(
+    sf_dir: str, qs=(0.5, 0.9, 0.99)
+) -> pa.Table:
+    """Streaming quantile SKETCH over event value cents (HDR-histogram
+    family): per-batch integer bucket counts, one tiny mergeable
+    aggregate, quantile readout from the cumulative histogram with a
+    DOCUMENTED <= 2^-5 (3.2%) relative-error bound. Rows-only by design
+    (float log2 at bucket boundaries is not SQL-bit-stable); pytest
+    pins determinism, mergeability (sketch(A ∪ B) == merge of halves)
+    and the error bound against exact quantiles. Unlike the exact
+    value-count histogram (``doc_length_quantiles``), the state here is
+    O(octaves x 2^b) regardless of value cardinality — the 100 TB shape
+    for high-cardinality value domains."""
+    from laketide.functions.relational import _cents
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        v = t["value"].combine_chunks()
+        v = v.filter(pc.is_valid(v))
+        cents = pc.cast(_cents(v), pa.int64()).to_numpy(zero_copy_only=False)
+        ids, counts = np.unique(_hdr_bucket(cents), return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(ids, pa.int64()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    parts = collect_tables(ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True))
+    out_schema = pa.schema(
+        [("q", pa.float64()), ("est_cents", pa.int64()), ("rel_err_bound", pa.float64())]
+    )
+    if not parts:
+        return out_schema.empty_table()
+    g = (
+        pa.concat_tables(parts)
+        .group_by(["bucket"])
+        .aggregate([("n", "sum")])
+        .sort_by([("bucket", "ascending")])
+    )
+    ids = g["bucket"].to_numpy(zero_copy_only=False)
+    counts = g["n_sum"].to_numpy(zero_copy_only=False).astype(np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1])
+    uppers = _hdr_upper(ids)
+    rows_q, rows_est = [], []
+    for q in qs:
+        # rank of the q-quantile under "lower" interpolation semantics
+        rank = max(int(np.ceil(q * total)), 1)
+        pos = int(np.searchsorted(cum, rank))
+        rows_q.append(float(q))
+        rows_est.append(int(uppers[pos]))
+    return pa.table(
+        {
+            "q": pa.array(rows_q, pa.float64()),
+            "est_cents": pa.array(rows_est, pa.int64()),
+            "rel_err_bound": pa.array(
+                [2.0 ** -_HDR_SUB_BITS] * len(rows_q), pa.float64()
+            ),
+        }
+    )

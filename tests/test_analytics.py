@@ -287,3 +287,55 @@ def test_q4_q12_q10_broadcast_and_join_paths_agree():
         bc = fn(SF_DIR)
         jn = fn(SF_DIR, broadcast_budget_rows=0)
         assert bc.to_pydict() == jn.to_pydict(), fn.__name__
+
+
+class TestValueQuantileSketch:
+    """HDR quantile sketch: deterministic under block splits, mergeable,
+    and within its documented 2^-5 relative-error bound vs the exact
+    quantiles (upper-edge readout never undershoots)."""
+
+    SF = "/root/testdata/sf0.001"
+
+    def test_error_bound_vs_exact(self):
+        import duckdb
+        import numpy as np
+
+        from laketide.functions.analytics import value_quantile_sketch
+
+        got = value_quantile_sketch(self.SF).to_pandas()
+        con = duckdb.connect()
+        exact = con.execute(
+            "SELECT quantile_disc(c, 0.5), quantile_disc(c, 0.9), quantile_disc(c, 0.99) "
+            "FROM (SELECT CAST(ROUND(value*100) AS BIGINT) AS c FROM "
+            f"read_parquet('{self.SF}/events.parquet') WHERE value IS NOT NULL)"
+        ).fetchone()
+        for (q, est), true in zip(
+            got[["q", "est_cents"]].itertuples(index=False), exact
+        ):
+            assert est >= true, (q, est, true)
+            assert est - true <= max(true, 1) * 2**-5 + 1, (q, est, true)
+
+    def test_deterministic_across_runs(self):
+        from laketide.functions.analytics import value_quantile_sketch
+
+        a = value_quantile_sketch(self.SF).to_pandas()
+        b = value_quantile_sketch(self.SF).to_pandas()
+        assert a.equals(b)
+
+    def test_mergeable_bucket_counts(self, tmp_path):
+        """sketch(A ∪ B) bucket counts == elementwise merge of the two
+        halves' counts — the property that makes the sketch safe under
+        ANY partitioning (kernel-level check, no rank sampling)."""
+        import numpy as np
+
+        from laketide.functions.analytics import _hdr_bucket
+
+        rng = np.random.RandomState(11)
+        v = rng.randint(0, 10**9, size=50_000).astype(np.int64)
+        ids_all, n_all = np.unique(_hdr_bucket(v), return_counts=True)
+        merged = {}
+        for half in (v[:20_000], v[20_000:]):
+            ids, n = np.unique(_hdr_bucket(half), return_counts=True)
+            for i, c in zip(ids, n):
+                merged[i] = merged.get(i, 0) + int(c)
+        assert dict(zip(ids_all.tolist(), n_all.tolist())) == merged
