@@ -1871,14 +1871,13 @@ def orders_price_percent_rank(sf_dir: str) -> rd.Dataset:
 _HDR_SUB_BITS = 5  # 32 sub-buckets per octave -> relative error <= 2^-5
 
 
-def _hdr_bucket(v: "np.ndarray", b: int = _HDR_SUB_BITS) -> "np.ndarray":
+def _hdr_bucket_nonneg(v: "np.ndarray", b: int = _HDR_SUB_BITS) -> "np.ndarray":
     """HDR-histogram bucket ids for non-negative int64 values: values
     below 2^b map to themselves (exact), larger values keep the top
     ``b`` bits below the MSB (bounded RELATIVE error 2^-b). Pure integer
     arithmetic (frexp exponents are exact for int64 < 2^53) — fully
     deterministic, so the sketch is identical under any block split or
     merge order, unlike rank-sampling sketches (KLL/t-digest)."""
-    v = np.maximum(v, 0)
     small = v < (1 << b)
     # exact exponent: frexp(v) = m * 2^e with m in [0.5, 1) -> e-1 = floor(log2 v)
     _, e = np.frexp(np.maximum(v, 1).astype(np.float64))
@@ -1889,15 +1888,30 @@ def _hdr_bucket(v: "np.ndarray", b: int = _HDR_SUB_BITS) -> "np.ndarray":
     return np.where(small, v, ids)
 
 
+def _hdr_bucket(v: "np.ndarray", b: int = _HDR_SUB_BITS) -> "np.ndarray":
+    """Signed bucket ids: negative values mirror into negative ids
+    (refund-style domains keep the same |v|-relative error bound — a
+    silent clamp to bucket 0 would return wrong quantiles with the
+    bound column still claiming 2^-b)."""
+    neg = v < 0
+    pos_ids = _hdr_bucket_nonneg(np.where(neg, 0, v), b)
+    neg_ids = -_hdr_bucket_nonneg(np.where(neg, -v, 0), b) - 1
+    return np.where(neg, neg_ids, pos_ids)
+
+
 def _hdr_upper(ids: "np.ndarray", b: int = _HDR_SUB_BITS) -> "np.ndarray":
     """Inclusive upper edge of each bucket (the readout representative:
-    estimates never undershoot the true quantile)."""
-    small = ids < (1 << b)
-    oct_ = (ids >> b) - 1  # octave index (e - b + 1), so e = oct_ + b - 1
-    sub = (ids & ((1 << b) - 1)) + (1 << b)
+    estimates never undershoot the true quantile). Negative ids mirror:
+    their upper edge is the negated LOWER edge of the mirrored positive
+    bucket, so est >= true still holds."""
+    pid = np.where(ids < 0, -(ids + 1), ids)
+    small = pid < (1 << b)
+    oct_ = (pid >> b) - 1  # octave index (e - b + 1), so e = oct_ + b - 1
+    sub = (pid & ((1 << b) - 1)) + (1 << b)
     shift = np.maximum(oct_ - 1, 0)  # = e - b
-    upper = ((sub + 1) << shift) - 1
-    return np.where(small, ids, upper)
+    upper = np.where(small, pid, ((sub + 1) << shift) - 1)
+    lower = np.where(small, pid, sub << shift)
+    return np.where(ids < 0, -lower, upper)
 
 
 def value_quantile_sketch(

@@ -2438,7 +2438,7 @@ def customer_orders_full_outer(sf_dir: str) -> rd.Dataset:
         return g.rename_columns(["key", "n", "cents"])
 
     def tag_orders(t: pa.Table) -> pa.Table:
-        g = o_partial(t) if "side" not in t.column_names else t
+        g = o_partial(t)
         key = g["key"].combine_chunks()
         valid = pc.is_valid(key).to_numpy(zero_copy_only=False)
         part = np.where(

@@ -339,3 +339,35 @@ class TestValueQuantileSketch:
             for i, c in zip(ids, n):
                 merged[i] = merged.get(i, 0) + int(c)
         assert dict(zip(ids_all.tolist(), n_all.tolist())) == merged
+
+    def test_negative_values_mirror_exactly(self, tmp_path):
+        """Refund-style negative values must keep the bound (r3 review:
+        a silent clamp to bucket 0 returned wrong quantiles): the full
+        sketch path over a mostly-negative corpus stays within 2^-5 of
+        the exact quantiles and never undershoots."""
+        import duckdb
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from laketide.functions.analytics import value_quantile_sketch
+
+        rng = np.random.RandomState(3)
+        vals = np.concatenate(
+            [-rng.exponential(500, size=3000), rng.exponential(50, size=1000)]
+        )
+        pq.write_table(
+            pa.table({"value": pa.array(vals, pa.float64())}),
+            tmp_path / "events.parquet",
+        )
+        got = value_quantile_sketch(str(tmp_path)).to_pandas()
+        exact = duckdb.connect().execute(
+            "SELECT quantile_disc(c, 0.5), quantile_disc(c, 0.9), quantile_disc(c, 0.99) "
+            "FROM (SELECT CAST(ROUND(value*100) AS BIGINT) AS c FROM "
+            f"read_parquet('{tmp_path}/events.parquet'))"
+        ).fetchone()
+        for (q, est), true in zip(
+            got[["q", "est_cents"]].itertuples(index=False), exact
+        ):
+            assert est >= true, (q, est, true)
+            assert est - true <= abs(true) * 2**-5 + 1, (q, est, true)
