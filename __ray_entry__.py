@@ -149,6 +149,35 @@ def _cdc_changes_feed(sf_dir: str) -> Any:
     )
 
 
+def _incremental_lang_counts(sf_dir: str) -> Any:
+    """Replay the cached changelog while maintaining a grouped
+    count/bytes view INCREMENTALLY from the change data feed after
+    EVERY epoch (``IncrementalCountView``: bootstrap once, then
+    O(changes) refreshes folding Delta-CDF update preimages). Returns
+    the final view; the oracle recomputes the same grouping from the
+    LWW window state, so the row passes only if every per-epoch
+    incremental delta was exact."""
+    import glob
+    import shutil
+
+    from laketide.pipelines.cdc import LakeTable
+    from laketide.pipelines.views import IncrementalCountView
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    log_dir = _replay_log_dir(sf_tag)
+    files = sorted(glob.glob(os.path.join(log_dir, "epoch-*.parquet")))
+    work = tempfile.mkdtemp(prefix="laketide_view_", dir="/tmp")
+    try:
+        table = LakeTable(os.path.join(work, "table"), num_partitions=32)
+        view = IncrementalCountView(table, group_col="lang")
+        for f in files:
+            table.apply_epoch(f)
+            view.refresh()
+        return view.view()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _asof_join(sf_dir: str) -> Any:
     from laketide.functions.asof import asof_join_events_orders
 
@@ -245,6 +274,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_cents_by_user_type": R.value_cents_by_user_type,
         "cdc_replay_final": _cdc_replay_final,
         "cdc_changes_feed": _cdc_changes_feed,
+        "incremental_lang_counts": _incremental_lang_counts,
         "cdc_coalesce_fieldwise": R.cdc_coalesce_fieldwise,
         "lookup_join_overlap": R.lookup_join_overlap,
         "asof_join_events_orders": _asof_join,
@@ -450,6 +480,17 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
             f"FROM read_parquet('{replay_glob}', union_by_name=true)"
             ") WHERE rn = 1 AND op != 'delete'"
+        ),
+        # incremental view maintenance: grouped LWW-state counts; the Ray
+        # side folds per-epoch CDF deltas, the oracle recomputes from the
+        # final window state — equal only if every delta was exact
+        "incremental_lang_counts": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(coalesce(length(content), 0)) AS BIGINT) AS content_bytes "
+            "FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
+            f"FROM read_parquet('{replay_glob}', union_by_name=true)"
+            ") WHERE rn = 1 AND op != 'delete' GROUP BY lang"
         ),
         # change data feed: full-outer diff of the epoch-1 window-state
         # vs the final window-state over the SAME cached changelog

@@ -479,7 +479,10 @@ def _gather_nonempty(ds: "ray.data.Dataset") -> list[pa.Table]:
 
 
 def _diff_live_tables(
-    t0: pa.Table | None, t1: pa.Table | None, schema: pa.Schema
+    t0: pa.Table | None,
+    t1: pa.Table | None,
+    schema: pa.Schema,
+    update_preimages: bool = False,
 ) -> pa.Table:
     """Classify one partition's changes between two live-row snapshots
     (both already tombstone-filtered): insert = key only in ``t1``
@@ -487,7 +490,12 @@ def _diff_live_tables(
     ``(commit, seq)`` (postimage), delete = key only in ``t0``
     (preimage). Vectorized via null-byte-joined key arrays +
     ``pc.index_in`` — no join machinery, so list payload columns ride
-    along untouched."""
+    along untouched.
+
+    ``update_preimages=True`` switches updates to the Delta-CDF row
+    pair: ``update_preimage`` (the OLD row) + ``update_postimage`` (the
+    new one) — what incremental view maintenance needs to retract the
+    old contribution when an update moves a row between groups."""
     out_schema = schema.append(pa.field("change_type", pa.string()))
 
     def _key(t: pa.Table) -> pa.ChunkedArray:
@@ -524,7 +532,12 @@ def _diff_live_tables(
     if pc.any(ins_mask).as_py():
         parts.append(_tag(t1.filter(ins_mask), "insert"))
     if pc.any(upd_mask).as_py():
-        parts.append(_tag(t1.filter(upd_mask), "update"))
+        if update_preimages:
+            pre_pos = pc.filter(idx, upd_mask)
+            parts.append(_tag(t0.take(pre_pos), "update_preimage"))
+            parts.append(_tag(t1.filter(upd_mask), "update_postimage"))
+        else:
+            parts.append(_tag(t1.filter(upd_mask), "update"))
     if pc.any(del_mask).as_py():
         parts.append(_tag(t0.filter(del_mask), "delete"))
     if not parts:
@@ -704,10 +717,18 @@ class LakeTable:
         return schema, schema.append(pa.field("change_type", pa.string()))
 
     def changes_dataset(
-        self, from_epoch: int, to_epoch: int
+        self, from_epoch: int, to_epoch: int, update_preimages: bool = False
     ) -> "ray.data.Dataset":
         """Change data feed as a streaming Dataset (the scale surface —
         change rows never concentrate on the driver).
+
+        ``update_preimages=True`` emits the Delta-CDF
+        ``update_preimage`` / ``update_postimage`` row pair per update
+        instead of one ``update`` postimage row (what incremental view
+        maintenance needs). Not available across a rescale boundary,
+        where old-snapshot preimages are skinny by construction —
+        callers must recompute their view instead (documented
+        contract).
 
         Distribution: when both manifests share a partition count, one
         Ray task per partition diffs base+delta folds pairwise (the
@@ -733,6 +754,12 @@ class LakeTable:
             return _rd.from_arrow(out_schema.empty_table())
         table_dir, merge = self.table_dir, self.merge
         if m0.num_partitions != m1.num_partitions:
+            if update_preimages:
+                raise ValueError(
+                    "update_preimages is not available across a rescale "
+                    "boundary (old-snapshot preimages are skinny): "
+                    "recompute the view from the snapshot instead"
+                )
             return self._changes_across_rescale(m0, m1, schema)
 
         @_ray.remote(num_cpus=1)
@@ -750,7 +777,7 @@ class LakeTable:
                 if info1
                 else None
             )
-            return _diff_live_tables(t0, t1, schema)
+            return _diff_live_tables(t0, t1, schema, update_preimages)
 
         ids = sorted(set(m0.partitions) | set(m1.partitions), key=int)
         return _rd.from_arrow_refs(

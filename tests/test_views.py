@@ -1,0 +1,112 @@
+"""Incremental materialized view maintenance: after every commit epoch
+the CDF-refreshed view must equal a full recompute from the live
+snapshot — including deletes, updates that MOVE rows between groups
+(lang changes), the mid-stream lang schema evolution, and the rescale
+fallback (preimages are skinny across a rescale, so refresh must
+detect it and bootstrap)."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import laketide
+from laketide.pipelines.views import IncrementalCountView
+
+
+def _expected(table: "laketide.LakeTable") -> dict:
+    t = table.state_table()
+    if t.num_rows == 0:
+        return {}
+    size = pc.fill_null(
+        pc.cast(pc.binary_length(pc.cast(t["content"], pa.string())), pa.int64()), 0
+    )
+    lang = (
+        t["lang"] if "lang" in t.column_names else pa.nulls(t.num_rows, pa.string())
+    )
+    g = (
+        pa.table({"g": lang, "n": pa.array([1] * t.num_rows, pa.int64()), "b": size})
+        .group_by(["g"])
+        .aggregate([("n", "sum"), ("b", "sum")])
+    )
+    return {
+        r["g"]: (r["n_sum"], r["b_sum"]) for r in g.to_pylist() if r["n_sum"] != 0
+    }
+
+
+def _got(view: IncrementalCountView) -> dict:
+    t = view.view()
+    return {
+        r[view.group_col]: (r["n_rows"], r["content_bytes"]) for r in t.to_pylist()
+    }
+
+
+def test_incremental_view_matches_recompute_every_epoch(tmp_path):
+    files = laketide.generate_changelog(
+        str(tmp_path / "log"),
+        n_events=4000,
+        n_epochs=5,
+        seed=17,
+        delete_frac=0.1,
+        lang_from_epoch=2,  # lang column appears mid-stream
+    )
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=8)
+    view = IncrementalCountView(t, group_col="lang")
+    modes = []
+    for f in files:
+        t.apply_epoch(f)
+        r = view.refresh()
+        modes.append(r["mode"])
+        assert _got(view) == _expected(t), f"epoch {t.current_epoch()}"
+    # first refresh bootstraps, the rest are O(changes) incremental
+    assert modes[0] == "bootstrap"
+    assert set(modes[1:]) == {"incremental"}
+    # idempotent refresh at the same epoch
+    assert view.refresh()["mode"] == "noop"
+
+
+def test_incremental_view_bootstraps_across_rescale(tmp_path):
+    files = laketide.generate_changelog(
+        str(tmp_path / "log"), n_events=2000, n_epochs=3, seed=5
+    )
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=4)
+    view = IncrementalCountView(t, group_col="lang")
+    t.apply_epoch(files[0])
+    view.refresh()
+    t.apply_epoch(files[1])
+    t.rescale(8)
+    t2 = laketide.LakeTable(str(tmp_path / "table"), num_partitions=8)
+    t2.apply_epoch(files[2])
+    view.table = t2
+    r = view.refresh()
+    assert r["mode"] == "bootstrap"  # skinny preimages across rescale
+    assert _got(view) == _expected(t2)
+
+
+def test_cdf_update_preimages_pair(tmp_path):
+    """update_preimages=True emits one preimage + one postimage row per
+    updated key, with the OLD payload on the preimage."""
+    files = laketide.generate_changelog(
+        str(tmp_path / "log"), n_events=3000, n_epochs=3, seed=9
+    )
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=4)
+    for f in files:
+        t.apply_epoch(f)
+    from laketide.functions.reads import collect_tables
+
+    parts = collect_tables(t.changes_dataset(1, 3, update_preimages=True))
+    ch = pa.concat_tables(parts, promote_options="default")
+    types = set(ch["change_type"].to_pylist())
+    assert "update" not in types
+    pre = ch.filter(pc.equal(ch["change_type"], "update_preimage"))
+    post = ch.filter(pc.equal(ch["change_type"], "update_postimage"))
+    assert pre.num_rows == post.num_rows > 0
+    # pre/post pair on the same keys, different winner identity
+    key = lambda tt: sorted(
+        zip(tt["repo"].to_pylist(), tt["path"].to_pylist())
+    )
+    assert key(pre) == key(post)
+    old = t.state_table_at(1)
+    old_map = {
+        (r["repo"], r["path"]): (r["commit"], r["seq"]) for r in old.to_pylist()
+    }
+    for r in pre.to_pylist():
+        assert old_map[(r["repo"], r["path"])] == (r["commit"], r["seq"])
