@@ -73,6 +73,12 @@ def main(argv: list[str] | None = None) -> int:
         "--out", help="write full change rows to this parquet path (else summary only)"
     )
 
+    sp = sub.add_parser(
+        "view", help="grouped live-row count/bytes view (one streaming pass)"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--group", default="lang")
+
     sp = sub.add_parser("tail", help="follow a changelog dir, applying new epochs")
     sp.add_argument("--table", required=True)
     sp.add_argument("--changelog", required=True)
@@ -171,6 +177,20 @@ def main(argv: list[str] | None = None) -> int:
                         "changes": ch.num_rows,
                         "by_type": counts,
                         "out": args.out,
+                    }
+                )
+            )
+        elif args.cmd == "view":
+            from laketide.pipelines.views import IncrementalCountView
+
+            v = IncrementalCountView(LakeTable(args.table), group_col=args.group)
+            r = v.refresh()
+            print(
+                json.dumps(
+                    {
+                        "mode": r["mode"],
+                        "epoch": r["to_epoch"],
+                        "groups": v.view().to_pylist(),
                     }
                 )
             )

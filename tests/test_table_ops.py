@@ -400,6 +400,12 @@ def test_cli_end_to_end(tmp_path, changelog):
     status = json.loads(buf.getvalue())
     assert status["epoch"] == 3 and status["rows"] > 0
     assert main(["export", "--table", table, "--out", str(tmp_path / "ex")]) == 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["view", "--table", table, "--group", "lang"]) == 0
+    view = json.loads(buf.getvalue())
+    assert view["epoch"] == 3 and view["mode"] == "bootstrap"
+    assert sum(g["n_rows"] for g in view["groups"]) == status["rows"]
     assert main(["gc", "--table", table, "--keep", "1"]) == 0
 
 
