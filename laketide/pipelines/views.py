@@ -142,21 +142,31 @@ class IncrementalCountView:
             self._bootstrap()
             mode = "bootstrap"
         else:
-            ds = self.table.changes_dataset(
-                self._as_of, cur, update_preimages=True
-            )
-            self._apply(
-                self._deltas(
-                    ds,
-                    {
-                        "insert": 1,
-                        "update_postimage": 1,
-                        "delete": -1,
-                        "update_preimage": -1,
-                    },
-                    signed=True,
+            try:
+                # the rescale guard above compares CURRENT partition
+                # counts, but a rescale between refreshes leaves the
+                # base EPOCH manifest at the old count (maintenance
+                # manifests are suffixed) — changes_dataset detects the
+                # cross-rescale diff and refuses; recompute instead
+                ds = self.table.changes_dataset(
+                    self._as_of, cur, update_preimages=True
                 )
-            )
+            except ValueError:
+                self._bootstrap()
+                mode = "bootstrap"
+            else:
+                self._apply(
+                    self._deltas(
+                        ds,
+                        {
+                            "insert": 1,
+                            "update_postimage": 1,
+                            "delete": -1,
+                            "update_preimage": -1,
+                        },
+                        signed=True,
+                    )
+                )
         out = {"mode": mode, "from_epoch": self._as_of, "to_epoch": cur}
         self._as_of, self._as_of_partitions = cur, cur_parts
         return out

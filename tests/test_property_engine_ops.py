@@ -1,7 +1,11 @@
 """Stateful engine property: ANY interleaving of maintenance operations
 (compact / purge / gc / rescale) between replay epochs leaves the table
 equal to the DuckDB oracle of the epochs applied so far — on both
-layouts. Maintenance must be invisible to the logical state."""
+layouts. Maintenance must be invisible to the logical state, and the
+incrementally-maintained count view must equal a recompute at every
+step (compaction/purge must not surface as phantom CDF deltas; rescale
+and gc'd base epochs must trigger the bootstrap fallback, never a
+wrong incremental answer)."""
 
 import hashlib
 import shutil
@@ -54,6 +58,9 @@ def test_maintenance_interleaving_preserves_state(seed, ops, layout):
             f"{d}/log", n_events=900, n_epochs=3, seed=seed, delete_frac=0.12
         )
         t = LakeTable(f"{d}/t", num_partitions=8, layout=layout)
+        from laketide.pipelines.views import IncrementalCountView
+
+        view = IncrementalCountView(t, group_col="lang")
         for k, f in enumerate(files):
             t.apply_epoch(f)
             _run_op(t, ops[k])
@@ -63,6 +70,13 @@ def test_maintenance_interleaving_preserves_state(seed, ops, layout):
                 f"state diverged after epoch {k + 1} + {ops[k]} "
                 f"(layout={layout}, seed={seed}): "
                 f"{len(got)} vs {len(want)} rows"
+            )
+            view.refresh()
+            from tests.test_views import _expected, _got
+
+            assert _got(view) == _expected(t), (
+                f"view diverged after epoch {k + 1} + {ops[k]} "
+                f"(layout={layout}, seed={seed})"
             )
         # a fresh handle sees the same committed state
         t2 = LakeTable(f"{d}/t")
