@@ -79,6 +79,10 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--group", default="lang")
 
+    sp = sub.add_parser("fsck", help="table integrity check (read-only)")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--deep", action="store_true")
+
     sp = sub.add_parser("tail", help="follow a changelog dir, applying new epochs")
     sp.add_argument("--table", required=True)
     sp.add_argument("--changelog", required=True)
@@ -180,6 +184,10 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+        elif args.cmd == "fsck":
+            r = LakeTable(args.table).fsck(deep=args.deep)
+            print(json.dumps(r))
+            return 0 if r["ok"] else 2
         elif args.cmd == "view":
             from laketide.pipelines.views import IncrementalCountView
 

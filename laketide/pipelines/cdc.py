@@ -1554,6 +1554,106 @@ class LakeTable:
         os.replace(tmp, final)
         return meta
 
+    def fsck(self, deep: bool = False) -> dict[str, Any]:
+        """Table integrity check (the ops-surface fsck): every data
+        file the live manifest references must exist with a readable
+        parquet footer; every retained manifest must parse; unreferenced
+        data files (gc candidates) and staging leftovers surface as
+        WARNINGS, not errors. ``deep=True`` additionally folds the live
+        state and compares the row count against the manifest's
+        bookkeeping. Read-only — never mutates the table.
+
+        Reference analog: the reference relies on PostgreSQL for
+        physical integrity; a file-lake engine must ship its own checker
+        (Delta's FSCK / Iceberg's verify analog)."""
+        import glob as _glob
+
+        p = M.paths(self.table_dir)
+        errors: list[str] = []
+        warnings: list[str] = []
+        man = self.current_manifest()  # raises on dangling CURRENT
+        if man is None:
+            return {
+                "ok": True,
+                "epoch": 0,
+                "files_checked": 0,
+                "errors": [],
+                "warnings": [],
+                "orphans": 0,
+            }
+        referenced: set[str] = set()
+        files_checked = 0
+        for pid, info in sorted(man.partitions.items(), key=lambda kv: int(kv[0])):
+            rels = ([info["file"]] if info.get("file") else []) + list(
+                info.get("deltas") or []
+            )
+            for rel in rels:
+                fp = os.path.join(self.table_dir, rel)
+                if not os.path.exists(fp):
+                    errors.append(f"partition {pid}: missing data file {rel}")
+                    continue
+                try:
+                    pq.ParquetFile(fp).metadata  # footer readable
+                    files_checked += 1
+                except Exception as ex:  # corrupt footer
+                    errors.append(
+                        f"partition {pid}: unreadable parquet {rel}: {ex}"
+                    )
+        # orphan detection spans ALL retained manifests (time travel
+        # keeps their files live until gc)
+        referenced.update(
+            os.path.relpath(f, self.table_dir) for f in man.data_files(self.table_dir)
+        )
+        for mf in _glob.glob(os.path.join(p["manifests"], "manifest-*.json")):
+            try:
+                with open(mf) as fh:
+                    m2 = M.Manifest.from_json(fh.read())
+            except Exception as ex:
+                errors.append(f"unparseable manifest {os.path.basename(mf)}: {ex}")
+                continue
+            for _pid, info in m2.partitions.items():
+                if info.get("file"):
+                    referenced.add(info["file"])
+                for rel in info.get("deltas") or []:
+                    referenced.add(rel)
+        on_disk = [
+            os.path.relpath(f, self.table_dir)
+            for f in _glob.glob(os.path.join(p["data"], "**", "*"), recursive=True)
+            if os.path.isfile(f)
+        ]
+        orphans = [f for f in on_disk if f not in referenced]
+        if orphans:
+            warnings.append(
+                f"{len(orphans)} unreferenced data file(s) (gc candidates)"
+            )
+        stale_tmp = [
+            f
+            for f in on_disk + [
+                os.path.relpath(f, self.table_dir)
+                for f in _glob.glob(os.path.join(p["staging"], "*"))
+            ]
+            if ".tmp" in os.path.basename(f)
+        ]
+        if stale_tmp:
+            warnings.append(f"{len(stale_tmp)} stale staging/tmp file(s)")
+        rows_live = None
+        if deep and not errors:
+            rows_live = self.state_table().num_rows
+            booked = man.stats.get("rows")
+            if booked is not None and booked != rows_live:
+                errors.append(
+                    f"manifest books {booked} live rows, fold finds {rows_live}"
+                )
+        return {
+            "ok": not errors,
+            "epoch": man.epoch,
+            "files_checked": files_checked,
+            "errors": errors,
+            "warnings": warnings,
+            "orphans": len(orphans),
+            **({"rows_live": rows_live} if rows_live is not None else {}),
+        }
+
     def gc(self, keep_last: int = 2) -> dict[str, Any]:
         """Retention cleanup (reference I7: delete rows older than a
         cutoff / job retention —

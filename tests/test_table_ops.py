@@ -1123,3 +1123,37 @@ def test_point_lookup_pushdown_matches_full_scan_both_layouts(changelog, tmp_pat
             assert row["commit"][0].as_py() == state["commit"][i].as_py()
             assert row["content"][0].as_py() == state["content"][i].as_py()
         assert t.get("no-such-repo", "nope").num_rows == 0
+
+
+def test_fsck_detects_orphans_corruption_and_missing_files(tmp_path, changelog):
+    """fsck: healthy table passes deep check; stray data files surface
+    as orphan WARNINGS (still ok); a truncated footer and a deleted
+    referenced file are ERRORS; the CLI exit code distinguishes them."""
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    for f in changelog:
+        t.apply_epoch(f)
+    r = t.fsck(deep=True)
+    assert r["ok"] and not r["errors"] and r["files_checked"] >= 1
+    assert r["rows_live"] == t.state_table().num_rows
+
+    data_dir = os.path.join(str(tmp_path / "t"), "data")
+    with open(os.path.join(data_dir, "stray.parquet"), "wb") as fh:
+        fh.write(b"junk")
+    r2 = t.fsck()
+    assert r2["ok"] and r2["orphans"] >= 1 and r2["warnings"]
+
+    fp = t.current_manifest().data_files(str(tmp_path / "t"))[0]
+    keep = open(fp, "rb").read()
+    with open(fp, "r+b") as fh:
+        fh.truncate(10)
+    r3 = t.fsck()
+    assert not r3["ok"] and any("unreadable" in e for e in r3["errors"])
+    with open(fp, "wb") as fh:
+        fh.write(keep)
+    os.remove(fp)
+    r4 = t.fsck()
+    assert not r4["ok"] and any("missing" in e for e in r4["errors"])
+
+    from laketide.__main__ import main
+
+    assert main(["fsck", "--table", str(tmp_path / "t")]) == 2
