@@ -99,11 +99,17 @@ def _replay_log_dir(sf_tag: str) -> str:
     return changelog_dir_for(sf_tag, n_events)
 
 
-def _with_replayed_table(sf_dir: str, fn: Callable[[Any, list[str]], Any]) -> Any:
+def _with_replayed_table(
+    sf_dir: str,
+    fn: Callable[[Any, list[str]], Any],
+    after_epoch: Callable[[Any], None] | None = None,
+) -> Any:
     """Shared replay scaffolding for the engine-backed queries: replay
     the cached deterministic changelog into a temp LakeTable, hand
     ``(table, epoch_files)`` to ``fn``, clean up. One copy keeps the
-    query and its oracle reading identical bytes forever."""
+    query and its oracle reading identical bytes forever.
+    ``after_epoch(table)`` runs after every committed epoch (per-epoch
+    consumers like incremental view refreshes)."""
     from laketide.pipelines.cdc import LakeTable
 
     sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
@@ -116,6 +122,8 @@ def _with_replayed_table(sf_dir: str, fn: Callable[[Any, list[str]], Any]) -> An
         table = LakeTable(os.path.join(work, "table"), num_partitions=32)
         for f in files:
             table.apply_epoch(f)
+            if after_epoch is not None:
+                after_epoch(table)
         return fn(table, files)
     finally:
         import shutil
@@ -157,25 +165,18 @@ def _incremental_lang_counts(sf_dir: str) -> Any:
     the final view; the oracle recomputes the same grouping from the
     LWW window state, so the row passes only if every per-epoch
     incremental delta was exact."""
-    import glob
-    import shutil
-
-    from laketide.pipelines.cdc import LakeTable
     from laketide.pipelines.views import IncrementalCountView
 
-    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    log_dir = _replay_log_dir(sf_tag)
-    files = sorted(glob.glob(os.path.join(log_dir, "epoch-*.parquet")))
-    work = tempfile.mkdtemp(prefix="laketide_view_", dir="/tmp")
-    try:
-        table = LakeTable(os.path.join(work, "table"), num_partitions=32)
-        view = IncrementalCountView(table, group_col="lang")
-        for f in files:
-            table.apply_epoch(f)
-            view.refresh()
-        return view.view()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
+    views: dict = {}
+
+    def _refresh(table) -> None:
+        if "v" not in views:
+            views["v"] = IncrementalCountView(table, group_col="lang")
+        views["v"].refresh()
+
+    return _with_replayed_table(
+        sf_dir, lambda table, files: views["v"].view(), after_epoch=_refresh
+    )
 
 
 def _asof_join(sf_dir: str) -> Any:
@@ -486,7 +487,7 @@ def oracle_sql() -> dict[str, str]:
         # final window state — equal only if every delta was exact
         "incremental_lang_counts": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "
-            "CAST(sum(coalesce(length(content), 0)) AS BIGINT) AS content_bytes "
+            "CAST(sum(coalesce(length(content), 0)) AS BIGINT) AS content_chars "
             "FROM (SELECT *, row_number() OVER ("
             "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
             f"FROM read_parquet('{replay_glob}', union_by_name=true)"

@@ -116,6 +116,16 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"epochs": files}))
         return 0
 
+    if args.cmd == "fsck":
+        # purely local file/footer I/O (state_table folds driver-side):
+        # an integrity check of a suspect table must not depend on Ray
+        # starting
+        from laketide.pipelines.cdc import LakeTable
+
+        r = LakeTable(args.table).fsck(deep=args.deep)
+        print(json.dumps(r))
+        return 0 if r["ok"] else 2
+
     started = _ray_session()
     try:
         from laketide.pipelines.cdc import LakeTable
@@ -184,10 +194,6 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
-        elif args.cmd == "fsck":
-            r = LakeTable(args.table).fsck(deep=args.deep)
-            print(json.dumps(r))
-            return 0 if r["ok"] else 2
         elif args.cmd == "view":
             from laketide.pipelines.views import IncrementalCountView
 

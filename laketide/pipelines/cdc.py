@@ -1571,7 +1571,19 @@ class LakeTable:
         p = M.paths(self.table_dir)
         errors: list[str] = []
         warnings: list[str] = []
-        man = self.current_manifest()  # raises on dangling CURRENT
+        try:
+            man = self.current_manifest()
+        except RuntimeError as ex:
+            # dangling CURRENT is the corruption fsck exists to REPORT,
+            # not die on
+            return {
+                "ok": False,
+                "epoch": None,
+                "files_checked": 0,
+                "errors": [str(ex)],
+                "warnings": [],
+                "orphans": 0,
+            }
         if man is None:
             return {
                 "ok": True,
@@ -1600,10 +1612,8 @@ class LakeTable:
                         f"partition {pid}: unreadable parquet {rel}: {ex}"
                     )
         # orphan detection spans ALL retained manifests (time travel
-        # keeps their files live until gc)
-        referenced.update(
-            os.path.relpath(f, self.table_dir) for f in man.data_files(self.table_dir)
-        )
+        # keeps their files live until gc) — the loop below covers the
+        # live manifest too, bases AND deltas
         for mf in _glob.glob(os.path.join(p["manifests"], "manifest-*.json")):
             try:
                 with open(mf) as fh:
@@ -1626,14 +1636,24 @@ class LakeTable:
             warnings.append(
                 f"{len(orphans)} unreferenced data file(s) (gc candidates)"
             )
-        stale_tmp = [
+        # staging leftovers are FILES nested under epoch dirs
+        # (_staging/epoch-000004/part-*.parquet after a crash), and
+        # _atomic_write crashes leave *.tmp* next to manifests/CURRENT
+        staging_files = [
             f
-            for f in on_disk + [
-                os.path.relpath(f, self.table_dir)
-                for f in _glob.glob(os.path.join(p["staging"], "*"))
-            ]
+            for f in _glob.glob(os.path.join(p["staging"], "**", "*"), recursive=True)
+            if os.path.isfile(f)
+        ]
+        manifest_tmp = [
+            f
+            for f in _glob.glob(os.path.join(p["manifests"], "*"))
             if ".tmp" in os.path.basename(f)
         ]
+        stale_tmp = (
+            staging_files
+            + manifest_tmp
+            + [f for f in on_disk if ".tmp" in os.path.basename(f)]
+        )
         if stale_tmp:
             warnings.append(f"{len(stale_tmp)} stale staging/tmp file(s)")
         rows_live = None

@@ -37,7 +37,7 @@ class IncrementalCountView:
     rows, refreshed incrementally from the change feed.
 
     ``view()`` returns the counts as of the last ``refresh()`` —
-    a small Arrow table (group, n_rows, content_bytes), group
+    a small Arrow table (group, n_rows, content_chars), group
     cardinality is assumed dimension-scale (driver-resident map)."""
 
     def __init__(self, table, group_col: str = "lang"):
@@ -77,8 +77,11 @@ class IncrementalCountView:
                 sgn = np.where(known, sign_arr[pos.astype(np.int64)], 0)
             else:
                 sgn = np.ones(n, np.int64)
+            # CHARACTER count (utf8_length) — the repo/oracle convention
+            # (DuckDB length(); apply.py's longest-merge measure); byte
+            # length would diverge on non-ASCII content
             size = pc.fill_null(
-                pc.cast(pc.binary_length(pc.cast(t["content"], pa.string())), pa.int64()),
+                pc.cast(pc.utf8_length(pc.cast(t["content"], pa.string())), pa.int64()),
                 0,
             )
             g = (
@@ -173,13 +176,21 @@ class IncrementalCountView:
 
     def view(self) -> pa.Table:
         groups = sorted(self._counts, key=lambda g: (g is None, g))
+        # infer the group column's type from the values (the group col
+        # is whatever the caller chose — int keys crash a hardcoded
+        # string type); empty/all-null views pin string
+        gvals = (
+            pa.array(groups)
+            if any(g is not None for g in groups)
+            else pa.array(groups, pa.string())
+        )
         return pa.table(
             {
-                self.group_col: pa.array(groups, pa.string()),
+                self.group_col: gvals,
                 "n_rows": pa.array(
                     [self._counts[g][0] for g in groups], pa.int64()
                 ),
-                "content_bytes": pa.array(
+                "content_chars": pa.array(
                     [self._counts[g][1] for g in groups], pa.int64()
                 ),
             }

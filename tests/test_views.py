@@ -17,7 +17,7 @@ def _expected(table: "laketide.LakeTable") -> dict:
     if t.num_rows == 0:
         return {}
     size = pc.fill_null(
-        pc.cast(pc.binary_length(pc.cast(t["content"], pa.string())), pa.int64()), 0
+        pc.cast(pc.utf8_length(pc.cast(t["content"], pa.string())), pa.int64()), 0
     )
     lang = (
         t["lang"] if "lang" in t.column_names else pa.nulls(t.num_rows, pa.string())
@@ -35,7 +35,7 @@ def _expected(table: "laketide.LakeTable") -> dict:
 def _got(view: IncrementalCountView) -> dict:
     t = view.view()
     return {
-        r[view.group_col]: (r["n_rows"], r["content_bytes"]) for r in t.to_pylist()
+        r[view.group_col]: (r["n_rows"], r["content_chars"]) for r in t.to_pylist()
     }
 
 
