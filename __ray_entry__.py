@@ -400,6 +400,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_summary": text.doc_summary,
         "doc_normalize": text.doc_normalize,
         "langid_ngram": text.langid_ngram,
+        # rows-only by design: the token-hash primitive is pandas'
+        # C-level siphash (no SQL equivalent to rebuild the same 64-bit
+        # stream); the polynomial fold itself is pinned by a
+        # vectorized-vs-scalar-reference pytest
         "doc_fingerprint": text.doc_fingerprint,
         "doc_frequency": text.doc_frequency,
         "doc_token_diversity": text.doc_token_diversity,

@@ -632,6 +632,9 @@ class LakeTable:
                     "epoch": man.epoch,
                     "rows": man.stats.get("rows"),
                     "totals": man.stats.get("totals"),
+                    # additive-evolution timeline: when a column (e.g.
+                    # lang) first appeared in the unified schema
+                    "columns": list(man.schema_names),
                 }
             )
         return out

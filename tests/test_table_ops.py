@@ -1157,3 +1157,21 @@ def test_fsck_detects_orphans_corruption_and_missing_files(tmp_path, changelog):
     from laketide.__main__ import main
 
     assert main(["fsck", "--table", str(tmp_path / "t")]) == 2
+
+
+def test_history_exposes_schema_evolution_timeline(tmp_path):
+    """history() carries each epoch's unified column list, so the
+    additive-evolution timeline (lang appearing mid-stream) is
+    observable from the manifest log alone."""
+    files = generate_changelog(
+        str(tmp_path / "log"), n_events=1200, n_epochs=3, seed=7, lang_from_epoch=2
+    )
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    for f in files:
+        t.apply_epoch(f)
+    hist = t.history()
+    by_epoch = {h["epoch"]: h["columns"] for h in hist if h["columns"]}
+    # epoch FILES are zero-indexed: lang_from_epoch=2 -> the third file
+    # (committed epoch 3) is the first slice carrying lang
+    assert "lang" not in by_epoch[1] and "lang" not in by_epoch[2]
+    assert "lang" in by_epoch[3]
