@@ -78,6 +78,14 @@ def test_maintenance_interleaving_preserves_state(seed, ops, layout):
                 f"view diverged after epoch {k + 1} + {ops[k]} "
                 f"(layout={layout}, seed={seed})"
             )
+            # every maintenance op must leave a physically consistent
+            # table: all referenced files present with readable footers,
+            # bookkeeping row count = folded live rows
+            chk = t.fsck(deep=True)
+            assert chk["ok"], (
+                f"fsck failed after epoch {k + 1} + {ops[k]} "
+                f"(layout={layout}, seed={seed}): {chk['errors']}"
+            )
         # a fresh handle sees the same committed state
         t2 = LakeTable(f"{d}/t")
         assert _keymap(t2.state_table()) == _keymap(expected_state(files))
