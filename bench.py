@@ -198,6 +198,9 @@ def run_bench() -> dict:
         timed("q21_waiting_suppliers", T2.q21_waiting_suppliers)
         timed("doc_token_diversity", text.doc_token_diversity)
         timed("doc_bigram_repetition", text.doc_bigram_repetition)
+        timed("customer_orders_full_outer", R.customer_orders_full_outer)
+        timed("orders_price_percent_rank", A.orders_price_percent_rank)
+        timed("value_quantile_sketch", A.value_quantile_sketch)
         timed("q19_discounted_revenue", T.q19_discounted_revenue)
         timed("q22_idle_customers", T.q22_idle_customers)
         timed("tfidf_top_terms", text.tfidf_top_terms)
