@@ -1403,11 +1403,15 @@ class LakeTable:
         return out.sort_by([("repo", "ascending"), ("path", "ascending")])
 
     # ------------------------------------------------------------ operations
-    def replay(self, changelog_dir: str, **kw) -> list[dict[str, Any]]:
+    def replay(
+        self, changelog_dir: str, max_epochs: int | None = None, **kw
+    ) -> list[dict[str, Any]]:
         """Incremental catch-up (reference I4: pull only new commits):
         apply every epoch slice in ``changelog_dir`` newer than the
-        committed epoch. Resuming after a crash picks up exactly where
-        the last committed manifest left off."""
+        committed epoch (at most ``max_epochs`` of them — the
+        step-at-a-time mode ``tail``'s per-commit hook uses). Resuming
+        after a crash picks up exactly where the last committed
+        manifest left off."""
         from laketide.sources.changelog import epoch_paths
 
         results = []
@@ -1418,6 +1422,8 @@ class LakeTable:
             if epoch_id <= start:
                 continue
             results.append(self.apply_epoch(f, epoch_id=epoch_id, **kw))
+            if max_epochs is not None and len(results) >= max_epochs:
+                break
         return results
 
     def get(self, repo: str, path: str) -> pa.Table:
@@ -2140,6 +2146,7 @@ class LakeTable:
         changelog_dir: str,
         poll_seconds: float = 2.0,
         max_idle_polls: int = 3,
+        on_epoch: "Any | None" = None,
         **kw,
     ) -> list[dict[str, Any]]:
         """WAL-tail follower: poll ``changelog_dir`` for new epoch slices
@@ -2156,13 +2163,30 @@ class LakeTable:
         ``*.tmp``). The follower reads a slice as soon as it matches
         ``epoch-*``; a non-atomic publish could expose a truncated
         parquet or a partial shard set that would be committed and the
-        late shards dropped forever."""
+        late shards dropped forever.
+
+        ``on_epoch(table, result_dict)`` fires after every committed
+        epoch — the streaming hook for incremental consumers
+        (``IncrementalCountView.refresh``, CDF shippers, metrics
+        emitters). Hook exceptions propagate: a consumer that must not
+        stop the follower wraps its own try/except."""
         import time as _time
 
         results: list[dict[str, Any]] = []
         idle = 0
         while idle < max_idle_polls:
-            got = self.replay(changelog_dir, **kw)
+            if on_epoch is None:
+                got = self.replay(changelog_dir, **kw)
+            else:
+                # apply one epoch at a time so the hook observes EVERY
+                # commit boundary, not batches of them
+                got = []
+                while True:
+                    step = self.replay(changelog_dir, max_epochs=1, **kw)
+                    if not step:
+                        break
+                    got.extend(step)
+                    on_epoch(self, step[0])
             if got:
                 results.extend(got)
                 idle = 0

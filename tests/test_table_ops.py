@@ -1175,3 +1175,39 @@ def test_history_exposes_schema_evolution_timeline(tmp_path):
     # (committed epoch 3) is the first slice carrying lang
     assert "lang" not in by_epoch[1] and "lang" not in by_epoch[2]
     assert "lang" in by_epoch[3]
+
+
+def test_tail_on_epoch_hook_streams_view_refreshes(tmp_path):
+    """tail(on_epoch=...) fires at EVERY commit boundary (never batches
+    commits past the hook), and an IncrementalCountView refreshed from
+    the hook tracks the live state exactly — the streaming-dashboard
+    wiring."""
+    import threading
+    import time
+
+    from laketide.pipelines.views import IncrementalCountView
+    from tests.test_views import _expected, _got
+
+    src = generate_changelog(str(tmp_path / "full"), n_events=1200, n_epochs=3, seed=3)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    _atomic_copy(src[0], os.path.join(live, os.path.basename(src[0])))
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    view = IncrementalCountView(t, group_col="lang")
+    seen: list[tuple] = []
+
+    def on_epoch(table, result):
+        view.refresh()
+        seen.append((table.current_epoch(), _got(view) == _expected(table)))
+
+    def feeder():
+        for f in src[1:]:
+            time.sleep(0.8)
+            _atomic_copy(f, os.path.join(live, os.path.basename(f)))
+
+    th = threading.Thread(target=feeder)
+    th.start()
+    t.tail(live, poll_seconds=0.5, max_idle_polls=5, on_epoch=on_epoch)
+    th.join()
+    assert [e for e, _ in seen] == [1, 2, 3]  # every commit observed
+    assert all(ok for _, ok in seen)  # view exact at every boundary
