@@ -408,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_frequency": text.doc_frequency,
         "doc_token_diversity": text.doc_token_diversity,
         "doc_bigram_repetition": text.doc_bigram_repetition,
+        "corpus_prepared": _lazy("corpus", "prepare_corpus"),
         "doc_rare_token_stats": text.doc_rare_token_stats,
         "benchmark_contamination": text.benchmark_contamination,
         # k-means is iterative/approximate -> rows-only; pytest asserts
@@ -1307,6 +1308,32 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n_distinct AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS ttr, "
             "CAST(top_c AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_token_ratio "
             "FROM m"
+        ),
+        # composed corpus-prep pipeline end-to-end: quality gates
+        # (token count / top-token ratio / dup-bigram fraction) then
+        # exact text dedup keeping the lowest doc_id
+        "corpus_prepared": (
+            "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
+            "FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL), "
+            "c AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2), "
+            "m AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_c "
+            "FROM c GROUP BY 1), "
+            "b AS (SELECT doc_id, len(ts) - 1 AS nb, "
+            "list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bgs "
+            "FROM (SELECT doc_id, string_split(text, ' ') AS ts FROM documents "
+            "WHERE doc_id IS NOT NULL AND text IS NOT NULL) q), "
+            "e AS (SELECT doc_id, CASE WHEN nb > 0 THEN "
+            "1.0 - CAST(len(list_distinct(bgs)) AS DOUBLE) / CAST(nb AS DOUBLE) "
+            "ELSE 0.0 END AS dupf FROM b), "
+            "g AS (SELECT d.doc_id, d.lang, d.text, m.n_tokens "
+            "FROM documents d JOIN m ON d.doc_id = m.doc_id "
+            "JOIN e ON d.doc_id = e.doc_id "
+            "WHERE m.n_tokens >= 20 "
+            "AND CAST(m.top_c AS DOUBLE) / CAST(m.n_tokens AS DOUBLE) <= 0.2 "
+            "AND e.dupf <= 0.3), "
+            "dd AS (SELECT *, row_number() OVER (PARTITION BY text "
+            "ORDER BY doc_id) AS rn FROM g) "
+            "SELECT doc_id, lang, n_tokens FROM dd WHERE rn = 1"
         ),
         # Gopher dup-2gram fraction; <2-token docs emit 0.0 on both sides
         "doc_bigram_repetition": (

@@ -1,0 +1,197 @@
+"""Composed end-to-end training-corpus preparation pipeline: the ops
+library's quality signals, repetition filters and exact dedup glued
+into ONE streaming Ray Data pipeline with resumable partitioned output
+— what a user actually runs to turn a raw document dump into a
+training shard set.
+
+Stages (all previously oracle-verified in isolation, composed here and
+oracle-verified END-TO-END):
+
+1. per-doc lexical stats (token count, top-token ratio, duplicate
+   word-bigram fraction) — per-batch Arrow, shuffle-free
+2. quality gate: ``n_tokens >= min_tokens``, Gopher-style
+   ``top_token_ratio <= max_top_ratio`` and
+   ``dup_fraction <= max_dup_fraction``
+3. exact dedup on the full text (sha256-keyed, keep lowest doc_id) —
+   the only shuffle in the pipeline (coarse key-hash co-partition)
+4. optional partitioned parquet output: one directory per doc_id
+   range so a failed run resumes by skipping finished partitions
+
+Reference parity: the reference's end-to-end flow is fetch ->
+normalize -> dedupe/merge -> upsert (SURVEY.md §1); this is the same
+composition discipline applied to the corpus-side operators.
+
+Scale notes: stages 1-2 are embarrassingly parallel; stage 3 moves one
+skinny (sha, doc_id) pre-reduced stream through the exchange and
+rejoins winners by doc_id membership, so full text never shuffles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def prepare_corpus(
+    sf_dir: str,
+    min_tokens: int = 20,
+    max_top_ratio: float = 0.2,
+    max_dup_fraction: float = 0.3,
+    out_dir: str | None = None,
+    partitions: int = 16,
+) -> rd.Dataset:
+    """The composed pipeline; returns the surviving documents
+    (doc_id, lang, n_tokens — the stable audit projection). With
+    ``out_dir`` the full surviving rows are ALSO written as
+    ``part=K/`` partitioned parquet keyed on ``doc_id % partitions``
+    (deterministic assignment; a resumed run skips shard dirs that
+    already exist)."""
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+    from laketide.functions.relational import _key_hash_u64, keep_extreme
+    from laketide.functions.text import _docs
+    from laketide.stages.normalize import sha256_hex_column
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "lang"])
+
+    def stats_gate(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["doc_id"]), pc.is_valid(t["text"])))
+        toks = pc.split_pattern(t["text"], " ")
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+        lens = n_tokens.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).combine_chunks()
+        doc_rep = np.repeat(doc_ids, lens)
+        counts = (
+            pa.table({"doc_id": pa.array(doc_rep, pa.int64()), "token": flat})
+            .group_by(["doc_id", "token"])
+            .aggregate([([], "count_all")])
+        )
+        per_doc = counts.group_by(["doc_id"]).aggregate([("count_all", "max")])
+        s = per_doc.sort_by([("doc_id", "ascending")])
+        pos = np.searchsorted(
+            s["doc_id"].to_numpy(zero_copy_only=False), doc_ids
+        )
+        top_c = s["count_all_max"].to_numpy(zero_copy_only=False)[pos]
+        nt_f = lens.astype(np.float64)
+        top_ratio = top_c / np.maximum(nt_f, 1.0)
+        # duplicate-bigram fraction (doc_bigram_repetition's kernel)
+        n = len(flat)
+        n_bi = np.maximum(lens - 1, 0)
+        if n >= 2:
+            ends = np.cumsum(lens) - 1
+            keep_m = np.ones(n - 1, dtype=bool)
+            valid_ends = ends[(lens > 0) & (ends < n - 1)]
+            keep_m[valid_ends] = False
+            bi = pc.binary_join_element_wise(flat.slice(0, n - 1), flat.slice(1), " ")
+            bg_doc = np.repeat(doc_ids, lens)[: n - 1][keep_m]
+            pairs = (
+                pa.table(
+                    {"doc_id": pa.array(bg_doc, pa.int64()), "bg": bi.filter(pa.array(keep_m))}
+                )
+                .group_by(["doc_id", "bg"])
+                .aggregate([])
+                .group_by(["doc_id"])
+                .aggregate([([], "count_all")])
+                .sort_by([("doc_id", "ascending")])
+            )
+            bkeys = pairs["doc_id"].to_numpy(zero_copy_only=False)
+            bnd = pairs["count_all"].to_numpy(zero_copy_only=False)
+            if len(bkeys):
+                bpos = np.minimum(np.searchsorted(bkeys, doc_ids), len(bkeys) - 1)
+                hit = bkeys[bpos] == doc_ids
+                nd = np.where(hit, bnd[bpos], 0).astype(np.int64)
+            else:
+                nd = np.zeros(t.num_rows, np.int64)
+        else:
+            nd = n_bi.copy()
+        dup = np.where(n_bi > 0, 1.0 - nd / np.maximum(n_bi.astype(np.float64), 1.0), 0.0)
+        mask = (
+            (lens >= min_tokens) & (top_ratio <= max_top_ratio) & (dup <= max_dup_fraction)
+        )
+        out = t.append_column("n_tokens", n_tokens).filter(pa.array(mask))
+        return out.append_column(
+            "sha", sha256_hex_column(pc.cast(out["text"], pa.string()))
+        )
+
+    gated = ds.map_batches(stats_gate, batch_format="pyarrow", zero_copy_batch=True)
+
+    # exact dedup: skinny (sha, doc_id) pre-reduce through ONE coarse
+    # exchange; winners broadcast back as a doc_id membership filter so
+    # the text column itself never shuffles
+    n_parts = _coarse_n_parts()
+
+    def skinny(t: pa.Table) -> pa.Table:
+        s = keep_extreme(t.select(["sha", "doc_id"]), ["sha"], ["doc_id"], keep="first")
+        part = _coarse_parts(_key_hash_u64(s["sha"].combine_chunks()), n_parts=n_parts)
+        return s.append_column("_cpart", pa.array(part, pa.int64()))
+
+    winners_ds = (
+        gated.map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(
+            lambda g: keep_extreme(
+                g.drop_columns(["_cpart"]), ["sha"], ["doc_id"], keep="first"
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    from laketide.functions.reads import collect_tables
+
+    wparts = collect_tables(winners_ds)
+    win_ids = (
+        np.sort(
+            pa.concat_tables([p.select(["doc_id"]) for p in wparts])["doc_id"]
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        if wparts
+        else np.array([], np.int64)
+    )
+    w_ref = ray.put(win_ids)
+
+    def keep_winners(t: pa.Table) -> pa.Table:
+        from laketide.functions.relational import _sorted_member
+
+        hit, _ = _sorted_member(
+            ray.get(w_ref), pc.cast(t["doc_id"], pa.int64()).combine_chunks()
+        )
+        return t.filter(pa.array(hit))
+
+    surviving = gated.map_batches(
+        keep_winners, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    if out_dir is not None:
+        # deterministic doc_id-keyed shards: one directory per shard; a
+        # resumed run SKIPS shard dirs that already exist (delete a
+        # partially-written shard dir before resuming — parquet writes
+        # within one shard are not atomic)
+        import glob as _glob
+        import os as _os
+
+        done = {
+            int(_os.path.basename(p).split("=")[1])
+            for p in _glob.glob(_os.path.join(out_dir, "part=*"))
+        }
+        done_ref = ray.put(np.array(sorted(done), np.int64))
+
+        def add_part(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64()).to_numpy(zero_copy_only=False)
+            part = ids % np.int64(partitions)
+            keep = ~np.isin(part, ray.get(done_ref))
+            return t.append_column(
+                "part", pa.array(part, pa.int64())
+            ).filter(pa.array(keep))
+
+        surviving.map_batches(
+            add_part, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(out_dir, partition_cols=["part"])
+
+    return surviving.map_batches(
+        lambda t: t.select(["doc_id", "lang", "n_tokens"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -371,3 +371,33 @@ class TestValueQuantileSketch:
         ):
             assert est >= true, (q, est, true)
             assert est - true <= abs(true) * 2**-5 + 1, (q, est, true)
+
+
+def test_prepare_corpus_partitioned_output_and_resume_skip(tmp_path):
+    """The composed corpus pipeline's shard output: deterministic
+    doc_id-keyed dirs, total rows == surviving rows, and a resumed run
+    SKIPS existing shard dirs instead of duplicating rows into them."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from laketide.functions.corpus import prepare_corpus
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "shards")
+    surviving = prepare_corpus(sf, out_dir=out, partitions=4).to_pandas()
+    parts = sorted(glob.glob(out + "/part=*"))
+    assert len(parts) == 4
+    counts = {p: pq.ParquetDataset(p).read().num_rows for p in parts}
+    assert sum(counts.values()) == len(surviving)
+    # simulate a resume: drop one shard, re-run — only that shard is
+    # rewritten, the others are NOT appended to
+    import shutil
+
+    shutil.rmtree(parts[0])
+    prepare_corpus(sf, out_dir=out, partitions=4)
+    counts2 = {
+        p: pq.ParquetDataset(p).read().num_rows
+        for p in sorted(glob.glob(out + "/part=*"))
+    }
+    assert counts2 == counts
