@@ -42,13 +42,21 @@ def prepare_corpus(
     max_dup_fraction: float = 0.3,
     out_dir: str | None = None,
     partitions: int = 16,
+    broadcast_budget_rows: int = 50_000_000,
 ) -> rd.Dataset:
     """The composed pipeline; returns the surviving documents
-    (doc_id, lang, n_tokens — the stable audit projection). With
+    (doc_id, lang, n_tokens — the stable audit projection; ``doc_id``
+    is assumed unique, the documents table's key — duplicate ids would
+    make the per-doc stats depend on block boundaries). With
     ``out_dir`` the full surviving rows are ALSO written as
-    ``part=K/`` partitioned parquet keyed on ``doc_id % partitions``
-    (deterministic assignment; a resumed run skips shard dirs that
-    already exist)."""
+    ``part=K/`` partitioned parquet keyed on ``doc_id % partitions``:
+    a shard dir is complete only once its ``_SUCCESS`` marker exists; a
+    resumed run deletes marker-less (partial) shard dirs and rewrites
+    exactly those, and refuses a ``partitions`` value that differs from
+    the recorded first run. Dedup keeps the winner-id broadcast under
+    ``broadcast_budget_rows`` (skinny ids only — text never shuffles);
+    above it, the full rows fall back to one sha-keyed co-partition
+    exchange."""
     from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
     from laketide.functions.relational import _key_hash_u64, keep_extreme
     from laketide.functions.text import _docs
@@ -86,7 +94,7 @@ def prepare_corpus(
             valid_ends = ends[(lens > 0) & (ends < n - 1)]
             keep_m[valid_ends] = False
             bi = pc.binary_join_element_wise(flat.slice(0, n - 1), flat.slice(1), " ")
-            bg_doc = np.repeat(doc_ids, lens)[: n - 1][keep_m]
+            bg_doc = doc_rep[: n - 1][keep_m]
             pairs = (
                 pa.table(
                     {"doc_id": pa.array(bg_doc, pa.int64()), "bg": bi.filter(pa.array(keep_m))}
@@ -116,66 +124,123 @@ def prepare_corpus(
             "sha", sha256_hex_column(pc.cast(out["text"], pa.string()))
         )
 
-    gated = ds.map_batches(stats_gate, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize ONCE: three consumers follow (winner ids, the shard
+    # write, the returned projection) — without this the parquet read +
+    # stats kernels would re-execute per consumer
+    gated = ds.map_batches(
+        stats_gate, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
 
-    # exact dedup: skinny (sha, doc_id) pre-reduce through ONE coarse
-    # exchange; winners broadcast back as a doc_id membership filter so
-    # the text column itself never shuffles
     n_parts = _coarse_n_parts()
 
-    def skinny(t: pa.Table) -> pa.Table:
-        s = keep_extreme(t.select(["sha", "doc_id"]), ["sha"], ["doc_id"], keep="first")
-        part = _coarse_parts(_key_hash_u64(s["sha"].combine_chunks()), n_parts=n_parts)
-        return s.append_column("_cpart", pa.array(part, pa.int64()))
+    def _doc_count(path: str) -> int:
+        import pyarrow.parquet as pq
 
-    winners_ds = (
-        gated.map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("_cpart")
-        .map_groups(
-            lambda g: keep_extreme(
-                g.drop_columns(["_cpart"]), ["sha"], ["doc_id"], keep="first"
-            ),
-            batch_format="pyarrow",
+        return pq.ParquetFile(path).metadata.num_rows
+
+    if _doc_count(f"{sf_dir}/documents.parquet") <= broadcast_budget_rows:
+        # exact dedup: skinny (sha, doc_id) pre-reduce through ONE
+        # coarse exchange; winners broadcast back as a doc_id membership
+        # filter so the text column itself never shuffles
+        def skinny(t: pa.Table) -> pa.Table:
+            s = keep_extreme(
+                t.select(["sha", "doc_id"]), ["sha"], ["doc_id"], keep="first"
+            )
+            part = _coarse_parts(
+                _key_hash_u64(s["sha"].combine_chunks()), n_parts=n_parts
+            )
+            return s.append_column("_cpart", pa.array(part, pa.int64()))
+
+        winners_ds = (
+            gated.map_batches(skinny, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_cpart")
+            .map_groups(
+                lambda g: keep_extreme(
+                    g.drop_columns(["_cpart"]), ["sha"], ["doc_id"], keep="first"
+                ),
+                batch_format="pyarrow",
+            )
         )
-    )
-    from laketide.functions.reads import collect_tables
+        from laketide.functions.reads import collect_tables
 
-    wparts = collect_tables(winners_ds)
-    win_ids = (
-        np.sort(
-            pa.concat_tables([p.select(["doc_id"]) for p in wparts])["doc_id"]
-            .combine_chunks()
-            .to_numpy(zero_copy_only=False)
+        wparts = collect_tables(winners_ds)
+        win_ids = (
+            np.sort(
+                pa.concat_tables([p.select(["doc_id"]) for p in wparts])["doc_id"]
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            if wparts
+            else np.array([], np.int64)
         )
-        if wparts
-        else np.array([], np.int64)
-    )
-    w_ref = ray.put(win_ids)
+        w_ref = ray.put(win_ids)
 
-    def keep_winners(t: pa.Table) -> pa.Table:
-        from laketide.functions.relational import _sorted_member
+        def keep_winners(t: pa.Table) -> pa.Table:
+            from laketide.functions.relational import _sorted_member
 
-        hit, _ = _sorted_member(
-            ray.get(w_ref), pc.cast(t["doc_id"], pa.int64()).combine_chunks()
+            hit, _ = _sorted_member(
+                ray.get(w_ref), pc.cast(t["doc_id"], pa.int64()).combine_chunks()
+            )
+            return t.filter(pa.array(hit))
+
+        surviving = gated.map_batches(
+            keep_winners, batch_format="pyarrow", zero_copy_batch=True
         )
-        return t.filter(pa.array(hit))
+    else:
+        # over-budget fallback: dedup the FULL rows through one
+        # sha-keyed co-partition exchange (text shuffles once — the
+        # price of not being able to broadcast the winner ids)
+        def full_route(t: pa.Table) -> pa.Table:
+            s = keep_extreme(t, ["sha"], ["doc_id"], keep="first")
+            part = _coarse_parts(
+                _key_hash_u64(s["sha"].combine_chunks()), n_parts=n_parts
+            )
+            return s.append_column("_cpart", pa.array(part, pa.int64()))
 
-    surviving = gated.map_batches(
-        keep_winners, batch_format="pyarrow", zero_copy_batch=True
-    )
+        surviving = (
+            gated.map_batches(full_route, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("_cpart")
+            .map_groups(
+                lambda g: keep_extreme(
+                    g.drop_columns(["_cpart"]), ["sha"], ["doc_id"], keep="first"
+                ),
+                batch_format="pyarrow",
+            )
+        )
 
     if out_dir is not None:
-        # deterministic doc_id-keyed shards: one directory per shard; a
-        # resumed run SKIPS shard dirs that already exist (delete a
-        # partially-written shard dir before resuming — parquet writes
-        # within one shard are not atomic)
+        # deterministic doc_id-keyed shards: one directory per shard. A
+        # shard counts as DONE only if its _SUCCESS marker exists
+        # (markers are written after the whole write completes, so a
+        # crash mid-write leaves none for this run); resume deletes
+        # marker-less partial dirs, rewrites exactly those shards, and
+        # refuses a partition-count change (silent drop/duplication).
         import glob as _glob
+        import json as _json
         import os as _os
+        import shutil as _shutil
 
-        done = {
-            int(_os.path.basename(p).split("=")[1])
-            for p in _glob.glob(_os.path.join(out_dir, "part=*"))
-        }
+        meta_path = _os.path.join(out_dir, "_META.json")
+        if _os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            if meta.get("partitions") != partitions:
+                raise ValueError(
+                    f"out_dir was written with partitions={meta.get('partitions')}; "
+                    f"resuming with partitions={partitions} would drop or "
+                    "duplicate documents"
+                )
+        else:
+            _os.makedirs(out_dir, exist_ok=True)
+            with open(meta_path, "w") as fh:
+                _json.dump({"partitions": partitions}, fh)
+        done = set()
+        for p in _glob.glob(_os.path.join(out_dir, "part=*")):
+            k = int(_os.path.basename(p).split("=")[1])
+            if _os.path.exists(_os.path.join(p, "_SUCCESS")):
+                done.add(k)
+            else:
+                _shutil.rmtree(p)  # partial shard from a crashed run
         done_ref = ray.put(np.array(sorted(done), np.int64))
 
         def add_part(t: pa.Table) -> pa.Table:
@@ -189,6 +254,15 @@ def prepare_corpus(
         surviving.map_batches(
             add_part, batch_format="pyarrow", zero_copy_batch=True
         ).write_parquet(out_dir, partition_cols=["part"])
+        # the write returned: mark every shard of THIS run complete
+        # (incl. empty shards, recorded as marker-only dirs)
+        for k in range(partitions):
+            if k in done:
+                continue
+            pdir = _os.path.join(out_dir, f"part={k}")
+            _os.makedirs(pdir, exist_ok=True)
+            with open(_os.path.join(pdir, "_SUCCESS"), "w") as fh:
+                fh.write("")
 
     return surviving.map_batches(
         lambda t: t.select(["doc_id", "lang", "n_tokens"]),

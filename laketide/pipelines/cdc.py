@@ -1404,14 +1404,19 @@ class LakeTable:
 
     # ------------------------------------------------------------ operations
     def replay(
-        self, changelog_dir: str, max_epochs: int | None = None, **kw
+        self,
+        changelog_dir: str,
+        max_epochs: int | None = None,
+        on_epoch: "Any | None" = None,
+        **kw,
     ) -> list[dict[str, Any]]:
         """Incremental catch-up (reference I4: pull only new commits):
         apply every epoch slice in ``changelog_dir`` newer than the
-        committed epoch (at most ``max_epochs`` of them — the
-        step-at-a-time mode ``tail``'s per-commit hook uses). Resuming
+        committed epoch (at most ``max_epochs`` of them). Resuming
         after a crash picks up exactly where the last committed
-        manifest left off."""
+        manifest left off. ``on_epoch(table, result)`` fires after
+        EVERY commit — one directory listing per replay call, so a
+        long catch-up stays linear in the epoch count."""
         from laketide.sources.changelog import epoch_paths
 
         results = []
@@ -1422,6 +1427,8 @@ class LakeTable:
             if epoch_id <= start:
                 continue
             results.append(self.apply_epoch(f, epoch_id=epoch_id, **kw))
+            if on_epoch is not None:
+                on_epoch(self, results[-1])
             if max_epochs is not None and len(results) >= max_epochs:
                 break
         return results
@@ -2175,18 +2182,9 @@ class LakeTable:
         results: list[dict[str, Any]] = []
         idle = 0
         while idle < max_idle_polls:
-            if on_epoch is None:
-                got = self.replay(changelog_dir, **kw)
-            else:
-                # apply one epoch at a time so the hook observes EVERY
-                # commit boundary, not batches of them
-                got = []
-                while True:
-                    step = self.replay(changelog_dir, max_epochs=1, **kw)
-                    if not step:
-                        break
-                    got.extend(step)
-                    on_epoch(self, step[0])
+            # replay fires the hook after every commit itself (one
+            # directory listing per poll — linear in epoch count)
+            got = self.replay(changelog_dir, on_epoch=on_epoch, **kw)
             if got:
                 results.extend(got)
                 idle = 0

@@ -375,29 +375,49 @@ class TestValueQuantileSketch:
 
 def test_prepare_corpus_partitioned_output_and_resume_skip(tmp_path):
     """The composed corpus pipeline's shard output: deterministic
-    doc_id-keyed dirs, total rows == surviving rows, and a resumed run
-    SKIPS existing shard dirs instead of duplicating rows into them."""
+    doc_id-keyed dirs with _SUCCESS completion markers; a resumed run
+    rewrites ONLY marker-less (partial/missing) shards — never appends
+    to complete ones — and refuses a partition-count change."""
     import glob
+    import os
+    import shutil
 
     import pyarrow.parquet as pq
+    import pytest
 
     from laketide.functions.corpus import prepare_corpus
+
+    def shard_counts(out):
+        got = {}
+        for p in sorted(glob.glob(out + "/part=*")):
+            files = glob.glob(os.path.join(p, "*.parquet"))
+            got[os.path.basename(p)] = sum(
+                pq.ParquetFile(f).metadata.num_rows for f in files
+            )
+        return got
 
     sf = "/root/testdata/sf0.001"
     out = str(tmp_path / "shards")
     surviving = prepare_corpus(sf, out_dir=out, partitions=4).to_pandas()
     parts = sorted(glob.glob(out + "/part=*"))
     assert len(parts) == 4
-    counts = {p: pq.ParquetDataset(p).read().num_rows for p in parts}
+    assert all(os.path.exists(os.path.join(p, "_SUCCESS")) for p in parts)
+    counts = shard_counts(out)
     assert sum(counts.values()) == len(surviving)
-    # simulate a resume: drop one shard, re-run — only that shard is
-    # rewritten, the others are NOT appended to
-    import shutil
 
+    # resume after a missing shard: only that shard is rewritten
     shutil.rmtree(parts[0])
     prepare_corpus(sf, out_dir=out, partitions=4)
-    counts2 = {
-        p: pq.ParquetDataset(p).read().num_rows
-        for p in sorted(glob.glob(out + "/part=*"))
-    }
-    assert counts2 == counts
+    assert shard_counts(out) == counts
+
+    # resume after a PARTIAL shard (files present, no marker): the
+    # partial dir is deleted and rewritten, not silently skipped or
+    # double-appended
+    os.remove(os.path.join(parts[1], "_SUCCESS"))
+    prepare_corpus(sf, out_dir=out, partitions=4)
+    assert shard_counts(out) == counts
+    assert os.path.exists(os.path.join(parts[1], "_SUCCESS"))
+
+    # a partition-count change on resume is refused
+    with pytest.raises(ValueError, match="partitions"):
+        prepare_corpus(sf, out_dir=out, partitions=8)
