@@ -201,6 +201,10 @@ def run_bench() -> dict:
         timed("customer_orders_full_outer", R.customer_orders_full_outer)
         timed("orders_price_percent_rank", A.orders_price_percent_rank)
         timed("value_quantile_sketch", A.value_quantile_sketch)
+
+        from laketide.functions.corpus import prepare_corpus
+
+        timed("corpus_prepared", prepare_corpus)
         timed("q19_discounted_revenue", T.q19_discounted_revenue)
         timed("q22_idle_customers", T.q22_idle_customers)
         timed("tfidf_top_terms", text.tfidf_top_terms)
