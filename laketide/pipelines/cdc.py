@@ -79,22 +79,26 @@ def _make_group_fn(
     strategy: str = "lww",
     layout: str = "cow",
     compact_threshold: int = 8,
+    dlq_dir: str | None = None,
 ):
     """Build the per-partition apply function run by map_groups.
 
     Writes its staging file as a deterministic, truncate-on-write side
     effect (safe under Ray task retries) and returns one metrics row.
-    """
+    With ``dlq_dir``, malformed rows are quarantined there instead of
+    only counted (I6 dead-letter queue)."""
     staging_dir = os.path.join(table_dir, "_staging", f"epoch-{epoch_id:06d}")
 
     def apply_group(group: pa.Table) -> pa.Table:
-        from laketide.stages.apply import limit_arrow_threads
+        from laketide.stages.apply import limit_arrow_threads, write_dlq
 
         limit_arrow_threads(1)
         part = group[S.PART_COLUMN][0].as_py()
         m = ApplyMetrics(events_in=group.num_rows)
         mal = group[S.MALFORMED_COLUMN]
         m.malformed = int(pc.sum(mal).as_py() or 0)
+        if dlq_dir is not None and m.malformed:
+            write_dlq(dlq_dir, part, group.filter(mal))
         ev = group.filter(pc.invert(mal)).drop_columns(
             [S.PART_COLUMN, S.MALFORMED_COLUMN]
         )
@@ -560,6 +564,7 @@ class LakeTable:
         layout: str = "cow",
         compact_threshold: int = 8,
         lock_wait_seconds: float = 0.0,
+        dlq: bool = False,
     ):
         """``merge``: pluggable merge strategy (reference E4) — "lww"
         (version order, R2 analog) or "longest" (longer content wins,
@@ -576,6 +581,10 @@ class LakeTable:
         row-level UPDATE vs full-table rewrite trade)."""
         self.table_dir = table_dir
         self.lock_wait_seconds = lock_wait_seconds
+        # I6 dead-letter queue: when enabled, malformed rows are
+        # quarantined under _dlq/epoch-NNNNNN/ (replayable after repair)
+        # instead of only counted-and-dropped
+        self.dlq = dlq
         os.makedirs(table_dir, exist_ok=True)
         man = M.load_current(table_dir)
         self._actor_pool = None
@@ -987,6 +996,10 @@ class LakeTable:
         hwms = {int(k): (v.get("hwm_commit", ""), v.get("hwm_seq", -1)) for k, v in (man.partitions if man else {}).items()}
         part_info = {int(k): dict(v) for k, v in (man.partitions if man else {}).items()}
 
+        dlq_dir = None
+        if self.dlq:
+            dlq_dir = os.path.join(self.table_dir, "_dlq", f"epoch-{epoch_id:06d}")
+            os.makedirs(dlq_dir, exist_ok=True)
         fn = _make_group_fn(
             self.table_dir,
             epoch_id,
@@ -996,15 +1009,25 @@ class LakeTable:
             self.merge,
             self.layout,
             self.compact_threshold,
+            dlq_dir,
         )
-        metric_rows = self._exchange(norm, fn, epoch_id, total, exchange, hwm_filter)
+        metric_rows = self._exchange(
+            norm, fn, epoch_id, total, exchange, hwm_filter, dlq_dir
+        )
         import time as _time2
 
         duration = _time2.perf_counter() - t_start
         return self._finalize(epoch_id, man, metric_rows, duration)
 
     def _exchange(
-        self, norm, fn, epoch_id: int, total_bytes: int, mode: str, hwm_filter: bool = True
+        self,
+        norm,
+        fn,
+        epoch_id: int,
+        total_bytes: int,
+        mode: str,
+        hwm_filter: bool = True,
+        dlq_dir: str | None = None,
     ) -> list[dict]:
         mode = os.environ.get("LAKETIDE_EXCHANGE", mode)
         if mode == "auto":
@@ -1033,7 +1056,7 @@ class LakeTable:
             for r in summaries
         )
         if mode == "actor":
-            return self._actor_apply(epoch_id, file_index, hwm_filter)
+            return self._actor_apply(epoch_id, file_index, hwm_filter, dlq_dir)
         # Reduce side as raw Ray tasks (one per partition): a fixed
         # fan-out with no data-plane streaming — raw tasks start in
         # milliseconds where a second Dataset pipeline costs ~1s of
@@ -1051,7 +1074,11 @@ class LakeTable:
         return [row for rows in _ray.get(futures) for row in rows]
 
     def _actor_apply(
-        self, epoch_id: int, file_index: list, hwm_filter: bool = True
+        self,
+        epoch_id: int,
+        file_index: list,
+        hwm_filter: bool = True,
+        dlq_dir: str | None = None,
     ) -> list[dict]:
         """Stateful actor-pool appliers (reference ST1): partitions route
         to persistent actors (part % n_actors) that cache their shard's
@@ -1081,7 +1108,7 @@ class LakeTable:
             futures.append(
                 actor.apply_many.remote(
                     epoch_id, parts, file_index, hwms, cur_files, staging_dir,
-                    hwm_filter, gen,
+                    hwm_filter, gen, dlq_dir,
                 )
             )
         return [row for rows in _ray.get(futures) for row in rows]
@@ -1569,6 +1596,29 @@ class LakeTable:
             fh.write(_json.dumps(meta, sort_keys=True, indent=1))
         os.replace(tmp, final)
         return meta
+
+    def dlq_dataset(self, epoch: int | None = None) -> "ray.data.Dataset":
+        """Quarantined malformed rows (``LakeTable(dlq=True)``): all
+        epochs, or one. Rows are the ORIGINAL events — repair and feed
+        back through ``apply_epoch`` to replay them. Empty Dataset when
+        nothing was quarantined."""
+        import glob as _glob
+
+        import ray.data as _rd
+
+        pat = (
+            f"epoch-{epoch:06d}" if epoch is not None else "epoch-*"
+        )
+        files = sorted(
+            _glob.glob(os.path.join(self.table_dir, "_dlq", pat, "*.parquet"))
+        )
+        if not files:
+            return _rd.from_arrow(
+                pa.schema(
+                    [(c, S.CORE_TYPES[c]) for c in S.CORE_COLUMNS]
+                ).empty_table()
+            )
+        return _rd.read_parquet(files)
 
     def fsck(self, deep: bool = False) -> dict[str, Any]:
         """Table integrity check (the ops-surface fsck): every data

@@ -32,7 +32,29 @@ import pyarrow.compute as pc
 
 from laketide import schema as S
 
-__all__ = ["reduce_events", "apply_partition", "ApplyMetrics", "limit_arrow_threads"]
+__all__ = [
+    "reduce_events",
+    "apply_partition",
+    "ApplyMetrics",
+    "limit_arrow_threads",
+    "write_dlq",
+]
+
+
+def write_dlq(dlq_dir: str, part: int, rows: "pa.Table") -> None:
+    """Quarantine one partition's malformed rows (I6 dead-letter queue):
+    deterministic truncate-on-write name per (epoch dir, partition), so
+    Ray task retries can never duplicate DLQ rows. Routing bookkeeping
+    columns are dropped — what lands in the DLQ is the original event
+    row, replayable after repair via ``LakeTable.apply_epoch``."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    drop = [c for c in (S.PART_COLUMN, S.MALFORMED_COLUMN) if c in rows.column_names]
+    if drop:
+        rows = rows.drop_columns(drop)
+    pq.write_table(rows, os.path.join(dlq_dir, f"part-{part:05d}.parquet"))
 
 _ARROW_LIMITED = False
 

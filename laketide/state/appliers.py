@@ -58,6 +58,7 @@ class ApplierActor:
         staging_dir: str,
         hwm_filter: bool = True,
         maintenance_gen: int = 0,
+        dlq_dir: str | None = None,
     ) -> dict[str, Any]:
         """Apply one partition's (already exchanged) events; returns the
         metrics row as a dict. Writes the staging file as a side effect
@@ -66,6 +67,10 @@ class ApplierActor:
         if S.MALFORMED_COLUMN in events.column_names:
             mal = events[S.MALFORMED_COLUMN]
             m.malformed = int(pc.sum(mal).as_py() or 0)
+            if dlq_dir is not None and m.malformed:
+                from laketide.stages.apply import write_dlq
+
+                write_dlq(dlq_dir, part, events.filter(mal))
             events = events.filter(pc.invert(mal))
             drop = [c for c in (S.PART_COLUMN, S.MALFORMED_COLUMN) if c in events.column_names]
             events = events.drop_columns(drop)
@@ -149,6 +154,7 @@ class ApplierActor:
         staging_dir: str,
         hwm_filter: bool = True,
         maintenance_gen: int = 0,
+        dlq_dir: str | None = None,
     ) -> list[dict[str, Any]]:
         """Read each assigned partition's pruned row groups from the
         exchange spill files (shared helper; ``file_index`` carries the
@@ -174,6 +180,7 @@ class ApplierActor:
                     staging_dir,
                     hwm_filter,
                     maintenance_gen,
+                    dlq_dir,
                 )
             )
         return rows

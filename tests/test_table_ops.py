@@ -1211,3 +1211,58 @@ def test_tail_on_epoch_hook_streams_view_refreshes(tmp_path):
     th.join()
     assert [e for e, _ in seen] == [1, 2, 3]  # every commit observed
     assert all(ok for _, ok in seen)  # view exact at every boundary
+
+
+def test_dlq_quarantines_malformed_rows_replayable_after_repair(tmp_path):
+    """I6 dead-letter queue: with dlq=True, malformed rows (bad op,
+    missing key) land in _dlq/epoch-N/ with their original payload;
+    repaired rows replay through apply_epoch; without dlq they are only
+    counted. Same behavior on the actor exchange path."""
+    bad = pa.table(
+        {
+            "repo": ["r", None, "r", "r"],
+            "path": ["good", "nokey", "badop", "good2"],
+            "commit": ["c0000000001"] * 4,
+            "seq": pa.array([1, 2, 3, 4], pa.int64()),
+            "op": ["insert", "insert", "explode", "insert"],
+            "content": ["v1", "v2", "v3", "v4"],
+        }
+    )
+    f = str(tmp_path / "e1.parquet")
+    pq.write_table(bad, f)
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4, dlq=True)
+    r = t.apply_epoch(f)
+    assert r["totals"]["malformed"] == 2
+    dlq = t.dlq_dataset().to_pandas().sort_values("seq").reset_index(drop=True)
+    assert list(dlq["seq"]) == [2, 3]
+    assert list(dlq["content"]) == ["v2", "v3"]  # original payload kept
+    assert t.state_table().num_rows == 2
+
+    # repair: fix the key and the op, replay as a new epoch
+    fixed = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["nokey-fixed", "badop"],
+            "commit": ["c0000000002"] * 2,
+            "seq": pa.array([5, 6], pa.int64()),
+            "op": ["insert", "insert"],
+            "content": ["v2", "v3"],
+        }
+    )
+    f2 = str(tmp_path / "e2.parquet")
+    pq.write_table(fixed, f2)
+    t.apply_epoch(f2)
+    assert t.state_table().num_rows == 4
+
+    # actor path writes the DLQ too
+    ta = LakeTable(str(tmp_path / "ta"), num_partitions=4, dlq=True)
+    ra = ta.apply_epoch(f, exchange="actor")
+    assert ra["totals"]["malformed"] == 2
+    dlq_a = ta.dlq_dataset(epoch=1).to_pandas()
+    assert sorted(dlq_a["seq"]) == [2, 3]
+
+    # dlq disabled: counted, nothing quarantined
+    tn = LakeTable(str(tmp_path / "tn"), num_partitions=4)
+    tn.apply_epoch(f)
+    assert tn.dlq_dataset().count() == 0
