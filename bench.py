@@ -260,6 +260,11 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
             GRAFT_BENCH_EPOCHS=os.environ.get("GRAFT_BENCH_EPOCHS", "2"),
             GRAFT_BENCH_BODY_LINES=os.environ.get("GRAFT_BENCH_BODY_LINES", "2"),
             GRAFT_BENCH_SKIP_QUERIES="1",
+            # three runs per leg: the shared host swings identical
+            # replays ±40%; each leg's min is the least-polluted run
+            GRAFT_BENCH_HEADLINE_RUNS=os.environ.get(
+                "GRAFT_BENCH_HEADLINE_RUNS", "3"
+            ),
         )
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
