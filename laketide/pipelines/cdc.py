@@ -97,8 +97,24 @@ def _make_group_fn(
         m = ApplyMetrics(events_in=group.num_rows)
         mal = group[S.MALFORMED_COLUMN]
         m.malformed = int(pc.sum(mal).as_py() or 0)
+        hwm_c, hwm_s = hwms.get(part, ("", -1))
         if dlq_dir is not None and m.malformed:
-            write_dlq(dlq_dir, part, group.filter(mal))
+            # idempotent-replay holds for the DLQ too: a redelivered
+            # malformed row at-or-below the HWM was quarantined by the
+            # epoch that advanced the mark (rows with a null version
+            # have nothing to dedup on and are kept)
+            bad = group.filter(mal)
+            if hwm_filter and hwm_c:
+                fresh_b = pc.or_(
+                    pc.greater(bad["commit"], hwm_c),
+                    pc.and_(
+                        pc.equal(bad["commit"], hwm_c),
+                        pc.greater(bad["seq"], hwm_s),
+                    ),
+                )
+                bad = bad.filter(pc.fill_null(fresh_b, True))
+            if bad.num_rows:
+                write_dlq(dlq_dir, part, bad)
         ev = group.filter(pc.invert(mal)).drop_columns(
             [S.PART_COLUMN, S.MALFORMED_COLUMN]
         )
@@ -106,7 +122,6 @@ def _make_group_fn(
         # Replay dedup via the partition high-water mark (I3/I4). Safe
         # under the WAL-tail assumption: cross-epoch delivery is
         # partition-ordered; in-epoch order is arbitrary.
-        hwm_c, hwm_s = hwms.get(part, ("", -1))
         if hwm_filter and hwm_c and ev.num_rows:
             fresh = pc.or_(
                 pc.greater(ev["commit"], hwm_c),
@@ -581,14 +596,18 @@ class LakeTable:
         row-level UPDATE vs full-table rewrite trade)."""
         self.table_dir = table_dir
         self.lock_wait_seconds = lock_wait_seconds
-        # I6 dead-letter queue: when enabled, malformed rows are
-        # quarantined under _dlq/epoch-NNNNNN/ (replayable after repair)
-        # instead of only counted-and-dropped
-        self.dlq = dlq
         os.makedirs(table_dir, exist_ok=True)
         man = M.load_current(table_dir)
         self._actor_pool = None
         self.num_partitions = man.num_partitions if man else num_partitions
+        # I6 dead-letter queue: when enabled, malformed rows are
+        # quarantined under _dlq/epoch-NNNNNN/ (replayable after repair)
+        # instead of only counted-and-dropped. STICKY once committed:
+        # any later handle (incl. the CLI) adopts it, so one handle
+        # omitting the flag cannot silently drop the quarantine
+        # guarantee; passing dlq=True on an existing table upgrades it
+        # at the next commit.
+        self.dlq = bool(dlq or (man.stats.get("dlq") if man else False))
         committed = (man.stats.get("merge") if man else None) or None
         if committed and merge != "lww" and merge != committed:
             raise ValueError(f"table committed with merge={committed!r}, got {merge!r}")
@@ -999,7 +1018,13 @@ class LakeTable:
         dlq_dir = None
         if self.dlq:
             dlq_dir = os.path.join(self.table_dir, "_dlq", f"epoch-{epoch_id:06d}")
-            os.makedirs(dlq_dir, exist_ok=True)
+            # a RETRIED epoch id starts from a clean slate: files from a
+            # crashed pre-commit attempt must not be attributed to the
+            # (possibly repaired) input that eventually commits. Created
+            # lazily by write_dlq — clean epochs leave no dir at all.
+            import shutil as _sh
+
+            _sh.rmtree(dlq_dir, ignore_errors=True)
         fn = _make_group_fn(
             self.table_dir,
             epoch_id,
@@ -1279,6 +1304,7 @@ class LakeTable:
                 "schema_b64": _schema_to_b64(unified),
                 "merge": self.merge,
                 "layout": self.layout,
+                "dlq": self.dlq,
                 "rows": sum(int(v.get("rows", 0)) for v in partitions.values()),
             },
         )
@@ -1597,28 +1623,55 @@ class LakeTable:
         os.replace(tmp, final)
         return meta
 
+    def _dlq_files(self, epoch: int | None) -> list[str]:
+        import glob as _glob
+
+        pat = f"epoch-{epoch:06d}" if epoch is not None else "epoch-*"
+        return sorted(
+            _glob.glob(os.path.join(self.table_dir, "_dlq", pat, "*.parquet"))
+        )
+
     def dlq_dataset(self, epoch: int | None = None) -> "ray.data.Dataset":
         """Quarantined malformed rows (``LakeTable(dlq=True)``): all
         epochs, or one. Rows are the ORIGINAL events — repair and feed
-        back through ``apply_epoch`` to replay them. Empty Dataset when
-        nothing was quarantined."""
-        import glob as _glob
-
+        back through ``apply_epoch`` to replay them, then acknowledge
+        with ``purge_dlq``. The DLQ is an ERROR stream (small by
+        construction), so files are unified driver-side — per-epoch
+        payload schemas may differ under additive evolution and a raw
+        multi-file scan would reject the mismatch. Empty Dataset (core
+        event schema) when nothing is quarantined."""
         import ray.data as _rd
 
-        pat = (
-            f"epoch-{epoch:06d}" if epoch is not None else "epoch-*"
-        )
-        files = sorted(
-            _glob.glob(os.path.join(self.table_dir, "_dlq", pat, "*.parquet"))
-        )
+        files = self._dlq_files(epoch)
+        core = pa.schema([(c, S.CORE_TYPES[c]) for c in S.CORE_COLUMNS])
         if not files:
-            return _rd.from_arrow(
-                pa.schema(
-                    [(c, S.CORE_TYPES[c]) for c in S.CORE_COLUMNS]
-                ).empty_table()
-            )
-        return _rd.read_parquet(files)
+            return _rd.from_arrow(core.empty_table())
+        tables = [pq.read_table(f).replace_schema_metadata(None) for f in files]
+        unified = core
+        for t in tables:
+            unified = S.unify(unified, t.schema)
+        return _rd.from_arrow(
+            pa.concat_tables([S.conform(t, unified) for t in tables])
+        )
+
+    def purge_dlq(self, up_to_epoch: int | None = None) -> dict[str, Any]:
+        """Acknowledge repaired DLQ rows: drop quarantine dirs for
+        epochs <= ``up_to_epoch`` (all epochs when None). Without this,
+        already-repaired rows would sit in ``dlq_dataset`` forever and a
+        re-run of the repair loop would double-apply them."""
+        import glob as _glob
+        import re as _re
+        import shutil as _sh
+
+        removed = 0
+        for d in _glob.glob(os.path.join(self.table_dir, "_dlq", "epoch-*")):
+            mt = _re.match(r"epoch-(\d+)$", os.path.basename(d))
+            if not mt:
+                continue
+            if up_to_epoch is None or int(mt.group(1)) <= up_to_epoch:
+                _sh.rmtree(d, ignore_errors=True)
+                removed += 1
+        return {"removed_epoch_dirs": removed}
 
     def fsck(self, deep: bool = False) -> dict[str, Any]:
         """Table integrity check (the ops-surface fsck): every data

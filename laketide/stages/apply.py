@@ -43,10 +43,14 @@ __all__ = [
 
 def write_dlq(dlq_dir: str, part: int, rows: "pa.Table") -> None:
     """Quarantine one partition's malformed rows (I6 dead-letter queue):
-    deterministic truncate-on-write name per (epoch dir, partition), so
-    Ray task retries can never duplicate DLQ rows. Routing bookkeeping
-    columns are dropped — what lands in the DLQ is the original event
-    row, replayable after repair via ``LakeTable.apply_epoch``."""
+    deterministic name per (epoch dir, partition) written via
+    tmp + os.replace (same discipline as staging files), so Ray task
+    retries can never duplicate DLQ rows and a crash mid-write can
+    never leave a torn parquet for ``dlq_dataset`` to choke on. The dir
+    is created lazily — epochs with no malformed rows leave no trace.
+    Routing bookkeeping columns are dropped — what lands in the DLQ is
+    the original event row, replayable after repair via
+    ``LakeTable.apply_epoch``."""
     import os
 
     import pyarrow.parquet as pq
@@ -54,7 +58,11 @@ def write_dlq(dlq_dir: str, part: int, rows: "pa.Table") -> None:
     drop = [c for c in (S.PART_COLUMN, S.MALFORMED_COLUMN) if c in rows.column_names]
     if drop:
         rows = rows.drop_columns(drop)
-    pq.write_table(rows, os.path.join(dlq_dir, f"part-{part:05d}.parquet"))
+    os.makedirs(dlq_dir, exist_ok=True)
+    final = os.path.join(dlq_dir, f"part-{part:05d}.parquet")
+    tmp = final + f".tmp-{os.getpid()}"
+    pq.write_table(rows, tmp)
+    os.replace(tmp, final)
 
 _ARROW_LIMITED = False
 

@@ -64,18 +64,31 @@ class ApplierActor:
         metrics row as a dict. Writes the staging file as a side effect
         (truncate-on-write, like the task-based path)."""
         m = ApplyMetrics(events_in=events.num_rows)
+        hwm_c, hwm_s = hwm
         if S.MALFORMED_COLUMN in events.column_names:
             mal = events[S.MALFORMED_COLUMN]
             m.malformed = int(pc.sum(mal).as_py() or 0)
             if dlq_dir is not None and m.malformed:
                 from laketide.stages.apply import write_dlq
 
-                write_dlq(dlq_dir, part, events.filter(mal))
+                # HWM-dedup the quarantine like the task path: null
+                # versions have nothing to dedup on and are kept
+                bad = events.filter(mal)
+                if hwm_filter and hwm_c:
+                    fresh_b = pc.or_(
+                        pc.greater(bad["commit"], hwm_c),
+                        pc.and_(
+                            pc.equal(bad["commit"], hwm_c),
+                            pc.greater(bad["seq"], hwm_s),
+                        ),
+                    )
+                    bad = bad.filter(pc.fill_null(fresh_b, True))
+                if bad.num_rows:
+                    write_dlq(dlq_dir, part, bad)
             events = events.filter(pc.invert(mal))
             drop = [c for c in (S.PART_COLUMN, S.MALFORMED_COLUMN) if c in events.column_names]
             events = events.drop_columns(drop)
 
-        hwm_c, hwm_s = hwm
         if hwm_filter and hwm_c and events.num_rows:
             fresh = pc.or_(
                 pc.greater(events["commit"], hwm_c),

@@ -1266,3 +1266,40 @@ def test_dlq_quarantines_malformed_rows_replayable_after_repair(tmp_path):
     tn = LakeTable(str(tmp_path / "tn"), num_partitions=4)
     tn.apply_epoch(f)
     assert tn.dlq_dataset().count() == 0
+
+
+def test_dlq_idempotent_replay_sticky_flag_and_purge(tmp_path):
+    """DLQ semantics under at-least-once delivery: redelivering an
+    applied epoch must NOT duplicate versioned malformed rows (HWM
+    dedup applies to the quarantine too); the dlq flag is STICKY via
+    the manifest (a later handle without the flag keeps quarantining);
+    purge_dlq acknowledges repaired epochs."""
+    bad = pa.table(
+        {
+            "repo": ["r", "r", "r"],
+            "path": ["good", "badop", "good2"],
+            "commit": ["c0000000001"] * 3,
+            "seq": pa.array([1, 2, 3], pa.int64()),
+            "op": ["insert", "explode", "insert"],
+            "content": ["v1", "v2", "v3"],
+        }
+    )
+    f = str(tmp_path / "e1.parquet")
+    pq.write_table(bad, f)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4, dlq=True)
+    t.apply_epoch(f)
+    assert t.dlq_dataset().count() == 1
+
+    # redeliver the SAME slice as a new epoch: good rows are replay-
+    # dropped AND the versioned malformed row is not re-quarantined
+    f2 = str(tmp_path / "e2.parquet")
+    pq.write_table(bad, f2)
+    t2 = LakeTable(str(tmp_path / "t"), num_partitions=4)  # flag omitted
+    assert t2.dlq is True  # sticky via manifest
+    t2.apply_epoch(f2)
+    assert t2.dlq_dataset().count() == 1  # no duplicate
+
+    # acknowledge: purge clears the quarantine
+    r = t2.purge_dlq()
+    assert r["removed_epoch_dirs"] >= 1
+    assert t2.dlq_dataset().count() == 0
