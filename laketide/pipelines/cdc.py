@@ -1768,9 +1768,17 @@ class LakeTable:
             for f in _glob.glob(os.path.join(p["manifests"], "*"))
             if ".tmp" in os.path.basename(f)
         ]
+        dlq_tmp = [
+            f
+            for f in _glob.glob(
+                os.path.join(self.table_dir, "_dlq", "**", "*"), recursive=True
+            )
+            if os.path.isfile(f) and ".tmp" in os.path.basename(f)
+        ]
         stale_tmp = (
             staging_files
             + manifest_tmp
+            + dlq_tmp
             + [f for f in on_disk if ".tmp" in os.path.basename(f)]
         )
         if stale_tmp:
