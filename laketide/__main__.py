@@ -83,6 +83,12 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--deep", action="store_true")
 
+    sp = sub.add_parser(
+        "purge-dlq", help="acknowledge repaired dead-letter rows"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--up-to-epoch", type=int, default=None)
+
     sp = sub.add_parser("tail", help="follow a changelog dir, applying new epochs")
     sp.add_argument("--table", required=True)
     sp.add_argument("--changelog", required=True)
@@ -125,6 +131,12 @@ def main(argv: list[str] | None = None) -> int:
         r = LakeTable(args.table).fsck(deep=args.deep)
         print(json.dumps(r))
         return 0 if r["ok"] else 2
+
+    if args.cmd == "purge-dlq":
+        from laketide.pipelines.cdc import LakeTable
+
+        print(json.dumps(LakeTable(args.table).purge_dlq(args.up_to_epoch)))
+        return 0
 
     started = _ray_session()
     try:
