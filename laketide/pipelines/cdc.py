@@ -597,7 +597,16 @@ class LakeTable:
         self.table_dir = table_dir
         self.lock_wait_seconds = lock_wait_seconds
         os.makedirs(table_dir, exist_ok=True)
-        man = M.load_current(table_dir)
+        try:
+            man = M.load_current(table_dir)
+        except RuntimeError:
+            # Dangling CURRENT (names a missing manifest) is exactly the
+            # corruption fsck exists to REPORT — defer: the constructor
+            # adopts defaults, and every read/write path re-calls
+            # load_current (current_manifest / _apply_epoch_locked),
+            # which re-raises. fsck() catches it and returns the
+            # structured {ok: false} report instead of dying here.
+            man = None
         self._actor_pool = None
         self.num_partitions = man.num_partitions if man else num_partitions
         # I6 dead-letter queue: when enabled, malformed rows are
@@ -1650,28 +1659,66 @@ class LakeTable:
         unified = core
         for t in tables:
             unified = S.unify(unified, t.schema)
-        return _rd.from_arrow(
-            pa.concat_tables([S.conform(t, unified) for t in tables])
-        )
+        out = pa.concat_tables([S.conform(t, unified) for t in tables])
+        # Redelivery can re-quarantine the same malformed event under a
+        # NEW epoch dir (an epoch whose partition carried only malformed
+        # rows never advances the HWM, and null commit/seq rows have no
+        # HWM at all) — dedupe across epoch dirs so a repair loop sees
+        # each event once. Keyed rows dedupe on (repo, path, commit,
+        # seq); rows with any null identity field dedupe on the full
+        # row. Files are read in epoch order, so "first seen" wins. The
+        # DLQ is an error stream (small by construction): a driver-side
+        # pass is the right cost here.
+        seen: set = set()
+        keep: list[int] = []
+        rows = out.to_pylist()
+        for i, r in enumerate(rows):
+            ident = tuple(r.get(c) for c in ("repo", "path", "commit", "seq"))
+            key = ident if all(v is not None for v in ident) else repr(sorted(
+                (k, repr(v)) for k, v in r.items()
+            ))
+            if key in seen:
+                continue
+            seen.add(key)
+            keep.append(i)
+        if len(keep) != out.num_rows:
+            out = out.take(pa.array(keep, type=pa.int64()))
+        return _rd.from_arrow(out)
 
     def purge_dlq(self, up_to_epoch: int | None = None) -> dict[str, Any]:
         """Acknowledge repaired DLQ rows: drop quarantine dirs for
-        epochs <= ``up_to_epoch`` (all epochs when None). Without this,
-        already-repaired rows would sit in ``dlq_dataset`` forever and a
-        re-run of the repair loop would double-apply them."""
+        epochs <= ``up_to_epoch`` (committed epochs only when None).
+        Without this, already-repaired rows would sit in ``dlq_dataset``
+        forever and a re-run of the repair loop would double-apply them.
+
+        Runs under the writer lock (honoring ``lock_wait_seconds``) so a
+        purge can never race a live ``apply_epoch`` and rmtree the
+        in-flight epoch's quarantine between its ``write_dlq`` and its
+        commit; additionally ``up_to_epoch`` is clipped to the committed
+        epoch, so even a stale handle cannot touch an uncommitted dir."""
+        lock = self._acquire_lock()
+        try:
+            return self._purge_dlq_locked(up_to_epoch)
+        finally:
+            self._release_lock(lock)
+
+    def _purge_dlq_locked(self, up_to_epoch: int | None) -> dict[str, Any]:
         import glob as _glob
         import re as _re
         import shutil as _sh
 
+        man = self.current_manifest()
+        committed = man.epoch if man else 0
+        ceiling = committed if up_to_epoch is None else min(up_to_epoch, committed)
         removed = 0
         for d in _glob.glob(os.path.join(self.table_dir, "_dlq", "epoch-*")):
             mt = _re.match(r"epoch-(\d+)$", os.path.basename(d))
             if not mt:
                 continue
-            if up_to_epoch is None or int(mt.group(1)) <= up_to_epoch:
+            if int(mt.group(1)) <= ceiling:
                 _sh.rmtree(d, ignore_errors=True)
                 removed += 1
-        return {"removed_epoch_dirs": removed}
+        return {"removed_epoch_dirs": removed, "up_to_epoch": ceiling}
 
     def fsck(self, deep: bool = False) -> dict[str, Any]:
         """Table integrity check (the ops-surface fsck): every data

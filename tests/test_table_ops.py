@@ -1303,3 +1303,105 @@ def test_dlq_idempotent_replay_sticky_flag_and_purge(tmp_path):
     r = t2.purge_dlq()
     assert r["removed_epoch_dirs"] >= 1
     assert t2.dlq_dataset().count() == 0
+
+
+def test_fsck_reports_dangling_current_instead_of_dying(tmp_path):
+    """A CURRENT that names a missing manifest is the corruption fsck
+    exists to REPORT: the constructor must not die on it (fsck returns
+    the structured {ok: false} report and the CLI exits 2), while every
+    read/write path still refuses to treat the table as empty."""
+    bad = pa.table(
+        {
+            "repo": ["r"],
+            "path": ["p"],
+            "commit": ["c0000000001"],
+            "seq": pa.array([1], pa.int64()),
+            "op": ["insert"],
+            "content": ["v1"],
+        }
+    )
+    f = str(tmp_path / "e1.parquet")
+    pq.write_table(bad, f)
+    tdir = str(tmp_path / "t")
+    t = LakeTable(tdir, num_partitions=4)
+    t.apply_epoch(f)
+    # damage: CURRENT names a manifest that does not exist
+    with open(os.path.join(tdir, "_manifests", "CURRENT"), "w") as fh:
+        fh.write("manifest-999999.json")
+
+    t2 = LakeTable(tdir, num_partitions=4)  # must not raise
+    r = t2.fsck()
+    assert r["ok"] is False
+    assert any("CURRENT" in e for e in r["errors"])
+    from laketide.__main__ import main
+
+    assert main(["fsck", "--table", tdir]) == 2
+    # write/read paths still refuse (no silent epoch-1 restart)
+    with pytest.raises(RuntimeError):
+        t2.apply_epoch(f)
+    with pytest.raises(RuntimeError):
+        t2.state_table()
+
+
+def test_purge_dlq_never_touches_uncommitted_epoch_dirs(tmp_path):
+    """purge_dlq runs under the writer lock and clips its ceiling to the
+    committed epoch, so a quarantine dir written by an in-flight epoch
+    (present on disk, not yet committed) survives the purge — the DLQ
+    never-silently-drop guarantee holds even for a racing Ray-free CLI
+    purge."""
+    bad = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["good", "badop"],
+            "commit": ["c0000000001"] * 2,
+            "seq": pa.array([1, 2], pa.int64()),
+            "op": ["insert", "explode"],
+            "content": ["v1", "v2"],
+        }
+    )
+    f = str(tmp_path / "e1.parquet")
+    pq.write_table(bad, f)
+    tdir = str(tmp_path / "t")
+    t = LakeTable(tdir, num_partitions=4, dlq=True)
+    t.apply_epoch(f)  # commits epoch 1, quarantines seq=2
+
+    # simulate an in-flight epoch 2: quarantine written, commit pending
+    inflight = os.path.join(tdir, "_dlq", "epoch-000002")
+    os.makedirs(inflight)
+    pq.write_table(bad.slice(1, 1), os.path.join(inflight, "part-0.parquet"))
+
+    r = t.purge_dlq()  # default: committed epochs only
+    assert r["up_to_epoch"] == 1 and r["removed_epoch_dirs"] == 1
+    assert os.path.isdir(inflight)  # in-flight quarantine untouched
+    # an explicit ceiling above the committed epoch is clipped too
+    r2 = t.purge_dlq(up_to_epoch=99)
+    assert r2["up_to_epoch"] == 1
+    assert os.path.isdir(inflight)
+
+
+def test_dlq_dataset_dedupes_cross_epoch_redelivery(tmp_path):
+    """An epoch whose partition carries ONLY malformed rows never
+    advances the HWM, so redelivery re-quarantines the same event under
+    a new epoch dir; rows with null identity fields have no HWM at all.
+    dlq_dataset must still return each distinct event once."""
+    bad = pa.table(
+        {
+            "repo": ["r", None],
+            "path": ["badop", "nokey"],
+            "commit": ["c0000000001", None],
+            "seq": pa.array([2, None], pa.int64()),
+            "op": ["explode", "insert"],
+            "content": ["v2", "vnull"],
+        }
+    )
+    f1 = str(tmp_path / "e1.parquet")
+    f2 = str(tmp_path / "e2.parquet")
+    pq.write_table(bad, f1)
+    pq.write_table(bad, f2)
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4, dlq=True)
+    t.apply_epoch(f1)
+    t.apply_epoch(f2)  # redelivery: both rows re-quarantined on disk
+    assert len(t._dlq_files(None)) >= 2  # duplicates exist across dirs
+    dlq = t.dlq_dataset().to_pandas()
+    assert len(dlq) == 2  # ...but the read surface dedupes them
+    assert sorted(dlq["content"]) == ["v2", "vnull"]
