@@ -424,18 +424,52 @@ def _read_partition_rows(
     return tbls
 
 
+def _read_partitions_multi(
+    file_index: list[tuple[str, tuple[int, ...] | None]], parts: list[int]
+) -> dict[int, list[pa.Table]]:
+    """Read MANY partitions' row groups per spill file in one
+    ``read_row_groups`` call. A reduce task that owns k partitions pays
+    the per-file fixed cost (footer thrift parse, read setup) once
+    instead of k times — at bench scale each spill row group is only a
+    few thousand rows, so that fixed cost was ~40% of the reduce wall
+    time. Row groups are partition-pure (the map side aligns them), so
+    slicing the concatenated read back out by the per-group row counts
+    is exact."""
+    want = set(parts)
+    out: dict[int, list[pa.Table]] = {p: [] for p in parts}
+    for f, rg_parts in file_index:
+        if rg_parts is not None:
+            rgs = [i for i, p in enumerate(rg_parts) if p in want]
+            if not rgs:
+                continue
+            pf = pq.ParquetFile(f)
+            t = pf.read_row_groups(rgs)
+            meta = pf.metadata
+            off = 0
+            for i in rgs:
+                n = meta.row_group(i).num_rows
+                out[rg_parts[i]].append(t.slice(off, n))
+                off += n
+        else:
+            # legacy summaries without an rg index: per-part stats scan
+            for p in parts:
+                out[p].extend(_read_partition_rows([(f, None)], p))
+    return out
+
+
 def _make_reduce_fn(file_index: list[tuple[str, tuple[int, ...] | None]], apply_fn):
-    """Reduce side: one task per partition id; reads only that partition's
-    row groups from every spill file."""
+    """Reduce side: one task per partition GROUP; reads only those
+    partitions' row groups from every spill file (batched per file)."""
 
     def reduce(batch: pa.Table) -> pa.Table:
         from laketide.stages.apply import limit_arrow_threads
 
         limit_arrow_threads(1)
         wanted = batch["part"].to_pylist()
+        groups = _read_partitions_multi(file_index, wanted)
         outs = []
         for p in wanted:
-            tbls = _read_partition_rows(file_index, p)
+            tbls = groups.get(p) or []
             if tbls:
                 outs.append(apply_fn(pa.concat_tables(tbls)))
         if not outs:
@@ -1100,11 +1134,23 @@ class LakeTable:
         reduce_fn = _make_reduce_fn(file_index, fn)
 
         @_ray.remote(num_cpus=1)
-        def _reduce_task(part: int):
-            t = reduce_fn(pa.table({"part": pa.array([part], pa.int64())}))
+        def _reduce_task(parts: list[int]):
+            t = reduce_fn(pa.table({"part": pa.array(parts, pa.int64())}))
+            # metric rows only (bounded: one per partition)
             return t.to_pylist()
 
-        futures = [_reduce_task.remote(p) for p in range(self.num_partitions)]
+        # one task per CPU, CONTIGUOUS partition ranges: partitions are
+        # adjacent row groups inside every spill file, so a task's whole
+        # range is one coalesced read per file; grouping also turns the
+        # P > cpus case from multiple ragged scheduling waves into one.
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        n_tasks = max(1, min(self.num_partitions, cpus))
+        per = -(-self.num_partitions // n_tasks)  # ceil
+        chunks = [
+            list(range(lo, min(lo + per, self.num_partitions)))
+            for lo in range(0, self.num_partitions, per)
+        ]
+        futures = [_reduce_task.remote(c) for c in chunks]
         return [row for rows in _ray.get(futures) for row in rows]
 
     def _actor_apply(

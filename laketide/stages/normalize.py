@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -32,7 +33,13 @@ __all__ = ["NormalizeEvents", "sha256_hex_column"]
 
 
 def sha256_hex_column(content: pa.ChunkedArray | pa.Array) -> pa.Array:
-    """Hex sha256 per row; null content (tombstones) -> null."""
+    """Hex sha256 per row; null content (tombstones) -> null.
+
+    SHA-256 itself is irreducible per row (the stored value is a tested
+    contract), but the loop matters: slicing one shared memoryview at
+    python-int offsets is ~3x faster than iterating Arrow scalars
+    (each ``chunk[i].as_buffer()`` allocates a Buffer object). This is
+    the single hottest kernel on the replay path (M11 data hash)."""
     out: list[str | None] = []
     sha = hashlib.sha256
     if isinstance(content, pa.ChunkedArray):
@@ -40,9 +47,30 @@ def sha256_hex_column(content: pa.ChunkedArray | pa.Array) -> pa.Array:
     else:
         chunks = [content]
     for chunk in chunks:
-        for v in chunk:
-            buf = v.as_buffer() if v.is_valid else None
-            out.append(sha(buf).hexdigest() if buf is not None else None)
+        n = len(chunk)
+        if n == 0:
+            continue
+        if chunk.null_count == n:
+            out.extend([None] * n)
+            continue
+        # large_binary: 64-bit offsets + a data buffer; cast also
+        # compacts away any slice offset so buffer math is direct
+        arr = chunk.cast(pa.large_binary())
+        if arr.offset != 0:
+            arr = pa.concat_arrays([arr])  # compact sliced arrays
+        bufs = arr.buffers()
+        offs = np.frombuffer(bufs[1], dtype=np.int64, count=n + 1).tolist()
+        mv = memoryview(bufs[2])[: offs[-1]]
+        if chunk.null_count == 0:
+            out.extend(
+                sha(mv[s:e]).hexdigest() for s, e in zip(offs[:-1], offs[1:])
+            )
+        else:
+            valid = pc.is_valid(arr).to_numpy(zero_copy_only=False).tolist()
+            out.extend(
+                sha(mv[s:e]).hexdigest() if ok else None
+                for s, e, ok in zip(offs[:-1], offs[1:], valid)
+            )
     return pa.array(out, pa.string())
 
 
