@@ -447,6 +447,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams": text.top_bigrams,
         # --- dedup suite ---
         "minhash_lsh_candidates": dedup.minhash_lsh_candidates,
+        # rows-only diagnostic: surfaces hot-bucket truncation counts so
+        # capped LSH recall is visible to consumers (pytest asserts the
+        # exact budget on a planted >cap bucket)
+        "minhash_lsh_stats": dedup.minhash_lsh_stats,
         "minhash_dedup_verified": dedup.minhash_dedup_verified,
         "ngram_jaccard_join": dedup.ngram_jaccard_join,
         "dup_components": dedup.dup_components,

@@ -235,6 +235,21 @@ class MinHasher:
         )
 
 
+def _pair_budget(n: int, cap: int | None = None) -> tuple[int, int]:
+    """(kept, dropped) candidate-pair counts for a bucket of ``n``
+    members under the hot-bucket cap: all-pairs below the cap; above it,
+    all-pairs among the first ``cap`` members + representative-vs-rest
+    (exactly what ``_emit_pairs`` emits). The single source of truth for
+    the cap arithmetic — ``minhash_lsh_stats`` surfaces these counts so
+    capped recall is visible to consumers, not just the log."""
+    cap = _MAX_BUCKET if cap is None else cap
+    full = n * (n - 1) // 2
+    if n <= cap:
+        return full, 0
+    kept = cap * (cap - 1) // 2 + (n - cap)
+    return kept, full - kept
+
+
 def _emit_pairs(ids: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs below the cap; above it, all-pairs among the first
     ``_MAX_BUCKET`` members PLUS representative-vs-rest (logged). The
@@ -245,8 +260,7 @@ def _emit_pairs(ids: np.ndarray, what: str) -> tuple[np.ndarray, np.ndarray]:
     n = len(ids)
     if n > _MAX_BUCKET:
         head = _MAX_BUCKET
-        kept = head * (head - 1) // 2 + (n - head)
-        dropped = n * (n - 1) // 2 - kept
+        kept, dropped = _pair_budget(n)
         logger.warning(
             "%s hot bucket: %d members > cap %d; emitting all-pairs among "
             "first %d + rep-vs-rest (%d pairs), dropping %d",
@@ -397,6 +411,70 @@ def minhash_lsh_candidates(sf_dir: str) -> rd.Dataset:
             lambda g: _dedup_pairs_group(g.drop_columns(["pair_part"])),
             batch_format="pyarrow",
         )
+    )
+
+
+def minhash_lsh_stats(sf_dir: str) -> pa.Table:
+    """Bucket-size / truncation diagnostics for the LSH candidate
+    stream: the hot-bucket cap (``LAKETIDE_MAX_LSH_BUCKET``) silently
+    thins pairs from oversized buckets (disclosed in the worker log);
+    this companion query makes capped recall VISIBLE to a consumer of
+    ``minhash_lsh_candidates``. One row (pre-dedup, i.e. per
+    (band, band_hash) bucket): ``multi_buckets`` (buckets with >=2
+    members), ``truncated_buckets``, ``emitted_pairs``,
+    ``dropped_pairs``. dropped_pairs == 0 means the candidate stream is
+    the complete banded pair set. Same banding + coarse shuffle as the
+    candidate pipeline; the per-bucket counters come from
+    ``_pair_budget`` — the exact arithmetic ``_emit_pairs`` uses."""
+    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_parts = _coarse_n_parts()
+    hasher = MinHasher()
+    cap = _MAX_BUCKET  # captured driver-side: workers see one consistent cap
+
+    def band_with_part(t: pa.Table) -> pa.Table:
+        out = hasher(t)
+        part = _coarse_parts(
+            out["band"].to_numpy(zero_copy_only=False),
+            out["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
+            n_parts=n_parts,
+        )
+        return out.append_column("bucket_part", pa.array(part, pa.int64()))
+
+    def bucket_stats(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["bucket_part"])
+        multi = trunc = emitted = dropped = 0
+        for (ids,) in _iter_buckets(g, ["band", "band_hash"], ["doc_id"]):
+            n = len(np.unique(ids))
+            if n < 2:
+                continue
+            multi += 1
+            kept, drop = _pair_budget(n, cap)
+            emitted += kept
+            dropped += drop
+            if drop:
+                trunc += 1
+        return pa.table(
+            {
+                "multi_buckets": pa.array([multi], pa.int64()),
+                "truncated_buckets": pa.array([trunc], pa.int64()),
+                "emitted_pairs": pa.array([emitted], pa.int64()),
+                "dropped_pairs": pa.array([dropped], pa.int64()),
+            }
+        )
+
+    partials = (
+        docs.map_batches(band_with_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket_part")
+        .map_groups(bucket_stats, batch_format="pyarrow")
+    )
+    # bounded driver materialization: one 4-int row per coarse partition
+    tbls = [t for t in collect_tables(partials) if t.num_rows]
+    cols = ["multi_buckets", "truncated_buckets", "emitted_pairs", "dropped_pairs"]
+    if not tbls:
+        return pa.table({c: pa.array([0], pa.int64()) for c in cols})
+    cat = pa.concat_tables(tbls)
+    return pa.table(
+        {c: pa.array([pc.sum(cat[c]).as_py() or 0], pa.int64()) for c in cols}
     )
 
 

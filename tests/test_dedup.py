@@ -472,3 +472,51 @@ def test_fuzzy_name_pairs_planted(tmp_path):
     assert ("alpha", "aplha") not in got   # transposition = distance 2
     for x, y in got:
         assert x < y
+
+
+def test_lsh_stats_surface_hot_bucket_truncation(tmp_path):
+    """A bucket larger than the hot-bucket cap is thinned to
+    head-all-pairs + rep-vs-rest; minhash_lsh_stats must surface the
+    truncation (bucket count + exact dropped-pair count from
+    _pair_budget) so consumers see capped recall, and the candidate
+    stream's deduped pair count must equal the budget's kept count."""
+    cap = dedup._MAX_BUCKET
+    n_hot = cap + 44
+    texts = ["identical text body for the hot bucket case"] * n_hot + [
+        "a completely different first document body here",
+        "and a second unrelated document body over there",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+
+    stats = dedup.minhash_lsh_stats(str(tmp_path)).to_pylist()[0]
+    kept, dropped = dedup._pair_budget(n_hot)
+    # identical docs share every band -> the hot bucket appears once per band
+    n_bands = dedup._BANDS
+    assert stats["truncated_buckets"] == n_bands
+    assert stats["dropped_pairs"] == n_bands * dropped
+    assert stats["emitted_pairs"] >= n_bands * kept
+    assert stats["multi_buckets"] >= n_bands
+
+    pairs = dedup.minhash_lsh_candidates(str(tmp_path)).to_pandas()
+    hot = pairs[(pairs["doc_a"] < n_hot) & (pairs["doc_b"] < n_hot)]
+    assert len(hot) == kept  # deduped across bands: exactly the budget
+
+    # no truncation below the cap: stats report a complete stream
+    t2 = pa.table(
+        {
+            "doc_id": pa.array(list(range(10)), pa.int64()),
+            "text": pa.array(["same text everywhere"] * 10, pa.string()),
+        }
+    )
+    d2 = tmp_path / "small"
+    d2.mkdir()
+    pq.write_table(t2, str(d2 / "documents.parquet"))
+    s2 = dedup.minhash_lsh_stats(str(d2)).to_pylist()[0]
+    assert s2["truncated_buckets"] == 0 and s2["dropped_pairs"] == 0
+    assert s2["emitted_pairs"] == dedup._BANDS * (10 * 9 // 2)
