@@ -179,6 +179,29 @@ def _incremental_lang_counts(sf_dir: str) -> Any:
     )
 
 
+def _incremental_value_sums(sf_dir: str) -> Any:
+    """Replay the cached changelog while maintaining per-lang
+    sum/min/max/count of content length INCREMENTALLY after every epoch
+    (``IncrementalAggView``: O(changes) folds; a retraction touching a
+    group's extreme triggers the filtered-scan recompute). The oracle
+    recomputes from the final LWW window state — equal only if every
+    per-epoch fold AND every dirty-group recompute was exact."""
+    from laketide.pipelines.views import IncrementalAggView
+
+    views: dict = {}
+
+    def _refresh(table) -> None:
+        if "v" not in views:
+            views["v"] = IncrementalAggView(
+                table, group_col="lang", value_col="content", measure="length"
+            )
+        views["v"].refresh()
+
+    return _with_replayed_table(
+        sf_dir, lambda table, files: views["v"].view(), after_epoch=_refresh
+    )
+
+
 def _asof_join(sf_dir: str) -> Any:
     from laketide.functions.asof import asof_join_events_orders
 
@@ -276,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_replay_final": _cdc_replay_final,
         "cdc_changes_feed": _cdc_changes_feed,
         "incremental_lang_counts": _incremental_lang_counts,
+        "incremental_value_sums": _incremental_value_sums,
         "cdc_coalesce_fieldwise": R.cdc_coalesce_fieldwise,
         "lookup_join_overlap": R.lookup_join_overlap,
         "asof_join_events_orders": _asof_join,
@@ -497,6 +521,19 @@ def oracle_sql() -> dict[str, str]:
         "incremental_lang_counts": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "
             "CAST(sum(coalesce(length(content), 0)) AS BIGINT) AS content_chars "
+            "FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
+            f"FROM read_parquet('{replay_glob}', union_by_name=true)"
+            ") WHERE rn = 1 AND op != 'delete' GROUP BY lang"
+        ),
+        # incremental sum/min/max view: per-lang content-length
+        # aggregates; equal to the Ray side only if every incremental
+        # fold and dirty-extreme recompute was exact
+        "incremental_value_sums": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(coalesce(length(content), 0)) AS BIGINT) AS value_sum, "
+            "CAST(min(coalesce(length(content), 0)) AS BIGINT) AS value_min, "
+            "CAST(max(coalesce(length(content), 0)) AS BIGINT) AS value_max "
             "FROM (SELECT *, row_number() OVER ("
             "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
             f"FROM read_parquet('{replay_glob}', union_by_name=true)"

@@ -110,3 +110,113 @@ def test_cdf_update_preimages_pair(tmp_path):
     }
     for r in pre.to_pylist():
         assert old_map[(r["repo"], r["path"])] == (r["commit"], r["seq"])
+
+
+from laketide.pipelines.views import IncrementalAggView
+
+
+def _expected_agg(table: "laketide.LakeTable") -> dict:
+    t = table.state_table()
+    if t.num_rows == 0:
+        return {}
+    size = pc.fill_null(
+        pc.cast(pc.utf8_length(pc.cast(t["content"], pa.string())), pa.int64()), 0
+    )
+    lang = (
+        t["lang"] if "lang" in t.column_names else pa.nulls(t.num_rows, pa.string())
+    )
+    g = (
+        pa.table({"g": lang, "n": pa.array([1] * t.num_rows, pa.int64()), "v": size})
+        .group_by(["g"])
+        .aggregate([("n", "sum"), ("v", "sum"), ("v", "min"), ("v", "max")])
+    )
+    return {
+        r["g"]: (r["n_sum"], r["v_sum"], r["v_min"], r["v_max"])
+        for r in g.to_pylist()
+        if r["n_sum"] != 0
+    }
+
+
+def _got_agg(view: IncrementalAggView) -> dict:
+    return {
+        r[view.group_col]: (r["n_rows"], r["value_sum"], r["value_min"], r["value_max"])
+        for r in view.view().to_pylist()
+    }
+
+
+def test_incremental_agg_view_sum_min_max_every_epoch(tmp_path):
+    """The sum/min/max generalization must equal a full recompute after
+    every epoch — deletes and updates RETRACT extremes (the dirty-group
+    recompute path), group-moving updates retract from the old group,
+    and the mid-stream lang evolution lands rows in the null group."""
+    files = laketide.generate_changelog(
+        str(tmp_path / "log"),
+        n_events=4000,
+        n_epochs=5,
+        seed=23,
+        delete_frac=0.15,
+        lang_from_epoch=2,
+    )
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=8)
+    view = IncrementalAggView(t, group_col="lang", value_col="content", measure="length")
+    modes = []
+    for f in files:
+        t.apply_epoch(f)
+        modes.append(view.refresh()["mode"])
+        assert _got_agg(view) == _expected_agg(t), f"epoch {t.current_epoch()}"
+    assert modes[0] == "bootstrap"
+    assert set(modes[1:]) == {"incremental"}
+    assert view.refresh()["mode"] == "noop"
+
+
+def test_incremental_agg_view_bootstraps_across_rescale(tmp_path):
+    files = laketide.generate_changelog(
+        str(tmp_path / "log"), n_events=2000, n_epochs=3, seed=5
+    )
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=4)
+    view = IncrementalAggView(t, group_col="lang")
+    t.apply_epoch(files[0])
+    view.refresh()
+    t.apply_epoch(files[1])
+    t.rescale(8)
+    t2 = laketide.LakeTable(str(tmp_path / "table"), num_partitions=8)
+    t2.apply_epoch(files[2])
+    view.table = t2
+    assert view.refresh()["mode"] == "bootstrap"
+    assert _got_agg(view) == _expected_agg(t2)
+
+
+def test_incremental_agg_view_extreme_retraction_recomputes(tmp_path):
+    """A delete of the unique group max must shrink value_max (the
+    incremental fold alone cannot know the runner-up — asserts the
+    filtered-scan recompute engages and is exact); a delete of a
+    DUPLICATED extreme must keep it."""
+    import pyarrow.parquet as pq
+
+    def ev(path, commit, seq, op, content):
+        return dict(repo="r", path=path, commit=commit, seq=seq, op=op, content=content)
+
+    rows1 = [
+        ev("a", "c0000000001", 1, "insert", "x" * 10),
+        ev("b", "c0000000001", 2, "insert", "x" * 99),   # unique max
+        ev("c", "c0000000001", 3, "insert", "x" * 5),    # dup min
+        ev("d", "c0000000001", 4, "insert", "x" * 5),    # dup min
+    ]
+    f1 = str(tmp_path / "e1.parquet")
+    pq.write_table(pa.Table.from_pylist(rows1), f1)
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=4)
+    t.apply_epoch(f1)
+    view = IncrementalAggView(t, group_col="lang")
+    view.refresh()
+    assert _got_agg(view)[None] == (4, 119, 5, 99)
+
+    rows2 = [
+        ev("b", "c0000000002", 5, "delete", None),  # retract unique max
+        ev("c", "c0000000002", 6, "delete", None),  # retract ONE dup min
+    ]
+    f2 = str(tmp_path / "e2.parquet")
+    pq.write_table(pa.Table.from_pylist(rows2), f2)
+    t.apply_epoch(f2)
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert _got_agg(view)[None] == (2, 15, 5, 10)
