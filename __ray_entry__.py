@@ -321,12 +321,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [("prev_type", "string"), ("next_type", "string"), ("n", "int64")],
         ),
         "distinct_users_by_type": _lazy("analytics", "distinct_users_by_type"),
-        # approximate by construction (HLL sketch) -> rows-only; pytest
-        # pins <5% relative error vs the exact distinct count
-        "hll_distinct_users": _lazy("analytics", "hll_distinct_users"),
-        # Count-Min sketch: approximate by construction -> rows-only;
-        # pytest pins the one-sided and eps*N error bounds vs exact
-        "cms_token_counts": _lazy("analytics", "cms_token_counts"),
+        # HLL sketch gated against the exact distributed distinct count
+        # inside the query (tolerance-band oracle: returns exact value +
+        # bound flag; raw estimate still pytest-pinned <5% rel error)
+        "hll_distinct_users": _lazy("analytics", "hll_distinct_users_checked"),
+        # Count-Min sketch gated against exact token counts (one-sided
+        # and eps*N bounds as oracle-pinned flags)
+        "cms_token_counts": _lazy("analytics", "cms_token_counts_checked"),
         "promo_revenue_by_brand": _lazy("analytics", "promo_revenue_by_brand"),
         "corr_qty_price": _lazy("analytics", "corr_qty_price"),
         "daily_active_users": _lazy("analytics", "daily_active_users"),
@@ -339,10 +340,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "blob_chunk_dedup": _lazy("multimodal", "blob_chunk_dedup"),
         "value_histogram": _lazy("analytics", "value_histogram"),
-        # HDR quantile sketch: rows-only by design (float log2 at bucket
-        # boundaries is not SQL-bit-stable); pytest pins determinism,
-        # mergeability and the 2^-5 relative-error bound vs exact
-        "value_quantile_sketch": _lazy("analytics", "value_quantile_sketch"),
+        # HDR quantile sketch gated against the exact two-pass
+        # refinement quantiles (2^-5 relative bound as oracle-pinned
+        # flags; raw sketch still pytest-pinned for determinism +
+        # mergeability)
+        "value_quantile_sketch": _lazy("analytics", "value_quantile_sketch_checked"),
         "events_per_user_quantiles": _lazy("analytics", "events_per_user_quantiles"),
         "orders_price_quantiles": _lazy("analytics", "orders_price_quantiles"),
         "orders_price_quantiles_cont": _lazy("analytics", "orders_price_quantiles_cont"),
@@ -797,6 +799,34 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS n, "
             "CAST(sum(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents "
             "FROM events WHERE value IS NOT NULL GROUP BY bucket"
+        ),
+        # tolerance-band sketch oracles: the Ray query returns the EXACT
+        # values (computed distributed) plus boolean bound flags; the
+        # oracle recomputes the exact side and pins the flags TRUE, so a
+        # sketch drifting outside its documented bound fails the hash
+        "hll_distinct_users": (
+            "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact, "
+            "TRUE AS hll_within_5pct FROM events"
+        ),
+        "cms_token_counts": (
+            "SELECT v.token, CAST(coalesce(c.n, 0) AS BIGINT) AS n_exact, "
+            "TRUE AS cms_lower_ok, TRUE AS cms_upper_ok "
+            "FROM (VALUES ('data'), ('ray'), ('the')) v(token) LEFT JOIN ("
+            "SELECT tok, count(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "WHERE tok IN ('the', 'data', 'ray') GROUP BY tok) c "
+            "ON c.tok = v.token"
+        ),
+        "value_quantile_sketch": (
+            "WITH c AS (SELECT CAST(ROUND(value*100) AS BIGINT) AS c "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT CAST(0.5 AS DOUBLE) AS q, "
+            "CAST(quantile_disc(c, 0.5) AS BIGINT) AS exact_cents, "
+            "TRUE AS hdr_within_bound FROM c "
+            "UNION ALL SELECT CAST(0.9 AS DOUBLE), "
+            "CAST(quantile_disc(c, 0.9) AS BIGINT), TRUE FROM c "
+            "UNION ALL SELECT CAST(0.99 AS DOUBLE), "
+            "CAST(quantile_disc(c, 0.99) AS BIGINT), TRUE FROM c"
         ),
         "orders_price_quantiles": (
             "SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS p50_cents, "
