@@ -291,6 +291,10 @@ def run_scaling(lo: int | None = None, hi: int | None = None) -> dict:
         "unit": "ratio",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
+        # full per-leg raw runs (min-of-N protocol): disclosed so a
+        # noisy-host outlier is visible in the record, not hidden by it
+        f"runs_{lo}": r_lo.get("cdc_replay_runs"),
+        f"runs_{hi}": r_hi.get("cdc_replay_runs"),
         f"events_per_sec_{lo}": r_lo["events_per_sec"],
         f"events_per_sec_{hi}": r_hi["events_per_sec"],
         "sf": r_hi["sf"],

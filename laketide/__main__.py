@@ -89,6 +89,18 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--up-to-epoch", type=int, default=None)
 
+    sp = sub.add_parser(
+        "sync", help="composed multi-source sync: each SOURCE=PATH job "
+        "applies as its own epoch with a per-source stats row"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--partitions", type=int, default=32)
+    sp.add_argument("--merge", default="coalesce", choices=["lww", "longest", "coalesce"])
+    sp.add_argument(
+        "--job", action="append", required=True, metavar="SOURCE=PATH",
+        help="repeatable; sources sync in the given order",
+    )
+
     sp = sub.add_parser("tail", help="follow a changelog dir, applying new epochs")
     sp.add_argument("--table", required=True)
     sp.add_argument("--changelog", required=True)
@@ -146,6 +158,17 @@ def main(argv: list[str] | None = None) -> int:
             t = LakeTable(args.table, num_partitions=args.partitions, merge=args.merge)
             results = t.replay(args.changelog, exchange=args.exchange)
             print(json.dumps({"applied": results, "epoch": t.current_epoch()}))
+        elif args.cmd == "sync":
+            jobs = []
+            for spec in args.job:
+                name, sep, path = spec.partition("=")
+                if not sep or not name or not path:
+                    p.error(f"--job expects SOURCE=PATH, got {spec!r}")
+                jobs.append((name, path))
+            t = LakeTable(args.table, num_partitions=args.partitions, merge=args.merge)
+            r = t.sync_sources(jobs)
+            r["source_stats"] = t.source_stats()
+            print(json.dumps(r))
         elif args.cmd == "status":
             t = LakeTable(args.table)
             man = t.current_manifest()

@@ -961,6 +961,7 @@ class LakeTable:
         epoch_id: int | None = None,
         hwm_filter: bool = True,
         exchange: str = "auto",
+        source: str | None = None,
     ) -> dict[str, Any]:
         """Apply one bounded changelog slice. Idempotent: re-applying an
         already-committed epoch id is a no-op returning its stored lineage.
@@ -981,13 +982,13 @@ class LakeTable:
         lock = self._acquire_lock()
         try:
             return self._apply_epoch_locked(
-                events, epoch_id, hwm_filter, exchange, t_start
+                events, epoch_id, hwm_filter, exchange, t_start, source
             )
         finally:
             self._release_lock(lock)
 
     def _apply_epoch_locked(
-        self, events, epoch_id, hwm_filter, exchange, t_start
+        self, events, epoch_id, hwm_filter, exchange, t_start, source=None
     ) -> dict[str, Any]:
         man = M.load_current(self.table_dir)
         # adopt the COMMITTED partition count under the writer lock: a
@@ -1085,7 +1086,7 @@ class LakeTable:
         import time as _time2
 
         duration = _time2.perf_counter() - t_start
-        return self._finalize(epoch_id, man, metric_rows, duration)
+        return self._finalize(epoch_id, man, metric_rows, duration, source=source)
 
     def _exchange(
         self,
@@ -1294,6 +1295,7 @@ class LakeTable:
         parent: M.Manifest | None,
         metric_rows: list[dict],
         duration: float = 0.0,
+        source: str | None = None,
     ) -> dict[str, Any]:
         p = M.paths(self.table_dir)
         os.makedirs(p["data"], exist_ok=True)
@@ -1364,7 +1366,12 @@ class LakeTable:
             },
         )
         M.write_lineage(
-            self.table_dir, epoch_id, lineage_rows, throughput=throughput, totals=totals
+            self.table_dir,
+            epoch_id,
+            lineage_rows,
+            throughput=throughput,
+            totals=totals,
+            source=source,
         )
         M.commit_manifest(self.table_dir, man)
         # GC the staging dir for this epoch (post-commit, best-effort).
@@ -1765,6 +1772,68 @@ class LakeTable:
                 _sh.rmtree(d, ignore_errors=True)
                 removed += 1
         return {"removed_epoch_dirs": removed, "up_to_epoch": ceiling}
+
+    def sync_sources(self, jobs: "list[tuple[str, str]]") -> dict[str, Any]:
+        """Composed multi-source sync — the reference's entry point B
+        (iterate registered sources into the one master table with a
+        per-source processing-stats row each,
+        /root/reference/internal/jobs/server.go:115-170). Each
+        ``(source_name, path)`` job syncs as its OWN committed epoch, in
+        order (later sources see — and merge over — earlier ones), and
+        its lineage row carries the source tag, so ``source_stats()``
+        reconstructs the per-source stats table. Sources disabled via
+        ``LAKETIDE_ENABLED_SOURCES`` (E2) are skipped with a marked row;
+        unknown source names raise before anything syncs (a config typo
+        must be loud)."""
+        from laketide.sources import registry as _reg
+
+        specs = [(name, path, _reg.get(name)) for name, path in jobs]
+        enabled = set(_reg.enabled_sources())
+        out: list[dict] = []
+        for name, path, src in specs:
+            if name not in enabled:
+                out.append({"source": name, "skipped": True})
+                continue
+            r = self.apply_epoch(src.read(path), source=name)
+            out.append(
+                {
+                    "source": name,
+                    "epoch": r["epoch"],
+                    "totals": r["totals"],
+                    "skipped": False,
+                }
+            )
+        return {
+            "jobs": out,
+            "epochs_applied": sum(1 for j in out if not j.get("skipped")),
+        }
+
+    def source_stats(self) -> list[dict]:
+        """Per-source processing stats over committed epochs (reference
+        ``processing_stats`` analog): one row per epoch that was synced
+        through ``sync_sources`` / ``apply_epoch(source=...)``, oldest
+        first."""
+        import glob as _glob
+        import json as _json
+
+        p = M.paths(self.table_dir)
+        rows = []
+        for f in sorted(_glob.glob(os.path.join(p["lineage"], "epoch-*.json"))):
+            try:
+                with open(f) as fh:
+                    doc = _json.load(fh)
+            except (OSError, ValueError):
+                continue
+            if doc.get("source"):
+                rows.append(
+                    {
+                        "source": doc["source"],
+                        "epoch": doc["epoch"],
+                        "totals": doc.get("totals") or {},
+                        "throughput": doc.get("throughput") or {},
+                    }
+                )
+        return rows
 
     def fsck(self, deep: bool = False) -> dict[str, Any]:
         """Table integrity check (the ops-surface fsck): every data

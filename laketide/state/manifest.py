@@ -156,6 +156,7 @@ def write_lineage(
     rows: list[dict],
     throughput: dict | None = None,
     totals: dict | None = None,
+    source: str | None = None,
 ) -> str:
     """Per-partition lineage + per-epoch throughput metrics (reference
     analog: ``processing_stats``,
@@ -166,6 +167,8 @@ def write_lineage(
     os.makedirs(p["lineage"], exist_ok=True)
     out = os.path.join(p["lineage"], f"epoch-{epoch:06d}.json")
     doc = {"epoch": epoch, "partitions": rows}
+    if source:
+        doc["source"] = source  # per-source processing-stats tag (E1/B)
     if throughput:
         doc["throughput"] = throughput
     if totals is not None:

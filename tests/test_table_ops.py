@@ -1405,3 +1405,126 @@ def test_dlq_dataset_dedupes_cross_epoch_redelivery(tmp_path):
     dlq = t.dlq_dataset().to_pandas()
     assert len(dlq) == 2  # ...but the read surface dedupes them
     assert sorted(dlq["content"]) == ["v2", "vnull"]
+
+
+def test_sync_sources_composed_multi_source(tmp_path, monkeypatch):
+    """Composed multi-source sync (reference entry point B): ONE call
+    syncs osv-like then gitlab-like sources into one coalesce table,
+    each as its own epoch with a per-source processing-stats lineage
+    row; the final merged state must match the DuckDB coalesce oracle
+    over the union of the normalized event streams. E2 source
+    disabling skips with a marked row; unknown names raise before
+    anything syncs."""
+    import duckdb
+
+    osv_recs = [
+        {
+            "id": "OSV-1",
+            "modified": "2024-02-01T00:00:00Z",
+            "details": "overflow in frob",
+            "affected": [
+                {"package": {"ecosystem": "pypi", "name": "frob"},
+                 "ranges": [{"events": [{"introduced": "0"}]}]}
+            ],
+        },
+        {
+            "id": "OSV-2",
+            "modified": "2024-02-02T00:00:00Z",
+            "details": "npm bug",
+            "affected": [
+                {"package": {"ecosystem": "npm", "name": "leftpadx"},
+                 "ranges": [{"events": [{"introduced": "0"}]}]}
+            ],
+        },
+    ]
+    # gitlab advisories are NEWER (partition-ordered delivery, the
+    # engine's HWM contract); one overlaps OSV-1's key, one is new
+    gl_recs = [
+        {"identifier": "GL-1", "package_slug": "pypi/frob",
+         "description": "Frob advisory. Long tail ignored.",
+         "date": "2024-03-01"},
+        {"identifier": "GL-2", "package_slug": "go/gadget",
+         "description": "Gadget advisory.", "date": "2024-03-02"},
+    ]
+    osv_path = str(tmp_path / "osv.jsonl")
+    gl_path = str(tmp_path / "gl.jsonl")
+    with open(osv_path, "w") as fh:
+        fh.writelines(json.dumps(r) + "\n" for r in osv_recs)
+    with open(gl_path, "w") as fh:
+        fh.writelines(json.dumps(r) + "\n" for r in gl_recs)
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4, merge="coalesce")
+    r = t.sync_sources([("osv-jsonl", osv_path), ("gitlab-jsonl", gl_path)])
+    assert r["epochs_applied"] == 2
+    stats = t.source_stats()
+    assert [(s["source"], s["epoch"]) for s in stats] == [
+        ("osv-jsonl", 1),
+        ("gitlab-jsonl", 2),
+    ]
+    assert stats[0]["totals"]["events_in"] == 2
+    assert stats[1]["totals"]["events_in"] == 2
+
+    # oracle: DuckDB coalesce fold over the UNION of the normalized
+    # streams (same merge contract as the property suite)
+    from laketide.functions.reads import collect_tables
+    from laketide.sources import registry
+
+    ev = pa.concat_tables(
+        [
+            pa.concat_tables(collect_tables(registry.read_source(n, p)))
+            for n, p in [("osv-jsonl", osv_path), ("gitlab-jsonl", gl_path)]
+        ],
+        promote_options="default",
+    )
+    con = duckdb.connect()
+    con.register("raw", ev)
+    exp = con.execute(
+        """
+        WITH e AS (
+          SELECT *, commit || '-' || lpad(CAST(seq AS VARCHAR), 20, '0') AS vkey
+          FROM raw
+        ),
+        scalars AS (
+          SELECT repo, path,
+            last_value(commit) OVER w AS commit,
+            last_value(lang IGNORE NULLS) OVER w AS lang,
+            last_value(content IGNORE NULLS) OVER w AS content
+          FROM e
+          WINDOW w AS (PARTITION BY repo, path ORDER BY vkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          QUALIFY row_number() OVER (PARTITION BY repo, path ORDER BY vkey DESC) = 1
+        ),
+        unions AS (
+          SELECT repo, path,
+            list_sort(list_distinct(flatten(
+              list(sources) FILTER (WHERE sources IS NOT NULL)))) AS sources
+          FROM e GROUP BY repo, path
+        )
+        SELECT s.repo, s.path, s.commit, s.lang, s.content, u.sources
+        FROM scalars s JOIN unions u USING (repo, path)
+        """
+    ).arrow()
+    want = {
+        (r["repo"], r["path"]): (r["commit"], r["lang"], r["content"], sorted(r["sources"]))
+        for r in exp.to_pylist()
+    }
+    st = t.state_table()
+    got = {
+        (r["repo"], r["path"]): (r["commit"], r["lang"], r["content"], sorted(r["sources"]))
+        for r in st.to_pylist()
+    }
+    assert got == want
+    # the overlapping key merged: both source tags present
+    assert sorted(got[("pypi", "frob")][3]) == ["gitlab", "osv"]
+
+    # E2: disabled source skips with a marked row, nothing applied
+    monkeypatch.setenv("LAKETIDE_ENABLED_SOURCES", "osv-jsonl,parquet")
+    r2 = t.sync_sources([("gitlab-jsonl", gl_path)])
+    assert r2["jobs"][0]["skipped"] is True and r2["epochs_applied"] == 0
+    monkeypatch.delenv("LAKETIDE_ENABLED_SOURCES")
+
+    # unknown source name raises BEFORE anything syncs
+    before = t.current_epoch()
+    with pytest.raises(KeyError):
+        t.sync_sources([("osv-jsonl", osv_path), ("no-such-source", "x")])
+    assert t.current_epoch() == before
