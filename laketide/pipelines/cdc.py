@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import base64
 import os
+
+import numpy as np
 from typing import Any
 
 import pyarrow as pa
@@ -455,6 +457,46 @@ def _read_partitions_multi(
             for p in parts:
                 out[p].extend(_read_partition_rows([(f, None)], p))
     return out
+
+
+def _sampled_partition_skew(paths: list[str], num_partitions: int) -> float:
+    """Cheap pre-read skew sniff for the auto exchange switch: one
+    ~64k-row batch of KEY columns from the first parquet file, assigned
+    to partitions, returns the hottest partition's share. A byte-sized
+    threshold alone misses the skewed small epoch (one hot key-partition
+    in a <192 MiB slice would take the sort-based groupby and serialize
+    in a single group sort); the sniff costs one column-pruned batch
+    read. 0.0 on any failure — the sniff must never break an apply."""
+    from laketide.stages.partition import assign_partitions
+
+    try:
+        first = None
+        for p0 in paths:
+            if os.path.isdir(p0):
+                for root, _, names in os.walk(p0):
+                    cand = sorted(n for n in names if n.endswith(".parquet"))
+                    if cand:
+                        first = os.path.join(root, cand[0])
+                        break
+            elif p0.endswith(".parquet"):
+                first = p0
+            if first:
+                break
+        if not first:
+            return 0.0
+        pf = pq.ParquetFile(first)
+        cols = [c for c in ("repo", "path") if c in pf.schema_arrow.names]
+        if len(cols) < 2:
+            return 0.0
+        batch = next(pf.iter_batches(batch_size=65536, columns=cols), None)
+        if batch is None or batch.num_rows == 0:
+            return 0.0
+        t = pa.Table.from_batches([batch])
+        parts = assign_partitions(t, num_partitions).to_numpy(zero_copy_only=False)
+        counts = np.bincount(parts, minlength=num_partitions)
+        return float(counts.max()) / float(len(parts))
+    except Exception:  # pragma: no cover - defensive: sniff is advisory
+        return 0.0
 
 
 def _make_reduce_fn(file_index: list[tuple[str, tuple[int, ...] | None]], apply_fn):
@@ -1016,6 +1058,7 @@ class LakeTable:
             }
 
         total = 0
+        paths: list[str] = []
         if isinstance(events, (str, list)):
             # Size read blocks to the cluster: tiny blocks drown the
             # pipeline in scheduling overhead, huge ones starve it.
@@ -1080,13 +1123,25 @@ class LakeTable:
             self.compact_threshold,
             dlq_dir,
         )
+        mode = os.environ.get("LAKETIDE_EXCHANGE", exchange)
+        if mode == "auto":
+            mode = "storage" if total >= (192 << 20) else "groupby"
+            if mode == "groupby" and total >= (8 << 20) and paths:
+                # skew-aware switch: a hot partition in a small epoch
+                # serializes the sort-based groupby; the storage
+                # exchange splits it into partition-pure row groups
+                skew = _sampled_partition_skew(paths, self.num_partitions)
+                if skew >= max(0.25, 4.0 / self.num_partitions):
+                    mode = "storage"
         metric_rows = self._exchange(
-            norm, fn, epoch_id, total, exchange, hwm_filter, dlq_dir
+            norm, fn, epoch_id, total, mode, hwm_filter, dlq_dir
         )
         import time as _time2
 
         duration = _time2.perf_counter() - t_start
-        return self._finalize(epoch_id, man, metric_rows, duration, source=source)
+        return self._finalize(
+            epoch_id, man, metric_rows, duration, source=source, exchange_mode=mode
+        )
 
     def _exchange(
         self,
@@ -1098,8 +1153,7 @@ class LakeTable:
         hwm_filter: bool = True,
         dlq_dir: str | None = None,
     ) -> list[dict]:
-        mode = os.environ.get("LAKETIDE_EXCHANGE", mode)
-        if mode == "auto":
+        if mode == "auto":  # direct callers; the apply path resolves first
             mode = "storage" if total_bytes >= (192 << 20) else "groupby"
         if mode == "groupby":
             return (
@@ -1296,6 +1350,7 @@ class LakeTable:
         metric_rows: list[dict],
         duration: float = 0.0,
         source: str | None = None,
+        exchange_mode: str | None = None,
     ) -> dict[str, Any]:
         p = M.paths(self.table_dir)
         os.makedirs(p["data"], exist_ok=True)
@@ -1347,6 +1402,8 @@ class LakeTable:
             "events_in": events_in,
             "events_per_sec": round(events_in / duration, 1) if duration > 0 else None,
         }
+        if exchange_mode:
+            throughput["exchange"] = exchange_mode
         man_stats_extra = throughput
 
         man = M.Manifest(

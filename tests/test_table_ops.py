@@ -1528,3 +1528,49 @@ def test_sync_sources_composed_multi_source(tmp_path, monkeypatch):
     with pytest.raises(KeyError):
         t.sync_sources([("osv-jsonl", osv_path), ("no-such-source", "x")])
     assert t.current_epoch() == before
+
+
+def test_skew_aware_exchange_switch(tmp_path):
+    """A small (<192MiB) epoch whose rows concentrate in ONE hash
+    partition must route to the storage exchange (the sort-based
+    groupby would serialize the hot partition in one group sort); a
+    uniform epoch of the same size keeps the low-latency groupby. The
+    chosen mode is recorded in the commit's throughput lineage."""
+    rng = np.random.RandomState(3)
+
+    def make_epoch(path, repos, paths_, n):
+        content = [
+            rng.bytes(48).hex() for _ in range(n)
+        ]  # high-entropy: keeps the file above the sniff floor
+        t = pa.table(
+            {
+                "repo": pa.array(repos, pa.string()),
+                "path": pa.array(paths_, pa.string()),
+                "commit": pa.array([f"c{i:010d}" for i in range(n)], pa.string()),
+                "seq": pa.array(np.arange(n, dtype=np.int64)),
+                "op": pa.array(["insert"] * n, pa.string()),
+                "content": pa.array(content, pa.string()),
+            }
+        )
+        pq.write_table(t, path)
+
+    n = 120_000
+    hot = str(tmp_path / "hot.parquet")
+    make_epoch(hot, ["hotrepo"] * n, ["one/path"] * n, n)  # one key -> one partition
+    assert os.path.getsize(hot) > (8 << 20)  # above the sniff floor
+
+    t1 = LakeTable(str(tmp_path / "t1"), num_partitions=8)
+    r1 = t1.apply_epoch(hot)
+    assert r1["throughput"]["exchange"] == "storage"
+    assert t1.state_table().num_rows == 1  # newest version of the one key
+
+    uniform = str(tmp_path / "uni.parquet")
+    make_epoch(
+        uniform,
+        [f"r{i % 500}" for i in range(n)],
+        [f"p{i % 97}" for i in range(n)],
+        n,
+    )
+    t2 = LakeTable(str(tmp_path / "t2"), num_partitions=8)
+    r2 = t2.apply_epoch(uniform)
+    assert r2["throughput"]["exchange"] == "groupby"
