@@ -166,6 +166,15 @@ def run_bench() -> dict:
         timed("top_tokens", text.top_tokens)
         timed("exact_dedup_docs", text.exact_dedup_docs)
         timed("knn_cosine", similarity.knn_cosine)
+
+        # persisted ANN index: cold leg builds the artifact, warm leg
+        # serves the same query from it reading ONLY the probed buckets
+        def _ivf_cold(sf):
+            shutil.rmtree(similarity._ivf_index_dir(sf, 16), ignore_errors=True)
+            return similarity.knn_ivf(sf)
+
+        timed("knn_ivf_build_cold", _ivf_cold)
+        timed("knn_ivf_index_warm", similarity.knn_ivf)
         timed("minhash_lsh_candidates", dedup.minhash_lsh_candidates)
         timed("ngram_jaccard_join", dedup.ngram_jaccard_join)
         timed("simhash_dedup", dedup.simhash_dedup)

@@ -1,6 +1,8 @@
 """Similarity search: per-batch top-k equals the brute-force global
 order; banded-LSH embedding near-dup finds planted high-cosine pairs."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -132,3 +134,49 @@ def test_kmeans_cluster_stats_partition_and_determinism():
         ls, cnts = np.unique(labels[assign == c], return_counts=True)
         order = np.lexsort((ls, -cnts))  # count desc, label asc tie-break
         assert got[int(c)] == int(ls[order[0]]), c
+
+
+def test_ivf_index_persisted_reused_and_fingerprinted(planted_embeddings, tmp_path):
+    """The IVF index is a PERSISTED lake artifact: the first knn_ivf
+    builds it (atomic publish), the second serves from it unchanged
+    (same INDEX.json inode mtime, identical results); a changed
+    embeddings file fingerprints to a DIFFERENT artifact so a stale
+    index can never serve; the served result cross-checks against
+    knn_cosine (every returned id scores near the exact top-k floor)."""
+    import json
+    import shutil
+
+    sf_dir, _, mat = planted_embeddings
+    idx = S.ivf_index_build(sf_dir, n_centroids=16)
+    meta_path = os.path.join(idx, "INDEX.json")
+    assert os.path.exists(meta_path)
+    with open(meta_path) as fh:
+        meta = json.load(fh)
+    assert meta["rows"] == len(mat)  # every non-null vector indexed once
+    # bucket files exist and partition the corpus
+    listed = [f for files in meta["buckets"].values() for f in files]
+    assert listed and all(os.path.exists(os.path.join(idx, f)) for f in listed)
+
+    mtime = os.path.getmtime(meta_path)
+    r1 = S.knn_ivf(sf_dir, k=10, nprobe=6)
+    r2 = S.knn_ivf(sf_dir, k=10, nprobe=6)  # served from the artifact
+    assert os.path.getmtime(meta_path) == mtime  # no rebuild
+    assert r1["vec_id"].to_pylist() == r2["vec_id"].to_pylist()
+
+    # knn_cosine cross-check: served ids are genuinely high-scoring
+    qn = S.query_vector()
+    qn = qn / np.linalg.norm(qn)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    scores = unit @ qn
+    exact = S.knn_cosine(sf_dir, k=10)
+    floor = min(scores[i] for i in exact["vec_id"].to_pylist())
+    assert all(scores[i] >= floor - 0.2 for i in r1["vec_id"].to_pylist())
+
+    # a CHANGED corpus fingerprints to a different artifact dir
+    d2 = tmp_path / "sf2"
+    d2.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "embeddings.parquet"), str(d2 / "embeddings.parquet")
+    )
+    os.utime(str(d2 / "embeddings.parquet"), (1, 1))
+    assert S.ivf_index_build(str(d2)) != idx
