@@ -101,6 +101,18 @@ def main(argv: list[str] | None = None) -> int:
         help="repeatable; sources sync in the given order",
     )
 
+    sp = sub.add_parser(
+        "schedule",
+        help="drain multiple tables' changelog backlogs by weighted "
+        "priority (critical/default/low = 6/3/1)",
+    )
+    sp.add_argument(
+        "--jobs-json",
+        required=True,
+        help='JSON list: [{"name", "table", "changelog", "priority", '
+        '"partitions"?, "merge"?}, ...]',
+    )
+
     sp = sub.add_parser("tail", help="follow a changelog dir, applying new epochs")
     sp.add_argument("--table", required=True)
     sp.add_argument("--changelog", required=True)
@@ -158,6 +170,24 @@ def main(argv: list[str] | None = None) -> int:
             t = LakeTable(args.table, num_partitions=args.partitions, merge=args.merge)
             results = t.replay(args.changelog, exchange=args.exchange)
             print(json.dumps({"applied": results, "epoch": t.current_epoch()}))
+        elif args.cmd == "schedule":
+            from laketide.pipelines.scheduler import ReplayJob, run_schedule
+
+            jobs = []
+            for spec in json.loads(args.jobs_json):
+                jobs.append(
+                    ReplayJob(
+                        spec["name"],
+                        LakeTable(
+                            spec["table"],
+                            num_partitions=int(spec.get("partitions", 32)),
+                            merge=spec.get("merge", "lww"),
+                        ),
+                        spec["changelog"],
+                        priority=spec.get("priority", "default"),
+                    )
+                )
+            print(json.dumps(run_schedule(jobs)))
         elif args.cmd == "sync":
             jobs = []
             for spec in args.job:

@@ -1574,3 +1574,57 @@ def test_skew_aware_exchange_switch(tmp_path):
     t2 = LakeTable(str(tmp_path / "t2"), num_partitions=8)
     r2 = t2.apply_epoch(uniform)
     assert r2["throughput"]["exchange"] == "groupby"
+
+
+def test_priority_replay_scheduler_weighted_order_and_stamps(tmp_path):
+    """Two tables with pending backlogs drain by weighted round-robin
+    (critical=6 : low=1 — the reference's asynq queue weights): the
+    critical backlog finishes first but the low job still progresses
+    every cycle (no starvation); each applied epoch carries a job
+    lineage stamp; final states match the per-changelog oracle."""
+    from laketide.pipelines.scheduler import ReplayJob, run_schedule
+    from laketide.sources.changelog import expected_state
+
+    crit_files = generate_changelog(
+        str(tmp_path / "log_c"), n_events=1600, n_epochs=8, seed=11
+    )
+    low_files = generate_changelog(
+        str(tmp_path / "log_l"), n_events=600, n_epochs=3, seed=12
+    )
+    tc = LakeTable(str(tmp_path / "tc"), num_partitions=4)
+    tl = LakeTable(str(tmp_path / "tl"), num_partitions=4)
+    jobs = [
+        ReplayJob("bulk", tl, str(tmp_path / "log_l"), priority="low"),
+        ReplayJob("hot", tc, str(tmp_path / "log_c"), priority="critical"),
+    ]
+    r = run_schedule(jobs)
+    seq = [(o["job"], o["epoch"]) for o in r["order"]]
+    # cycle 1: hot spends its 6 credits, then bulk gets 1; cycle 2:
+    # hot drains its last 2, bulk 1; cycle 3: bulk's final epoch
+    assert seq == (
+        [("hot", i) for i in range(1, 7)]
+        + [("bulk", 1)]
+        + [("hot", 7), ("hot", 8), ("bulk", 2), ("bulk", 3)]
+    )
+    assert r["jobs"]["hot"]["epochs_applied"] == 8
+    assert r["jobs"]["bulk"]["epochs_applied"] == 3
+
+    # per-job lineage stamps reconstruct the processing-stats table
+    stats_c = tc.source_stats()
+    assert len(stats_c) == 8 and {s["source"] for s in stats_c} == {"job:hot"}
+    assert {s["source"] for s in tl.source_stats()} == {"job:bulk"}
+
+    # final states exact vs the window oracle
+    for table, files in ((tc, crit_files), (tl, low_files)):
+        exp = expected_state(files).to_pandas()
+        st = table.state_table().to_pandas()
+        got = dict(zip(zip(st["repo"], st["path"]), st["content"]))
+        want = dict(zip(zip(exp["repo"], exp["path"]), exp["content"]))
+        assert got == want
+
+    # idempotent: a second run finds nothing pending
+    r2 = run_schedule(jobs)
+    assert r2["order"] == []
+
+    with pytest.raises(ValueError):
+        ReplayJob("x", tc, str(tmp_path / "log_c"), priority="urgent")
