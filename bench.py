@@ -69,6 +69,41 @@ def _changelog() -> list[str]:
 
 
 def run_bench() -> dict:
+    # Fresh-process, headline-only protocol (VERDICT r3 item 1): the
+    # headline replay runs in its OWN subprocess with a dedicated Ray
+    # session, so the 47-query suite, its worker pools and its object
+    # store churn can never leak into the official number. The child is
+    # this same file with GRAFT_BENCH_SKIP_QUERIES=1; the parent then
+    # times the query suite in-process and splices the child's headline
+    # into the output.
+    if not os.environ.get("GRAFT_BENCH_SKIP_QUERIES") and not os.environ.get(
+        "GRAFT_BENCH_INPROCESS_HEADLINE"
+    ):
+        env = dict(os.environ, GRAFT_BENCH_SKIP_QUERIES="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        if proc.returncode != 0:
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"headline subprocess failed (exit {proc.returncode})"
+            )
+        head = json.loads(proc.stdout.strip().splitlines()[-1])
+        out = _run_bench_inner(skip_headline=True)
+        out["value"] = head["value"]
+        out["queries"]["cdc_replay"] = head["value"]
+        out["cdc_replay_runs"] = head["cdc_replay_runs"]
+        out["events"] = head["events"]
+        out["events_per_sec"] = head["events_per_sec"]
+        return out
+    return _run_bench_inner(skip_headline=False)
+
+
+def _run_bench_inner(skip_headline: bool = False) -> dict:
     import ray
 
     ray.init(
@@ -129,19 +164,20 @@ def run_bench() -> dict:
     # polluted by neighbors), with both raw values in the output.
     n_runs = int(os.environ.get("GRAFT_BENCH_HEADLINE_RUNS", "2"))
     headline_runs = []
-    for _ in range(max(n_runs, 1)):
-        work = tempfile.mkdtemp(prefix="laketide_bench_", dir=workdir)
-        table = LakeTable(
-            os.path.join(work, "table"),
-            num_partitions=max(32, NUM_CPUS * 2),
-            layout=layout,
-        )
-        t0 = time.perf_counter()
-        for f in files:
-            table.apply_epoch(f)
-        headline_runs.append(round(time.perf_counter() - t0, 3))
-        shutil.rmtree(work, ignore_errors=True)
-    headline = min(headline_runs)
+    if not skip_headline:
+        for _ in range(max(n_runs, 1)):
+            work = tempfile.mkdtemp(prefix="laketide_bench_", dir=workdir)
+            table = LakeTable(
+                os.path.join(work, "table"),
+                num_partitions=max(32, NUM_CPUS * 2),
+                layout=layout,
+            )
+            t0 = time.perf_counter()
+            for f in files:
+                table.apply_epoch(f)
+            headline_runs.append(round(time.perf_counter() - t0, 3))
+            shutil.rmtree(work, ignore_errors=True)
+    headline = min(headline_runs) if headline_runs else 0.0
     timings["cdc_replay"] = round(headline, 3)
 
     if not os.environ.get("GRAFT_BENCH_SKIP_QUERIES"):
@@ -243,7 +279,7 @@ def run_bench() -> dict:
         "sf": _sf_value(),
         "num_cpus": NUM_CPUS,
         "events": n_events,
-        "events_per_sec": round(n_events / headline, 1),
+        "events_per_sec": round(n_events / headline, 1) if headline else 0.0,
     }
 
 

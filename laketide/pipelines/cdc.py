@@ -64,6 +64,31 @@ METRICS_SCHEMA = pa.schema(
 )
 
 
+# Low-cardinality string columns worth dictionary-encoding in every
+# parquet file this engine writes. `content` is deliberately excluded:
+# KB-sized near-unique bodies make the writer build (then abandon) a
+# useless dictionary page, costing CPU + memory on the hot path.
+_DICT_COLS = ("repo", "path", "lang", S.OP_COLUMN)
+
+
+def adaptive_write_kwargs(table: pa.Table) -> dict:
+    """Parquet writer options for hot-path writes (spill + staged
+    partitions). Wide rows (KB-sized contents) get zstd-1 — ~2x fewer
+    bytes through the box's shared disk, which is the binding 2->8
+    scaling ceiling for heavy-content replays (see BENCH/BASELINE.md
+    hardware disclosure); narrow rows keep snappy, whose lower CPU wins
+    there (measured ~20%). Dictionary encoding is pinned to the
+    low-cardinality key columns only."""
+    dict_cols = [c for c in _DICT_COLS if c in table.column_names]
+    wide = table.num_rows > 0 and (table.nbytes / table.num_rows) > 600
+    kw: dict = {"use_dictionary": dict_cols}
+    if wide:
+        kw.update(compression="zstd", compression_level=1)
+    else:
+        kw.update(compression="snappy")
+    return kw
+
+
 def _schema_to_b64(schema: pa.Schema) -> str:
     return base64.b64encode(schema.serialize().to_pybytes()).decode()
 
@@ -82,21 +107,53 @@ def _make_group_fn(
     layout: str = "cow",
     compact_threshold: int = 8,
     dlq_dir: str | None = None,
+    map_partials: dict[int, list[int]] | None = None,
 ):
     """Build the per-partition apply function run by map_groups.
 
     Writes its staging file as a deterministic, truncate-on-write side
     effect (safe under Ray task retries) and returns one metrics row.
     With ``dlq_dir``, malformed rows are quarantined there instead of
-    only counted (I6 dead-letter queue)."""
-    staging_dir = os.path.join(table_dir, "_staging", f"epoch-{epoch_id:06d}")
+    only counted (I6 dead-letter queue).
 
-    def apply_group(group: pa.Table) -> pa.Table:
+    ``map_partials`` (filled in-place by the storage exchange AFTER the
+    spill stage, BEFORE reduce tasks serialize) carries the map-side
+    combiner's per-partition [dropped_events, dupes, replays] so the
+    metrics/lineage rows stay identical with or without the combiner.
+    ``apply_group(None, part)`` produces the metrics row for a
+    partition whose events were ALL dropped map-side."""
+    staging_dir = os.path.join(table_dir, "_staging", f"epoch-{epoch_id:06d}")
+    map_partials = map_partials if map_partials is not None else {}
+
+    def apply_group(group: pa.Table | None, part: int | None = None) -> pa.Table:
         from laketide.stages.apply import limit_arrow_threads, write_dlq
 
         limit_arrow_threads(1)
-        part = group[S.PART_COLUMN][0].as_py()
+        if group is None:
+            # partials-only partition: every event was collapsed or
+            # HWM-filtered on the map side — run the normal apply with
+            # zero events so the state/compaction/metrics behavior is
+            # byte-identical to an all-replay group arriving.
+            group = pa.table(
+                {
+                    "repo": pa.array([], pa.string()),
+                    "path": pa.array([], pa.string()),
+                    "commit": pa.array([], pa.string()),
+                    "seq": pa.array([], pa.int64()),
+                    S.OP_COLUMN: pa.array([], pa.string()),
+                    S.SHA_COLUMN: pa.array([], pa.string()),
+                    S.PART_COLUMN: pa.array([], pa.int64()),
+                    S.MALFORMED_COLUMN: pa.array([], pa.bool_()),
+                }
+            )
+        else:
+            part = group[S.PART_COLUMN][0].as_py()
         m = ApplyMetrics(events_in=group.num_rows)
+        pp = map_partials.get(part)
+        if pp:
+            m.events_in += pp[0]
+            m.dupes_dropped += pp[1]
+            m.replays_dropped += pp[2]
         mal = group[S.MALFORMED_COLUMN]
         m.malformed = int(pc.sum(mal).as_py() or 0)
         hwm_c, hwm_s = hwms.get(part, ("", -1))
@@ -130,7 +187,7 @@ def _make_group_fn(
                 pc.and_(pc.equal(ev["commit"], hwm_c), pc.greater(ev["seq"], hwm_s)),
             )
             fresh = pc.fill_null(fresh, False)
-            m.replays_dropped = ev.num_rows - int(pc.sum(fresh).as_py() or 0)
+            m.replays_dropped += ev.num_rows - int(pc.sum(fresh).as_py() or 0)
             ev = ev.filter(fresh)
 
         # Advance the HWM over everything delivered this epoch.
@@ -143,7 +200,9 @@ def _make_group_fn(
                 new_c, new_s = max_c, int(max_s)
         m.hwm_commit, m.hwm_seq = new_c, new_s
 
-        winners = reduce_events(ev, m, strategy)
+        from laketide.stages.apply import ensure_sha
+
+        winners = ensure_sha(reduce_events(ev, m, strategy))
 
         info = part_info.get(part) or {}
         base_rel = info.get("file")
@@ -196,7 +255,7 @@ def _make_group_fn(
             suffix = "-delta" if kind == "delta" else ""
             staged = os.path.join(staging_dir, f"part-{part:05d}{suffix}.parquet")
             tmp = staged + f".tmp-{os.getpid()}"
-            pq.write_table(out, tmp)
+            pq.write_table(out, tmp, **adaptive_write_kwargs(out))
             os.replace(tmp, staged)  # truncate-on-write; retry-safe
 
         row: dict[str, Any] = {"part": [part], "changed": [changed], "staged_file": [staged], "kind": [kind]}
@@ -320,10 +379,18 @@ def _mor_delta(table_dir, base_rel, delta_rels, winners, epoch_id, m):
 
 class _SpillShards:
     """Map side of the storage-backed exchange: sort each block by
-    ``_part`` and write it as one spill file whose ROW GROUPS align
+    ``_part`` and write it as one spill file whose RECORD BATCHES align
     exactly with partition boundaries, so the reduce side reads only its
-    partition's row groups (parquet min/max pruning — no object-store
+    partition's batches (random batch access — no object-store
     all-to-all, no sort of the full epoch).
+
+    Format: Arrow IPC file with buffer compression (lz4 for narrow rows,
+    zstd-1 for KB-sized contents). IPC encodes at memcpy+codec speed
+    where parquet re-encodes every column (~5x the CPU on this path —
+    the spill is transient per-epoch data, so parquet's schema-stability
+    and statistics buy nothing here). The reduce side's
+    ``_read_partition_rows`` also accepts legacy ``.parquet`` spill
+    files (rescale-era callers, tests).
 
     Retry-safe: files are written tmp-then-rename, and only files
     returned by *successful* tasks (the summary rows) are read back, so a
@@ -333,9 +400,178 @@ class _SpillShards:
     same requirement the two-phase sink already has.
     """
 
-    def __init__(self, ex_dir: str):
+    _SUMMARY_SCHEMA = pa.schema(
+        [
+            ("file", pa.string()),
+            ("rows", pa.int64()),
+            ("parts", pa.list_(pa.int64())),
+            # map-side combiner partials (per partition of the ORIGINAL
+            # batch that lost rows to the pre-collapse): dropped-event /
+            # exact-dup / HWM-replay counts the reduce side folds into
+            # its metrics so lineage rows are byte-identical with or
+            # without the combiner.
+            ("pparts", pa.list_(pa.int64())),
+            ("pevents", pa.list_(pa.int64())),
+            ("pdupes", pa.list_(pa.int64())),
+            ("preplays", pa.list_(pa.int64())),
+        ]
+    )
+
+    def __init__(
+        self,
+        ex_dir: str,
+        combine: str | None = None,
+        hwms: dict[int, tuple[str, int]] | None = None,
+    ):
         os.makedirs(ex_dir, exist_ok=True)
         self.ex_dir = ex_dir
+        # Map-side combiner (the classic pre-shuffle combine): collapse
+        # each batch to its per-key winners BEFORE spilling, so the
+        # exchange carries winners + malformed rows instead of every
+        # event (~2.4x fewer bytes at the bench workload's 2.2
+        # events/key/batch). Only for merge='lww', where keep-max is
+        # associative AND the partition-max (commit, seq) provably
+        # survives the collapse (each key's winner IS its max), so the
+        # reduce-side HWM advance is unchanged. 'longest' ranks by
+        # content length, so a stale event can carry the partition-max
+        # version and be collapsed away — those strategies spill raw.
+        self.combine = combine if combine == "lww" else None
+        self.hwms = hwms or {}
+
+    def _precombine(self, batch: pa.Table):
+        """Collapse one batch to per-key winners + payload-nulled STUBS
+        of in-batch losers + all malformed rows. Returns
+        (collapsed_batch, partials) where partials maps partition ->
+        [dropped_events, dropped_exact_dupes, dropped_hwm_replays].
+
+        Mirrors the reduce side exactly: HWM filter first (counted),
+        then sort by (part, key, commit, seq), drop exact duplicates
+        (counted), keep the winning event per key WHOLE and every other
+        distinct version as a stub (key + version columns only, payload
+        nulled). Stubs are what make the combiner lossless for the
+        lineage contract: the reduce side still sees the full DISTINCT
+        multiset of (key, commit, seq) — so cross-batch exact-duplicate
+        counting and the HWM advance are byte-identical to the
+        combiner-less path — while the heavy payload bytes (content is
+        ~80-95% of a spill row) travel only for winners. A stub can
+        never win the final merge: its own batch's winner carries a
+        strictly newer (commit, seq) (lww keep-max is associative)."""
+        import numpy as np
+
+        n = batch.num_rows
+        parts0 = batch[S.PART_COLUMN].to_numpy()
+        orig = np.bincount(parts0)
+        mal_t = None
+        valid = batch
+        if S.MALFORMED_COLUMN in batch.column_names:
+            mal = pc.fill_null(batch[S.MALFORMED_COLUMN], False)
+            if int(pc.sum(mal).as_py() or 0):
+                valid = batch.filter(pc.invert(mal))
+                mal_t = batch.filter(mal).sort_by([(S.PART_COLUMN, "ascending")])
+
+        replays = np.zeros(len(orig), dtype=np.int64)
+        if self.hwms and valid.num_rows:
+            vparts = valid[S.PART_COLUMN].combine_chunks()
+            maxp = int(pc.max(vparts).as_py())
+            hc = pa.array(
+                [self.hwms.get(p, ("", -1))[0] for p in range(maxp + 1)], pa.string()
+            )
+            hs = pa.array(
+                [self.hwms.get(p, ("", -1))[1] for p in range(maxp + 1)], pa.int64()
+            )
+            row_hc = pc.take(hc, vparts)
+            row_hs = pc.take(hs, vparts)
+            # rows in partitions with no stored HWM ('' commit) always
+            # pass: any non-null commit > "" (reduce skips the filter
+            # entirely there; same outcome)
+            fresh = pc.fill_null(
+                pc.or_(
+                    pc.greater(valid["commit"], row_hc),
+                    pc.and_(
+                        pc.equal(valid["commit"], row_hc),
+                        pc.greater(valid["seq"], row_hs),
+                    ),
+                ),
+                False,
+            )
+            fresh_np = fresh.combine_chunks().to_numpy(zero_copy_only=False)
+            if not fresh_np.all():
+                vp = vparts.to_numpy()
+                replays = np.bincount(vp[~fresh_np], minlength=len(orig)).astype(
+                    np.int64
+                )
+                valid = valid.filter(fresh)
+
+        dupes = np.zeros(len(orig), dtype=np.int64)
+        if valid.num_rows:
+            valid = valid.sort_by(
+                [
+                    (S.PART_COLUMN, "ascending"),
+                    ("repo", "ascending"),
+                    ("path", "ascending"),
+                    ("commit", "ascending"),
+                    ("seq", "ascending"),
+                ]
+            ).combine_chunks()
+            vp = valid[S.PART_COLUMN].to_numpy()
+            repo = valid["repo"].to_numpy(zero_copy_only=False)
+            path_ = valid["path"].to_numpy(zero_copy_only=False)
+            commit = valid["commit"].to_numpy(zero_copy_only=False)
+            seq = valid["seq"].to_numpy(zero_copy_only=False)
+            same_key = (
+                (vp[1:] == vp[:-1]) & (repo[1:] == repo[:-1]) & (path_[1:] == path_[:-1])
+            )
+            exact = same_key & (commit[1:] == commit[:-1]) & (seq[1:] == seq[:-1])
+            if exact.any():
+                dupes = np.bincount(vp[1:][exact], minlength=len(orig)).astype(np.int64)
+            last = np.ones(len(vp), dtype=bool)
+            last[:-1] = ~same_key
+            dup_row = np.zeros(len(vp), dtype=bool)
+            dup_row[:-1] = exact
+            stale = ~last & ~dup_row
+            if not last.all():
+                winners_t = valid.filter(pa.array(last))
+                if stale.any():
+                    stubs = valid.filter(pa.array(stale))
+                    keep_cols = {
+                        "repo",
+                        "path",
+                        "commit",
+                        "seq",
+                        S.OP_COLUMN,
+                        S.PART_COLUMN,
+                        S.MALFORMED_COLUMN,
+                    }
+                    for c in stubs.column_names:
+                        if c not in keep_cols:
+                            i = stubs.column_names.index(c)
+                            stubs = stubs.set_column(
+                                i, c, pa.nulls(stubs.num_rows, stubs.column(i).type)
+                            )
+                    valid = [winners_t, stubs]
+                else:
+                    valid = [winners_t]
+            else:
+                valid = [valid]
+        else:
+            valid = []
+
+        # every stratum is already sorted by _part (winners/stubs derive
+        # from the part-sorted `valid`; mal_t sorted above) — the writer
+        # slices each stratum independently, so no second full-payload
+        # sort of the batch is needed.
+        strata = ([mal_t] if mal_t is not None else []) + valid
+        spilled = np.zeros(len(orig), dtype=np.int64)
+        for t in strata:
+            spilled += np.bincount(
+                t[S.PART_COLUMN].combine_chunks().to_numpy(), minlength=len(orig)
+            )[: len(orig)]
+        dropped = orig - spilled
+        partials = {
+            int(p): [int(dropped[p]), int(dupes[p]), int(replays[p])]
+            for p in np.nonzero(dropped)[0]
+        }
+        return strata, partials
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import uuid
@@ -344,77 +580,124 @@ class _SpillShards:
 
         limit_arrow_threads(1)
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "file": pa.array([], pa.string()),
-                    "rows": pa.array([], pa.int64()),
-                    "parts": pa.array([], pa.list_(pa.int64())),
-                }
-            )
-        batch = batch.sort_by([(S.PART_COLUMN, "ascending")])
-        parts = batch[S.PART_COLUMN].to_numpy()
+            return self._SUMMARY_SCHEMA.empty_table()
         import numpy as np
 
-        boundaries = [0] + (np.nonzero(parts[1:] != parts[:-1])[0] + 1).tolist() + [len(parts)]
-        path = os.path.join(self.ex_dir, f"map-{uuid.uuid4().hex}.parquet")
+        partials: dict[int, list[int]] = {}
+        if self.combine:
+            # strata (malformed / winners / stubs) arrive each already
+            # sorted by _part — written independently, so the combiner
+            # costs ONE key sort instead of two full-payload sorts. A
+            # partition may hold up to one batch per stratum per file;
+            # the index carries repeated part ids and the reduce reads
+            # them all.
+            strata, partials = self._precombine(batch)
+            strata = [t for t in strata if t.num_rows]
+            if not strata:
+                # every row dropped map-side (e.g. an idempotent
+                # re-apply: all replays). No spill file — but the
+                # partials must still reach the reduce so lineage rows
+                # (events_in / replays_dropped) stay exact. file="" rows
+                # are skipped by the file-index builder.
+                return pa.table(
+                    {
+                        "file": [""],
+                        "rows": [0],
+                        "parts": [[]],
+                        "pparts": [list(map(int, partials))],
+                        "pevents": [[v[0] for v in partials.values()]],
+                        "pdupes": [[v[1] for v in partials.values()]],
+                        "preplays": [[v[2] for v in partials.values()]],
+                    }
+                ).cast(self._SUMMARY_SCHEMA)
+        else:
+            strata = [batch.sort_by([(S.PART_COLUMN, "ascending")])]
+
+        nrows = sum(t.num_rows for t in strata)
+        path = os.path.join(self.ex_dir, f"map-{uuid.uuid4().hex}.arrow")
         tmp = path + ".tmp"
-        # Adaptive spill compression (measured on this engine): zstd-1 is
-        # ~9% faster end-to-end for KB-sized contents (halves exchange
-        # bytes), but costs ~20% on narrow rows where snappy's lower CPU
-        # wins. Threshold ~600 B/row.
-        wide = batch.num_rows > 0 and (batch.nbytes / batch.num_rows) > 600
-        kw = (
-            dict(compression="zstd", compression_level=1)
-            if wide
-            else dict(compression="snappy")
+        # Adaptive spill compression (measured on this engine): zstd-1
+        # for KB-sized contents (halves exchange bytes through the box's
+        # shared disk, the binding ceiling there), lz4 for narrow rows
+        # where codec CPU dominates. Threshold ~600 B/row.
+        wide = (sum(t.nbytes for t in strata) / nrows) > 600
+        opts = pa.ipc.IpcWriteOptions(
+            compression=pa.Codec("zstd", 1) if wide else pa.Codec("lz4")
         )
-        with pq.ParquetWriter(tmp, batch.schema, **kw) as w:
-            for lo, hi in zip(boundaries[:-1], boundaries[1:]):
-                w.write_table(batch.slice(lo, hi - lo))
+        # one record batch per partition slice per stratum: each stratum
+        # is single-chunk (combine_chunks below), so each write is
+        # exactly one IPC record batch and the batch->partition index is
+        # exact by construction — no post-write metadata read needed
+        # (IPC never splits a write the way ParquetWriter splits row
+        # groups).
+        rg_parts: list[int] = []
+        with pa.OSFile(tmp, "wb") as sink:
+            with pa.ipc.new_file(sink, strata[0].schema, options=opts) as w:
+                for t in strata:
+                    t = t.combine_chunks()
+                    parts = t[S.PART_COLUMN].to_numpy()
+                    bounds = (
+                        [0]
+                        + (np.nonzero(parts[1:] != parts[:-1])[0] + 1).tolist()
+                        + [len(parts)]
+                    )
+                    for lo, hi in zip(bounds[:-1], bounds[1:]):
+                        w.write_table(t.slice(lo, hi - lo))
+                        rg_parts.append(int(parts[lo]))
         os.replace(tmp, path)
-        # row-group -> partition index (row group i holds partition
-        # rg_parts[i]): returned with the summary so reduce tasks never
-        # re-open footers (P x F -> F metadata reads per epoch) and skip
-        # files without their partition entirely. Derived from the
-        # WRITTEN file's metadata, not the slice boundaries: write_table
-        # splits a single call into multiple row groups past
-        # max_row_group_size (1,048,576 rows — the rescale path spills
-        # whole merged partitions with no batch cap), and a
-        # boundary-derived index would misattribute every later group.
-        # One local footer read on the map side; rows never cross a
-        # write_table call, so parts[first_row_of_group] is exact.
-        meta = pq.ParquetFile(path).metadata
-        rg_starts = np.cumsum(
-            [0] + [meta.row_group(i).num_rows for i in range(meta.num_row_groups - 1)]
-        )
-        rg_parts = [int(parts[s]) for s in rg_starts]
         return pa.table(
             {
                 "file": [path],
-                "rows": [batch.num_rows],
+                "rows": [nrows],
                 "parts": pa.array([rg_parts], pa.list_(pa.int64())),
+                "pparts": [list(map(int, partials))],
+                "pevents": [[v[0] for v in partials.values()]],
+                "pdupes": [[v[1] for v in partials.values()]],
+                "preplays": [[v[2] for v in partials.values()]],
             }
-        )
+        ).cast(self._SUMMARY_SCHEMA)
+
+
+def _open_spill(path: str) -> "pa.ipc.RecordBatchFileReader":
+    """Open an IPC spill file for random batch access (memory-mapped: a
+    reduce task touching k of F batches pages in only those batches'
+    bytes; compressed buffers decompress per get_batch). Module-level so
+    tests can count opens."""
+    return pa.ipc.open_file(pa.memory_map(path))
 
 
 def _read_partition_rows(
     file_index: list[tuple[str, tuple[int, ...] | None]], part: int
 ) -> list[pa.Table]:
-    """Read one partition's row groups from partition-aligned spill
+    """Read one partition's record batches from partition-aligned spill
     files. Each entry is ``(path, rg_parts)`` where ``rg_parts[i]`` is
-    the partition held by row group ``i`` (returned by the map side with
-    its summary row) — files without this partition are skipped without
-    even a footer read. ``rg_parts=None`` falls back to the footer
-    min/max stats scan."""
+    the partition held by batch/row-group ``i`` (returned by the map
+    side with its summary row) — files without this partition are
+    skipped without even being opened. ``rg_parts=None`` falls back to a
+    scan (parquet footer min/max stats; IPC per-batch first-row check).
+    ``.parquet`` spill files remain readable (legacy format)."""
     tbls = []
     for f, rg_parts in file_index:
+        is_ipc = not f.endswith(".parquet")
         if rg_parts is not None:
             rgs = [i for i, p in enumerate(rg_parts) if p == part]
             if not rgs:
                 continue
-            pf = pq.ParquetFile(f)
-            for rg in rgs:
-                tbls.append(pf.read_row_group(rg))
+            if is_ipc:
+                r = _open_spill(f)
+                for rg in rgs:
+                    tbls.append(pa.Table.from_batches([r.get_batch(rg)]))
+            else:
+                pf = pq.ParquetFile(f)
+                for rg in rgs:
+                    tbls.append(pf.read_row_group(rg))
+            continue
+        if is_ipc:
+            r = _open_spill(f)
+            for rg in range(r.num_record_batches):
+                b = r.get_batch(rg)
+                if b.num_rows and b[S.PART_COLUMN][0].as_py() == part:
+                    tbls.append(pa.Table.from_batches([b]))
             continue
         pf = pq.ParquetFile(f)
         meta = pf.metadata
@@ -443,6 +726,13 @@ def _read_partitions_multi(
         if rg_parts is not None:
             rgs = [i for i, p in enumerate(rg_parts) if p in want]
             if not rgs:
+                continue
+            if not f.endswith(".parquet"):
+                r = _open_spill(f)
+                for i in rgs:
+                    out[rg_parts[i]].append(
+                        pa.Table.from_batches([r.get_batch(i)])
+                    )
                 continue
             pf = pq.ParquetFile(f)
             t = pf.read_row_groups(rgs)
@@ -499,9 +789,18 @@ def _sampled_partition_skew(paths: list[str], num_partitions: int) -> float:
         return 0.0
 
 
-def _make_reduce_fn(file_index: list[tuple[str, tuple[int, ...] | None]], apply_fn):
+def _make_reduce_fn(
+    file_index: list[tuple[str, tuple[int, ...] | None]],
+    apply_fn,
+    partial_parts: "set[int] | None" = None,
+):
     """Reduce side: one task per partition GROUP; reads only those
-    partitions' row groups from every spill file (batched per file)."""
+    partitions' row groups from every spill file (batched per file).
+    ``partial_parts`` are partitions whose events were ALL dropped by
+    the map-side combiner — no spill data, but their metrics/lineage
+    row must still exist (apply_fn(None, part) synthesizes it from the
+    seeded partials)."""
+    partial_parts = partial_parts or set()
 
     def reduce(batch: pa.Table) -> pa.Table:
         from laketide.stages.apply import limit_arrow_threads
@@ -514,6 +813,8 @@ def _make_reduce_fn(file_index: list[tuple[str, tuple[int, ...] | None]], apply_
             tbls = groups.get(p) or []
             if tbls:
                 outs.append(apply_fn(pa.concat_tables(tbls)))
+            elif p in partial_parts:
+                outs.append(apply_fn(None, p))
         if not outs:
             return METRICS_SCHEMA.empty_table()
         return pa.concat_tables(outs)
@@ -1079,9 +1380,16 @@ class LakeTable:
             cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
             # Aim for ~16 MiB (compressed) per block: enough tasks to use
             # the CPUs on big epochs, few enough that scheduling doesn't
-            # dominate on small ones (floor cpus/2 tasks).
+            # dominate on small ones (floor cpus/2 tasks). Round big
+            # epochs UP to a multiple of the CPU count: the spill stage
+            # maps one task per block (batch_size=None below), so a
+            # non-multiple leaves a ragged final wave — measured 24
+            # tasks on 32 CPUs (25% idle) at the bench workload.
             by_size = total // (16 << 20) + 1
-            blocks = min(max(by_size, cpus // 2), 512)
+            if by_size >= cpus:
+                blocks = min(-(-by_size // cpus) * cpus, 512)
+            else:
+                blocks = max(by_size, cpus // 2)
             ds = ray.data.read_parquet(events, override_num_blocks=int(blocks))
         else:
             ds = events
@@ -1112,6 +1420,7 @@ class LakeTable:
             import shutil as _sh
 
             _sh.rmtree(dlq_dir, ignore_errors=True)
+        map_partials: dict[int, list[int]] = {}
         fn = _make_group_fn(
             self.table_dir,
             epoch_id,
@@ -1122,6 +1431,7 @@ class LakeTable:
             self.layout,
             self.compact_threshold,
             dlq_dir,
+            map_partials,
         )
         mode = os.environ.get("LAKETIDE_EXCHANGE", exchange)
         if mode == "auto":
@@ -1134,7 +1444,15 @@ class LakeTable:
                 if skew >= max(0.25, 4.0 / self.num_partitions):
                     mode = "storage"
         metric_rows = self._exchange(
-            norm, fn, epoch_id, total, mode, hwm_filter, dlq_dir
+            norm,
+            fn,
+            epoch_id,
+            total,
+            mode,
+            hwm_filter,
+            dlq_dir,
+            map_partials=map_partials,
+            hwms=hwms if hwm_filter else None,
         )
         import time as _time2
 
@@ -1152,6 +1470,8 @@ class LakeTable:
         mode: str,
         hwm_filter: bool = True,
         dlq_dir: str | None = None,
+        map_partials: dict[int, list[int]] | None = None,
+        hwms: dict[int, tuple[str, int]] | None = None,
     ) -> list[dict]:
         if mode == "auto":  # direct callers; the apply path resolves first
             mode = "storage" if total_bytes >= (192 << 20) else "groupby"
@@ -1159,25 +1479,58 @@ class LakeTable:
             return (
                 norm.groupby(S.PART_COLUMN).map_groups(fn, batch_format="pyarrow").take_all()
             )
+        import time as _t
+
+        _timing = os.environ.get("LAKETIDE_TIMING")
+        _t0 = _t.perf_counter()
         ex_dir = os.path.join(
             self.table_dir, "_staging", f"epoch-{epoch_id:06d}", "exchange"
         )
+        # map-side combiner: only on the task-reduce path (the actor
+        # path's appliers compute their own metrics and would not see
+        # the partials), and only for lww (see _SpillShards.__init__)
+        combine = self.merge if mode == "storage" else None
         summaries = norm.map_batches(
-            _SpillShards(ex_dir),
+            _SpillShards(ex_dir, combine=combine, hwms=hwms),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            batch_size=262_144,  # bigger spill files => fewer footers downstream
+            # one spill file per READ block (blocks are sized/rounded at
+            # the read: ~16-32 MiB compressed each, count a multiple of
+            # the CPUs) — an explicit batch_size re-bundles blocks into
+            # fewer, uneven tasks (measured 24 tasks on 32 CPUs)
+            batch_size=None,
             # transient storage errors surface as app exceptions; the
             # spill protocol is retry-safe BY DESIGN (tmp+rename files,
             # only successful attempts' summaries are read back), so
             # retrying here is exactly-once
             retry_exceptions=True,
             max_retries=2,
-        ).take_all()
+        )
+        if _timing:
+            _sds = summaries
+            summaries = _sds.take_all()
+            print(_sds.stats())
+        else:
+            summaries = summaries.take_all()
         file_index = sorted(
             (r["file"], tuple(r["parts"]) if r.get("parts") is not None else None)
             for r in summaries
+            if r["file"]  # file="" = partials-only summary (all rows dropped)
         )
+        # fold the combiner partials into the dict the apply fn closes
+        # over — BEFORE the reduce tasks serialize that closure
+        if map_partials is not None:
+            for r in summaries:
+                for p, ev_, du, re_ in zip(
+                    r.get("pparts") or [],
+                    r.get("pevents") or [],
+                    r.get("pdupes") or [],
+                    r.get("preplays") or [],
+                ):
+                    acc = map_partials.setdefault(int(p), [0, 0, 0])
+                    acc[0] += int(ev_)
+                    acc[1] += int(du)
+                    acc[2] += int(re_)
         if mode == "actor":
             return self._actor_apply(epoch_id, file_index, hwm_filter, dlq_dir)
         # Reduce side as raw Ray tasks (one per partition): a fixed
@@ -1186,7 +1539,9 @@ class LakeTable:
         # fixed latency per epoch.
         import ray as _ray
 
-        reduce_fn = _make_reduce_fn(file_index, fn)
+        parts_with_data = {p for _, ps in file_index for p in (ps or ())}
+        partial_only = set(map_partials or {}) - parts_with_data
+        reduce_fn = _make_reduce_fn(file_index, fn, partial_only)
 
         @_ray.remote(num_cpus=1)
         def _reduce_task(parts: list[int]):
@@ -1205,8 +1560,16 @@ class LakeTable:
             list(range(lo, min(lo + per, self.num_partitions)))
             for lo in range(0, self.num_partitions, per)
         ]
+        if _timing:
+            _t1 = _t.perf_counter()
+            print(f"[laketide-timing] epoch={epoch_id} map+spill={_t1 - _t0:.3f}s")
         futures = [_reduce_task.remote(c) for c in chunks]
-        return [row for rows in _ray.get(futures) for row in rows]
+        rows = [row for rows in _ray.get(futures) for row in rows]
+        if _timing:
+            print(
+                f"[laketide-timing] epoch={epoch_id} reduce={_t.perf_counter() - _t1:.3f}s"
+            )
+        return rows
 
     def _actor_apply(
         self,
@@ -2155,7 +2518,7 @@ class LakeTable:
                     break
                 n += 1
             tmp = os.path.join(table_dir, rel) + f".tmp-{os.getpid()}"
-            pq.write_table(merged, tmp)
+            pq.write_table(merged, tmp, **adaptive_write_kwargs(merged))
             os.replace(tmp, os.path.join(table_dir, rel))
             dead = (
                 int(pc.sum(pc.fill_null(merged[S.DELETED_COLUMN], False)).as_py() or 0)
@@ -2428,7 +2791,7 @@ class LakeTable:
                 "data", f"part-{p:05d}-e{man.epoch:06d}-r{new_partitions}.parquet"
             )
             tmp = os.path.join(table_dir, rel) + f".tmp-{os.getpid()}"
-            pq.write_table(sub, tmp)
+            pq.write_table(sub, tmp, **adaptive_write_kwargs(sub))
             os.replace(tmp, os.path.join(table_dir, rel))
             dead = (
                 int(pc.sum(pc.fill_null(sub[S.DELETED_COLUMN], False)).as_py() or 0)

@@ -81,6 +81,34 @@ def limit_arrow_threads(n: int = 1) -> None:
         _ARROW_LIMITED = True
 
 
+def ensure_sha(winners: pa.Table) -> pa.Table:
+    """Fill missing ``content_sha256`` on per-key WINNERS (reduce side).
+
+    Normalize no longer hashes every event: only winners' hashes are
+    observable (stored state, noop detection R1, delta files), so
+    hashing here is ~(events/keys)x cheaper per epoch while producing
+    byte-identical state. Shas already present (source-provided, or
+    state rows flowing through compaction) are kept; null content
+    (tombstones) stays null."""
+    if (
+        S.SHA_COLUMN not in winners.column_names
+        or "content" not in winners.column_names
+        or winners.num_rows == 0
+    ):
+        return winners
+    sha = winners[S.SHA_COLUMN]
+    if sha.null_count == 0:
+        return winners
+    from laketide.stages.normalize import sha256_hex_column
+
+    computed = sha256_hex_column(winners["content"])
+    return winners.set_column(
+        winners.column_names.index(S.SHA_COLUMN),
+        S.SHA_COLUMN,
+        pc.coalesce(sha, computed),
+    )
+
+
 @dataclass
 class ApplyMetrics:
     events_in: int = 0

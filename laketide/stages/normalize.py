@@ -109,16 +109,15 @@ class NormalizeEvents:
         )
         malformed = pc.or_(pc.invert(valid_op), pc.fill_null(missing_key, True))
 
-        sha = batch[S.SHA_COLUMN]
-        if sha.null_count == n:
-            sha = sha256_hex_column(batch["content"]) if "content" in batch.column_names else sha
-        elif sha.null_count > 0 and "content" in batch.column_names:
-            computed = sha256_hex_column(batch["content"])
-            sha = pc.coalesce(sha, computed)
-
+        # content_sha256 is NOT computed here: the reduce side fills it
+        # on the per-key WINNERS only (apply.ensure_sha) — at the bench
+        # workload that is ~75x fewer sha256 calls (8.4M events -> 111k
+        # winners per epoch), and losers' hashes are never observable
+        # (M11's per-row invariant is over STORED state rows). Shas
+        # provided by the source pass through untouched.
         batch = batch.set_column(
             batch.column_names.index(S.OP_COLUMN), S.OP_COLUMN, op
-        ).set_column(batch.column_names.index(S.SHA_COLUMN), S.SHA_COLUMN, sha)
+        )
         batch = batch.append_column(S.PART_COLUMN, assign_partitions(batch, self.num_partitions))
         batch = batch.append_column(S.MALFORMED_COLUMN, malformed)
         return batch

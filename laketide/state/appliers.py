@@ -109,7 +109,9 @@ class ApplierActor:
                 new_c, new_s = max_c, int(max_s)
         m.hwm_commit, m.hwm_seq = new_c, new_s
 
-        winners = reduce_events(events, m, self.strategy)
+        from laketide.stages.apply import ensure_sha
+
+        winners = ensure_sha(reduce_events(events, m, self.strategy))
 
         # Cache valid only for the strictly-next epoch (crash safety)
         # AND an unchanged maintenance generation: a cross-process

@@ -254,11 +254,44 @@ def test_storage_exchange_matches_groupby_and_oracle(changelog, tmp_path):
     assert _keymap(t1.state_table()) == _keymap(t2.state_table())
 
 
+def test_map_combiner_lineage_parity_with_groupby(changelog, tmp_path):
+    """The map-side combiner (pre-spill per-key collapse on the storage
+    exchange) must leave every lineage counter byte-identical to the
+    combiner-less groupby path — events_in, dupes_dropped,
+    replays_dropped, malformed, inserts/updates/deletes/noops and the
+    HWMs all reconcile through the spilled partials. Includes the
+    partial-only-partition path: a full re-apply of an already-committed
+    epoch file (every event a replay) must still produce per-partition
+    lineage rows with the same totals on both paths."""
+    from laketide.state.manifest import load_lineage
+
+    t1 = LakeTable(str(tmp_path / "a"), num_partitions=8)
+    t2 = LakeTable(str(tmp_path / "b"), num_partitions=8)
+    for f in changelog:
+        t1.apply_epoch(f, exchange="storage")
+        t2.apply_epoch(f, exchange="groupby")
+    # re-apply epoch 1's file as a NEW epoch: all events are replays,
+    # so on the storage path every partition is partials-only
+    r1 = t1.apply_epoch(changelog[0], exchange="storage")
+    r2 = t2.apply_epoch(changelog[0], exchange="groupby")
+    assert r1["totals"] == r2["totals"]
+    assert r1["totals"]["replays_dropped"] > 0
+    assert _keymap(t1.state_table()) == _keymap(t2.state_table())
+    for epoch in range(1, 5):
+        l1, l2 = load_lineage(str(tmp_path / "a"), epoch), load_lineage(
+            str(tmp_path / "b"), epoch
+        )
+        assert l1["totals"] == l2["totals"], f"epoch {epoch}"
+        p1 = {p["part"]: p for p in l1["partitions"]}
+        p2 = {p["part"]: p for p in l2["partitions"]}
+        assert p1 == p2, f"epoch {epoch} per-partition lineage diverged"
+
+
 def test_spill_partition_index_skips_unrelated_files(tmp_path, monkeypatch):
-    """The map side returns a row-group->partition index with each spill
-    summary; the reduce side must (a) read identical rows to the legacy
-    footer-stats scan and (b) never even OPEN a file that lacks its
-    partition (P x F -> F metadata reads per epoch)."""
+    """The map side returns a batch->partition index with each spill
+    summary; the reduce side must (a) read identical rows to the
+    index-less full scan and (b) never even OPEN a file that lacks its
+    partition (P x F -> F opens per epoch)."""
     import pyarrow as pa
 
     from laketide import schema as S2
@@ -283,15 +316,15 @@ def test_spill_partition_index_skips_unrelated_files(tmp_path, monkeypatch):
     legacy = [(f, None) for f, _ in index]
 
     opens = []
-    real_pf = C.pq.ParquetFile
+    real_open = C._open_spill
     monkeypatch.setattr(
-        C.pq, "ParquetFile", lambda f, *a, **k: opens.append(f) or real_pf(f, *a, **k)
+        C, "_open_spill", lambda f: opens.append(f) or real_open(f)
     )
     got = C._read_partition_rows(index, 1)
     assert opens == [index[0][0]]  # only the file that has part 1
     opens.clear()
     ref = C._read_partition_rows(legacy, 1)
-    assert len(opens) == 2  # the legacy scan opened every footer
+    assert len(opens) == 2  # the index-less scan opened every file
     assert pa.concat_tables(got).equals(pa.concat_tables(ref))
     # a partition nobody has: zero opens, zero rows
     opens.clear()
@@ -299,16 +332,16 @@ def test_spill_partition_index_skips_unrelated_files(tmp_path, monkeypatch):
     assert opens == []
 
 
-def test_spill_index_survives_row_group_splitting(tmp_path):
-    """Regression: ParquetWriter.write_table splits a single call into
-    multiple row groups past max_row_group_size (1,048,576 rows) — the
-    rescale path spills whole merged partitions with no batch cap, so a
-    boundary-derived index misattributed every later row group (silent
-    wrong-partition reads). The index is now derived from the written
-    file's actual metadata."""
+def test_spill_index_matches_written_batches(tmp_path):
+    """The batch->partition index must stay exact even for >1M-row
+    partition slices (the rescale path spills whole merged partitions
+    with no batch cap). With the parquet spill this was a real
+    regression — ParquetWriter.write_table silently splits past
+    max_row_group_size and a boundary-derived index misattributed every
+    later group; the IPC writer never splits a write, and this pins
+    that invariant (index length == record batches in the file)."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq2
 
     from laketide import schema as S2
     from laketide.pipelines import cdc as C
@@ -325,9 +358,8 @@ def test_spill_index_survives_row_group_splitting(tmp_path):
         }
     )
     summary = C._SpillShards(str(tmp_path / "ex"))(t).to_pylist()[0]
-    meta = pq2.ParquetFile(summary["file"]).metadata
-    assert meta.num_row_groups >= 3  # the big slice split
-    assert len(summary["parts"]) == meta.num_row_groups
+    reader = C._open_spill(summary["file"])
+    assert len(summary["parts"]) == reader.num_record_batches == 2
     got0 = C._read_partition_rows([(summary["file"], tuple(summary["parts"]))], 0)
     got1 = C._read_partition_rows([(summary["file"], tuple(summary["parts"]))], 1)
     assert sum(x.num_rows for x in got0) == big
