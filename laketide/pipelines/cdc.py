@@ -1545,9 +1545,9 @@ class LakeTable:
 
         @_ray.remote(num_cpus=1)
         def _reduce_task(parts: list[int]):
-            t = reduce_fn(pa.table({"part": pa.array(parts, pa.int64())}))
-            # metric rows only (bounded: one per partition)
-            return t.to_pylist()
+            # Arrow table out (bounded: one metric row per partition);
+            # pylist conversion happens once, driver-side
+            return reduce_fn(pa.table({"part": pa.array(parts, pa.int64())}))
 
         # one task per CPU, CONTIGUOUS partition ranges: partitions are
         # adjacent row groups inside every spill file, so a task's whole
@@ -1564,7 +1564,7 @@ class LakeTable:
             _t1 = _t.perf_counter()
             print(f"[laketide-timing] epoch={epoch_id} map+spill={_t1 - _t0:.3f}s")
         futures = [_reduce_task.remote(c) for c in chunks]
-        rows = [row for rows in _ray.get(futures) for row in rows]
+        rows = [row for t in _ray.get(futures) for row in t.to_pylist()]
         if _timing:
             print(
                 f"[laketide-timing] epoch={epoch_id} reduce={_t.perf_counter() - _t1:.3f}s"

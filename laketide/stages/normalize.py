@@ -13,9 +13,11 @@ Reference analogs (semantics, not code):
   malformed rows are flagged, counted in per-partition metrics, dropped.
 
 Runs as ``map_batches(NormalizeEvents(...), batch_format="pyarrow",
-zero_copy_batch=True)`` — pure, stateless, vectorized except for the
-sha256 loop (no vectorized sha256 kernel exists; at scale this stage is
-the CPU-bound map and parallelizes across blocks).
+zero_copy_batch=True)`` — pure, stateless, fully vectorized. The sha256
+data-hash is NOT computed here: the reduce side hashes per-key winners
+only (``apply.ensure_sha``), which is ~(events/keys)x cheaper per epoch
+with byte-identical stored state; ``sha256_hex_column`` lives here as
+the shared kernel.
 """
 
 from __future__ import annotations
