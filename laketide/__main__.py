@@ -44,6 +44,9 @@ def main(argv: list[str] | None = None) -> int:
     sp = sub.add_parser("export", help="versioned snapshot export")
     sp.add_argument("--table", required=True)
     sp.add_argument("--out", required=True)
+    sp.add_argument(
+        "--fmt", choices=("parquet", "csv", "jsonl"), default="parquet"
+    )
 
     sp = sub.add_parser("gc", help="drop superseded manifests/data files")
     sp.add_argument("--table", required=True)
@@ -219,7 +222,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
         elif args.cmd == "export":
             t = LakeTable(args.table)
-            print(json.dumps(t.export_snapshot(args.out)))
+            print(json.dumps(t.export_snapshot(args.out, fmt=args.fmt)))
         elif args.cmd == "gc":
             t = LakeTable(args.table)
             print(json.dumps(t.gc(keep_last=args.keep)))

@@ -1992,26 +1992,34 @@ class LakeTable:
         mask = pc.and_(pc.equal(t["repo"], repo), pc.equal(t["path"], path))
         return t.filter(mask)
 
-    def export_snapshot(self, export_dir: str) -> dict[str, Any]:
+    def export_snapshot(self, export_dir: str, fmt: str = "parquet") -> dict[str, Any]:
         """Versioned snapshot export with checksum manifest (reference
         S10: the ``exports`` table —
-        /root/reference/migrations/001_initial_schema.up.sql:95-108).
+        /root/reference/migrations/001_initial_schema.up.sql:95-108; the
+        export job also emits JSON/CSV snapshots,
+        /root/reference/internal/jobs/server.go:543-588 — ``fmt`` is
+        that option: ``parquet`` (default) | ``csv`` | ``jsonl``).
         Two-phase: stage into a temp dir, atomically rename; re-export of
-        the same epoch is a no-op returning the existing manifest.
+        the same epoch+format is a no-op returning the existing manifest.
 
         INCREMENTAL across versions: each file records the source
         fingerprint (partition base file + delta list) that produced it;
         a later export hardlinks unchanged partitions from the newest
-        previous snapshot instead of re-merging and re-hashing them — at
-        lake scale most partitions are untouched between exports."""
+        previous same-format snapshot instead of re-merging, re-encoding
+        and re-hashing them — at lake scale most partitions are untouched
+        between exports."""
         import hashlib
         import json as _json
         import shutil as _shutil
 
+        if fmt not in ("parquet", "csv", "jsonl"):
+            raise ValueError(f"unsupported export format: {fmt!r}")
         man = M.load_current(self.table_dir)
         if not man:
             raise ValueError("nothing committed to export")
-        name = f"snapshot-{man.epoch:06d}"
+        # parquet keeps the unsuffixed name (back-compat with existing
+        # export dirs); other formats get their own snapshot lineage
+        name = f"snapshot-{man.epoch:06d}" + ("" if fmt == "parquet" else f"-{fmt}")
         final = os.path.join(export_dir, name)
         meta_path = os.path.join(final, "EXPORT.json")
         if os.path.exists(meta_path):
@@ -2023,15 +2031,21 @@ class LakeTable:
         import glob as _glob
 
         prev_meta, prev_dir = None, None
-        prevs = sorted(
-            d
-            for d in _glob.glob(os.path.join(export_dir, "snapshot-*"))
-            if os.path.isfile(os.path.join(d, "EXPORT.json")) and d != final
-        )
-        if prevs:
-            prev_dir = prevs[-1]
-            with open(os.path.join(prev_dir, "EXPORT.json")) as fh:
-                prev_meta = _json.load(fh)
+        for d in sorted(
+            (
+                d
+                for d in _glob.glob(os.path.join(export_dir, "snapshot-*"))
+                if os.path.isfile(os.path.join(d, "EXPORT.json")) and d != final
+            ),
+            reverse=True,
+        ):
+            with open(os.path.join(d, "EXPORT.json")) as fh:
+                m = _json.load(fh)
+            # reuse only within the same format lineage (a csv export
+            # can't hardlink a parquet file)
+            if m.get("format", "parquet") == fmt:
+                prev_dir, prev_meta = d, m
+                break
         prev_by_name = {
             f["name"]: f for f in (prev_meta or {}).get("files", []) if f.get("source")
         }
@@ -2052,6 +2066,8 @@ class LakeTable:
 
         # one Ray task per CHANGED partition (the old loop read+merged+
         # wrote+hashed every partition serially on the driver)
+        ext = {"parquet": "parquet", "csv": "csv", "jsonl": "jsonl"}[fmt]
+
         @_ray.remote(num_cpus=1)
         def _export_one(part: int, info: dict, source: str) -> dict | None:
             from laketide.stages.apply import limit_arrow_threads
@@ -2060,9 +2076,18 @@ class LakeTable:
             merged = _load_live_partition(table_dir, info, merge, drop_deleted=True)
             if merged is None:
                 return None
-            base = f"part-{part:05d}.parquet"
+            base = f"part-{part:05d}.{ext}"
             dst = os.path.join(tmp, base)
-            pq.write_table(merged, dst)
+            if fmt == "parquet":
+                pq.write_table(merged, dst)
+            elif fmt == "csv":
+                from pyarrow import csv as _pacsv
+
+                _pacsv.write_csv(merged, dst)
+            else:  # jsonl — Arrow has no JSON writer; pandas' C encoder
+                merged.to_pandas().to_json(
+                    dst, orient="records", lines=True, date_format="iso"
+                )
             with open(dst, "rb") as fh:
                 sha = hashlib.sha256(fh.read()).hexdigest()
             return {
@@ -2078,7 +2103,7 @@ class LakeTable:
         for k, v in sorted(man.partitions.items(), key=lambda kv: int(kv[0])):
             info = dict(v)
             src = _fingerprint(info)
-            base = f"part-{int(k):05d}.parquet"
+            base = f"part-{int(k):05d}.{ext}"
             prev = prev_by_name.get(base)
             prev_path = os.path.join(prev_dir, base) if prev_dir else ""
             if prev and prev["source"] == src and os.path.exists(prev_path):
@@ -2099,6 +2124,7 @@ class LakeTable:
             "reused": len(reused),
             "status": "completed",
             "merge": self.merge,
+            "format": fmt,
         }
         with open(os.path.join(tmp, "EXPORT.json"), "w") as fh:
             fh.write(_json.dumps(meta, sort_keys=True, indent=1))

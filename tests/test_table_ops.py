@@ -102,6 +102,50 @@ def test_export_snapshot_incremental_reuses_unchanged_partitions(tmp_path):
     assert total == second["rows"] == t.state_table().num_rows
 
 
+def test_export_snapshot_csv_and_jsonl_formats(changelog, tmp_path):
+    """fmt='csv'/'jsonl' analog of the reference export job's JSON/CSV
+    snapshots (server.go:543-588): same rows as the live state, own
+    snapshot lineage per format, checksum-verified, format-scoped
+    incremental reuse."""
+    import hashlib
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    t.replay(os.path.dirname(changelog[0]))
+    state_rows = t.state_table().num_rows
+
+    for fmt, reader in (
+        ("csv", lambda p: __import__("pyarrow.csv", fromlist=["csv"]).read_csv(p)),
+        (
+            "jsonl",
+            lambda p: __import__("pyarrow.json", fromlist=["json"]).read_json(p),
+        ),
+    ):
+        meta = t.export_snapshot(str(tmp_path / "exports"), fmt=fmt)
+        assert meta["format"] == fmt and meta["status"] == "completed"
+        exp_dir = str(tmp_path / "exports" / f"snapshot-{meta['version']:06d}-{fmt}")
+        assert os.path.exists(os.path.join(exp_dir, "EXPORT.json"))
+        total = 0
+        for f in meta["files"]:
+            assert f["name"].endswith("." + fmt)
+            p = os.path.join(exp_dir, f["name"])
+            with open(p, "rb") as fh:
+                assert hashlib.sha256(fh.read()).hexdigest() == f["sha256"]
+            got = reader(p)
+            assert got.num_rows == f["rows"]
+            assert {"repo", "path", "content"} <= set(got.column_names)
+            total += got.num_rows
+        assert total == meta["rows"] == state_rows
+        # idempotent re-export of the same epoch+format
+        assert t.export_snapshot(str(tmp_path / "exports"), fmt=fmt) == meta
+
+    # parquet lineage is untouched by the other formats: a parquet export
+    # of the same epoch neither collides nor reuses csv/jsonl files
+    pmeta = t.export_snapshot(str(tmp_path / "exports"), fmt="parquet")
+    assert pmeta["format"] == "parquet" and pmeta["reused"] == 0
+    with pytest.raises(ValueError):
+        t.export_snapshot(str(tmp_path / "exports"), fmt="xml")
+
+
 def test_gc_drops_superseded_files_keeps_state(changelog, tmp_path):
     t = LakeTable(str(tmp_path / "t"), num_partitions=8)
     t.replay(os.path.dirname(changelog[0]))
