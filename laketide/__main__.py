@@ -113,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
         "--jobs-json",
         required=True,
         help='JSON list: [{"name", "table", "changelog", "priority", '
+        '"cadence"? (@always/@hourly/@daily/@weekly/<N>s|m|h|d), '
         '"partitions"?, "merge"?}, ...]',
     )
 
@@ -188,6 +189,7 @@ def main(argv: list[str] | None = None) -> int:
                         ),
                         spec["changelog"],
                         priority=spec.get("priority", "default"),
+                        cadence=spec.get("cadence", "@always"),
                     )
                 )
             print(json.dumps(run_schedule(jobs)))

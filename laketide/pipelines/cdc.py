@@ -1092,6 +1092,22 @@ class LakeTable:
         man = self.current_manifest()
         return man.epoch if man else 0
 
+    def last_applied_at(self) -> float | None:
+        """Wall-clock time the newest committed epoch was applied (from
+        its lineage stamp), or None for an empty table / pre-upgrade
+        lineage. The scheduler's cadence check (@daily/@weekly sync
+        schedules, /root/reference/internal/config/config.go:94-108)
+        reads this to decide whether a job is due."""
+        epoch = self.current_epoch()
+        while epoch > 0:
+            doc = M.load_lineage(self.table_dir, epoch)
+            if doc and doc.get("applied_at") is not None:
+                return float(doc["applied_at"])
+            if doc is not None:
+                return None  # pre-upgrade lineage: no stamp recorded
+            epoch -= 1  # lineage GC'd for this epoch; try older
+        return None
+
     def changes_between(self, from_epoch: int, to_epoch: int) -> pa.Table:
         """Change data feed between two retained epochs (Delta-CDF /
         Iceberg-changelog analog; reference analog: the per-sync

@@ -24,10 +24,44 @@ from typing import Any
 
 from laketide.pipelines.cdc import LakeTable
 
-__all__ = ["ReplayJob", "run_schedule", "PRIORITY_WEIGHTS"]
+__all__ = [
+    "ReplayJob",
+    "run_schedule",
+    "PRIORITY_WEIGHTS",
+    "parse_cadence",
+]
 
 # reference weights: critical 6, default 3, low 1 (asynq Queues config)
 PRIORITY_WEIGHTS = {"critical": 6, "default": 3, "low": 1}
+
+# reference sync schedules: @daily / @weekly per source
+# (/root/reference/internal/config/config.go:94-108)
+_CADENCE_ALIASES = {
+    "@always": 0.0,
+    "@hourly": 3600.0,
+    "@daily": 86400.0,
+    "@weekly": 604800.0,
+}
+
+
+def parse_cadence(spec: str) -> float:
+    """Cadence spec -> minimum seconds between syncs. Accepts the
+    reference's schedule aliases (``@daily``/``@weekly``, plus
+    ``@hourly``/``@always``) or ``<N>s|m|h|d`` intervals."""
+    if spec in _CADENCE_ALIASES:
+        return _CADENCE_ALIASES[spec]
+    unit = {"s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}.get(spec[-1:])
+    if unit is not None:
+        try:
+            n = float(spec[:-1])
+        except ValueError:
+            n = -1.0
+        if n >= 0:
+            return n * unit
+    raise ValueError(
+        f"unknown cadence {spec!r}; one of {sorted(_CADENCE_ALIASES)} "
+        "or '<N>s|m|h|d'"
+    )
 
 
 @dataclass
@@ -36,6 +70,7 @@ class ReplayJob:
     table: LakeTable
     changelog_dir: str
     priority: str = "default"
+    cadence: str = "@always"
     applied: list[dict] = field(default_factory=list)
 
     def __post_init__(self):
@@ -44,6 +79,20 @@ class ReplayJob:
                 f"job {self.name!r}: unknown priority {self.priority!r}; "
                 f"one of {sorted(PRIORITY_WEIGHTS)}"
             )
+        parse_cadence(self.cadence)  # fail fast on a bad spec
+
+    def due(self, now: float) -> tuple[bool, float]:
+        """(is_due, seconds_until_due) at wall-clock ``now``. A job is
+        due when its table has never synced, or the last committed
+        epoch's lineage stamp is at least one cadence interval old."""
+        interval = parse_cadence(self.cadence)
+        if interval <= 0:
+            return True, 0.0
+        last = self.table.last_applied_at()
+        if last is None:
+            return True, 0.0
+        remaining = (last + interval) - now
+        return remaining <= 0, max(0.0, remaining)
 
     def pending(self) -> list[tuple[int, str]]:
         """(epoch_id, path) for every changelog epoch newer than the
@@ -55,12 +104,33 @@ class ReplayJob:
         return [(i + 1, f) for i, f in enumerate(files) if i + 1 > start]
 
 
-def run_schedule(jobs: list[ReplayJob], max_cycles: int = 1000) -> dict[str, Any]:
-    """Drain every job's pending epochs by weighted round-robin: each
-    cycle grants each job ``weight`` epoch-application credits, spent in
-    descending weight order (ties: job list order). Returns the global
-    apply ORDER (the testable contract) plus per-job totals."""
+def run_schedule(
+    jobs: list[ReplayJob], max_cycles: int = 1000, now: float | None = None
+) -> dict[str, Any]:
+    """Drain every DUE job's pending epochs by weighted round-robin:
+    each cycle grants each job ``weight`` epoch-application credits,
+    spent in descending weight order (ties: job list order). Jobs whose
+    cadence (@daily/@weekly/...) has not elapsed since their table's
+    last sync are skipped and reported with ``next_due_in`` seconds —
+    the reference's per-source sync schedule
+    (/root/reference/internal/config/config.go:94-108). ``now`` is
+    injectable for deterministic tests; defaults to wall clock. Returns
+    the global apply ORDER (the testable contract) plus per-job
+    totals."""
+    import time as _time
+
+    if now is None:
+        now = _time.time()
     order: list[dict] = []
+    skipped: dict[str, float] = {}
+    due_jobs = []
+    for j in jobs:
+        is_due, wait = j.due(now)
+        if is_due:
+            due_jobs.append(j)
+        else:
+            skipped[j.name] = round(wait, 3)
+    jobs = due_jobs
     queues: dict[str, list[tuple[int, str]]] = {j.name: j.pending() for j in jobs}
     by_weight = sorted(
         jobs, key=lambda j: -PRIORITY_WEIGHTS[j.priority]
@@ -83,18 +153,19 @@ def run_schedule(jobs: list[ReplayJob], max_cycles: int = 1000) -> dict[str, Any
                 progressed = True
         if not progressed:
             break
-    return {
-        "order": order,
-        "jobs": {
-            j.name: {
-                "priority": j.priority,
-                "epochs_applied": len(j.applied),
-                "rows": (
-                    j.table.current_manifest().stats.get("rows")
-                    if j.table.current_manifest()
-                    else 0
-                ),
-            }
-            for j in jobs
-        },
+    report = {
+        j.name: {
+            "priority": j.priority,
+            "cadence": j.cadence,
+            "epochs_applied": len(j.applied),
+            "rows": (
+                j.table.current_manifest().stats.get("rows")
+                if j.table.current_manifest()
+                else 0
+            ),
+        }
+        for j in jobs
     }
+    for name, wait in skipped.items():
+        report[name] = {"skipped": "not_due", "next_due_in": wait}
+    return {"order": order, "jobs": report}

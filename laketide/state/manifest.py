@@ -163,10 +163,14 @@ def write_lineage(
     /root/reference/migrations/001_initial_schema.up.sql:75-88).
     ``totals`` is persisted so a replayed already-committed epoch can
     return the same totals a fresh apply did."""
+    import time as _time
+
     p = paths(table_dir)
     os.makedirs(p["lineage"], exist_ok=True)
     out = os.path.join(p["lineage"], f"epoch-{epoch:06d}.json")
-    doc = {"epoch": epoch, "partitions": rows}
+    # wall-clock stamp: the scheduler's cadence check (@daily/@weekly)
+    # reads "when did this table last sync" from here
+    doc = {"epoch": epoch, "partitions": rows, "applied_at": _time.time()}
     if source:
         doc["source"] = source  # per-source processing-stats tag (E1/B)
     if throughput:

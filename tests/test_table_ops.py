@@ -1672,3 +1672,53 @@ def test_priority_replay_scheduler_weighted_order_and_stamps(tmp_path):
 
     with pytest.raises(ValueError):
         ReplayJob("x", tc, str(tmp_path / "log_c"), priority="urgent")
+
+
+def test_scheduler_cadence_skips_not_due_jobs(tmp_path):
+    """@daily/@weekly sync-schedule analog (reference config.go:94-108):
+    a job whose table synced within its cadence interval is skipped with
+    a next_due_in report; once the interval elapses (injected clock) the
+    backlog drains. @always jobs are unaffected."""
+    from laketide.pipelines.scheduler import ReplayJob, parse_cadence, run_schedule
+
+    assert parse_cadence("@daily") == 86400.0
+    assert parse_cadence("@weekly") == 604800.0
+    assert parse_cadence("45m") == 2700.0
+    with pytest.raises(ValueError):
+        parse_cadence("@fortnightly")
+    with pytest.raises(ValueError):
+        ReplayJob(
+            "bad", LakeTable(str(tmp_path / "tb")), str(tmp_path), cadence="often"
+        )
+
+    generate_changelog(str(tmp_path / "log_d"), n_events=400, n_epochs=2, seed=31)
+    generate_changelog(str(tmp_path / "log_a"), n_events=400, n_epochs=2, seed=32)
+    td = LakeTable(str(tmp_path / "td"), num_partitions=4)
+    ta = LakeTable(str(tmp_path / "ta"), num_partitions=4)
+    daily = ReplayJob("daily", td, str(tmp_path / "log_d"), cadence="@daily")
+    always = ReplayJob("always", ta, str(tmp_path / "log_a"))
+
+    # never-synced table is due regardless of cadence
+    r = run_schedule([daily, always])
+    assert r["jobs"]["daily"]["epochs_applied"] == 2
+    assert r["jobs"]["always"]["epochs_applied"] == 2
+    last = td.last_applied_at()
+    assert last is not None
+
+    # new backlog lands; within the interval the daily job is skipped
+    generate_changelog(str(tmp_path / "log_d"), n_events=600, n_epochs=3, seed=31)
+    generate_changelog(str(tmp_path / "log_a"), n_events=600, n_epochs=3, seed=32)
+    daily2 = ReplayJob("daily", td, str(tmp_path / "log_d"), cadence="@daily")
+    always2 = ReplayJob("always", ta, str(tmp_path / "log_a"))
+    r2 = run_schedule([daily2, always2], now=last + 3600.0)
+    assert r2["jobs"]["daily"]["skipped"] == "not_due"
+    assert 0 < r2["jobs"]["daily"]["next_due_in"] <= 86400.0
+    assert r2["jobs"]["always"]["epochs_applied"] == 1
+    assert all(o["job"] == "always" for o in r2["order"])
+    assert td.current_epoch() == 2  # untouched
+
+    # a day later the daily job drains its backlog
+    daily3 = ReplayJob("daily", td, str(tmp_path / "log_d"), cadence="@daily")
+    r3 = run_schedule([daily3], now=last + 86401.0)
+    assert r3["jobs"]["daily"]["epochs_applied"] == 1
+    assert td.current_epoch() == 3
