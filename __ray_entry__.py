@@ -437,6 +437,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prepared": _lazy("corpus", "prepare_corpus"),
         "doc_rare_token_stats": text.doc_rare_token_stats,
         "benchmark_contamination": text.benchmark_contamination,
+        "pii_redact": text.pii_redact,
         # k-means is iterative/approximate -> rows-only; pytest asserts
         # partition totals, determinism and majority-label consistency
         "kmeans_cluster_stats": _lazy("similarity", "kmeans_cluster_stats"),
@@ -1320,6 +1321,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT gg.doc_id, CAST(count(DISTINCT gg.gram) AS BIGINT) AS n_shared "
             "FROM gg JOIN bench USING (gram) WHERE gg.doc_id >= 20 "
             "GROUP BY gg.doc_id"
+        ),
+        "pii_redact": (
+            # identical deterministic PII injection (small-scale
+            # synthesis rule) + RE2 redaction chain as the Ray kernel
+            "WITH aug AS (SELECT doc_id, coalesce(text,'') "
+            "|| CASE WHEN doc_id % 3 > 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END "
+            "|| CASE WHEN doc_id % 2 = 0 THEN ' at 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.7' ELSE '' END "
+            "|| CASE WHEN doc_id % 5 > 1 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END "
+            "AS t FROM documents) "
+            "SELECT doc_id, "
+            r"CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+            r"CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips, "
+            r"CAST(len(regexp_extract_all(t, '\b555-\d{4}\b')) AS BIGINT) AS n_phones, "
+            r"regexp_replace(regexp_replace(regexp_replace(t, "
+            r"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+            r"'\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'), "
+            r"'\b555-\d{4}\b', '<PHONE>', 'g') AS redacted "
+            "FROM aug"
         ),
         "doc_rare_token_stats": (
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "

@@ -1472,3 +1472,73 @@ def doc_bigram_repetition(sf_dir: str) -> rd.Dataset:
         ).append_column("dup_fraction", pa.array(dup, pa.float64()))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# PII classes scrubbed by pii_redact: (name, RE2 pattern, replacement).
+# Arrow's replace_substring_regex / count_substring_regex and DuckDB's
+# regexp_* both run RE2, so the oracle is hash-exact by construction.
+PII_PATTERNS = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phones", r"\b555-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_redact(sf_dir: str) -> rd.Dataset:
+    """PII scrub — the redaction stage of a training-data pipeline
+    (strip emails / IPv4s / phone-shaped tokens before training; the
+    C4 / ROOTS-style cleanup step). The synthetic corpus carries no PII,
+    so the pipeline first APPENDS a deterministic doc_id-derived PII
+    suffix (email when doc_id%3>0, IP when doc_id%2=0, phone when
+    doc_id%5>1 — the small-scale synthesis rule; at production scale
+    this injection step is absent and the scrubber runs on raw text),
+    then counts and redacts each class with vectorized RE2 kernels.
+
+    Scale: ONE streaming ``map_batches`` pass, no shuffle, no state —
+    at 100 TB this is embarrassingly parallel and the regex kernels run
+    at C speed over Arrow buffers. Returns per doc the per-class match
+    counts and the redacted text (hash-checked against the DuckDB
+    oracle running the identical injection + regexp_replace chain)."""
+
+    def f(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        s = pc.cast(did, pa.string())
+
+        def _mod(n: int) -> pa.Array:
+            return pc.subtract(did, pc.multiply(pc.divide(did, n), n))
+
+        email = pc.if_else(
+            pc.greater(_mod(3), 0),
+            pc.binary_join_element_wise(" contact user", s, "@example.com", ""),
+            "",
+        )
+        ip = pc.if_else(
+            pc.equal(_mod(2), 0),
+            pc.binary_join_element_wise(
+                " at 10.", pc.cast(_mod(200), pa.string()), ".0.7", ""
+            ),
+            "",
+        )
+        phone = pc.if_else(
+            pc.greater(_mod(5), 1),
+            pc.binary_join_element_wise(
+                " call 555-", pc.utf8_lpad(pc.cast(_mod(10000), pa.string()), 4, "0"), ""
+            ),
+            "",
+        )
+        aug = pc.binary_join_element_wise(
+            pc.fill_null(t["text"], ""), email, ip, phone, ""
+        )
+        out = {"doc_id": pc.cast(did, pa.int64())}
+        red = aug
+        for name, pat, repl in PII_PATTERNS:
+            out[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(aug, pattern=pat), pa.int64()
+            )
+            red = pc.replace_substring_regex(red, pattern=pat, replacement=repl)
+        out["redacted"] = red
+        return pa.table(out)
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
