@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_token_diversity": text.doc_token_diversity,
         "doc_bigram_repetition": text.doc_bigram_repetition,
         "corpus_prepared": _lazy("corpus", "prepare_corpus"),
+        "pack_sequences": _lazy("corpus", "pack_sequences"),
         "doc_rare_token_stats": text.doc_rare_token_stats,
         "benchmark_contamination": text.benchmark_contamination,
         "pii_redact": text.pii_redact,
@@ -1401,6 +1402,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         # composed corpus-prep pipeline end-to-end: quality gates
         # (token count / top-token ratio / dup-bigram fraction) then
+        "pack_sequences": (
+            # next-fit-by-offset sequence packing: doc joins sequence
+            # floor(exclusive_cumsum_tokens / budget) in doc_id order
+            "WITH tok AS (SELECT doc_id, CAST(CASE WHEN coalesce(text,'') = '' "
+            "THEN 0 ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens "
+            "FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(floor(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0) "
+            "AS BIGINT) AS seq_id FROM tok"
+        ),
         # exact text dedup keeping the lowest doc_id
         "corpus_prepared": (
             "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "

@@ -269,3 +269,85 @@ def prepare_corpus(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def pack_sequences(sf_dir: str, budget: int = 256) -> pa.Table:
+    """Sequence packing — the pre-training step that concatenates
+    documents into fixed token-budget training sequences (GPT-style
+    packing). Rule (deterministic, order = doc_id): a doc starting at
+    global token offset ``o`` joins sequence ``o // budget`` — the
+    streaming next-fit-by-offset approximation of bin packing (exact
+    greedy packing is inherently sequential; offset packing is what a
+    distributed pipeline actually ships).
+
+    Scale shape: per-doc token counts are one shuffle-free pass; the
+    global offset is a TWO-PASS DISTRIBUTED PREFIX SUM over doc_id-range
+    -sorted blocks (pass 1: per-block row/token stats — tiny; pass 2:
+    each block gets its exclusive carry and labels its docs) — the
+    revenue_pareto scan pattern (analytics.py). No step materializes the
+    corpus; the driver holds one (rows, tokens) pair per block.
+
+    Returns (doc_id, n_tokens, seq_id); oracle = the same rule via a SQL
+    window exclusive cumsum."""
+    from laketide.functions.reads import collect_block_refs
+    from laketide.functions.text import _docs
+
+    def tok(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        n = pc.list_value_length(pc.split_pattern(txt, " "))
+        n = pc.if_else(pc.equal(txt, ""), pa.scalar(0, pa.int32()), n)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(n, pa.int64()),
+            }
+        )
+
+    per_doc = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(tok, batch_format="pyarrow", zero_copy_batch=True)
+        .sort("doc_id")
+    )
+    refs = collect_block_refs(per_doc)
+
+    def _tbl(t) -> pa.Table:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        return t
+
+    @ray.remote
+    def block_stats(t) -> int:
+        t = _tbl(t)
+        if t.num_rows == 0 or "n_tokens" not in t.column_names:
+            return 0
+        return int(pc.sum(t["n_tokens"]).as_py() or 0)
+
+    @ray.remote
+    def block_label(t, carry: int, budget: int) -> pa.Table:
+        t = _tbl(t)
+        if t.num_rows == 0 or "n_tokens" not in t.column_names:
+            return pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("n_tokens", pa.int64()),
+                    ("seq_id", pa.int64()),
+                ]
+            ).empty_table()
+        n = t["n_tokens"].combine_chunks().to_numpy(zero_copy_only=False)
+        start = carry + np.cumsum(n) - n  # exclusive prefix within block
+        return t.append_column("seq_id", pa.array(start // budget, pa.int64()))
+
+    sums = ray.get([block_stats.remote(r) for r in refs])
+    carry, offsets = 0, []
+    for s in sums:
+        offsets.append(carry)
+        carry += s
+    parts = ray.get(
+        [block_label.remote(r, off, budget) for r, off in zip(refs, offsets)]
+    )
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.schema(
+            [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("seq_id", pa.int64())]
+        ).empty_table()
+    return pa.concat_tables(parts)

@@ -421,3 +421,43 @@ def test_prepare_corpus_partitioned_output_and_resume_skip(tmp_path):
     # a partition-count change on resume is refused
     with pytest.raises(ValueError, match="partitions"):
         prepare_corpus(sf, out_dir=out, partitions=8)
+
+
+def test_pack_sequences_multiblock_prefix_sum(tmp_path):
+    """pack_sequences' seq_id assignment is a global exclusive prefix
+    sum in doc_id order. Plant a 6000-doc corpus written SHUFFLED across
+    many small row groups (multiple read blocks, so the cross-block
+    carry path actually runs) and check every label against a numpy
+    reference; sequence sizes must respect the offset-packing rule."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laketide.functions.corpus import pack_sequences
+
+    rng = np.random.RandomState(17)
+    n = 6000
+    toks = rng.randint(1, 40, n)
+    texts = [" ".join(["w"] * k) for k in toks]
+    texts[100] = ""  # empty doc -> 0 tokens
+    toks[100] = 0
+    order = rng.permutation(n)  # file order != doc_id order
+    t = pa.table(
+        {
+            "doc_id": pa.array(order, pa.int64()),
+            "text": pa.array([texts[i] for i in order]),
+        }
+    )
+    sf = str(tmp_path)
+    pq.write_table(t, f"{sf}/documents.parquet", row_group_size=250)
+
+    got = pack_sequences(sf, budget=64).to_pandas().sort_values("doc_id")
+    assert len(got) == n
+    start = np.cumsum(toks) - toks  # exclusive prefix in doc_id order
+    want_seq = start // 64
+    assert (got["n_tokens"].to_numpy() == toks).all()
+    assert (got["seq_id"].to_numpy() == want_seq).all()
+    # offset rule: consecutive docs' seq_ids are non-decreasing and the
+    # packing uses every sequence up to the last
+    assert got["seq_id"].is_monotonic_increasing
+    assert got["seq_id"].iloc[-1] == (start[-1] // 64)
