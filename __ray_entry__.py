@@ -421,6 +421,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_filter_en": text.docs_filter_en,
         "docs_by_source": text.docs_by_source,
         "doc_sample_hash": text.doc_sample_hash,
+        "temperature_sample": text.temperature_sample,
         "length_quantiles_by_lang": text.length_quantiles_by_lang,
         "stratified_sample_docs": text.stratified_sample_docs,
         "doc_summary": text.doc_summary,
@@ -1252,6 +1253,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id FROM documents WHERE "
             "(CAST(doc_id AS HUGEINT) * 2654435761) "
             "% 18446744073709551616 % 100 < 5"
+        ),
+        "temperature_sample": (
+            # sqrt-rule (alpha=0.5) language rebalance; INTEGER bucket
+            # threshold floor(sqrt(n_min/n_lang)*1e6) — IEEE
+            # correctly-rounded sqrt/divide make both engines agree
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents "
+            "WHERE lang IS NOT NULL GROUP BY lang), "
+            "m AS (SELECT min(n) AS n_min FROM c), "
+            "r AS (SELECT lang, CAST(floor(sqrt(CAST((SELECT n_min FROM m) "
+            "AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS thr FROM c) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+            "WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) "
+            "% 18446744073709551616 % 1000000 < r.thr"
         ),
         "length_quantiles_by_lang": (
             "SELECT lang, "

@@ -1542,3 +1542,60 @@ def pii_redact(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def temperature_sample(sf_dir: str, alpha: float = 0.5) -> rd.Dataset:
+    """Temperature-balanced corpus sampling (the multilingual rebalance
+    step of a training-data pipeline: downsample dominant languages so
+    share ~ n_lang^alpha). Deterministic, layout-independent: per-lang
+    acceptance rate r_l = (n_min / n_l)^(1-alpha) (rarest language keeps
+    100%), a doc keeps iff its Knuth-hash bucket < floor(r_l * 1e6) —
+    an INTEGER threshold, so the DuckDB oracle is exact (sqrt/divide are
+    IEEE correctly-rounded in both engines; no float accumulation).
+
+    Scale: pass 1 is a per-batch (lang, count) partial collected on the
+    driver (vocabulary-of-languages scale — bytes); pass 2 streams with
+    the tiny threshold map in the closure. No shuffle anywhere."""
+    if alpha != 0.5:
+        raise NotImplementedError("alpha fixed at 0.5 (sqrt rule) for the oracle")
+
+    def lang_counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["lang"]))
+        g = t.group_by(["lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    parts = collect_tables(
+        _docs(sf_dir, columns=["lang"]).map_batches(
+            lang_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    totals: dict[str, int] = {}
+    for p in parts:
+        for lang, n in zip(p["lang"].to_pylist(), p["n"].to_pylist()):
+            totals[lang] = totals.get(lang, 0) + int(n)
+    if totals:
+        n_min = min(totals.values())
+        thr = {
+            lang: int(np.floor(np.sqrt(np.float64(n_min) / np.float64(n)) * 1e6))
+            for lang, n in totals.items()
+        }
+    else:
+        thr = {}
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["lang"]))
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        bucket = (ids * np.uint64(2654435761)) % np.uint64(1_000_000)
+        limits = np.array(
+            [thr.get(lang, 0) for lang in t["lang"].to_pylist()], np.uint64
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": t["lang"],
+            }
+        ).filter(pa.array(bucket < limits))
+
+    return _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
