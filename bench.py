@@ -268,6 +268,12 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         timed("user_value_mad", A.user_value_mad)
         timed("revenue_pareto", A.revenue_pareto)
         timed("bigram_pmi", text.bigram_pmi)
+        timed("pii_redact", text.pii_redact)
+        timed("temperature_sample", text.temperature_sample)
+
+        from laketide.functions.corpus import pack_sequences
+
+        timed("pack_sequences", pack_sequences)
 
     ray.shutdown()
     return {
