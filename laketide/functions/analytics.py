@@ -2008,7 +2008,10 @@ def hll_distinct_users_checked(sf_dir: str) -> pa.Table:
         )
     )
     exact = sum(int(pc.sum(t["n_exact"]).as_py() or 0) for t in rows if t.num_rows)
-    ok = exact > 0 and abs(est - exact) / exact < 0.05
+    # vacuous case: est == exact == 0 is within bound (the DuckDB oracle
+    # pins the flag TRUE unconditionally, and an empty stream's sketch
+    # is exactly right)
+    ok = (est == 0) if exact == 0 else abs(est - exact) / exact < 0.05
     return pa.table(
         {
             "n_users_exact": pa.array([exact], pa.int64()),
@@ -2087,9 +2090,12 @@ def value_quantile_sketch_checked(sf_dir: str, qs=(0.5, 0.9, 0.99)) -> pa.Table:
     for q in qs:
         e, s = exact[q], est.get(float(q))
         oks.append(
-            e is not None
-            and s is not None
-            and abs(s - e) <= bound * max(abs(e), 1)
+            (e is None and s is None)  # empty stream: vacuously in bound
+            or (
+                e is not None
+                and s is not None
+                and abs(s - e) <= bound * max(abs(e), 1)
+            )
         )
     return pa.table(
         {

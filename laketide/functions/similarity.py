@@ -302,18 +302,27 @@ def ivf_index_build(
         meta = {"n_centroids": 0, "centroids": [], "buckets": {}, "rows": 0}
         with open(os.path.join(tmp, "INDEX.json"), "w") as fh:
             fh.write(_json.dumps(meta, sort_keys=True))
-        os.replace(tmp, final)
+        try:
+            os.replace(tmp, final)
+        except OSError:
+            # a concurrent build published first: theirs is equivalent
+            import shutil as _sh
+
+            _sh.rmtree(tmp, ignore_errors=True)
         return final
     cent_ref = ray.put(cent)
 
     def assign(t: pa.Table) -> pa.Table:
         t = _drop_null_embeddings(t)
         if t.num_rows == 0:
+            # derive the embedding type from the input batch — hardcoding
+            # list<float32> diverges from a list<float64> corpus and
+            # splits block schemas mid-pipeline
             return pa.table(
                 {
                     "bucket": pa.array([], pa.int64()),
                     "vec_id": pa.array([], pa.int64()),
-                    "embedding": pa.array([], pa.list_(pa.float32())),
+                    "embedding": pa.array([], t.schema.field("embedding").type),
                 }
             )
         cent_v = ray.get(cent_ref)

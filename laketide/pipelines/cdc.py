@@ -2179,19 +2179,18 @@ class LakeTable:
         # NEW epoch dir (an epoch whose partition carried only malformed
         # rows never advances the HWM, and null commit/seq rows have no
         # HWM at all) — dedupe across epoch dirs so a repair loop sees
-        # each event once. Keyed rows dedupe on (repo, path, commit,
-        # seq); rows with any null identity field dedupe on the full
-        # row. Files are read in epoch order, so "first seen" wins. The
-        # DLQ is an error stream (small by construction): a driver-side
-        # pass is the right cost here.
+        # each event once. Dedup is on the FULL row (identity AND
+        # payload): collapsing on identity alone would hide a
+        # redelivered same-identity event whose payload changed, and the
+        # repair loop would fix a stale payload. Files are read in epoch
+        # order, so "first seen" wins for byte-identical redeliveries.
+        # The DLQ is an error stream (small by construction): a
+        # driver-side pass is the right cost here.
         seen: set = set()
         keep: list[int] = []
         rows = out.to_pylist()
         for i, r in enumerate(rows):
-            ident = tuple(r.get(c) for c in ("repo", "path", "commit", "seq"))
-            key = ident if all(v is not None for v in ident) else repr(sorted(
-                (k, repr(v)) for k, v in r.items()
-            ))
+            key = repr(sorted((k, repr(v)) for k, v in r.items()))
             if key in seen:
                 continue
             seen.add(key)

@@ -131,6 +131,9 @@ def run_schedule(
         else:
             skipped[j.name] = round(wait, 3)
     jobs = due_jobs
+    # job.applied accumulates across runs of the same ReplayJob objects
+    # (the natural polling pattern); the report must count THIS run only
+    applied_at_entry = {j.name: len(j.applied) for j in jobs}
     queues: dict[str, list[tuple[int, str]]] = {j.name: j.pending() for j in jobs}
     by_weight = sorted(
         jobs, key=lambda j: -PRIORITY_WEIGHTS[j.priority]
@@ -157,7 +160,7 @@ def run_schedule(
         j.name: {
             "priority": j.priority,
             "cadence": j.cadence,
-            "epochs_applied": len(j.applied),
+            "epochs_applied": len(j.applied) - applied_at_entry[j.name],
             "rows": (
                 j.table.current_manifest().stats.get("rows")
                 if j.table.current_manifest()

@@ -259,6 +259,18 @@ def _reduce_events_coalesce(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
     eligible = idx > last_del[group_of]
 
     core = {"repo", "path", "commit", "seq", S.OP_COLUMN}
+    # content_sha256 is DERIVED from content, not an independent field:
+    # folding it separately could pair the newest content with an older
+    # event's sha (stale-sha invariant break). Take the sha at content's
+    # winning index instead; ensure_sha recomputes any null left behind.
+    content_best: pa.Array | None = None
+    if "content" in ev.column_names and S.SHA_COLUMN in ev.column_names:
+        ccol = ev["content"].combine_chunks()
+        cvalid = pc.is_valid(ccol).to_numpy(zero_copy_only=False) & eligible
+        cbest = np.maximum.reduceat(np.where(cvalid, idx, np.int64(-1)), starts)
+        content_best = pa.array(
+            [int(b) if b >= 0 else None for b in cbest], pa.int64()
+        )
     cols = []
     for fld in ev.schema:
         name = fld.name
@@ -268,6 +280,9 @@ def _reduce_events_coalesce(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
             continue
         if pa.types.is_list(fld.type) or pa.types.is_large_list(fld.type):
             cols.append(_union_lists_per_group(col, group_of, eligible, n_groups, fld.type))
+            continue
+        if name == S.SHA_COLUMN and content_best is not None:
+            cols.append(col.take(content_best))
             continue
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False) & eligible
         cand = np.where(valid, idx, np.int64(-1))

@@ -776,6 +776,48 @@ def test_coalesce_in_epoch_fold_and_dup_replays(tmp_path):
     assert row["commit"] == "c0000000002"
 
 
+def test_coalesce_sha_pairs_with_winning_content(tmp_path):
+    """Regression: merge='coalesce' must never pair the newest content
+    with an OLDER event's source-provided content_sha256. The fold takes
+    the sha at content's winning event (ensure_sha recomputes nulls), so
+    stored state always satisfies content_sha256 == sha256(content) —
+    both for the in-epoch fold and the cross-epoch row-wise merge."""
+    import hashlib
+
+    import pyarrow.parquet as _pq
+
+    def sha(s):
+        return hashlib.sha256(s.encode()).hexdigest()
+
+    # epoch 1: old content WITH a source-provided sha, then a newer event
+    # whose content is new but whose sha is null (normalize no longer
+    # hashes per event) — in-epoch fold case
+    e1 = [
+        {"repo": "r", "path": "a", "commit": "c0000000001", "seq": 1, "op": "insert",
+         "lang": "py", "content": "old", "content_sha256": sha("old")},
+        {"repo": "r", "path": "a", "commit": "c0000000002", "seq": 2, "op": "update",
+         "lang": None, "content": "new", "content_sha256": None},
+    ]
+    # epoch 2: cross-epoch row-wise merge — stored row has content 'new'
+    # + its sha; the update carries newer content with a null sha
+    e2 = [
+        {"repo": "r", "path": "a", "commit": "c0000000003", "seq": 3, "op": "update",
+         "lang": None, "content": "newest", "content_sha256": None},
+    ]
+    for i, rows in enumerate([e1, e2], start=1):
+        _pq.write_table(pa.Table.from_pylist(rows), str(tmp_path / f"e{i}.parquet"))
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2, merge="coalesce")
+    t.apply_epoch(str(tmp_path / "e1.parquet"))
+    row = t.state_table().to_pylist()[0]
+    assert row["content"] == "new"
+    assert row["content_sha256"] == sha("new")  # NOT sha('old')
+    assert row["lang"] == "py"  # other fields still coalesce field-wise
+    t.apply_epoch(str(tmp_path / "e2.parquet"))
+    row = t.state_table().to_pylist()[0]
+    assert row["content"] == "newest"
+    assert row["content_sha256"] == sha("newest")
+
+
 def test_coalesce_storage_exchange_and_schema_evolution(tmp_path):
     """merge='coalesce' through the storage-backed exchange path, with a
     list payload column appearing only in epoch 2 (additive evolution)

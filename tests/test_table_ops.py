@@ -1666,9 +1666,12 @@ def test_priority_replay_scheduler_weighted_order_and_stamps(tmp_path):
         want = dict(zip(zip(exp["repo"], exp["path"]), exp["content"]))
         assert got == want
 
-    # idempotent: a second run finds nothing pending
+    # idempotent: a second run finds nothing pending — and reports ZERO
+    # epochs applied (the counter is per-run, not cumulative across runs
+    # of the same ReplayJob objects)
     r2 = run_schedule(jobs)
     assert r2["order"] == []
+    assert all(j["epochs_applied"] == 0 for j in r2["jobs"].values())
 
     with pytest.raises(ValueError):
         ReplayJob("x", tc, str(tmp_path / "log_c"), priority="urgent")
