@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _lazy("corpus", "pack_sequences"),
         "doc_rare_token_stats": text.doc_rare_token_stats,
         "benchmark_contamination": text.benchmark_contamination,
+        "duplicated_ngram_share": text.duplicated_ngram_share,
         "pii_redact": text.pii_redact,
         # k-means is iterative/approximate -> rows-only; pytest asserts
         # partition totals, determinism and majority-label consistency
@@ -1336,6 +1337,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT gg.doc_id, CAST(count(DISTINCT gg.gram) AS BIGINT) AS n_shared "
             "FROM gg JOIN bench USING (gram) WHERE gg.doc_id >= 20 "
             "GROUP BY gg.doc_id"
+        ),
+        "duplicated_ngram_share": (
+            # shares the repo-wide trigram rule (_TRIGRAM_GRAMS_CTE below)
+            f"WITH {_TRIGRAM_GRAMS_CTE}, "
+            "gg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "gc AS (SELECT gram, count(*) AS n_docs FROM gg GROUP BY gram) "
+            "SELECT gg.doc_id, "
+            "CAST(sum(CASE WHEN gc.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared, "
+            "CAST(count(*) AS BIGINT) AS n_grams, "
+            "CAST(sum(CASE WHEN gc.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) "
+            "/ count(*) AS dup_share "
+            "FROM gg JOIN gc USING (gram) GROUP BY gg.doc_id"
         ),
         "pii_redact": (
             # identical deterministic PII injection (small-scale

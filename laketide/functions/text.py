@@ -948,6 +948,93 @@ def benchmark_contamination(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
     )
 
 
+def duplicated_ngram_share(sf_dir: str) -> rd.Dataset:
+    """Per-document CROSS-CORPUS duplication profile (the
+    RefinedWeb/MassiveText-style near-dup *signal*, as distinct from the
+    within-doc repetition of ``doc_bigram_repetition`` and the
+    benchmark-only scan of ``benchmark_contamination``): for every doc,
+    the fraction of its distinct word trigrams that also appear in at
+    least one OTHER document. Returns
+    (doc_id, n_grams, n_shared, dup_share).
+
+    Scale shape: trigram rows shuffle ONCE on a coarse gram-hash
+    partition (every occurrence of a gram co-locates, so the per-gram
+    doc count is exact within its partition — no per-gram map_groups),
+    then per-doc partials fold through a second small coarse reduce
+    keyed on doc_id (O(docs x partitions) rows, not O(gram rows)). At
+    100 TB the gram exchange is the inherent cost of a cross-corpus
+    count; rows are (doc_id, gram) pairs only — dictionary-encoding the
+    gram column cuts the exchange further if needed."""
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+    from laketide.functions.relational import _coarse_key_reduce, _key_hash_u64
+
+    n_parts = _coarse_n_parts()
+    partial_schema = pa.schema(
+        [("doc_id", pa.int64()), ("n_shared", pa.int64()), ("n_grams", pa.int64())]
+    )
+
+    def gram_rows(t: pa.Table) -> pa.Table:
+        rows = _word_trigram_rows(t)
+        part = _coarse_parts(_key_hash_u64(rows["gram"]), n_parts=n_parts)
+        return rows.append_column("_cpart", pa.array(part, pa.int64()))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        # one co-located partition = many whole gram groups: count docs
+        # per gram (rows are distinct per (doc, gram)), flag shared>=2,
+        # fold to per-doc partials — all Arrow kernels, no per-key UDF
+        if t.num_rows == 0 or "gram" not in t.column_names:
+            return partial_schema.empty_table()
+        counts = t.group_by(["gram"]).aggregate([([], "count_all")])
+        idx = pc.index_in(
+            t["gram"].combine_chunks(), value_set=counts["gram"].combine_chunks()
+        )
+        n_docs = counts["count_all"].combine_chunks().take(idx)
+        shared = pc.cast(pc.greater_equal(n_docs, 2), pa.int64())
+        p = pa.table({"doc_id": t["doc_id"], "shared": shared})
+        g = p.group_by(["doc_id"]).aggregate([("shared", "sum"), ([], "count_all")])
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "n_shared": pc.cast(g["shared_sum"], pa.int64()),
+                "n_grams": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    partials = (
+        _docs(sf_dir, columns=["doc_id", "text"])
+        .map_batches(gram_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(
+            lambda g: per_part(g.drop_columns(["_cpart"])), batch_format="pyarrow"
+        )
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        # associative: share is re-derived from the summed counters, so
+        # running this as both the batch pre-reduce and the final
+        # per-partition reduce is exact
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return partial_schema.empty_table().append_column(
+                "dup_share", pa.array([], pa.float64())
+            )
+        g = t.group_by(["doc_id"]).aggregate(
+            [("n_shared", "sum"), ("n_grams", "sum")]
+        )
+        ns = pc.cast(g["n_shared_sum"], pa.int64())
+        ng = pc.cast(g["n_grams_sum"], pa.int64())
+        share = pc.divide(pc.cast(ns, pa.float64()), pc.cast(ng, pa.float64()))
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "n_shared": ns,
+                "n_grams": ng,
+                "dup_share": share,
+            }
+        )
+
+    return _coarse_key_reduce(partials, ["doc_id"], fold)
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3) -> rd.Dataset:
     """Per-document top-k TF-IDF terms (the IR ranking primitive a
     training-data pipeline uses for keyword extraction / quality

@@ -520,3 +520,30 @@ def test_lsh_stats_surface_hot_bucket_truncation(tmp_path):
     s2 = dedup.minhash_lsh_stats(str(d2)).to_pylist()[0]
     assert s2["truncated_buckets"] == 0 and s2["dropped_pairs"] == 0
     assert s2["emitted_pairs"] == dedup._BANDS * (10 * 9 // 2)
+
+
+def test_duplicated_ngram_share_planted(tmp_path):
+    """Cross-corpus duplication profile: an exact duplicate pair scores
+    dup_share 1.0; a fully unique doc scores 0.0; a half-overlapping doc
+    sits strictly between; short docs (<3 tokens) fold to one gram."""
+    from laketide.functions.text import duplicated_ngram_share
+
+    dup = "alpha beta gamma delta epsilon zeta"
+    half = "alpha beta gamma delta QQ RR SS TT"  # shares 2 of its 6 grams
+    uniq = "one two three four five six seven"
+    texts = [dup, dup, half, uniq, "tiny doc", None]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = duplicated_ngram_share(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert out.loc[0, "dup_share"] == 1.0 and out.loc[1, "dup_share"] == 1.0
+    assert out.loc[0, "n_grams"] == 4  # 6 tokens -> 4 trigram windows
+    assert out.loc[3, "dup_share"] == 0.0
+    assert 0.0 < out.loc[2, "dup_share"] < 1.0
+    assert out.loc[2, "n_shared"] == 2  # 'alpha beta gamma', 'beta gamma delta'
+    assert out.loc[4, "n_grams"] == 1 and out.loc[4, "dup_share"] == 0.0
+    assert 5 not in out.index  # null text emits nothing, like the SQL
