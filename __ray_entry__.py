@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_rare_token_stats": text.doc_rare_token_stats,
         "benchmark_contamination": text.benchmark_contamination,
         "duplicated_ngram_share": text.duplicated_ngram_share,
+        "decontaminate_docs": text.decontaminate_docs,
         "pii_redact": text.pii_redact,
         # k-means is iterative/approximate -> rows-only; pytest asserts
         # partition totals, determinism and majority-label consistency
@@ -473,6 +474,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_type_bitmask": _lazy("analytics", "user_type_bitmask"),
         "orders_monthly_growth": _lazy("analytics", "orders_monthly_growth"),
         "vector_norm_stats_by_label": _lazy("similarity", "vector_norm_stats_by_label"),
+        "embedding_quantize_stats": _lazy("similarity", "embedding_quantize_stats"),
         "token_postings": text.token_postings,
         "top_bigrams": text.top_bigrams,
         # --- dedup suite ---
@@ -1338,6 +1340,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM gg JOIN bench USING (gram) WHERE gg.doc_id >= 20 "
             "GROUP BY gg.doc_id"
         ),
+        "decontaminate_docs": (
+            # shares the repo-wide trigram rule (_TRIGRAM_GRAMS_CTE below)
+            f"WITH {_TRIGRAM_GRAMS_CTE}, "
+            "gg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "bench AS (SELECT DISTINCT gram FROM gg WHERE doc_id < 20) "
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            "WHERE d.doc_id >= 20 AND NOT EXISTS ("
+            "SELECT 1 FROM gg JOIN bench USING (gram) "
+            "WHERE gg.doc_id = d.doc_id)"
+        ),
         "duplicated_ngram_share": (
             # shares the repo-wide trigram rule (_TRIGRAM_GRAMS_CTE below)
             f"WITH {_TRIGRAM_GRAMS_CTE}, "
@@ -1613,6 +1625,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(min(nsq) AS BIGINT) AS min_normsq_milli, "
             "CAST(max(nsq) AS BIGINT) AS max_normsq_milli "
             "FROM v GROUP BY label"
+        ),
+        "embedding_quantize_stats": (
+            # same ROUND == half_towards_infinity equivalence as
+            # vector_norm_stats_by_label; max() is order-independent so
+            # the double error statistic compares bit-exact
+            "WITH m AS MATERIALIZED (SELECT label, embedding FROM embeddings "
+            "WHERE embedding IS NOT NULL), "
+            "el AS (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x FROM m), "
+            "qq AS (SELECT label, x, ROUND(x * 127.0) AS q FROM el), "
+            "cc AS (SELECT label, CASE WHEN abs(q) > 127.0 THEN 1 ELSE 0 END AS clip, "
+            "abs(x - greatest(least(q, 127.0), -127.0) / 127.0) AS err FROM qq), "
+            "es AS (SELECT label, CAST(sum(clip) AS BIGINT) AS n_clipped, "
+            "max(err) AS max_abs_err FROM cc GROUP BY label), "
+            "vs AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs FROM m GROUP BY label) "
+            "SELECT CAST(v.label AS BIGINT) AS label, v.n_vecs, e.n_clipped, "
+            "e.max_abs_err FROM vs v JOIN es e USING (label) ORDER BY label"
         ),
         "token_postings": (
             "WITH pairs AS (SELECT DISTINCT doc_id, "

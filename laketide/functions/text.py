@@ -948,6 +948,58 @@ def benchmark_contamination(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
     )
 
 
+def decontaminate_docs(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
+    """The decontamination FILTER (complement of the
+    ``benchmark_contamination`` scan): keep only corpus docs sharing NO
+    word trigram with the held-out benchmark set (doc_id < n_bench) —
+    what a training-data pipeline actually ships to the tokenizer.
+    Returns the surviving (doc_id, lang, n_chars) rows.
+
+    Same scale shape as the scan: the benchmark gram set is one tiny
+    filtered read broadcast via ray.put; the corpus side streams
+    shuffle-free (per-batch is_in + per-doc any-hit fold)."""
+    import ray
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.fill_null(pc.less(t["doc_id"], pa.scalar(n_bench)), False)
+        )
+
+    parts = collect_tables(
+        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            bench_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    if parts:
+        bench_rows = _word_trigram_rows(pa.concat_tables(parts))
+        bench_set = pc.unique(bench_rows["gram"].combine_chunks())
+    else:
+        bench_set = pa.array([], pa.string())
+    bc = ray.put(bench_set)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        bset = ray.get(bc)
+        t = t.filter(
+            pc.and_kleene(
+                pc.is_valid(t["doc_id"]),
+                pc.greater_equal(t["doc_id"], pa.scalar(n_bench)),
+            )
+        )
+        if t.num_rows == 0:
+            return t.select(["doc_id", "lang", "n_chars"])
+        rows = _word_trigram_rows(t)
+        hit = rows.filter(pc.is_in(rows["gram"], value_set=bset))
+        dirty = pc.unique(hit["doc_id"].combine_chunks())
+        clean = pc.invert(pc.is_in(t["doc_id"], value_set=dirty))
+        # null text emits no grams -> never dirty -> kept, like the
+        # SQL NOT EXISTS
+        return t.filter(clean).select(["doc_id", "lang", "n_chars"])
+
+    return _docs(sf_dir, columns=["doc_id", "text", "lang", "n_chars"]).map_batches(
+        keep_clean, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def duplicated_ngram_share(sf_dir: str) -> rd.Dataset:
     """Per-document CROSS-CORPUS duplication profile (the
     RefinedWeb/MassiveText-style near-dup *signal*, as distinct from the
