@@ -441,6 +441,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": text.benchmark_contamination,
         "duplicated_ngram_share": text.duplicated_ngram_share,
         "decontaminate_docs": text.decontaminate_docs,
+        "dedup_text_segments": text.dedup_text_segments,
+        "unigram_logppl": text.unigram_logppl,
+        "doc_chunk_windows": text.doc_chunk_windows,
         "pii_redact": text.pii_redact,
         # k-means is iterative/approximate -> rows-only; pytest asserts
         # partition totals, determinism and majority-label consistency
@@ -1349,6 +1352,52 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.doc_id >= 20 AND NOT EXISTS ("
             "SELECT 1 FROM gg JOIN bench USING (gram) "
             "WHERE gg.doc_id = d.doc_id)"
+        ),
+        "dedup_text_segments": (
+            # C4-style global duplicate-span removal over fixed 10-token
+            # segments: global first occurrence wins (doc_id, pos order),
+            # text rebuilt from kept segments in document order
+            "WITH l AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks "
+            "FROM documents), "
+            "e AS (SELECT doc_id, toks, len(toks) AS n, "
+            "unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pos FROM l), "
+            "s AS (SELECT doc_id, pos, "
+            "array_to_string(toks[pos*10+1 : least(pos*10+10, n)], ' ') AS seg FROM e), "
+            "kept AS (SELECT doc_id, pos, seg FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+            "string_agg(seg, ' ' ORDER BY pos) AS cleaned_text FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments "
+            "FROM s GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_segments, "
+            "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
+            "coalesce(a.cleaned_text, '') AS cleaned_text "
+            "FROM tot t LEFT JOIN agg a USING (doc_id)"
+        ),
+        "unigram_logppl": (
+            # integer micro-nat token costs: floor(-ln(tf/N)*1e6) sums
+            # exactly in any order; ln() is libm on both engines
+            "WITH tok AS (SELECT doc_id, "
+            "unnest(string_split(coalesce(text,''),' ')) AS token FROM documents), "
+            "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token), "
+            "n AS (SELECT count(*) AS n FROM tok), "
+            "cost AS (SELECT token, CAST(floor(-ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) "
+            "* 1000000.0) AS BIGINT) AS cost FROM tf, n) "
+            "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(c2.cost) AS BIGINT) AS nll_micro, "
+            "CAST(sum(c2.cost) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_nll_micro "
+            "FROM tok t JOIN cost c2 USING (token) GROUP BY t.doc_id"
+        ),
+        "doc_chunk_windows": (
+            # 64-token windows every 48 tokens (1-based inclusive slices)
+            "WITH l AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks "
+            "FROM documents), "
+            "e AS (SELECT doc_id, toks, len(toks) AS n, "
+            "unnest(range(0, CAST(ceil(len(toks)/48.0) AS BIGINT))) AS i FROM l) "
+            "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "
+            "CAST(least(i*48+64, n) - i*48 AS BIGINT) AS n_chunk_tokens, "
+            "array_to_string(toks[i*48+1 : least(i*48+64, n)], ' ') AS chunk_text "
+            "FROM e"
         ),
         "duplicated_ngram_share": (
             # shares the repo-wide trigram rule (_TRIGRAM_GRAMS_CTE below)

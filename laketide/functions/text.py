@@ -1738,3 +1738,332 @@ def temperature_sample(sf_dir: str, alpha: float = 0.5) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ------------------------------------------------------------------
+# C4-style duplicate-span removal, unigram LM scoring, chunking
+# ------------------------------------------------------------------
+
+# Span width for dedup_text_segments. The C4 rule removes "all but one
+# of any three-sentence span occurring more than once"; the synthetic
+# corpus has no sentence boundaries, so the span unit here is a fixed
+# 10-token contiguous segment (same dedup semantics, word-window span).
+_SEG_W = 10
+
+
+def _segment_rows(t: pa.Table) -> pa.Table:
+    """(doc_id, pos, seg, nseg) rows: contiguous ``_SEG_W``-token
+    segments per document, matching the oracle's 1-based list-slice
+    rule exactly. Non-overlapping segments partition the flattened
+    token values array, so the segment list array reuses ``flat``
+    directly — zero gather."""
+    txt = pc.fill_null(t["text"], "")
+    toks = pc.split_pattern(txt, " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    nseg = -(-lens // _SEG_W)  # ceil; lens >= 1 (split of '' -> [''])
+    doc_np = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(nseg.sum())
+    doc_rep = np.repeat(doc_np, nseg)
+    pos = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(nseg) - nseg, nseg)
+    flat = pc.list_flatten(toks).combine_chunks()
+    seg_lens = np.minimum((pos + 1) * _SEG_W, np.repeat(lens, nseg)) - pos * _SEG_W
+    offsets = np.zeros(total + 1, np.int32)
+    np.cumsum(seg_lens, out=offsets[1:])
+    lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), flat)
+    seg = pc.binary_join(lists, " ")
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_rep, pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "seg": seg,
+            "nseg": pa.array(np.repeat(nseg, nseg), pa.int64()),
+        }
+    )
+
+
+def dedup_text_segments(sf_dir: str) -> rd.Dataset:
+    """Global duplicate-span removal with text reconstruction — the C4
+    cleanup rule ("discard all but one of any span occurring more than
+    once", Raffel et al. 2020) mapped onto fixed 10-token segments. For
+    every document: split into contiguous segments, keep only segments
+    whose globally FIRST occurrence (ordered by doc_id, then position)
+    lives in this document at this position, and rebuild the cleaned
+    text from the kept segments in document order. Returns
+    (doc_id, n_segments, n_kept, cleaned_text).
+
+    Scale shape: two coarse shuffles, both on ~4xCPU partitions —
+    (1) segment rows co-locate by segment-hash, so the global first
+    occurrence per distinct segment is decided partition-locally with
+    one ``pd.factorize`` + lexsort (exact string identity — no
+    hash-collision exposure); (2) the kept rows (plus one tiny totals
+    row per doc, so fully-duplicated docs still emit a row) co-locate
+    by doc_id and the text is rebuilt with one ``binary_join`` per
+    partition. No per-group UDFs, no driver materialization; at 100 TB
+    the segment exchange is the inherent cost of a global dedup and
+    ships (doc_id, pos, seg) rows only."""
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+    from laketide.functions.relational import _key_hash_u64
+
+    n_parts = _coarse_n_parts()
+    row_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("pos", pa.int64()),
+            ("seg", pa.string()),
+            ("nseg", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_segments", pa.int64()),
+            ("n_kept", pa.int64()),
+            ("cleaned_text", pa.string()),
+        ]
+    )
+
+    def seg_part(t: pa.Table) -> pa.Table:
+        rows = _segment_rows(t)
+        part = _coarse_parts(_key_hash_u64(rows["seg"]), n_parts=n_parts)
+        return rows.append_column("_cpart", pa.array(part, pa.int64()))
+
+    def first_per_seg(t: pa.Table) -> pa.Table:
+        # all occurrences of a segment share this partition: the local
+        # first occurrence by (doc_id, pos) is the global one
+        if t.num_rows == 0:
+            return row_schema.empty_table()
+        seg = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(seg, sort=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc))
+        first = ~pd.Series(codes[order]).duplicated().to_numpy()
+        return t.take(pa.array(np.sort(order[first]), pa.int64()))
+
+    def doc_part(t: pa.Table) -> pa.Table:
+        part = _coarse_parts(_key_hash_u64(t["doc_id"]), n_parts=n_parts)
+        return t.append_column("_cpart", pa.array(part, pa.int64()))
+
+    def rebuild(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc))
+        doc_s = doc[order]
+        pos_s = pos[order]
+        seg_s = t["seg"].combine_chunks().take(pa.array(order, pa.int64()))
+        nseg_s = t["nseg"].to_numpy(zero_copy_only=False)[order]
+        starts = np.flatnonzero(np.r_[True, doc_s[1:] != doc_s[:-1]])
+        ends = np.r_[starts[1:], len(doc_s)]
+        # the pos=-1 totals row sorts first within each doc group
+        n_kept = (ends - starts - 1).astype(np.int64)
+        vals = seg_s.filter(pa.array(pos_s >= 0))
+        offsets = np.zeros(len(starts) + 1, np.int32)
+        np.cumsum(n_kept, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        cleaned = pc.fill_null(pc.binary_join(lists, " "), "")
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_s[starts], pa.int64()),
+                "n_segments": pa.array(nseg_s[starts], pa.int64()),
+                "n_kept": pa.array(n_kept, pa.int64()),
+                "cleaned_text": cleaned,
+            }
+        )
+
+    def totals(t: pa.Table) -> pa.Table:
+        # one (doc_id, pos=-1) marker row per doc: ceil(token count / W)
+        # from a substring count — no split needed on this branch
+        txt = pc.fill_null(t["text"], "")
+        n_toks = pc.add(pc.count_substring(txt, " "), 1)
+        n_np = pc.cast(n_toks, pa.int64()).to_numpy(zero_copy_only=False)
+        nseg = -(-n_np // _SEG_W)
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "pos": pa.array(np.full(n, -1, np.int64)),
+                "seg": pa.array([""] * n, pa.string()),
+                "nseg": pa.array(nseg, pa.int64()),
+            }
+        )
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    kept = (
+        docs.map_batches(seg_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(
+            lambda g: first_per_seg(g.drop_columns(["_cpart"])),
+            batch_format="pyarrow",
+        )
+    )
+    marker = docs.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
+    return (
+        kept.union(marker)
+        .map_batches(doc_part, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(
+            lambda g: rebuild(g.drop_columns(["_cpart"])), batch_format="pyarrow"
+        )
+    )
+
+
+def _tf_counts(sf_dir: str) -> rd.Dataset:
+    """token -> corpus TERM frequency (every occurrence, unlike
+    ``_df_counts``'s per-document frequency): per-batch value_counts
+    partials, one vocabulary-scale shuffle."""
+    ds = _docs(sf_dir, columns=["text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(pc.fill_null(t["text"], ""), " "))
+        vc = pc.value_counts(toks)
+        return pa.table(
+            {
+                "token": pc.struct_field(vc, "values"),
+                "c": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def unigram_logppl(sf_dir: str) -> rd.Dataset:
+    """Unigram language-model quality scoring — the KenLM-style
+    perplexity filter of a training-data pipeline (CCNet / RedPajama
+    discard high-perplexity docs), with the LM reduced to the corpus
+    unigram distribution so the oracle is exact. Per document:
+    n_tokens, the summed negative log-likelihood in integer MICRO-NATS
+    (each token costs floor(-ln(tf/N) * 1e6) — integers sum exactly in
+    any order, so the distributed fold is hash-stable where a float
+    sum would not be), and the mean cost per token (one double
+    division at the end).
+
+    Scale shape: pass 1 builds the (token, tf) vocabulary with
+    per-batch ``value_counts`` partials + one vocabulary-scale shuffle;
+    the driver folds only vocabulary-sized partials and broadcasts the
+    cost table via ``ray.put``. Pass 2 is a shuffle-free streaming scan
+    (index_in + one reduceat per batch). Per-entry costs use
+    ``math.log`` (libm — bit-identical to DuckDB ``ln()``; numpy's
+    vectorized log is not, the tfidf lesson)."""
+    import math
+
+    import ray
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("nll_micro", pa.int64()),
+            ("avg_nll_micro", pa.float64()),
+        ]
+    )
+    parts = collect_tables(_tf_counts(sf_dir))
+    if not parts:
+        return rd.from_arrow(out_schema.empty_table())
+    tf = pa.concat_tables(parts)
+    tok_arr = tf["token"].combine_chunks()
+    c_np = pc.cast(tf["c"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    n_total = int(c_np.sum())
+    cost_np = np.fromiter(
+        (math.floor(-math.log(c / n_total) * 1e6) for c in c_np.tolist()),
+        np.int64,
+        len(c_np),
+    )
+    bc = ray.put((tok_arr, cost_np))
+
+    def score(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tok_bc, cost_bc = ray.get(bc)
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        # every scanned token is in the pass-1 vocabulary by construction
+        idx = pc.fill_null(pc.index_in(flat, value_set=tok_bc), 0)
+        costs = cost_bc[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        starts = np.cumsum(lens) - lens  # lens >= 1 per doc
+        nll = np.add.reduceat(costs, starts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "nll_micro": pa.array(nll, pa.int64()),
+                "avg_nll_micro": pa.array(
+                    nll.astype(np.float64) / lens.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def doc_chunk_windows(sf_dir: str, width: int = 64, stride: int = 48) -> rd.Dataset:
+    """Fixed-token-window chunking with overlap — the pretraining
+    chunker that slices each document into ``width``-token windows every
+    ``stride`` tokens (GPT-style context packing with overlap, the
+    sliding-window complement of ``pack_sequences``). Emits
+    (doc_id, chunk_id, n_chunk_tokens, chunk_text) for every window
+    start in [0, n) stepping by ``stride``.
+
+    Scale shape: ONE shuffle-free streaming pass; the overlapping
+    window gather is a single vectorized ``take`` + ``binary_join`` per
+    batch (overlap factor width/stride bounds the memory amplification
+    at ~1.33x for the 64/48 default)."""
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("chunk_id", pa.int64()),
+            ("n_chunk_tokens", pa.int64()),
+            ("chunk_text", pa.string()),
+        ]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        k = -(-lens // stride)  # ceil; lens >= 1
+        total = int(k.sum())
+        doc_rep = np.repeat(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64), k
+        )
+        chunk_id = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(k) - k, k)
+        doc_off = np.repeat(np.cumsum(lens) - lens, k)
+        n_rep = np.repeat(lens, k)
+        cstart = chunk_id * stride
+        clen = np.minimum(cstart + width, n_rep) - cstart
+        tot_v = int(clen.sum())
+        gidx = (
+            np.arange(tot_v, dtype=np.int64)
+            - np.repeat(np.cumsum(clen) - clen, clen)
+            + np.repeat(doc_off + cstart, clen)
+        )
+        vals = flat.take(pa.array(gidx, pa.int64()))
+        offsets = np.zeros(total + 1, np.int32)
+        np.cumsum(clen, out=offsets[1:])
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep, pa.int64()),
+                "chunk_id": pa.array(chunk_id, pa.int64()),
+                "n_chunk_tokens": pa.array(clen, pa.int64()),
+                "chunk_text": pc.binary_join(lists, " "),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -461,3 +461,103 @@ def test_pack_sequences_multiblock_prefix_sum(tmp_path):
     # packing uses every sequence up to the last
     assert got["seq_id"].is_monotonic_increasing
     assert got["seq_id"].iloc[-1] == (start[-1] // 64)
+
+
+def test_dedup_text_segments_planted(tmp_path):
+    """Global first-occurrence span dedup with reconstruction: a later
+    doc repeating an earlier doc's segment loses it; a doc that is
+    entirely duplicate material still emits a (n_kept=0, '') row; a
+    within-doc repeat keeps only the first position."""
+    import pyarrow.parquet as pq
+
+    from laketide.functions.text import dedup_text_segments
+
+    seg_a = "a b c d e f g h i j"  # exactly one 10-token segment
+    seg_b = "k l m n o p q r s t"
+    texts = [
+        seg_a + " " + seg_b,  # doc 0: owns both segments
+        seg_b,  # doc 1: fully duplicate -> empty
+        seg_a + " tail words here",  # doc 2: loses seg_a, keeps its tail
+        "u v w x y z aa bb cc dd " * 2,  # doc 3: repeats its own segment
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        dedup_text_segments(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_segments"] == 2 and out.loc[0, "n_kept"] == 2
+    assert out.loc[0, "cleaned_text"] == texts[0]
+    assert out.loc[1, "n_kept"] == 0 and out.loc[1, "cleaned_text"] == ""
+    assert out.loc[2, "n_kept"] == 1 and out.loc[2, "cleaned_text"] == "tail words here"
+    # doc 3: "... dd u" bridges the repeat, so segment 2 of 3 differs;
+    # the final short segment ("cc dd") is the only exact re-occurrence
+    assert out.loc[3, "n_segments"] == 3
+    assert out.loc[3, "n_kept"] == 2
+
+
+def test_unigram_logppl_planted(tmp_path):
+    """Rarer tokens cost more: a doc of corpus-unique tokens scores a
+    strictly higher mean NLL than a doc of repeated common tokens, and
+    the micro-nat sum equals the hand-computed per-token costs."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from laketide.functions.text import unigram_logppl
+
+    texts = ["common common common common", "common rare1 rare2 rare3"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = unigram_logppl(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    n = 8
+    c_common = math.floor(-math.log(5 / n) * 1e6)
+    c_rare = math.floor(-math.log(1 / n) * 1e6)
+    assert out.loc[0, "nll_micro"] == 4 * c_common
+    assert out.loc[1, "nll_micro"] == c_common + 3 * c_rare
+    assert out.loc[1, "avg_nll_micro"] > out.loc[0, "avg_nll_micro"]
+    assert (out["n_tokens"] == 4).all()
+
+
+def test_doc_chunk_windows_overlap(tmp_path):
+    """64/48 sliding windows: a 100-token doc yields ceil(100/48)=3
+    chunks with the overlap region repeated; short docs yield one chunk
+    equal to the whole text."""
+    import pyarrow.parquet as pq
+
+    from laketide.functions.text import doc_chunk_windows
+
+    toks = [f"t{i}" for i in range(100)]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array([" ".join(toks), "just three tokens"], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        doc_chunk_windows(str(tmp_path))
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out.doc_id == 0]
+    assert list(d0.n_chunk_tokens) == [64, 52, 4]
+    assert d0.iloc[0].chunk_text == " ".join(toks[0:64])
+    assert d0.iloc[1].chunk_text == " ".join(toks[48:100])
+    assert d0.iloc[2].chunk_text == " ".join(toks[96:100])
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.iloc[0].chunk_text == "just three tokens"
+    assert d1.iloc[0].n_chunk_tokens == 3
