@@ -202,6 +202,68 @@ def _incremental_value_sums(sf_dir: str) -> Any:
     )
 
 
+def _cdc_join_view(sf_dir: str) -> Any:
+    """Replay the cached changelog while maintaining a materialized JOIN
+    view (``DerivedJoinView``) after EVERY epoch: base CDF rows enriched
+    with a broadcast repo-dimension (owner = org prefix, tier = repo
+    number mod 3) and re-applied into a derived LakeTable through the
+    same exactly-once commit path. The oracle recomputes the LWW window
+    state joined to the identical dim rule — equal only if every
+    per-epoch incremental enrichment, delete propagation and watermark
+    advance was exact."""
+    import glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laketide.pipelines.views import DerivedJoinView
+
+    sf_tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    log_files = sorted(
+        glob.glob(os.path.join(_replay_log_dir(sf_tag), "epoch-*.parquet"))
+    )
+    repos = sorted(
+        {
+            r
+            for f in log_files
+            for r in pq.read_table(f, columns=["repo"])["repo"].to_pylist()
+        }
+    )
+    dim = pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "owner": pa.array([r.split("/")[0] for r in repos], pa.string()),
+            "tier": pa.array([int(r[-3:]) % 3 for r in repos], pa.int64()),
+        }
+    )
+    views: dict = {}
+
+    def _refresh(table) -> None:
+        if "v" not in views:
+            vdir = os.path.join(os.path.dirname(table.table_dir), "join_view")
+            views["v"] = DerivedJoinView(table, vdir, dim, on="repo")
+        views["v"].refresh()
+
+    return _with_replayed_table(
+        sf_dir,
+        lambda table, files: views["v"]
+        .read(
+            columns=[
+                "repo",
+                "path",
+                "lang",
+                "content",
+                "base_commit",
+                "base_seq",
+                "owner",
+                "tier",
+            ]
+        )
+        .materialize(),
+        after_epoch=_refresh,
+    )
+
+
 def _asof_join(sf_dir: str) -> Any:
     from laketide.functions.asof import asof_join_events_orders
 
@@ -300,6 +362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_changes_feed": _cdc_changes_feed,
         "incremental_lang_counts": _incremental_lang_counts,
         "incremental_value_sums": _incremental_value_sums,
+        "cdc_join_view": _cdc_join_view,
         "cdc_coalesce_fieldwise": R.cdc_coalesce_fieldwise,
         "lookup_join_overlap": R.lookup_join_overlap,
         "asof_join_events_orders": _asof_join,
@@ -549,6 +612,20 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
             f"FROM read_parquet('{replay_glob}', union_by_name=true)"
             ") WHERE rn = 1 AND op != 'delete' GROUP BY lang"
+        ),
+        # materialized JOIN view maintained incrementally per epoch: the
+        # oracle joins the final LWW window state to the identical
+        # deterministic repo-dim rule (owner = org prefix, tier = repo
+        # number mod 3); base (commit, seq) surface as provenance columns
+        "cdc_join_view": (
+            "SELECT repo, path, lang, content, "
+            "commit AS base_commit, seq AS base_seq, "
+            "split_part(repo, '/', 1) AS owner, "
+            "CAST(CAST(substring(repo, length(repo)-2, 3) AS INT) % 3 AS BIGINT) AS tier "
+            "FROM (SELECT *, row_number() OVER ("
+            "PARTITION BY repo, path ORDER BY commit DESC, seq DESC) AS rn "
+            f"FROM read_parquet('{replay_glob}', union_by_name=true)"
+            ") WHERE rn = 1 AND op != 'delete'"
         ),
         # change data feed: full-outer diff of the epoch-1 window-state
         # vs the final window-state over the SAME cached changelog

@@ -424,3 +424,288 @@ class IncrementalAggView(_IncrementalViewBase):
                 "value_max": pa.array([self._state[g][3] for g in groups], pa.int64()),
             }
         )
+
+
+class DerivedJoinView:
+    """Materialized JOIN view maintained as a DERIVED LakeTable: base
+    CDF rows, enriched by a broadcast dimension lookup (left join on
+    ``on``), are re-applied into a second LakeTable through the same
+    exactly-once epoch commit — the view inherits the engine's
+    idempotency, atomic manifest swap, tombstone and lineage machinery
+    instead of reinventing them.
+
+    Unlike the driver-resident count/agg views above, the join view is
+    TABLE-sized, so its state lives in a LakeTable (partitioned parquet,
+    streaming reads), and its refresh watermark lives in the target's
+    committed lineage (``source="join-view@<base_epoch>p<parts>"``) —
+    written atomically with the epoch, so a crash between apply and any
+    sidecar write can never leave the watermark ahead of or behind the
+    applied state.
+
+    Refresh is O(changes): one ``changes_dataset`` pass per refresh,
+    each change row re-keyed to a view version ``v<base_epoch>`` that is
+    strictly monotone in base epochs (so replayed/overlapping refreshes
+    are stale-dropped or HWM-dropped by the normal apply path — an
+    equal-version re-delivery can never overwrite). Bootstrap (first
+    refresh, cross-rescale, or gc'd base epoch) streams the base
+    snapshot as upserts plus an anti-join pass emitting deletes for
+    target-live keys that vanished from the base while the view was
+    offline. Base (commit, seq) ride along as ``base_commit`` /
+    ``base_seq`` payload provenance.
+
+    Reference analog: the denormalized read-model the reference serves
+    from its API joins (vulnerabilities x source metadata,
+    /root/reference/internal/api/server.go) — maintained incrementally
+    instead of re-joined per query.
+    """
+
+    _SRC = "join-view@"
+    # view events carry these payload provenance columns
+    _PROVENANCE = ("base_commit", "base_seq")
+
+    def __init__(
+        self,
+        base,
+        target_dir: str,
+        dim: pa.Table,
+        on: str = "repo",
+        num_partitions: int | None = None,
+    ):
+        from laketide import schema as S
+        from laketide.pipelines.cdc import LakeTable
+
+        if on not in dim.column_names:
+            raise ValueError(f"join key {on!r} not in dim columns {dim.column_names}")
+        self.attrs = [c for c in dim.column_names if c != on]
+        reserved = set(S.CORE_COLUMNS) | {
+            S.SHA_COLUMN,
+            S.APPLIED_EPOCH_COLUMN,
+            S.DELETED_COLUMN,
+            *self._PROVENANCE,
+        }
+        clash = reserved & set(self.attrs)
+        if clash:
+            raise ValueError(f"dim attribute(s) {sorted(clash)} collide with core columns")
+        self.base = base
+        self.dim = dim.combine_chunks()
+        self.on = on
+        self.target = LakeTable(
+            target_dir, num_partitions=num_partitions or base.num_partitions
+        )
+        self._dim_ref = None  # ray.put handle, created lazily
+
+    # ------------------------------------------------------------- internals
+    def _applied(self) -> tuple[int, int] | None:
+        """(base_epoch, base_partitions) of the newest COMMITTED view
+        refresh — read from target lineage, newest first (lineage for an
+        epoch beyond the committed manifest is a crash remnant and never
+        consulted; non-view epochs interleaved by other writers are
+        skipped)."""
+        from laketide.state import manifest as M
+
+        ep = self.target.current_epoch()
+        while ep > 0:
+            doc = M.load_lineage(self.target.table_dir, ep)
+            ep -= 1
+            if not doc:
+                continue  # gc'd lineage: keep scanning older epochs
+            src = doc.get("source") or ""
+            if src.startswith(self._SRC):
+                base_ep, _, parts = src[len(self._SRC):].partition("p")
+                return int(base_ep), int(parts)
+        return None
+
+    def _event_schema(self, man) -> pa.Schema:
+        """Fixed view-event schema for this refresh: core + the base's
+        payload columns + provenance + dim attributes. Every enriched
+        block conforms to it, so bootstrap delete rows, CDF rows and
+        snapshot rows union cleanly."""
+        from laketide import schema as S
+        from laketide.pipelines.cdc import _schema_from_b64
+
+        base_sch = None
+        if man is not None and man.stats.get("schema_b64"):
+            base_sch = _schema_from_b64(man.stats["schema_b64"])
+        if base_sch is None:
+            base_sch = S.snapshot_schema()
+        skip = set(S.CORE_COLUMNS) | {S.APPLIED_EPOCH_COLUMN, S.DELETED_COLUMN}
+        fields = [
+            pa.field("repo", pa.string()),
+            pa.field("path", pa.string()),
+            pa.field("commit", pa.string()),
+            pa.field("seq", pa.int64()),
+            pa.field("op", pa.string()),
+        ]
+        fields += [f for f in base_sch if f.name not in skip]
+        fields.append(pa.field("base_commit", pa.string()))
+        fields.append(pa.field("base_seq", pa.int64()))
+        fields += [self.dim.schema.field(a) for a in self.attrs]
+        return pa.schema(fields)
+
+    def _enrich(self, ds, commit_view: str, ev_schema: pa.Schema):
+        """CDF / snapshot / delete-key blocks -> conformed view events:
+        op from change_type (absent = upsert), synthesized view version,
+        base provenance, broadcast dim lookup (left join)."""
+        import ray
+
+        if self._dim_ref is None:
+            self._dim_ref = ray.put(self.dim)
+        bc = self._dim_ref
+        on, attrs = self.on, self.attrs
+
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            if n == 0:
+                return ev_schema.empty_table()
+            dim = ray.get(bc)
+            cols: dict = {}
+            if "change_type" in t.column_names:
+                op = pc.if_else(
+                    pc.equal(t["change_type"], "delete"), "delete", "update"
+                )
+            else:
+                op = pa.array(["update"] * n, pa.string())
+            idx = pc.index_in(
+                pc.cast(t[on], dim.schema.field(on).type), value_set=dim[on]
+            )
+            for field in ev_schema:
+                name = field.name
+                if name == "commit":
+                    cols[name] = pa.array([commit_view] * n, pa.string())
+                elif name == "seq":
+                    cols[name] = pa.array([0] * n, pa.int64())
+                elif name == "op":
+                    cols[name] = pc.cast(op, pa.string())
+                elif name == "base_commit":
+                    cols[name] = (
+                        pc.cast(t["commit"], pa.string())
+                        if "commit" in t.column_names
+                        else pa.nulls(n, pa.string())
+                    )
+                elif name == "base_seq":
+                    cols[name] = (
+                        pc.cast(t["seq"], pa.int64())
+                        if "seq" in t.column_names
+                        else pa.nulls(n, pa.int64())
+                    )
+                elif name in attrs:
+                    cols[name] = dim[name].take(idx)
+                elif name in t.column_names:
+                    cols[name] = pc.cast(t[name], field.type)
+                else:
+                    cols[name] = pa.nulls(n, field.type)
+            return pa.table(cols, schema=ev_schema)
+
+        return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _vanished_keys(self):
+        """Bootstrap anti-join: (repo, path) keys live in the TARGET but
+        absent from the BASE (deleted while the view was offline /
+        across a rescale). Skinny key rows through one coarse shuffle —
+        min(side) per key decides; exact because all rows of a key
+        co-locate."""
+        import numpy as np
+
+        from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+        from laketide.functions.relational import _key_hash_u64
+
+        n_parts = _coarse_n_parts()
+        out_schema = pa.schema(
+            [("repo", pa.string()), ("path", pa.string()), ("side", pa.int64())]
+        )
+
+        def _tag(side: int):
+            def g(t: pa.Table) -> pa.Table:
+                r = pa.table(
+                    {
+                        "repo": pc.cast(t["repo"], pa.string()),
+                        "path": pc.cast(t["path"], pa.string()),
+                        "side": pa.array([side] * t.num_rows, pa.int64()),
+                    }
+                )
+                part = _coarse_parts(
+                    _key_hash_u64(r["repo"]), _key_hash_u64(r["path"]), n_parts=n_parts
+                )
+                return r.append_column("_cpart", pa.array(part, pa.int64()))
+
+            return g
+
+        def only_target(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.schema([("repo", pa.string()), ("path", pa.string())]).empty_table()
+            g = t.group_by(["repo", "path"]).aggregate([("side", "min")])
+            g = g.filter(pc.equal(g["side_min"], 1))
+            return g.select(["repo", "path"])
+
+        base_keys = self.base.read(columns=["repo", "path"]).map_batches(
+            _tag(0), batch_format="pyarrow", zero_copy_batch=True
+        )
+        target_keys = self.target.read(columns=["repo", "path"]).map_batches(
+            _tag(1), batch_format="pyarrow", zero_copy_batch=True
+        )
+        return (
+            base_keys.union(target_keys)
+            .groupby("_cpart")
+            .map_groups(
+                lambda g: only_target(g.drop_columns(["_cpart"])),
+                batch_format="pyarrow",
+            )
+        )
+
+    # --------------------------------------------------------------- surface
+    def refresh(self) -> dict:
+        """Advance the view to the base's current epoch. Incremental
+        (one CDF pass) when possible; bootstrap (snapshot upserts + an
+        anti-join delete pass) on first use, across a rescale, or when
+        the watermark epoch was gc'd. Idempotent under crash-retry: the
+        watermark commits atomically with the epoch, and re-delivered
+        change rows carry an equal view version, which the apply path
+        stale-drops."""
+        man = self.base.current_manifest()
+        cur = man.epoch if man else 0
+        cur_parts = man.num_partitions if man else self.base.num_partitions
+        st = self._applied()
+        if st == (cur, cur_parts):
+            return {"mode": "noop", "from_epoch": cur, "to_epoch": cur}
+        commit_view = f"v{cur:018d}"
+        ev_schema = self._event_schema(man)
+        mode, ds = "incremental", None
+        if st is None or st[1] != cur_parts or self.base.manifest_at(st[0]) is None:
+            mode = "bootstrap"
+        else:
+            try:
+                ds = self.base.changes_dataset(st[0], cur)
+            except ValueError:
+                mode = "bootstrap"  # e.g. mid-span rescale manifest shape
+        if mode == "bootstrap":
+            ds = self.base.read()
+            if self.target.current_epoch() > 0:
+                deletes = self._vanished_keys().map_batches(
+                    lambda t: t.append_column(
+                        "change_type", pa.array(["delete"] * t.num_rows, pa.string())
+                    ),
+                    batch_format="pyarrow",
+                )
+                ds = self._enrich(ds, commit_view, ev_schema).union(
+                    self._enrich(deletes, commit_view, ev_schema)
+                )
+            else:
+                ds = self._enrich(ds, commit_view, ev_schema)
+        else:
+            ds = self._enrich(ds, commit_view, ev_schema)
+        r = self.target.apply_epoch(ds, source=f"{self._SRC}{cur}p{cur_parts}")
+        return {
+            "mode": mode,
+            "from_epoch": st[0] if st else 0,
+            "to_epoch": cur,
+            "view_epoch": r["epoch"],
+            "totals": r.get("totals", {}),
+        }
+
+    def read(self, columns: list[str] | None = None):
+        """Streaming Dataset over the view's live rows."""
+        return self.target.read(columns=columns)
+
+    def state(self) -> pa.Table:
+        """Materialized view state (small-result convenience)."""
+        return self.target.state_table()

