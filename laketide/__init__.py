@@ -17,7 +17,11 @@ IMPORTANT (driver contract): nothing in this package calls
 """
 
 from laketide.pipelines.cdc import LakeTable  # noqa: F401
-from laketide.pipelines.views import IncrementalCountView  # noqa: F401
+from laketide.pipelines.views import (  # noqa: F401
+    DerivedJoinView,
+    IncrementalAggView,
+    IncrementalCountView,
+)
 from laketide.sources.changelog import generate_changelog  # noqa: F401
 
 __version__ = "0.1.0"
