@@ -565,9 +565,15 @@ class DerivedJoinView:
                 )
             else:
                 op = pa.array(["update"] * n, pa.string())
-            idx = pc.index_in(
-                pc.cast(t[on], dim.schema.field(on).type), value_set=dim[on]
-            )
+            # bootstrap delete-key rows carry only (repo, path): a dim
+            # keyed on a payload column looks up all-null there (the
+            # delete ignores payload anyway)
+            if on in t.column_names:
+                idx = pc.index_in(
+                    pc.cast(t[on], dim.schema.field(on).type), value_set=dim[on]
+                )
+            else:
+                idx = pa.nulls(n, pa.int64())
             for field in ev_schema:
                 name = field.name
                 if name == "commit":

@@ -401,3 +401,44 @@ def test_derived_join_view_rejects_colliding_attrs(tmp_path):
 
     with pytest.raises(ValueError, match="collide"):
         DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+
+
+def test_derived_join_view_payload_keyed_dim_bootstrap_deletes(tmp_path):
+    """Dim keyed on a PAYLOAD column (lang): bootstrap delete-key rows
+    carry only (repo, path), so the enrich path must null the lookup
+    instead of crashing; final state still matches the join."""
+    import ray.data as rd
+
+    from laketide.pipelines.views import DerivedJoinView
+
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=2)
+
+    def ev(repo, path, commit, seq, op, lang=None, content=None):
+        return {
+            "repo": repo, "path": path, "commit": commit, "seq": seq,
+            "op": op, "lang": lang, "content": content,
+        }
+
+    t.apply_epoch(rd.from_items([
+        ev("r/a", "p1", "c01", 1, "insert", "py", "x"),
+        ev("r/a", "p2", "c01", 2, "insert", "go", "y"),
+        ev("r/b", "p3", "c01", 3, "insert", "py", "z"),
+    ]))
+    dim = pa.table(
+        {
+            "lang": pa.array(["py", "go"], pa.string()),
+            "family": pa.array(["scripting", "compiled"], pa.string()),
+        }
+    )
+    view = DerivedJoinView(t, str(tmp_path / "view"), dim, on="lang")
+    view.refresh()
+    got = {(r["repo"], r["path"]): r["family"] for r in view.state().to_pylist()}
+    assert got == {("r/a", "p1"): "scripting", ("r/a", "p2"): "compiled",
+                   ("r/b", "p3"): "scripting"}
+    # offline delete + rescale -> bootstrap path with skinny delete keys
+    t.apply_epoch(rd.from_items([ev("r/a", "p2", "c02", 4, "delete")]))
+    t.rescale(4)
+    r = view.refresh()
+    assert r["mode"] == "bootstrap"
+    got = {(r["repo"], r["path"]): r["family"] for r in view.state().to_pylist()}
+    assert got == {("r/a", "p1"): "scripting", ("r/b", "p3"): "scripting"}
