@@ -274,6 +274,9 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         from laketide.functions.corpus import pack_sequences
 
         timed("pack_sequences", pack_sequences)
+        timed("dedup_text_segments", text.dedup_text_segments)
+        timed("unigram_logppl", text.unigram_logppl)
+        timed("doc_chunk_windows", text.doc_chunk_windows)
 
     ray.shutdown()
     return {
