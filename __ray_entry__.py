@@ -373,6 +373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_event_pivot": R.user_event_pivot,
         "running_value_total": R.running_value_total,
         "events_rollup": R.events_rollup,
+        "events_cube": R.events_cube,
         "user_pivot_unpivot": _lazy("relational", "user_pivot_unpivot"),
         "events_grouping_sets": _lazy("relational", "events_grouping_sets"),
         "customers_without_orders": _anti_join_customers,
@@ -978,6 +979,10 @@ def oracle_sql() -> dict[str, str]:
         "events_rollup": (
             "SELECT user_id, event_type, count(*) AS n FROM events "
             "GROUP BY ROLLUP(user_id, event_type)"
+        ),
+        "events_cube": (
+            "SELECT user_id, event_type, count(*) AS n FROM events "
+            "GROUP BY CUBE(user_id, event_type)"
         ),
         "user_pivot_unpivot": (
             "WITH w AS (SELECT user_id, "

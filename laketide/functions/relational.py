@@ -642,6 +642,82 @@ def events_rollup(sf_dir: str) -> rd.Dataset:
     )
 
 
+def events_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(user_id, event_type): counts at all four grouping
+    sets — (user, type), (user), (type), and the grand total — with SQL
+    null markers on the cubed-away columns. Same cascade as
+    ``events_rollup``: one pass over the events builds the finest level
+    (per-batch Arrow partials, one small shuffle); every coarser set
+    re-aggregates the SMALL finest result, so the big input is read
+    once. Assumes non-null grouping keys (plain SQL CUBE output has the
+    same marker-vs-genuine-NULL ambiguity without GROUPING())."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        g = (
+            pa.table({"user_id": t["user_id"], "event_type": t["event_type"]})
+            .group_by(["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["user_id", "event_type", "c"])
+
+    finest = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("c", alias_name="n"))
+        # the SMALL finest level feeds four consumers — materialize once
+        .materialize()
+    )
+
+    def _level(keep: str):
+        def f(t: pa.Table) -> pa.Table:
+            cols = {
+                "user_id": pc.cast(t[keep], pa.int64())
+                if keep == "user_id"
+                else pa.nulls(t.num_rows, pa.int64()),
+                "event_type": pc.cast(t[keep], pa.string())
+                if keep == "event_type"
+                else pa.nulls(t.num_rows, pa.string()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+            return pa.table(cols)
+
+        return (
+            finest.groupby(keep)
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+        )
+
+    total = int(finest.sum("n") or 0)
+    grand = rd.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.nulls(1, pa.int64()),
+                "event_type": pa.nulls(1, pa.string()),
+                "n": pa.array([total], pa.int64()),
+            }
+        )
+    )
+
+    def conform(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": pc.cast(t["event_type"], pa.string()),
+                "n": pc.cast(t["n"], pa.int64()),
+            }
+        )
+
+    return (
+        finest.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)
+        .union(_level("user_id"))
+        .union(_level("event_type"))
+        .union(grand)
+    )
+
+
 def _customer_order_membership(sf_dir: str, keep_members: bool) -> rd.Dataset:
     """Shared semi/anti join core: customer keys vs the set of custkeys
     appearing in orders. Each batch of orders pre-dedups its keys
