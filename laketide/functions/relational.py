@@ -571,15 +571,15 @@ def running_value_total(sf_dir: str) -> rd.Dataset:
     )
 
 
-def events_rollup(sf_dir: str) -> rd.Dataset:
-    """GROUP BY ROLLUP(user_id, event_type): counts at three levels —
-    (user, type), (user), and grand total — with NULL markers on the
-    rolled-up columns, like the SQL. Cascading aggregation: the finest
-    level is the only pass over the events (per-batch Arrow partials);
-    each coarser level re-aggregates the PREVIOUS level's small result,
-    so the big input is read once. Assumes non-null grouping keys (a
-    genuine NULL key would be indistinguishable from a rollup marker
-    without GROUPING() — same caveat as plain SQL ROLLUP output)."""
+def _count_grouping_sets(sf_dir: str, coarse_levels: tuple[str, ...]) -> rd.Dataset:
+    """Shared ROLLUP/CUBE cascade over (user_id, event_type) counts: the
+    finest level is the ONLY pass over the events (per-batch Arrow
+    partials, one small shuffle); every coarser grouping set in
+    ``coarse_levels`` plus the grand total re-aggregates the SMALL
+    finest result, so the big input is read once. NULL markers fill the
+    aggregated-away columns, like the SQL. Assumes non-null grouping
+    keys (a genuine NULL key would be indistinguishable from a marker
+    without GROUPING() — same caveat as plain SQL ROLLUP/CUBE output)."""
     from ray.data.aggregate import Sum
 
     ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
@@ -596,93 +596,23 @@ def events_rollup(sf_dir: str) -> rd.Dataset:
         ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["user_id", "event_type"])
         .aggregate(Sum("c", alias_name="n"))
-        # materialize the SMALL finest level: it is consumed three times
-        # (sum + two unions) and must not re-scan the events each time
+        # the SMALL finest level feeds every consumer — materialize once
         .materialize()
     )
 
-    def null_type(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": pc.cast(t["user_id"], pa.int64()),
-                "event_type": pa.nulls(t.num_rows, pa.string()),
-                "n": pc.cast(t["n"], pa.int64()),
-            }
-        )
-
-    by_user = (
-        finest.groupby("user_id")
-        .aggregate(Sum("n", alias_name="n"))
-        .map_batches(null_type, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    total = int(finest.sum("n") or 0)
-    grand = rd.from_arrow(
-        pa.table(
-            {
-                "user_id": pa.nulls(1, pa.int64()),
-                "event_type": pa.nulls(1, pa.string()),
-                "n": pa.array([total], pa.int64()),
-            }
-        )
-    )
-
-    def conform(t: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "user_id": pc.cast(t["user_id"], pa.int64()),
-                "event_type": pc.cast(t["event_type"], pa.string()),
-                "n": pc.cast(t["n"], pa.int64()),
-            }
-        )
-
-    return (
-        finest.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)
-        .union(by_user)
-        .union(grand)
-    )
-
-
-def events_cube(sf_dir: str) -> rd.Dataset:
-    """GROUP BY CUBE(user_id, event_type): counts at all four grouping
-    sets — (user, type), (user), (type), and the grand total — with SQL
-    null markers on the cubed-away columns. Same cascade as
-    ``events_rollup``: one pass over the events builds the finest level
-    (per-batch Arrow partials, one small shuffle); every coarser set
-    re-aggregates the SMALL finest result, so the big input is read
-    once. Assumes non-null grouping keys (plain SQL CUBE output has the
-    same marker-vs-genuine-NULL ambiguity without GROUPING())."""
-    from ray.data.aggregate import Sum
-
-    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
-
-    def pre(t: pa.Table) -> pa.Table:
-        g = (
-            pa.table({"user_id": t["user_id"], "event_type": t["event_type"]})
-            .group_by(["user_id", "event_type"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["user_id", "event_type", "c"])
-
-    finest = (
-        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby(["user_id", "event_type"])
-        .aggregate(Sum("c", alias_name="n"))
-        # the SMALL finest level feeds four consumers — materialize once
-        .materialize()
-    )
-
-    def _level(keep: str):
+    def _level(keep: str) -> rd.Dataset:
         def f(t: pa.Table) -> pa.Table:
-            cols = {
-                "user_id": pc.cast(t[keep], pa.int64())
-                if keep == "user_id"
-                else pa.nulls(t.num_rows, pa.int64()),
-                "event_type": pc.cast(t[keep], pa.string())
-                if keep == "event_type"
-                else pa.nulls(t.num_rows, pa.string()),
-                "n": pc.cast(t["n"], pa.int64()),
-            }
-            return pa.table(cols)
+            return pa.table(
+                {
+                    "user_id": pc.cast(t[keep], pa.int64())
+                    if keep == "user_id"
+                    else pa.nulls(t.num_rows, pa.int64()),
+                    "event_type": pc.cast(t[keep], pa.string())
+                    if keep == "event_type"
+                    else pa.nulls(t.num_rows, pa.string()),
+                    "n": pc.cast(t["n"], pa.int64()),
+                }
+            )
 
         return (
             finest.groupby(keep)
@@ -710,12 +640,22 @@ def events_cube(sf_dir: str) -> rd.Dataset:
             }
         )
 
-    return (
-        finest.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)
-        .union(_level("user_id"))
-        .union(_level("event_type"))
-        .union(grand)
-    )
+    out = finest.map_batches(conform, batch_format="pyarrow", zero_copy_batch=True)
+    for keep in coarse_levels:
+        out = out.union(_level(keep))
+    return out.union(grand)
+
+
+def events_rollup(sf_dir: str) -> rd.Dataset:
+    """GROUP BY ROLLUP(user_id, event_type): counts at (user, type),
+    (user), and the grand total (see ``_count_grouping_sets``)."""
+    return _count_grouping_sets(sf_dir, ("user_id",))
+
+
+def events_cube(sf_dir: str) -> rd.Dataset:
+    """GROUP BY CUBE(user_id, event_type): the rollup's grouping sets
+    plus the (event_type) axis (see ``_count_grouping_sets``)."""
+    return _count_grouping_sets(sf_dir, ("user_id", "event_type"))
 
 
 def _customer_order_membership(sf_dir: str, keep_members: bool) -> rd.Dataset:

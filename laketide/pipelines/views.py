@@ -495,12 +495,24 @@ class DerivedJoinView:
         self._dim_ref = None  # ray.put handle, created lazily
 
     # ------------------------------------------------------------- internals
-    def _applied(self) -> tuple[int, int] | None:
-        """(base_epoch, base_partitions) of the newest COMMITTED view
-        refresh — read from target lineage, newest first (lineage for an
-        epoch beyond the committed manifest is a crash remnant and never
-        consulted; non-view epochs interleaved by other writers are
-        skipped)."""
+    def _dim_fp(self) -> str:
+        """Deterministic dimension fingerprint (Arrow IPC bytes), stamped
+        into the watermark so a CHANGED dim forces a re-enrich instead of
+        silently serving mixed old/new attributes forever."""
+        import hashlib
+        import io
+
+        sink = io.BytesIO()
+        with pa.ipc.new_stream(sink, self.dim.schema) as w:
+            w.write_table(self.dim)
+        return hashlib.sha256(sink.getvalue()).hexdigest()[:12]
+
+    def _applied(self) -> tuple[int, int, str | None] | None:
+        """(base_epoch, base_partitions, dim_fp) of the newest COMMITTED
+        view refresh — read from target lineage, newest first (lineage
+        for an epoch beyond the committed manifest is a crash remnant and
+        never consulted; non-view epochs interleaved by other writers are
+        skipped). ``dim_fp`` is None for pre-fingerprint stamps."""
         from laketide.state import manifest as M
 
         ep = self.target.current_epoch()
@@ -511,8 +523,9 @@ class DerivedJoinView:
                 continue  # gc'd lineage: keep scanning older epochs
             src = doc.get("source") or ""
             if src.startswith(self._SRC):
-                base_ep, _, parts = src[len(self._SRC):].partition("p")
-                return int(base_ep), int(parts)
+                base_ep, _, rest = src[len(self._SRC):].partition("p")
+                parts, _, fp = rest.partition("d")
+                return int(base_ep), int(parts), (fp or None)
         return None
 
     def _event_schema(self, man) -> pa.Schema:
@@ -536,7 +549,18 @@ class DerivedJoinView:
             pa.field("seq", pa.int64()),
             pa.field("op", pa.string()),
         ]
-        fields += [f for f in base_sch if f.name not in skip]
+        payload = [f for f in base_sch if f.name not in skip]
+        # the constructor can only check core names — the base's PAYLOAD
+        # columns are known here; a dim attr (or provenance name) that
+        # shadows one would produce a duplicate-named schema field and
+        # silently drop the base value before crashing downstream
+        clash = {f.name for f in payload} & (set(self.attrs) | set(self._PROVENANCE))
+        if clash:
+            raise ValueError(
+                f"dim attribute(s) {sorted(clash)} collide with the base "
+                "table's payload columns"
+            )
+        fields += payload
         fields.append(pa.field("base_commit", pa.string()))
         fields.append(pa.field("base_seq", pa.int64()))
         fields += [self.dim.schema.field(a) for a in self.attrs]
@@ -663,27 +687,48 @@ class DerivedJoinView:
         """Advance the view to the base's current epoch. Incremental
         (one CDF pass) when possible; bootstrap (snapshot upserts + an
         anti-join delete pass) on first use, across a rescale, or when
-        the watermark epoch was gc'd. Idempotent under crash-retry: the
-        watermark commits atomically with the epoch, and re-delivered
-        change rows carry an equal view version, which the apply path
-        stale-drops."""
+        the watermark epoch was gc'd; re-enrich (same bootstrap body,
+        strictly newer generation) when the DIM fingerprint changed, so
+        updated attributes reach every row instead of only base-changed
+        keys. Idempotent under crash-retry and concurrent refreshers:
+        the watermark commits atomically with the epoch, and a
+        double-applied span converges because apply keeps exactly the
+        newer-versioned row per key."""
         man = self.base.current_manifest()
         cur = man.epoch if man else 0
         cur_parts = man.num_partitions if man else self.base.num_partitions
+        fp = self._dim_fp()
         st = self._applied()
-        if st == (cur, cur_parts):
+        if (
+            st is not None
+            and st[0] == cur
+            and st[1] == cur_parts
+            and (st[2] is None or st[2] == fp)
+        ):
             return {"mode": "noop", "from_epoch": cur, "to_epoch": cur}
-        commit_view = f"v{cur:018d}"
+        # view version = (base epoch, refresh generation): the generation
+        # makes a dim-change re-enrich at an UNCHANGED base epoch still
+        # strictly newer than the previous refresh's rows, and a
+        # double-applied span (crash-retry / concurrent refreshers)
+        # converges because apply takes the newer row and drops the rest
+        gen = self.target.current_epoch() + 1
+        commit_view = f"v{cur:018d}-{gen:06d}"
         ev_schema = self._event_schema(man)
+        dim_changed = st is not None and st[2] is not None and st[2] != fp
         mode, ds = "incremental", None
-        if st is None or st[1] != cur_parts or self.base.manifest_at(st[0]) is None:
-            mode = "bootstrap"
+        if (
+            st is None
+            or st[1] != cur_parts
+            or self.base.manifest_at(st[0]) is None
+            or dim_changed
+        ):
+            mode = "re-enrich" if dim_changed else "bootstrap"
         else:
             try:
                 ds = self.base.changes_dataset(st[0], cur)
             except ValueError:
                 mode = "bootstrap"  # e.g. mid-span rescale manifest shape
-        if mode == "bootstrap":
+        if mode != "incremental":
             ds = self.base.read()
             if self.target.current_epoch() > 0:
                 deletes = self._vanished_keys().map_batches(
@@ -699,7 +744,7 @@ class DerivedJoinView:
                 ds = self._enrich(ds, commit_view, ev_schema)
         else:
             ds = self._enrich(ds, commit_view, ev_schema)
-        r = self.target.apply_epoch(ds, source=f"{self._SRC}{cur}p{cur_parts}")
+        r = self.target.apply_epoch(ds, source=f"{self._SRC}{cur}p{cur_parts}d{fp}")
         return {
             "mode": mode,
             "from_epoch": st[0] if st else 0,

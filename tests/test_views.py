@@ -336,13 +336,12 @@ def test_derived_join_view_bootstrap_across_rescale_with_offline_delete(tmp_path
     assert _join_got(view) == _join_expected(t, dim)
 
 
-def test_derived_join_view_replayed_refresh_is_stale_dropped(tmp_path):
-    """Crash-retry shape: re-applying the SAME refresh span (stale
-    watermark simulated by a second view handle pointed at a COPY of the
-    pre-refresh target) converges to the same state — equal view
-    versions are stale-dropped, never double-applied."""
-    import shutil
-
+def test_derived_join_view_double_applied_span_converges(tmp_path):
+    """Crash-retry shape: a handle whose watermark read is STALE (the
+    refresh committed but this handle never saw it) re-applies the same
+    span — the re-applied rows carry a newer generation, apply keeps
+    exactly one winner per key, and the state is unchanged. A normal
+    refresh afterwards noops."""
     from laketide.pipelines.views import DerivedJoinView
 
     files = laketide.generate_changelog(
@@ -352,13 +351,86 @@ def test_derived_join_view_replayed_refresh_is_stale_dropped(tmp_path):
     dim = _mk_dim(files)
     view = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
     t.apply_epoch(files[0])
+    pre_refresh_watermark = view._applied()  # None: nothing applied yet
+    view.refresh()
     t.apply_epoch(files[1])
+    stale_watermark = view._applied()  # points at base epoch 1
     view.refresh()
     snap = _join_got(view)
-    # re-run the same refresh from a fresh handle: noop via watermark
+    view_epochs = view.target.current_epoch()
+    # simulate the crash-retry: a handle that believes the LAST refresh
+    # never happened re-applies the base-1 -> base-2 span onto a target
+    # that already has it
     view_b = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
-    assert view_b.refresh()["mode"] == "noop"
-    assert _join_got(view_b) == snap
+    view_b._applied = lambda: stale_watermark
+    r = view_b.refresh()
+    assert r["mode"] == "incremental"
+    assert _join_got(view_b) == snap == _join_expected(t, dim)
+    # and from even further back (pre-bootstrap): full re-apply converges
+    view_c = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    view_c._applied = lambda: pre_refresh_watermark
+    r = view_c.refresh()
+    assert r["mode"] == "bootstrap"
+    assert _join_got(view_c) == snap
+    # a normal handle now noops (watermark healed by the retries)
+    view_d = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    assert view_d.refresh()["mode"] == "noop"
+    assert view_d.target.current_epoch() == view_epochs + 2
+
+
+def test_derived_join_view_dim_change_reenriches_all_rows(tmp_path):
+    """A CHANGED dim must reach every view row — including keys the base
+    never touched again — via the fingerprint-triggered re-enrich (the
+    watermark alone would serve stale attributes forever)."""
+    from laketide.pipelines.views import DerivedJoinView
+
+    files = laketide.generate_changelog(
+        str(tmp_path / "log"), n_events=1500, n_epochs=2, seed=11
+    )
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=4)
+    dim = _mk_dim(files)
+    view = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    for f in files:
+        t.apply_epoch(f)
+    view.refresh()
+    assert _join_got(view) == _join_expected(t, dim)
+    # every repo moves to a new owner; base is NOT advanced
+    import pyarrow.compute as _pc
+
+    dim2 = dim.set_column(
+        dim.column_names.index("owner"),
+        "owner",
+        _pc.binary_join_element_wise(dim["owner"].combine_chunks(), "-v2", ""),
+    )
+    view2 = DerivedJoinView(t, str(tmp_path / "view"), dim2, on="repo")
+    r = view2.refresh()
+    assert r["mode"] == "re-enrich"
+    got = _join_got(view2)
+    assert got == _join_expected(t, dim2)
+    assert all(v[3].endswith("-v2") for v in got.values())
+    # same dim again: noop
+    assert view2.refresh()["mode"] == "noop"
+
+
+def test_derived_join_view_rejects_payload_colliding_attrs(tmp_path):
+    """A dim attribute shadowing a base PAYLOAD column (only knowable at
+    refresh time) must raise, not silently drop the base value."""
+    import pytest
+    import ray.data as rd
+
+    from laketide.pipelines.views import DerivedJoinView
+
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=2)
+    t.apply_epoch(
+        rd.from_items(
+            [{"repo": "r/a", "path": "p", "commit": "c1", "seq": 1,
+              "op": "insert", "lang": "py", "content": "x"}]
+        )
+    )
+    dim = pa.table({"repo": pa.array(["r/a"]), "lang": pa.array(["shadow"])})
+    view = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    with pytest.raises(ValueError, match="payload"):
+        view.refresh()
 
 
 def test_derived_join_view_unknown_repo_gets_null_attrs(tmp_path):
