@@ -128,6 +128,16 @@ def main(argv: list[str] | None = None) -> int:
         help="serialize with concurrent maintenance instead of raising",
     )
 
+    sp = sub.add_parser(
+        "join-view",
+        help="refresh a materialized join view (derived LakeTable) from a "
+        "base table and a dimension parquet",
+    )
+    sp.add_argument("--table", required=True, help="base LakeTable dir")
+    sp.add_argument("--target", required=True, help="derived view LakeTable dir")
+    sp.add_argument("--dim", required=True, help="dimension parquet file")
+    sp.add_argument("--on", default="repo", help="join key column in the dim")
+
     sp = sub.add_parser("gen", help="generate a deterministic synthetic changelog")
     sp.add_argument("--out", required=True)
     sp.add_argument("--events", type=int, default=10_000)
@@ -275,6 +285,26 @@ def main(argv: list[str] | None = None) -> int:
                         "mode": r["mode"],
                         "epoch": r["to_epoch"],
                         "groups": v.view().to_pylist(),
+                    }
+                )
+            )
+        elif args.cmd == "join-view":
+            import pyarrow.parquet as pq
+
+            from laketide.pipelines.views import DerivedJoinView
+
+            dim = pq.read_table(args.dim)
+            v = DerivedJoinView(LakeTable(args.table), args.target, dim, on=args.on)
+            r = v.refresh()
+            print(
+                json.dumps(
+                    {
+                        "mode": r["mode"],
+                        "from_epoch": r["from_epoch"],
+                        "to_epoch": r["to_epoch"],
+                        "rows": v.target.current_manifest().stats.get("rows", 0)
+                        if v.target.current_manifest()
+                        else 0,
                     }
                 )
             )

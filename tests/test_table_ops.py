@@ -450,6 +450,40 @@ def test_cli_end_to_end(tmp_path, changelog):
     view = json.loads(buf.getvalue())
     assert view["epoch"] == 3 and view["mode"] == "bootstrap"
     assert sum(g["n_rows"] for g in view["groups"]) == status["rows"]
+    # materialized join view: dim parquet -> derived LakeTable refresh
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    repos = sorted(
+        {
+            r
+            for f in changelog
+            for r in pq.read_table(f, columns=["repo"])["repo"].to_pylist()
+        }
+    )
+    dim_path = str(tmp_path / "dim.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "repo": pa.array(repos, pa.string()),
+                "owner": pa.array([r.split("/")[0] for r in repos], pa.string()),
+            }
+        ),
+        dim_path,
+    )
+    jv_args = [
+        "join-view", "--table", table, "--target", str(tmp_path / "jv"),
+        "--dim", dim_path, "--on", "repo",
+    ]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(jv_args) == 0
+    jv = json.loads(buf.getvalue())
+    assert jv["mode"] == "bootstrap" and jv["rows"] > 0
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(jv_args) == 0
+    assert json.loads(buf.getvalue())["mode"] == "noop"
     assert main(["gc", "--table", table, "--keep", "1"]) == 0
 
 
