@@ -385,6 +385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [("prev_type", "string"), ("next_type", "string"), ("n", "int64")],
         ),
         "distinct_users_by_type": _lazy("analytics", "distinct_users_by_type"),
+        "entropy_by_event_type": _lazy("analytics", "entropy_by_event_type"),
         # HLL sketch gated against the exact distributed distinct count
         # inside the query (tolerance-band oracle: returns exact value +
         # bound flag; raw estimate still pytest-pinned <5% rel error)
@@ -744,6 +745,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
             "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
             "GROUP BY event_type"
+        ),
+        # user-concentration entropy in integer micro-nats: each
+        # (type, user) cell adds c * floor(-ln(c/C)*1e6) — int terms sum
+        # order-free, ln() is libm on both engines
+        "entropy_by_event_type": (
+            "WITH cu AS (SELECT event_type, user_id, count(*) AS c FROM events "
+            "WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
+            "GROUP BY event_type, user_id), "
+            "ct AS (SELECT event_type, sum(c) AS total, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM cu GROUP BY event_type) "
+            "SELECT cu.event_type, ct.n_users, CAST(ct.total AS BIGINT) AS total_events, "
+            "CAST(sum(cu.c * CAST(floor(-ln(CAST(cu.c AS DOUBLE)/CAST(ct.total AS DOUBLE)) "
+            "* 1000000.0) AS BIGINT)) AS BIGINT) AS entropy_micro_sum, "
+            "CAST(sum(cu.c * CAST(floor(-ln(CAST(cu.c AS DOUBLE)/CAST(ct.total AS DOUBLE)) "
+            "* 1000000.0) AS BIGINT)) AS DOUBLE) / CAST(ct.total AS DOUBLE) AS entropy_micro "
+            "FROM cu JOIN ct USING (event_type) "
+            "GROUP BY cu.event_type, ct.total, ct.n_users"
         ),
         "q3_shipping_priority": (
             "SELECT l_orderkey, CAST(sum(CAST(ROUND(l_extendedprice*(1-l_discount)*100) "

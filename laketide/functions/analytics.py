@@ -2104,3 +2104,121 @@ def value_quantile_sketch_checked(sf_dir: str, qs=(0.5, 0.9, 0.99)) -> pa.Table:
             "hdr_within_bound": pa.array(oks, pa.bool_()),
         }
     )
+
+
+def entropy_by_event_type(sf_dir: str) -> rd.Dataset:
+    """Shannon entropy of the per-user event distribution within each
+    event_type — the concentration/skew signal a data-quality pipeline
+    uses to flag bot-dominated or single-source segments (low entropy =
+    a few users produce most of the events). Exact in integer
+    MICRO-NATS: each (type, user) cell contributes
+    c_u * floor(-ln(c_u / C) * 1e6) — the floor happens per distinct
+    (c_u, C) pair with ``math.log`` (libm, bit-identical to DuckDB
+    ``ln()``), and the weighted terms are int64, so the distributed sum
+    is order-free exact. The final ``entropy_micro`` is one double
+    division.
+
+    Scale shape: per-batch (type, user) count partials, then ONE coarse
+    shuffle keyed on event_type so each type's cells co-locate (the
+    documented assumption: type cardinality is dimension-scale; a
+    hot-type skew at 100 TB would salt the key and merge per-salt
+    partials, which stays exact because the cells partition cleanly).
+    """
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_users", pa.int64()),
+            ("total_events", pa.int64()),
+            ("entropy_micro_sum", pa.int64()),
+            ("entropy_micro", pa.float64()),
+        ]
+    )
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t["event_type"]), pc.is_valid(t["user_id"])))
+        g = t.group_by(["event_type", "user_id"]).aggregate([([], "count_all")])
+        g = g.rename_columns(["event_type", "user_id", "c"])
+        return _cpart_col(g, "event_type")
+
+    def per_type(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        # fold cross-batch partials to exact per-(type, user) counts
+        cells = (
+            t.group_by(["event_type", "user_id"])
+            .aggregate([("c", "sum")])
+            .rename_columns(["event_type", "user_id", "c"])
+        )
+        totals = (
+            cells.group_by(["event_type"])
+            .aggregate([("c", "sum"), ([], "count_all")])
+            .rename_columns(["event_type", "total", "n_users"])
+        )
+        idx = pc.index_in(
+            cells["event_type"].combine_chunks(),
+            value_set=totals["event_type"].combine_chunks(),
+        )
+        c_np = pc.cast(cells["c"], pa.int64()).to_numpy(zero_copy_only=False)
+        tot_np = (
+            pc.cast(totals["total"], pa.int64())
+            .combine_chunks()
+            .take(idx)
+            .to_numpy(zero_copy_only=False)
+        )
+        # floor(-ln(c/C)*1e6) per DISTINCT (c, C) pair via libm log —
+        # bit-identical to the oracle's ln() (numpy's log is not); the
+        # Python loop runs over distinct pairs only (count values are
+        # heavy-tailed small ints), the cell-scale map-back is numpy
+        uniq, inv = np.unique(np.stack([c_np, tot_np], axis=1), axis=0, return_inverse=True)
+        cost_u = np.fromiter(
+            (math.floor(-math.log(c / tot) * 1e6) for c, tot in uniq.tolist()),
+            np.int64,
+            len(uniq),
+        )
+        cost = cost_u[inv]
+        terms = pa.table(
+            {
+                "event_type": cells["event_type"],
+                "term": pa.array(c_np * cost, pa.int64()),
+            }
+        )
+        summed = (
+            terms.group_by(["event_type"])
+            .aggregate([("term", "sum")])
+            .rename_columns(["event_type", "entropy_micro_sum"])
+        )
+        jdx = pc.index_in(
+            summed["event_type"].combine_chunks(),
+            value_set=totals["event_type"].combine_chunks(),
+        )
+        n_users = pc.cast(totals["n_users"], pa.int64()).combine_chunks().take(jdx)
+        tot2 = pc.cast(totals["total"], pa.int64()).combine_chunks().take(jdx)
+        esum = (
+            pc.cast(summed["entropy_micro_sum"], pa.int64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "event_type": summed["event_type"],
+                "n_users": n_users,
+                "total_events": tot2,
+                "entropy_micro_sum": pa.array(esum, pa.int64()),
+                "entropy_micro": pa.array(
+                    esum.astype(np.float64)
+                    / tot2.to_numpy(zero_copy_only=False).astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_cpart")
+        .map_groups(
+            lambda g: per_type(g.drop_columns(["_cpart"])), batch_format="pyarrow"
+        )
+    )

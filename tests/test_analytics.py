@@ -561,3 +561,38 @@ def test_doc_chunk_windows_overlap(tmp_path):
     d1 = out[out.doc_id == 1]
     assert len(d1) == 1 and d1.iloc[0].chunk_text == "just three tokens"
     assert d1.iloc[0].n_chunk_tokens == 3
+
+
+def test_entropy_by_event_type_planted(tmp_path):
+    """A type dominated by one user scores near-zero entropy; a type
+    spread evenly over k users scores ~ln(k) micro-nats."""
+    import math
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rows = []
+    # 'bot': user 1 fires 99 events, user 2 fires 1 -> entropy ~ 0
+    rows += [{"user_id": 1, "event_type": "bot"}] * 99
+    rows += [{"user_id": 2, "event_type": "bot"}]
+    # 'organic': 10 users x 10 events -> entropy ~ ln(10)
+    for u in range(10):
+        rows += [{"user_id": 100 + u, "event_type": "organic"}] * 10
+    df = pd.DataFrame(rows)
+    df["event_id"] = range(len(df))
+    df["ts"] = pd.Timestamp("2024-01-01")
+    df["value"] = 1.0
+    df["props"] = ""
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = (
+        analytics.entropy_by_event_type(str(tmp_path))
+        .to_pandas()
+        .set_index("event_type")
+    )
+    assert out.loc["bot", "n_users"] == 2
+    assert out.loc["organic", "n_users"] == 10
+    ln10_micro = math.log(10) * 1e6
+    assert abs(out.loc["organic", "entropy_micro"] - ln10_micro) < 20
+    assert out.loc["bot", "entropy_micro"] < 0.1 * ln10_micro
+    assert out.loc["bot", "entropy_micro"] < out.loc["organic", "entropy_micro"]
