@@ -74,6 +74,11 @@ _NULLABLE_QUERIES = [
     "customer_orders_full_outer",
     "orders_price_percent_rank",
     "embedding_centroid_by_label",
+    "dedup_text_segments",
+    "unigram_logppl",
+    "doc_chunk_windows",
+    "entropy_by_event_type",
+    "events_cube",
 ]
 
 
