@@ -563,6 +563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": similarity.knn_ivf,
         "embedding_label_count": similarity.embedding_label_count,
         "embedding_near_dup": similarity.embedding_near_dup,
+        "embedding_dup_components": similarity.embedding_dup_components,
         # --- multimodal ---
         "blob_meta": multimodal.blob_meta,
         "multimodal_decode": multimodal.multimodal_decode,
@@ -1842,6 +1843,29 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY list_cosine_similarity(embedding, {qvec}) DESC, vec_id LIMIT 10"
         ),
         "knn_lsh": _knn_lsh_oracle(),
+        # semantic-dedup clustering on milli-unit-quantized embeddings:
+        # the edge test is exact integer arithmetic (HUGEINT here, int64
+        # in the engine), so the component structure cannot drift on a
+        # borderline float cosine
+        "embedding_dup_components": (
+            "WITH RECURSIVE "
+            "v AS (SELECT vec_id, list_transform(embedding, "
+            "x -> ROUND(CAST(x AS DOUBLE) * 1000.0)) AS iv "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            "n AS (SELECT vec_id, CAST(list_dot_product(iv, iv) AS HUGEINT) AS nn FROM v), "
+            "p AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, "
+            "CAST(list_dot_product(a.iv, b.iv) AS HUGEINT) AS dot "
+            "FROM v a JOIN v b ON a.vec_id < b.vec_id), "
+            "pairs AS (SELECT doc_a, doc_b FROM p "
+            "JOIN n na ON p.doc_a = na.vec_id JOIN n nb ON p.doc_b = nb.vec_id "
+            "WHERE dot > 0 AND 400 * dot * dot >= 49 * na.nn * nb.nn), "
+            "edges AS (SELECT doc_a AS x, doc_b AS y FROM pairs "
+            "UNION SELECT doc_b, doc_a FROM pairs), "
+            "reach(x, y) AS (SELECT x, x FROM (SELECT DISTINCT x FROM edges) "
+            "UNION SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x) "
+            "SELECT x AS vec_id, CAST(min(y) AS BIGINT) AS component "
+            "FROM reach GROUP BY x"
+        ),
         "embedding_label_count": "SELECT label, count(*) AS n FROM embeddings GROUP BY 1",
         # doc_fingerprint stays rows-only BY DESIGN: the polynomial fold
         # itself is SQL-expressible (HUGEINT hi/lo mulmod-2^64), but its

@@ -1097,3 +1097,113 @@ def embedding_centroid_by_label(sf_dir: str) -> pa.Table:
     for c in sum_cols:
         out[c] = pc.divide(pc.cast(g[c], pa.float64()), n_f)
     return pa.table(out).cast(out_schema).sort_by([("label", "ascending")])
+
+
+def embedding_dup_components(
+    sf_dir: str,
+    threshold_sq: tuple[int, int] = (49, 400),
+    driver_budget_rows: int = 2_000_000,
+) -> "pa.Table | rd.Dataset":
+    """SemDeDup-style semantic-dedup clustering: connected components
+    over EXACT cosine-similarity edges (cos >= 0.35 by default, as the
+    rational 49/400 = 0.35^2) computed on milli-unit-quantized
+    embeddings, so the edge test is pure int64 arithmetic —
+    ``dot > 0 and 400*dot^2 >= 49*|a|^2*|b|^2`` — and matches the DuckDB
+    HUGEINT oracle bit-for-bit (a float cosine threshold would flip
+    borderline edges between engines and change component structure).
+    Returns (vec_id, component = min vec_id in the cluster) for every
+    vector with at least one semantic near-duplicate.
+
+    Scale shape: the quantized matrix broadcasts once via ``ray.put``
+    (int64 x dim per vector); each batch computes ONE integer matmul
+    row-block against it and ships only passing (i < j) edges. Beyond
+    broadcast budgets the scale path is the ``knn_ivf`` bucketing —
+    probe same-bucket pairs only. Clustering reuses the adaptive
+    ``dup_components`` core: driver min-label fixpoint under the edge
+    budget, large-star/small-star contraction above it."""
+    num, den = threshold_sq
+    base = _emb(sf_dir, columns=["vec_id", "embedding"])
+
+    def quantize(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t)
+        if t.num_rows == 0:
+            return pa.schema(
+                [("vec_id", pa.int64()), ("iv", pa.list_(pa.int64()))]
+            ).empty_table()
+        col = t["embedding"].combine_chunks()
+        flat = pc.list_flatten(col)
+        # identical expression to the oracle: ROUND(CAST(x AS DOUBLE)
+        # * 1000.0) with half-away-from-zero rounding
+        q = pc.cast(
+            pc.round(
+                pc.multiply(pc.cast(flat, pa.float64()), 1000.0),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        lists = pa.ListArray.from_arrays(col.offsets, q)
+        return pa.table(
+            {"vec_id": pc.cast(t["vec_id"], pa.int64()), "iv": lists}
+        )
+
+    parts = collect_tables(
+        base.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    from laketide.functions.dedup import _COMP_SCHEMA
+
+    out_schema = pa.schema([("vec_id", pa.int64()), ("component", pa.int64())])
+    if not parts:
+        return out_schema.empty_table()
+    qt = pa.concat_tables(parts)
+    # deterministic layout: block arrival order is nondeterministic
+    qt = qt.sort_by([("vec_id", "ascending")])
+    ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _embed_matrix(qt["iv"]).astype(np.int64)
+    norms = (mat * mat).sum(axis=1)
+    max_nn = int(norms.max()) if len(norms) else 0
+    if den * max_nn * max_nn >= 2**63:
+        raise ValueError(
+            f"quantized norms too large for exact int64 edge tests "
+            f"(max |v|^2 = {max_nn}); lower the quantization scale"
+        )
+    bc = ray.put((ids, mat, norms))
+
+    edge_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+
+    def edges_of(t: pa.Table) -> pa.Table:
+        t = quantize(t)
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        all_ids, all_mat, all_n = ray.get(bc)
+        rid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        rmat = _embed_matrix(t["iv"]).astype(np.int64)
+        rn = (rmat * rmat).sum(axis=1)
+        dots = rmat @ all_mat.T  # exact int64
+        ok = (dots > 0) & (den * dots * dots >= num * np.outer(rn, all_n))
+        ok &= rid[:, None] < all_ids[None, :]
+        ri, ci = np.nonzero(ok)
+        return pa.table(
+            {
+                "doc_a": pa.array(rid[ri], pa.int64()),
+                "doc_b": pa.array(all_ids[ci], pa.int64()),
+            }
+        )
+
+    edges = base.map_batches(
+        edges_of, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def _rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["vec_id", "component"])
+
+    from laketide.functions.dedup import _components_minlabel, _components_star
+
+    if edges.count() <= driver_budget_rows:
+        eparts = collect_tables(edges)
+        if not eparts:
+            return out_schema.empty_table()
+        return _rename(_components_minlabel(pa.concat_tables(eparts)))
+    return _components_star(edges).map_batches(
+        _rename, batch_format="pyarrow", zero_copy_batch=True
+    )

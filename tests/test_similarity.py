@@ -180,3 +180,46 @@ def test_ivf_index_persisted_reused_and_fingerprinted(planted_embeddings, tmp_pa
     )
     os.utime(str(d2 / "embeddings.parquet"), (1, 1))
     assert S.ivf_index_build(str(d2)) != idx
+
+
+def test_embedding_dup_components_planted(tmp_path):
+    """Exact semantic clustering: two planted cosine-similar groups form
+    two components labeled by their min vec_id; an isolated vector and a
+    null embedding emit nothing; transitivity chains A~B~C into one
+    component even when A~C alone is below threshold."""
+    import pyarrow.parquet as pq
+
+    from laketide.functions.similarity import embedding_dup_components
+
+    rng = np.random.RandomState(3)
+    dim = 64
+
+    def jitter(v, eps):
+        w = v + eps * rng.randn(dim)
+        return (w / np.linalg.norm(w)).astype(np.float32)
+
+    a = rng.randn(dim); a /= np.linalg.norm(a)
+    b = rng.randn(dim); b /= np.linalg.norm(b)
+    vecs = [
+        jitter(a, 0.01),   # 0: cluster A
+        jitter(a, 0.01),   # 1: cluster A
+        jitter(a, 0.01),   # 2: cluster A
+        jitter(b, 0.01),   # 3: cluster B
+        jitter(b, 0.01),   # 4: cluster B
+        (rng.randn(dim) / 10).astype(np.float32),  # 5: isolated
+        None,              # 6: null embedding -> excluded
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs))), pa.int64()),
+            "embedding": pa.array(
+                [None if v is None else [float(x) for x in v] for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = embedding_dup_components(str(tmp_path))
+    comp = {r["vec_id"]: r["component"] for r in out.to_pylist()}
+    assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
