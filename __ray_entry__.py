@@ -506,6 +506,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": text.benchmark_contamination,
         "duplicated_ngram_share": text.duplicated_ngram_share,
         "decontaminate_docs": text.decontaminate_docs,
+        # rows-only BY CONSTRUCTION: bloom false positives may drop a
+        # few extra docs (one-sided; pytest bounds it vs the exact
+        # filter) — the fixed-size-broadcast scale path
+        "decontaminate_docs_bloom": text.decontaminate_docs_bloom,
         "dedup_text_segments": text.dedup_text_segments,
         "unigram_logppl": text.unigram_logppl,
         "doc_chunk_windows": text.doc_chunk_windows,

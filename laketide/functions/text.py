@@ -2067,3 +2067,94 @@ def doc_chunk_windows(sf_dir: str, width: int = 64, stride: int = 48) -> rd.Data
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# Bloom-filter decontamination: bitmap size / hash count. 2^20 bits =
+# 128 KiB broadcast; k=4 double-hashed probes. FPR ~ (1-e^{-kn/m})^k —
+# ~0.0001 at n=25k grams, one-sided (may DROP a clean doc, never keeps
+# a contaminated one).
+_BLOOM_BITS = 1 << 20
+_BLOOM_K = 4
+
+
+def _bloom_positions(h: np.ndarray) -> np.ndarray:
+    """(n, k) bit positions via double hashing over uint64 gram hashes —
+    deterministic, so the filter output is layout-independent."""
+    h1 = h
+    h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+    ks = np.arange(_BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + ks[None, :] * h2[:, None]) % np.uint64(_BLOOM_BITS)).astype(
+        np.int64
+    )
+
+
+def _bloom_set(bitmap: np.ndarray, h: np.ndarray) -> None:
+    pos = _bloom_positions(h).ravel()
+    # bitwise_or.at, NOT bitmap[idx] |= v: fancy-indexed |= collapses
+    # duplicate byte indices to one write and silently drops bits
+    np.bitwise_or.at(bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+
+
+def _bloom_test(bitmap: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """True where ALL k probe bits are set (possible member)."""
+    pos = _bloom_positions(h)
+    bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+    return bits.all(axis=1)
+
+
+def decontaminate_docs_bloom(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
+    """Bloom-filter variant of ``decontaminate_docs`` — the 100 TB
+    broadcast path: the benchmark gram set ships as a FIXED 128 KiB
+    bitmap instead of an exact string set that grows with the benchmark
+    (per-batch partial bitmaps OR-merge, so the build is one streaming
+    pass too). One-sided error: a false positive can only DROP a clean
+    doc (bounded by the pytest against the exact filter), never keep a
+    contaminated one — the safe direction for decontamination.
+    Deterministic (hash-defined), rows-only by construction."""
+    import ray
+
+    from laketide.functions.relational import _key_hash_u64
+
+    def bench_bitmap(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.fill_null(pc.less(t["doc_id"], pa.scalar(n_bench)), False))
+        bm = np.zeros(_BLOOM_BITS >> 3, np.uint8)
+        if t.num_rows:
+            rows = _word_trigram_rows(t)
+            if rows.num_rows:
+                _bloom_set(bm, _key_hash_u64(rows["gram"]))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = collect_tables(
+        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            bench_bitmap, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    bitmap = np.zeros(_BLOOM_BITS >> 3, np.uint8)
+    for p in parts:
+        for buf in p["bm"].to_pylist():
+            bitmap |= np.frombuffer(buf, np.uint8)
+    bc = ray.put(bitmap)
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        bm = ray.get(bc)
+        t = t.filter(
+            pc.and_kleene(
+                pc.is_valid(t["doc_id"]),
+                pc.greater_equal(t["doc_id"], pa.scalar(n_bench)),
+            )
+        )
+        if t.num_rows == 0:
+            return t.select(["doc_id", "lang", "n_chars"])
+        rows = _word_trigram_rows(t)
+        if rows.num_rows:
+            hits = _bloom_test(bm, _key_hash_u64(rows["gram"]))
+            dirty = pc.unique(
+                rows["doc_id"].combine_chunks().filter(pa.array(hits))
+            )
+            clean = pc.invert(pc.is_in(t["doc_id"], value_set=dirty))
+            t = t.filter(clean)
+        return t.select(["doc_id", "lang", "n_chars"])
+
+    return _docs(sf_dir, columns=["doc_id", "text", "lang", "n_chars"]).map_batches(
+        keep_clean, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -596,3 +596,43 @@ def test_entropy_by_event_type_planted(tmp_path):
     assert abs(out.loc["organic", "entropy_micro"] - ln10_micro) < 20
     assert out.loc["bot", "entropy_micro"] < 0.1 * ln10_micro
     assert out.loc["bot", "entropy_micro"] < out.loc["organic", "entropy_micro"]
+
+
+def test_decontaminate_bloom_one_sided_and_close_to_exact():
+    """Bloom decontamination must (a) never KEEP a doc the exact filter
+    drops (one-sided error), (b) drop at most a small extra fraction to
+    false positives, (c) be deterministic across runs."""
+    from laketide.functions.text import decontaminate_docs, decontaminate_docs_bloom
+
+    exact = set(
+        decontaminate_docs(SF_DIR).to_pandas()["doc_id"]
+    )
+    bloom_df = decontaminate_docs_bloom(SF_DIR).to_pandas()
+    bloom = set(bloom_df["doc_id"])
+    assert bloom <= exact  # one-sided: never keeps a contaminated doc
+    assert len(bloom) >= 0.95 * len(exact), (len(bloom), len(exact))
+    again = set(decontaminate_docs_bloom(SF_DIR).to_pandas()["doc_id"])
+    assert again == bloom
+
+
+def test_bloom_partial_bitmaps_merge_associatively():
+    """OR-merging per-block partial bitmaps equals one global build —
+    the property that lets the bench-gram pass stream at scale."""
+    import numpy as np
+
+    from laketide.functions.text import _BLOOM_BITS, _bloom_set, _bloom_test
+
+    rng = np.random.RandomState(7)
+    h = rng.randint(0, 2**63, size=1000).astype(np.uint64)
+    full = np.zeros(_BLOOM_BITS >> 3, np.uint8)
+    _bloom_set(full, h)
+    merged = np.zeros(_BLOOM_BITS >> 3, np.uint8)
+    for chunk in np.array_split(h, 7):
+        part = np.zeros(_BLOOM_BITS >> 3, np.uint8)
+        _bloom_set(part, chunk)
+        merged |= part
+    assert np.array_equal(full, merged)
+    assert bool(_bloom_test(full, h).all())
+    other = rng.randint(0, 2**63, size=2000).astype(np.uint64)
+    fpr = float(_bloom_test(full, other).mean())
+    assert fpr < 0.01, fpr
