@@ -1147,32 +1147,46 @@ def embedding_dup_components(
             {"vec_id": pc.cast(t["vec_id"], pa.int64()), "iv": lists}
         )
 
-    parts = collect_tables(
-        base.map_batches(quantize, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    from laketide.functions.dedup import _COMP_SCHEMA
+    # quantize ONCE: the materialized dataset serves both the driver
+    # broadcast collect and the edge pass (no second parquet read or
+    # round/cast over the corpus)
+    qds = base.map_batches(
+        quantize, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    parts = collect_tables(qds)
 
     out_schema = pa.schema([("vec_id", pa.int64()), ("component", pa.int64())])
     if not parts:
         return out_schema.empty_table()
     qt = pa.concat_tables(parts)
+    # overflow guard BEFORE any int64 norm/dot math (norms computed from
+    # already-wrapped elements could pass a post-hoc check exactly in
+    # the cases it exists to catch): bound everything from the max
+    # element magnitude in exact Python ints. The bound also keeps
+    # every element far below 2^53, so the float64 list round-trip in
+    # _embed_matrix stays exact.
+    flat_iv = pc.list_flatten(qt["iv"].combine_chunks())
+    max_el = (
+        int(pc.max(pc.abs(flat_iv)).as_py() or 0) if len(flat_iv) else 0
+    )
+    dim = _embed_matrix(qt["iv"].slice(0, 1)).shape[1] if qt.num_rows else 0
+    nn_bound = dim * max_el * max_el  # exact: Python ints don't wrap
+    if max(num, den) * nn_bound * nn_bound >= 2**63:
+        raise ValueError(
+            f"quantized elements too large for exact int64 edge tests "
+            f"(max |component| = {max_el}, dim {dim}); lower the "
+            "quantization scale"
+        )
     # deterministic layout: block arrival order is nondeterministic
     qt = qt.sort_by([("vec_id", "ascending")])
     ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     mat = _embed_matrix(qt["iv"]).astype(np.int64)
     norms = (mat * mat).sum(axis=1)
-    max_nn = int(norms.max()) if len(norms) else 0
-    if den * max_nn * max_nn >= 2**63:
-        raise ValueError(
-            f"quantized norms too large for exact int64 edge tests "
-            f"(max |v|^2 = {max_nn}); lower the quantization scale"
-        )
     bc = ray.put((ids, mat, norms))
 
     edge_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
     def edges_of(t: pa.Table) -> pa.Table:
-        t = quantize(t)
         if t.num_rows == 0:
             return edge_schema.empty_table()
         all_ids, all_mat, all_n = ray.get(bc)
@@ -1190,7 +1204,7 @@ def embedding_dup_components(
             }
         )
 
-    edges = base.map_batches(
+    edges = qds.map_batches(
         edges_of, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 

@@ -948,6 +948,35 @@ def benchmark_contamination(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
     )
 
 
+def _decontaminate_pass(sf_dir: str, n_bench: int, hit_mask_fn) -> rd.Dataset:
+    """Shared decontamination corpus pass: stream the corpus
+    shuffle-free, drop every doc with ANY benchmark-gram hit.
+    ``hit_mask_fn(gram_array) -> boolean array`` is the one point the
+    exact and bloom variants differ on (set membership vs bitmap
+    probe). Null text emits no grams -> never dirty -> kept, like the
+    SQL NOT EXISTS."""
+
+    def keep_clean(t: pa.Table) -> pa.Table:
+        t = t.filter(
+            pc.and_kleene(
+                pc.is_valid(t["doc_id"]),
+                pc.greater_equal(t["doc_id"], pa.scalar(n_bench)),
+            )
+        )
+        if t.num_rows == 0:
+            return t.select(["doc_id", "lang", "n_chars"])
+        rows = _word_trigram_rows(t)
+        if rows.num_rows:
+            hits = hit_mask_fn(rows["gram"].combine_chunks())
+            dirty = pc.unique(rows["doc_id"].combine_chunks().filter(hits))
+            t = t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=dirty)))
+        return t.select(["doc_id", "lang", "n_chars"])
+
+    return _docs(sf_dir, columns=["doc_id", "text", "lang", "n_chars"]).map_batches(
+        keep_clean, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def decontaminate_docs(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
     """The decontamination FILTER (complement of the
     ``benchmark_contamination`` scan): keep only corpus docs sharing NO
@@ -977,26 +1006,8 @@ def decontaminate_docs(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
         bench_set = pa.array([], pa.string())
     bc = ray.put(bench_set)
 
-    def keep_clean(t: pa.Table) -> pa.Table:
-        bset = ray.get(bc)
-        t = t.filter(
-            pc.and_kleene(
-                pc.is_valid(t["doc_id"]),
-                pc.greater_equal(t["doc_id"], pa.scalar(n_bench)),
-            )
-        )
-        if t.num_rows == 0:
-            return t.select(["doc_id", "lang", "n_chars"])
-        rows = _word_trigram_rows(t)
-        hit = rows.filter(pc.is_in(rows["gram"], value_set=bset))
-        dirty = pc.unique(hit["doc_id"].combine_chunks())
-        clean = pc.invert(pc.is_in(t["doc_id"], value_set=dirty))
-        # null text emits no grams -> never dirty -> kept, like the
-        # SQL NOT EXISTS
-        return t.filter(clean).select(["doc_id", "lang", "n_chars"])
-
-    return _docs(sf_dir, columns=["doc_id", "text", "lang", "n_chars"]).map_batches(
-        keep_clean, batch_format="pyarrow", zero_copy_batch=True
+    return _decontaminate_pass(
+        sf_dir, n_bench, lambda grams: pc.is_in(grams, value_set=ray.get(bc))
     )
 
 
@@ -2107,21 +2118,26 @@ def decontaminate_docs_bloom(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
     broadcast path: the benchmark gram set ships as a FIXED 128 KiB
     bitmap instead of an exact string set that grows with the benchmark
     (per-batch partial bitmaps OR-merge, so the build is one streaming
-    pass too). One-sided error: a false positive can only DROP a clean
-    doc (bounded by the pytest against the exact filter), never keep a
-    contaminated one — the safe direction for decontamination.
+    pass too; batches with no benchmark rows ship ZERO rows, not a
+    zeroed bitmap). One-sided error: a false positive can only DROP a
+    clean doc (bounded by the pytest against the exact filter), never
+    keep a contaminated one — the safe direction for decontamination.
     Deterministic (hash-defined), rows-only by construction."""
     import ray
 
     from laketide.functions.relational import _key_hash_u64
 
+    bm_schema = pa.schema([("bm", pa.binary())])
+
     def bench_bitmap(t: pa.Table) -> pa.Table:
         t = t.filter(pc.fill_null(pc.less(t["doc_id"], pa.scalar(n_bench)), False))
+        if t.num_rows == 0:
+            return bm_schema.empty_table()
+        rows = _word_trigram_rows(t)
+        if rows.num_rows == 0:
+            return bm_schema.empty_table()
         bm = np.zeros(_BLOOM_BITS >> 3, np.uint8)
-        if t.num_rows:
-            rows = _word_trigram_rows(t)
-            if rows.num_rows:
-                _bloom_set(bm, _key_hash_u64(rows["gram"]))
+        _bloom_set(bm, _key_hash_u64(rows["gram"]))
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
     parts = collect_tables(
@@ -2135,26 +2151,8 @@ def decontaminate_docs_bloom(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
             bitmap |= np.frombuffer(buf, np.uint8)
     bc = ray.put(bitmap)
 
-    def keep_clean(t: pa.Table) -> pa.Table:
-        bm = ray.get(bc)
-        t = t.filter(
-            pc.and_kleene(
-                pc.is_valid(t["doc_id"]),
-                pc.greater_equal(t["doc_id"], pa.scalar(n_bench)),
-            )
-        )
-        if t.num_rows == 0:
-            return t.select(["doc_id", "lang", "n_chars"])
-        rows = _word_trigram_rows(t)
-        if rows.num_rows:
-            hits = _bloom_test(bm, _key_hash_u64(rows["gram"]))
-            dirty = pc.unique(
-                rows["doc_id"].combine_chunks().filter(pa.array(hits))
-            )
-            clean = pc.invert(pc.is_in(t["doc_id"], value_set=dirty))
-            t = t.filter(clean)
-        return t.select(["doc_id", "lang", "n_chars"])
-
-    return _docs(sf_dir, columns=["doc_id", "text", "lang", "n_chars"]).map_batches(
-        keep_clean, batch_format="pyarrow", zero_copy_batch=True
+    return _decontaminate_pass(
+        sf_dir,
+        n_bench,
+        lambda grams: pa.array(_bloom_test(ray.get(bc), _key_hash_u64(grams))),
     )
