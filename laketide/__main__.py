@@ -129,6 +129,14 @@ def main(argv: list[str] | None = None) -> int:
     )
 
     sp = sub.add_parser(
+        "tag", help="create/list/delete named snapshot tags (gc-pinned epochs)"
+    )
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--name", help="tag to create (or delete with --delete)")
+    sp.add_argument("--epoch", type=int, help="epoch to pin (default: current)")
+    sp.add_argument("--delete", action="store_true")
+
+    sp = sub.add_parser(
         "join-view",
         help="refresh a materialized join view (derived LakeTable) from a "
         "base table and a dimension parquet",
@@ -169,6 +177,19 @@ def main(argv: list[str] | None = None) -> int:
         r = LakeTable(args.table).fsck(deep=args.deep)
         print(json.dumps(r))
         return 0 if r["ok"] else 2
+
+    if args.cmd == "tag":
+        # pure file ops (lock + atomic write) — no Ray needed
+        from laketide.pipelines.cdc import LakeTable
+
+        t = LakeTable(args.table)
+        if args.name and args.delete:
+            print(json.dumps({"deleted": t.delete_tag(args.name)}))
+        elif args.name:
+            print(json.dumps(t.tag(args.name, epoch=args.epoch)))
+        else:
+            print(json.dumps({"tags": t.tags()}))
+        return 0
 
     if args.cmd == "purge-dlq":
         from laketide.pipelines.cdc import LakeTable

@@ -24,6 +24,7 @@ NOTE (driver contract): no ray.init()/ray.shutdown() in this module.
 from __future__ import annotations
 
 import base64
+import json
 import os
 
 import numpy as np
@@ -1064,11 +1065,17 @@ class LakeTable:
         except FileNotFoundError:
             return None
 
-    def state_table_at(self, epoch: int) -> pa.Table:
+    def state_table_at(self, epoch: int | None = None, tag: str | None = None) -> pa.Table:
         """Snapshot AS OF a committed epoch (time travel): manifests are
         immutable and data files content-addressed by (partition, epoch),
-        so any retained manifest replays exactly. Reference analog: the
-        versioned ``exports`` rows (S10) generalized to every epoch."""
+        so any retained manifest replays exactly. Accepts either an
+        epoch number or a ``tag`` name (named snapshot — see ``tag()``).
+        Reference analog: the versioned ``exports`` rows (S10)
+        generalized to every epoch."""
+        if (epoch is None) == (tag is None):
+            raise ValueError("pass exactly one of epoch= or tag=")
+        if tag is not None:
+            epoch = self.resolve_tag(tag)
         man = self.manifest_at(epoch)
         if not man:
             raise ValueError(f"epoch {epoch} not retained (gc'd or never committed)")
@@ -2296,6 +2303,76 @@ class LakeTable:
                 )
         return rows
 
+    # ------------------------------------------------------------------- tags
+    _TAG_NAME_RE = None  # compiled lazily (module keeps imports light)
+
+    def tag(self, name: str, epoch: int | None = None) -> dict[str, Any]:
+        """Pin a committed epoch under a stable name (Iceberg tag
+        analog: release markers, reproducible training-set snapshots).
+        Tagged epochs join gc's keep set, so the snapshot stays
+        time-travel-readable until the tag is deleted. Taken under the
+        writer lock — tagging must not race a gc computing its keep set
+        (the tag could land after gc chose what to delete)."""
+        import re as _re
+
+        if not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$", name):
+            raise ValueError(
+                f"invalid tag name {name!r} (alnum start; [A-Za-z0-9._-], max 64)"
+            )
+        lock = self._acquire_lock()
+        try:
+            if epoch is None:
+                epoch = self.current_epoch()
+            if not self.manifest_at(epoch):
+                raise ValueError(f"epoch {epoch} not retained (gc'd or never committed)")
+            p = M.paths(self.table_dir)
+            os.makedirs(p["tags"], exist_ok=True)
+            import time as _time
+
+            M._atomic_write(
+                os.path.join(p["tags"], name),
+                json.dumps({"epoch": epoch, "created_at": _time.time()}),
+            )
+        finally:
+            self._release_lock(lock)
+        return {"name": name, "epoch": epoch}
+
+    def tags(self) -> dict[str, int]:
+        """name -> epoch for every tag on this table."""
+        import glob as _glob
+
+        p = M.paths(self.table_dir)
+        out: dict[str, int] = {}
+        for f in sorted(_glob.glob(os.path.join(p["tags"], "*"))):
+            if ".tmp" in os.path.basename(f):
+                continue
+            try:
+                with open(f) as fh:
+                    out[os.path.basename(f)] = int(json.load(fh)["epoch"])
+            except (OSError, ValueError, KeyError):
+                continue  # fsck reports unreadable tags
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        t = self.tags()
+        if name not in t:
+            raise KeyError(f"unknown tag {name!r}; known: {sorted(t)}")
+        return t[name]
+
+    def delete_tag(self, name: str) -> bool:
+        """Remove a tag (the epoch becomes gc-able again). Under the
+        writer lock for the same reason tag() is."""
+        lock = self._acquire_lock()
+        try:
+            p = M.paths(self.table_dir)
+            try:
+                os.remove(os.path.join(p["tags"], name))
+                return True
+            except FileNotFoundError:
+                return False
+        finally:
+            self._release_lock(lock)
+
     def fsck(self, deep: bool = False) -> dict[str, Any]:
         """Table integrity check (the ops-surface fsck): every data
         file the live manifest references must exist with a readable
@@ -2406,6 +2483,13 @@ class LakeTable:
         )
         if stale_tmp:
             warnings.append(f"{len(stale_tmp)} stale staging/tmp file(s)")
+        # tags must resolve to retained manifests (gc pins tagged epochs,
+        # so a dangler means manual deletion or external corruption)
+        for tname, tepoch in self.tags().items():
+            if self.manifest_at(tepoch) is None:
+                errors.append(
+                    f"tag {tname!r} points at epoch {tepoch} with no retained manifest"
+                )
         rows_live = None
         if deep and not errors:
             rows_live = self.state_table().num_rows
@@ -2466,6 +2550,14 @@ class LakeTable:
                 keep.append(live)
         except FileNotFoundError:
             pass
+        # tagged epochs are pinned: every manifest file of a tagged
+        # epoch stays (base + maintenance variants), so state_table_at
+        # keeps replaying it until the tag is deleted
+        tagged = set(self.tags().values())
+        if tagged:
+            for mf in manifests:
+                if _recency(mf)[0] in tagged and mf not in keep:
+                    keep.append(mf)
         referenced: set[str] = set()
         for mf in keep:
             with open(mf) as fh:

@@ -44,6 +44,7 @@ def paths(table_dir: str) -> dict[str, str]:
         "data": os.path.join(table_dir, "data"),
         "staging": os.path.join(table_dir, "_staging"),
         "lineage": os.path.join(table_dir, "_lineage"),
+        "tags": os.path.join(table_dir, "_tags"),
     }
 
 

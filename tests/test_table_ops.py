@@ -1759,3 +1759,68 @@ def test_scheduler_cadence_skips_not_due_jobs(tmp_path):
     r3 = run_schedule([daily3], now=last + 86401.0)
     assert r3["jobs"]["daily"]["epochs_applied"] == 1
     assert td.current_epoch() == 3
+
+
+def test_tags_pin_epochs_across_gc(changelog, tmp_path):
+    """Named snapshot tags: a tagged epoch survives gc (manifest + data
+    files pinned) and replays via state_table_at(tag=...); deleting the
+    tag releases it to the next gc; fsck flags a manually-dangled tag."""
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t.apply_epoch(changelog[0])
+    snap1 = t.state_table()
+    assert t.tag("release-1") == {"name": "release-1", "epoch": 1}
+    for f in changelog[1:]:
+        t.apply_epoch(f)
+    r = t.gc(keep_last=1)
+    assert r["removed_manifests"] >= 1
+    # tagged epoch 1 still replays exactly
+    assert t.state_table_at(tag="release-1").equals(snap1)
+    assert t.tags() == {"release-1": 1}
+    assert t.fsck()["ok"]
+    # epoch selector validation
+    with pytest.raises(ValueError, match="exactly one"):
+        t.state_table_at()
+    with pytest.raises(ValueError, match="exactly one"):
+        t.state_table_at(1, tag="release-1")
+    with pytest.raises(KeyError):
+        t.state_table_at(tag="nope")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("../evil")
+    with pytest.raises(ValueError, match="not retained"):
+        t.tag("gone", epoch=2)  # epoch 2's manifest was gc'd
+    # delete -> next gc drops the pinned manifest; time travel now fails
+    assert t.delete_tag("release-1") is True
+    assert t.delete_tag("release-1") is False
+    t.gc(keep_last=1)
+    with pytest.raises(ValueError, match="not retained"):
+        t.state_table_at(1)
+    # manually dangled tag (simulated corruption) -> fsck error
+    import laketide.state.manifest as M
+
+    os.makedirs(M.paths(t.table_dir)["tags"], exist_ok=True)
+    with open(os.path.join(M.paths(t.table_dir)["tags"], "bad"), "w") as fh:
+        fh.write(json.dumps({"epoch": 1, "created_at": 0}))
+    rep = t.fsck()
+    assert not rep["ok"] and any("tag 'bad'" in e for e in rep["errors"])
+
+
+def test_tag_cli(changelog, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from laketide.__main__ import main
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t.apply_epoch(changelog[0])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["tag", "--table", t.table_dir, "--name", "v1"]) == 0
+    assert json.loads(buf.getvalue()) == {"name": "v1", "epoch": 1}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["tag", "--table", t.table_dir]) == 0
+    assert json.loads(buf.getvalue()) == {"tags": {"v1": 1}}
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["tag", "--table", t.table_dir, "--name", "v1", "--delete"]) == 0
+    assert json.loads(buf.getvalue()) == {"deleted": True}
