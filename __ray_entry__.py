@@ -506,6 +506,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "benchmark_contamination": text.benchmark_contamination,
         "duplicated_ngram_share": text.duplicated_ngram_share,
         "decontaminate_docs": text.decontaminate_docs,
+        "corpus_prepared_llm": _lazy("corpus", "prepare_corpus_llm"),
         # rows-only BY CONSTRUCTION: bloom false positives may drop a
         # few extra docs (one-sided; pytest bounds it vs the exact
         # filter) — the fixed-size-broadcast scale path
@@ -1457,6 +1458,43 @@ def oracle_sql() -> dict[str, str]:
             "WHERE d.doc_id >= 20 AND NOT EXISTS ("
             "SELECT 1 FROM gg JOIN bench USING (gram) "
             "WHERE gg.doc_id = d.doc_id)"
+        ),
+        "corpus_prepared_llm": (
+            # composed LLM pipeline: decontaminate (shared trigram rule)
+            # -> C4 span dedup with reconstruction -> unigram-LM
+            # perplexity gate (costs trained on the FULL corpus)
+            f"WITH {_TRIGRAM_GRAMS_CTE}, "
+            "gg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+            "bench AS (SELECT DISTINCT gram FROM gg WHERE doc_id < 20), "
+            "cd AS (SELECT d.doc_id, coalesce(d.text, '') AS text, d.lang "
+            "FROM documents d WHERE d.doc_id >= 20 AND NOT EXISTS ("
+            "SELECT 1 FROM gg JOIN bench USING (gram) WHERE gg.doc_id = d.doc_id)), "
+            "l AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM cd), "
+            "e AS (SELECT doc_id, toks, len(toks) AS n, "
+            "unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pos FROM l), "
+            "s AS (SELECT doc_id, pos, "
+            "array_to_string(toks[pos*10+1 : least(pos*10+10, n)], ' ') AS seg FROM e), "
+            "kept AS (SELECT doc_id, pos, seg FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1), "
+            "agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned_text "
+            "FROM kept GROUP BY doc_id), "
+            "tok AS (SELECT unnest(string_split(coalesce(text,''),' ')) AS token "
+            "FROM documents), "
+            "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token), "
+            "ntot AS (SELECT count(*) AS n FROM tok), "
+            "cost AS (SELECT token, CAST(floor(-ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) "
+            "* 1000000.0) AS BIGINT) AS cost FROM tf, ntot), "
+            "ct AS (SELECT a.doc_id, cd.lang, a.cleaned_text FROM agg a "
+            "JOIN cd USING (doc_id)), "
+            "ctok AS (SELECT doc_id, unnest(string_split(cleaned_text, ' ')) AS token "
+            "FROM ct), "
+            "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(cost) AS BIGINT) AS nll_micro, "
+            "CAST(sum(cost) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_nll_micro "
+            "FROM ctok JOIN cost USING (token) GROUP BY doc_id) "
+            "SELECT ct.doc_id, ct.lang, sc.n_tokens, sc.nll_micro, "
+            "sc.avg_nll_micro, ct.cleaned_text "
+            "FROM ct JOIN sc USING (doc_id) WHERE sc.avg_nll_micro <= 3407000.0"
         ),
         "dedup_text_segments": (
             # C4-style global duplicate-span removal over fixed 10-token

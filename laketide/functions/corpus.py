@@ -351,3 +351,91 @@ def pack_sequences(sf_dir: str, budget: int = 256) -> pa.Table:
             [("doc_id", pa.int64()), ("n_tokens", pa.int64()), ("seq_id", pa.int64())]
         ).empty_table()
     return pa.concat_tables(parts)
+
+
+def prepare_corpus_llm(
+    sf_dir: str,
+    n_bench: int = 20,
+    max_nll_micro: int = 3_407_000,
+) -> rd.Dataset:
+    """The round-4 composed LLM data pipeline — three previously
+    oracle-verified operators chained end-to-end and oracle-verified as
+    a whole:
+
+    1. DECONTAMINATE: drop every doc sharing a word trigram with the
+       held-out benchmark docs (doc_id < ``n_bench``); drop the
+       benchmark docs themselves.
+    2. SPAN DEDUP (C4 rule): global first-occurrence dedup of 10-token
+       segments with text reconstruction; fully-duplicate docs
+       (n_kept = 0) are dropped.
+    3. PERPLEXITY GATE: score the CLEANED text against the unigram LM
+       trained on the FULL original corpus (integer micro-nat costs,
+       order-free exact sums); keep docs with mean cost <=
+       ``max_nll_micro``.
+
+    Returns (doc_id, lang, n_tokens, nll_micro, avg_nll_micro,
+    cleaned_text). Scale shape: two tiny broadcasts (bench gram set,
+    vocabulary cost table) + the span-dedup pair of coarse shuffles;
+    every other stage is shuffle-free streaming."""
+    from laketide.functions.text import (
+        _bench_gram_set,
+        _decontaminate_pass,
+        _span_dedup_pipeline,
+        _unigram_cost_table,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("nll_micro", pa.int64()),
+            ("avg_nll_micro", pa.float64()),
+            ("cleaned_text", pa.string()),
+        ]
+    )
+    bench_bc = ray.put(_bench_gram_set(sf_dir, n_bench))
+    built = _unigram_cost_table(sf_dir)
+    if built is None:
+        return rd.from_arrow(out_schema.empty_table())
+    cost_bc = ray.put(built)
+
+    clean_docs = _decontaminate_pass(
+        sf_dir,
+        n_bench,
+        lambda grams: pc.is_in(grams, value_set=ray.get(bench_bc)),
+        out_columns=("doc_id", "text", "lang"),
+    )
+    deduped = _span_dedup_pipeline(clean_docs, carry_lang=True)
+
+    def score_gate(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_kept"], 0))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tok_bc, cost_np = ray.get(cost_bc)
+        toks = pc.split_pattern(t["cleaned_text"], " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        # every cleaned token came from the original corpus vocabulary
+        idx = pc.fill_null(pc.index_in(flat, value_set=tok_bc), 0)
+        costs = cost_np[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        starts = np.cumsum(lens) - lens
+        nll = np.add.reduceat(costs, starts).astype(np.int64)
+        avg = nll.astype(np.float64) / lens.astype(np.float64)
+        out = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": pc.cast(t["lang"], pa.string()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "nll_micro": pa.array(nll, pa.int64()),
+                "avg_nll_micro": pa.array(avg, pa.float64()),
+                "cleaned_text": t["cleaned_text"],
+            }
+        )
+        return out.filter(pa.array(avg <= float(max_nll_micro)))
+
+    return deduped.map_batches(
+        score_gate, batch_format="pyarrow", zero_copy_batch=True
+    )

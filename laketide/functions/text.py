@@ -948,13 +948,20 @@ def benchmark_contamination(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
     )
 
 
-def _decontaminate_pass(sf_dir: str, n_bench: int, hit_mask_fn) -> rd.Dataset:
+def _decontaminate_pass(
+    sf_dir: str,
+    n_bench: int,
+    hit_mask_fn,
+    out_columns: tuple[str, ...] = ("doc_id", "lang", "n_chars"),
+) -> rd.Dataset:
     """Shared decontamination corpus pass: stream the corpus
     shuffle-free, drop every doc with ANY benchmark-gram hit.
     ``hit_mask_fn(gram_array) -> boolean array`` is the one point the
     exact and bloom variants differ on (set membership vs bitmap
     probe). Null text emits no grams -> never dirty -> kept, like the
     SQL NOT EXISTS."""
+    cols = sorted({"doc_id", "text", *out_columns})
+    out = list(out_columns)
 
     def keep_clean(t: pa.Table) -> pa.Table:
         t = t.filter(
@@ -964,17 +971,37 @@ def _decontaminate_pass(sf_dir: str, n_bench: int, hit_mask_fn) -> rd.Dataset:
             )
         )
         if t.num_rows == 0:
-            return t.select(["doc_id", "lang", "n_chars"])
+            return t.select(out)
         rows = _word_trigram_rows(t)
         if rows.num_rows:
             hits = hit_mask_fn(rows["gram"].combine_chunks())
             dirty = pc.unique(rows["doc_id"].combine_chunks().filter(hits))
             t = t.filter(pc.invert(pc.is_in(t["doc_id"], value_set=dirty)))
-        return t.select(["doc_id", "lang", "n_chars"])
+        return t.select(out)
 
-    return _docs(sf_dir, columns=["doc_id", "text", "lang", "n_chars"]).map_batches(
+    return _docs(sf_dir, columns=cols).map_batches(
         keep_clean, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _bench_gram_set(sf_dir: str, n_bench: int) -> pa.Array:
+    """Distinct word trigrams of the held-out benchmark docs
+    (doc_id < n_bench) — the tiny broadcast side of decontamination."""
+
+    def bench_filter(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.fill_null(pc.less(t["doc_id"], pa.scalar(n_bench)), False)
+        )
+
+    parts = collect_tables(
+        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+            bench_filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    if parts:
+        bench_rows = _word_trigram_rows(pa.concat_tables(parts))
+        return pc.unique(bench_rows["gram"].combine_chunks())
+    return pa.array([], pa.string())
 
 
 def decontaminate_docs(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
@@ -989,23 +1016,7 @@ def decontaminate_docs(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
     shuffle-free (per-batch is_in + per-doc any-hit fold)."""
     import ray
 
-    def bench_filter(t: pa.Table) -> pa.Table:
-        return t.filter(
-            pc.fill_null(pc.less(t["doc_id"], pa.scalar(n_bench)), False)
-        )
-
-    parts = collect_tables(
-        _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
-            bench_filter, batch_format="pyarrow", zero_copy_batch=True
-        )
-    )
-    if parts:
-        bench_rows = _word_trigram_rows(pa.concat_tables(parts))
-        bench_set = pc.unique(bench_rows["gram"].combine_chunks())
-    else:
-        bench_set = pa.array([], pa.string())
-    bc = ray.put(bench_set)
-
+    bc = ray.put(_bench_gram_set(sf_dir, n_bench))
     return _decontaminate_pass(
         sf_dir, n_bench, lambda grams: pc.is_in(grams, value_set=ray.get(bc))
     )
@@ -1792,49 +1803,40 @@ def _segment_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def dedup_text_segments(sf_dir: str) -> rd.Dataset:
-    """Global duplicate-span removal with text reconstruction — the C4
-    cleanup rule ("discard all but one of any span occurring more than
-    once", Raffel et al. 2020) mapped onto fixed 10-token segments. For
-    every document: split into contiguous segments, keep only segments
-    whose globally FIRST occurrence (ordered by doc_id, then position)
-    lives in this document at this position, and rebuild the cleaned
-    text from the kept segments in document order. Returns
-    (doc_id, n_segments, n_kept, cleaned_text).
-
-    Scale shape: two coarse shuffles, both on ~4xCPU partitions —
-    (1) segment rows co-locate by segment-hash, so the global first
-    occurrence per distinct segment is decided partition-locally with
-    one ``pd.factorize`` + lexsort (exact string identity — no
-    hash-collision exposure); (2) the kept rows (plus one tiny totals
-    row per doc, so fully-duplicated docs still emit a row) co-locate
-    by doc_id and the text is rebuilt with one ``binary_join`` per
-    partition. No per-group UDFs, no driver materialization; at 100 TB
-    the segment exchange is the inherent cost of a global dedup and
-    ships (doc_id, pos, seg) rows only."""
+def _span_dedup_pipeline(docs: rd.Dataset, carry_lang: bool = False) -> rd.Dataset:
+    """Core of ``dedup_text_segments``, reusable over ANY (doc_id, text
+    [, lang]) Dataset (the composed corpus pipeline feeds it a
+    decontaminated corpus). ``docs`` is consumed by two branches
+    (segment rows + per-doc totals markers) — both re-execute the
+    upstream plan, so keep it a cheap deterministic filter over a read.
+    Returns (doc_id[, lang], n_segments, n_kept, cleaned_text)."""
     from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
     from laketide.functions.relational import _key_hash_u64
 
     n_parts = _coarse_n_parts()
-    row_schema = pa.schema(
-        [
-            ("doc_id", pa.int64()),
-            ("pos", pa.int64()),
-            ("seg", pa.string()),
-            ("nseg", pa.int64()),
-        ]
-    )
-    out_schema = pa.schema(
-        [
-            ("doc_id", pa.int64()),
-            ("n_segments", pa.int64()),
-            ("n_kept", pa.int64()),
-            ("cleaned_text", pa.string()),
-        ]
-    )
+    row_fields = [
+        ("doc_id", pa.int64()),
+        ("pos", pa.int64()),
+        ("seg", pa.string()),
+        ("nseg", pa.int64()),
+    ]
+    if carry_lang:
+        row_fields.append(("lang", pa.string()))
+    row_schema = pa.schema(row_fields)
+    out_fields = [("doc_id", pa.int64())]
+    if carry_lang:
+        out_fields.append(("lang", pa.string()))
+    out_fields += [
+        ("n_segments", pa.int64()),
+        ("n_kept", pa.int64()),
+        ("cleaned_text", pa.string()),
+    ]
+    out_schema = pa.schema(out_fields)
 
     def seg_part(t: pa.Table) -> pa.Table:
         rows = _segment_rows(t)
+        if carry_lang:
+            rows = rows.append_column("lang", pa.nulls(rows.num_rows, pa.string()))
         part = _coarse_parts(_key_hash_u64(rows["seg"]), n_parts=n_parts)
         return rows.append_column("_cpart", pa.array(part, pa.int64()))
 
@@ -1874,14 +1876,17 @@ def dedup_text_segments(sf_dir: str) -> rd.Dataset:
         np.cumsum(n_kept, out=offsets[1:])
         lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
         cleaned = pc.fill_null(pc.binary_join(lists, " "), "")
-        return pa.table(
-            {
-                "doc_id": pa.array(doc_s[starts], pa.int64()),
-                "n_segments": pa.array(nseg_s[starts], pa.int64()),
-                "n_kept": pa.array(n_kept, pa.int64()),
-                "cleaned_text": cleaned,
-            }
-        )
+        cols = {"doc_id": pa.array(doc_s[starts], pa.int64())}
+        if carry_lang:
+            cols["lang"] = (
+                t["lang"].combine_chunks()
+                .take(pa.array(order, pa.int64()))
+                .take(pa.array(starts, pa.int64()))
+            )
+        cols["n_segments"] = pa.array(nseg_s[starts], pa.int64())
+        cols["n_kept"] = pa.array(n_kept, pa.int64())
+        cols["cleaned_text"] = cleaned
+        return pa.table(cols)
 
     def totals(t: pa.Table) -> pa.Table:
         # one (doc_id, pos=-1) marker row per doc: ceil(token count / W)
@@ -1891,16 +1896,16 @@ def dedup_text_segments(sf_dir: str) -> rd.Dataset:
         n_np = pc.cast(n_toks, pa.int64()).to_numpy(zero_copy_only=False)
         nseg = -(-n_np // _SEG_W)
         n = t.num_rows
-        return pa.table(
-            {
-                "doc_id": pc.cast(t["doc_id"], pa.int64()),
-                "pos": pa.array(np.full(n, -1, np.int64)),
-                "seg": pa.array([""] * n, pa.string()),
-                "nseg": pa.array(nseg, pa.int64()),
-            }
-        )
+        cols = {
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "pos": pa.array(np.full(n, -1, np.int64)),
+            "seg": pa.array([""] * n, pa.string()),
+            "nseg": pa.array(nseg, pa.int64()),
+        }
+        if carry_lang:
+            cols["lang"] = pc.cast(t["lang"], pa.string())
+        return pa.table(cols)
 
-    docs = _docs(sf_dir, columns=["doc_id", "text"])
     kept = (
         docs.map_batches(seg_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_cpart")
@@ -1918,6 +1923,29 @@ def dedup_text_segments(sf_dir: str) -> rd.Dataset:
             lambda g: rebuild(g.drop_columns(["_cpart"])), batch_format="pyarrow"
         )
     )
+
+
+def dedup_text_segments(sf_dir: str) -> rd.Dataset:
+    """Global duplicate-span removal with text reconstruction — the C4
+    cleanup rule ("discard all but one of any span occurring more than
+    once", Raffel et al. 2020) mapped onto fixed 10-token segments. For
+    every document: split into contiguous segments, keep only segments
+    whose globally FIRST occurrence (ordered by doc_id, then position)
+    lives in this document at this position, and rebuild the cleaned
+    text from the kept segments in document order. Returns
+    (doc_id, n_segments, n_kept, cleaned_text).
+
+    Scale shape: two coarse shuffles, both on ~4xCPU partitions —
+    (1) segment rows co-locate by segment-hash, so the global first
+    occurrence per distinct segment is decided partition-locally with
+    one ``pd.factorize`` + lexsort (exact string identity — no
+    hash-collision exposure); (2) the kept rows (plus one tiny totals
+    row per doc, so fully-duplicated docs still emit a row) co-locate
+    by doc_id and the text is rebuilt with one ``binary_join`` per
+    partition. No per-group UDFs, no driver materialization; at 100 TB
+    the segment exchange is the inherent cost of a global dedup and
+    ships (doc_id, pos, seg) rows only."""
+    return _span_dedup_pipeline(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
 def _tf_counts(sf_dir: str) -> rd.Dataset:
@@ -1941,6 +1969,27 @@ def _tf_counts(sf_dir: str) -> rd.Dataset:
         .groupby("token")
         .aggregate(Sum("c", alias_name="c"))
     )
+
+
+def _unigram_cost_table(sf_dir: str) -> "tuple[pa.Array, np.ndarray] | None":
+    """(vocab tokens, per-token integer micro-nat costs) trained on the
+    FULL corpus — floor(-ln(tf/N)*1e6) via ``math.log`` (libm, the
+    DuckDB-ln-parity requirement). None on an empty corpus."""
+    import math
+
+    parts = collect_tables(_tf_counts(sf_dir))
+    if not parts:
+        return None
+    tf = pa.concat_tables(parts)
+    tok_arr = tf["token"].combine_chunks()
+    c_np = pc.cast(tf["c"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+    n_total = int(c_np.sum())
+    cost_np = np.fromiter(
+        (math.floor(-math.log(c / n_total) * 1e6) for c in c_np.tolist()),
+        np.int64,
+        len(c_np),
+    )
+    return tok_arr, cost_np
 
 
 def unigram_logppl(sf_dir: str) -> rd.Dataset:
@@ -1973,19 +2022,10 @@ def unigram_logppl(sf_dir: str) -> rd.Dataset:
             ("avg_nll_micro", pa.float64()),
         ]
     )
-    parts = collect_tables(_tf_counts(sf_dir))
-    if not parts:
+    built = _unigram_cost_table(sf_dir)
+    if built is None:
         return rd.from_arrow(out_schema.empty_table())
-    tf = pa.concat_tables(parts)
-    tok_arr = tf["token"].combine_chunks()
-    c_np = pc.cast(tf["c"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-    n_total = int(c_np.sum())
-    cost_np = np.fromiter(
-        (math.floor(-math.log(c / n_total) * 1e6) for c in c_np.tolist()),
-        np.int64,
-        len(c_np),
-    )
-    bc = ray.put((tok_arr, cost_np))
+    bc = ray.put(built)
 
     def score(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
