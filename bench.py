@@ -275,6 +275,10 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
 
         timed("pack_sequences", pack_sequences)
         timed("dedup_text_segments", text.dedup_text_segments)
+
+        from laketide.functions.corpus import prepare_corpus_llm
+
+        timed("corpus_prepared_llm", prepare_corpus_llm)
         timed("unigram_logppl", text.unigram_logppl)
         timed("doc_chunk_windows", text.doc_chunk_windows)
 
