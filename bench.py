@@ -212,6 +212,19 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         timed("knn_ivf_build_cold", _ivf_cold)
         timed("knn_ivf_index_warm", similarity.knn_ivf)
         timed("minhash_lsh_candidates", dedup.minhash_lsh_candidates)
+
+        # persisted banded-signature artifact: cold leg shingles the
+        # corpus + writes signatures, warm leg serves candidates from
+        # the artifact without touching the corpus
+        def _mh_cold(sf):
+            shutil.rmtree(dedup._minhash_index_dir(sf), ignore_errors=True)
+            return dedup.minhash_lsh_candidates(sf, from_index=True)
+
+        timed("minhash_sig_build_cold", _mh_cold)
+        timed(
+            "minhash_sig_index_warm",
+            lambda sf: dedup.minhash_lsh_candidates(sf, from_index=True),
+        )
         timed("ngram_jaccard_join", dedup.ngram_jaccard_join)
         timed("simhash_dedup", dedup.simhash_dedup)
         timed("embedding_near_dup", similarity.embedding_near_dup)

@@ -360,35 +360,22 @@ def _dedup_pairs_group(t: pa.Table, part_col: str = "pair_part") -> pa.Table:
     return _int64_table([m], cols)
 
 
-def minhash_lsh_candidates(sf_dir: str) -> rd.Dataset:
+def minhash_lsh_candidates(sf_dir: str, from_index: bool = False) -> rd.Dataset:
     """Candidate near-dup pairs from MinHash-LSH banding (deduped).
 
     Shuffle shape: both exchanges key on a COARSE deterministic partition
     (hash of the bucket / pair mod ~4xCPUs) so each map_groups call
     handles thousands of buckets vectorized instead of one pandas UDF
     call per bucket; (band, band_hash) buckets still co-locate inside
-    their coarse partition, so pair emission and dedup stay exact."""
-    import ray as _ray
+    their coarse partition, so pair emission and dedup stay exact.
 
-    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ``from_index=True`` serves from the persisted banded-signature
+    artifact (``minhash_signature_build``; built on first use) instead
+    of re-shingling the corpus — the instance-closure MinHasher stays
+    the direct path (perm params rebuild in microseconds; the artifact
+    saves the CORPUS scan, not the hasher setup)."""
     n_parts = _coarse_n_parts()
-    # instance-closure task (perm params built once on the driver and
-    # shipped with the fn): actor pools pay ~1.5s startup per query for
-    # state that rebuilds in microseconds — reserve them for heavy state
-    hasher = MinHasher()
-
-    def band_with_part(t: pa.Table) -> pa.Table:
-        out = hasher(t)
-        part = _coarse_parts(
-            out["band"].to_numpy(zero_copy_only=False),
-            out["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
-            n_parts=n_parts,
-        )
-        return out.append_column("bucket_part", pa.array(part, pa.int64()))
-
-    banded = docs.map_batches(
-        band_with_part, batch_format="pyarrow", zero_copy_batch=True
-    )
+    banded = _banded_rows(sf_dir, from_index)
     pairs = banded.groupby("bucket_part").map_groups(
         lambda g: _grouped_bucket_pairs(g.drop_columns(["bucket_part"])),
         batch_format="pyarrow",
@@ -1610,4 +1597,104 @@ def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
         return out_schema.empty_table()
     return pa.concat_tables(parts).sort_by(
         [("name_a", "ascending"), ("name_b", "ascending")]
+    )
+
+
+def _minhash_index_dir(sf_dir: str) -> str:
+    """Cache location + source fingerprint for the persisted banded
+    MinHash signature artifact: keyed on the documents file identity
+    (path, size, mtime_ns) and the banding constants, so a changed
+    corpus or banding can never serve stale signatures."""
+    import hashlib
+    import os
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|b{_BANDS}r{_ROWS_PER_BAND}".encode()
+    ).hexdigest()[:16]
+    return os.path.join("/tmp", "laketide_minhash_index", f"mh-{fp}")
+
+
+def minhash_signature_build(sf_dir: str, index_dir: str | None = None) -> str:
+    """Build (or reuse) the PERSISTED banded-signature artifact:
+    (doc_id, band, band_hash, bucket_part) rows as parquet plus an
+    INDEX.json manifest, published with the lake's atomic-publish
+    discipline (staging dir -> one os.replace). At 100 TB the shingle +
+    minhash pass over the raw text is the dominant cost of every LSH
+    query; persisting the banded rows turns each subsequent candidate /
+    stats / verify call into a scan of the (tiny, fixed-width)
+    signature table instead of the corpus."""
+    import json as _json
+    import os
+    import shutil as _sh
+    import uuid
+
+    final = index_dir or _minhash_index_dir(sf_dir)
+    if os.path.exists(os.path.join(final, "INDEX.json")):
+        return final
+    n_parts = _coarse_n_parts()
+    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hasher = MinHasher()
+
+    def band_with_part(t: pa.Table) -> pa.Table:
+        out = hasher(t)
+        part = _coarse_parts(
+            out["band"].to_numpy(zero_copy_only=False),
+            out["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
+            n_parts=n_parts,
+        )
+        return out.append_column("bucket_part", pa.array(part, pa.int64()))
+
+    tmp = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    os.makedirs(os.path.join(tmp, "rows"), exist_ok=True)
+    docs.map_batches(
+        band_with_part, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(os.path.join(tmp, "rows"))
+    with open(os.path.join(tmp, "INDEX.json"), "w") as fh:
+        fh.write(
+            _json.dumps(
+                {"bands": _BANDS, "rows_per_band": _ROWS_PER_BAND, "n_parts": n_parts},
+                sort_keys=True,
+            )
+        )
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.replace(tmp, final)
+    except OSError:
+        # a concurrent build published first: theirs is equivalent
+        _sh.rmtree(tmp, ignore_errors=True)
+    return final
+
+
+def _banded_rows(sf_dir: str, from_index: bool) -> "rd.Dataset":
+    """Banded (doc_id, band, band_hash, bucket_part) rows — computed
+    from the corpus, or read back from the persisted signature artifact
+    (``from_index=True``; builds it on first use)."""
+    if from_index:
+        import os
+
+        import ray.data as _rd
+
+        idx = minhash_signature_build(sf_dir)
+        # Ray-written parquet carries no pandas schema metadata, so the
+        # plain read is already scrub-clean (scrubbed_read's
+        # pq.read_schema cannot open a directory)
+        return _rd.read_parquet(os.path.join(idx, "rows"))
+    n_parts = _coarse_n_parts()
+    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    hasher = MinHasher()
+
+    def band_with_part(t: pa.Table) -> pa.Table:
+        out = hasher(t)
+        part = _coarse_parts(
+            out["band"].to_numpy(zero_copy_only=False),
+            out["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
+            n_parts=n_parts,
+        )
+        return out.append_column("bucket_part", pa.array(part, pa.int64()))
+
+    return docs.map_batches(
+        band_with_part, batch_format="pyarrow", zero_copy_batch=True
     )

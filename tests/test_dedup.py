@@ -547,3 +547,36 @@ def test_duplicated_ngram_share_planted(tmp_path):
     assert out.loc[2, "n_shared"] == 2  # 'alpha beta gamma', 'beta gamma delta'
     assert out.loc[4, "n_grams"] == 1 and out.loc[4, "dup_share"] == 0.0
     assert 5 not in out.index  # null text emits nothing, like the SQL
+
+
+def test_minhash_candidates_from_persisted_signatures(planted_docs):
+    """Candidates served from the persisted signature artifact equal the
+    direct (re-shingle) path exactly; the artifact is fingerprint-cached
+    (second build returns the same dir without rebuilding)."""
+    import os
+    import shutil
+
+    from laketide.functions.dedup import (
+        _minhash_index_dir,
+        minhash_lsh_candidates,
+        minhash_signature_build,
+    )
+
+    sf_dir, _ = planted_docs
+    shutil.rmtree(_minhash_index_dir(sf_dir), ignore_errors=True)
+    direct = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(sf_dir).take_all()
+    }
+    idx = minhash_signature_build(sf_dir)
+    assert os.path.exists(os.path.join(idx, "INDEX.json"))
+    mtime = os.path.getmtime(os.path.join(idx, "INDEX.json"))
+    via_index = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(sf_dir, from_index=True).take_all()
+    }
+    assert via_index == direct and direct
+    # cached: the rebuild call reuses the artifact untouched
+    assert minhash_signature_build(sf_dir) == idx
+    assert os.path.getmtime(os.path.join(idx, "INDEX.json")) == mtime
+    shutil.rmtree(idx, ignore_errors=True)
