@@ -183,6 +183,11 @@ def main(argv: list[str] | None = None) -> int:
         from laketide.pipelines.cdc import LakeTable
 
         t = LakeTable(args.table)
+        if (args.delete or args.epoch is not None) and not args.name:
+            # refuse a silent fall-through to the list branch: a script
+            # that dropped --name must not believe its delete succeeded
+            print(json.dumps({"error": "--delete/--epoch require --name"}))
+            return 2
         if args.name and args.delete:
             print(json.dumps({"deleted": t.delete_tag(args.name)}))
         elif args.name:

@@ -1610,9 +1610,11 @@ def _minhash_index_dir(sf_dir: str) -> str:
 
     src = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src)
+    # every constant that shapes the signatures is in the key: a code
+    # change to shingling / permutations / seeding must miss the cache
     fp = hashlib.sha256(
         f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
-        f"|b{_BANDS}r{_ROWS_PER_BAND}".encode()
+        f"|b{_BANDS}r{_ROWS_PER_BAND}k{_SHINGLE_K}p{_N_PERM}s12345".encode()
     ).hexdigest()[:16]
     return os.path.join("/tmp", "laketide_minhash_index", f"mh-{fp}")
 
@@ -1673,15 +1675,29 @@ def _banded_rows(sf_dir: str, from_index: bool) -> "rd.Dataset":
     from the corpus, or read back from the persisted signature artifact
     (``from_index=True``; builds it on first use)."""
     if from_index:
+        import glob as _glob
         import os
 
         import ray.data as _rd
 
         idx = minhash_signature_build(sf_dir)
+        files = _glob.glob(os.path.join(idx, "rows", "*.parquet"))
+        if not files:
+            # empty corpus: Ray write_parquet emits no files at 0 rows
+            return _rd.from_arrow(
+                pa.schema(
+                    [
+                        ("doc_id", pa.int64()),
+                        ("band", pa.int64()),
+                        ("band_hash", pa.int64()),
+                        ("bucket_part", pa.int64()),
+                    ]
+                ).empty_table()
+            )
         # Ray-written parquet carries no pandas schema metadata, so the
         # plain read is already scrub-clean (scrubbed_read's
         # pq.read_schema cannot open a directory)
-        return _rd.read_parquet(os.path.join(idx, "rows"))
+        return _rd.read_parquet(files)
     n_parts = _coarse_n_parts()
     docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     hasher = MinHasher()

@@ -1056,11 +1056,28 @@ class LakeTable:
 
     def manifest_at(self, epoch: int) -> M.Manifest | None:
         """The manifest committed for ``epoch`` (time-travel handle).
-        Superseded epochs may have been GC'd (``gc(keep_last=...)``)."""
+        Superseded epochs may have been GC'd (``gc(keep_last=...)``).
+        Falls back to the epoch's newest MAINTENANCE manifest
+        (``manifest-NNNNNN-c0.json``) when the base file is gone — after
+        compact + gc only the maintenance variant may remain, and it
+        replays the same logical state."""
+        import glob as _glob
+
         p = M.paths(self.table_dir)
         path = os.path.join(p["manifests"], f"manifest-{epoch:06d}.json")
         try:
             with open(path) as fh:
+                return M.Manifest.from_json(fh.read())
+        except FileNotFoundError:
+            pass
+        variants = _glob.glob(
+            os.path.join(p["manifests"], f"manifest-{epoch:06d}-*.json")
+        )
+        if not variants:
+            return None
+        newest = max(variants, key=os.path.getmtime)
+        try:
+            with open(newest) as fh:
                 return M.Manifest.from_json(fh.read())
         except FileNotFoundError:
             return None
@@ -2304,7 +2321,17 @@ class LakeTable:
         return rows
 
     # ------------------------------------------------------------------- tags
-    _TAG_NAME_RE = None  # compiled lazily (module keeps imports light)
+    @staticmethod
+    def _check_tag_name(name: str) -> None:
+        import re as _re
+
+        if not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$", name) or name.endswith(
+            ".tmp"
+        ):
+            raise ValueError(
+                f"invalid tag name {name!r} (alnum start; [A-Za-z0-9._-], "
+                "max 64, must not end in .tmp)"
+            )
 
     def tag(self, name: str, epoch: int | None = None) -> dict[str, Any]:
         """Pin a committed epoch under a stable name (Iceberg tag
@@ -2313,12 +2340,7 @@ class LakeTable:
         time-travel-readable until the tag is deleted. Taken under the
         writer lock — tagging must not race a gc computing its keep set
         (the tag could land after gc chose what to delete)."""
-        import re as _re
-
-        if not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]{0,63}$", name):
-            raise ValueError(
-                f"invalid tag name {name!r} (alnum start; [A-Za-z0-9._-], max 64)"
-            )
+        self._check_tag_name(name)
         lock = self._acquire_lock()
         try:
             if epoch is None:
@@ -2337,20 +2359,26 @@ class LakeTable:
             self._release_lock(lock)
         return {"name": name, "epoch": epoch}
 
-    def tags(self) -> dict[str, int]:
-        """name -> epoch for every tag on this table."""
+    def tags(self, strict: bool = False) -> dict[str, int]:
+        """name -> epoch for every tag on this table. ``strict=True``
+        raises on an unreadable/corrupt tag file instead of skipping it —
+        gc MUST use strict (a silently-skipped tag would silently unpin
+        its epoch), and fsck uses strict to surface the corruption."""
         import glob as _glob
 
         p = M.paths(self.table_dir)
         out: dict[str, int] = {}
         for f in sorted(_glob.glob(os.path.join(p["tags"], "*"))):
-            if ".tmp" in os.path.basename(f):
-                continue
+            base = os.path.basename(f)
+            if base.endswith(".tmp"):
+                continue  # _atomic_write crash leftover, never a tag
             try:
                 with open(f) as fh:
-                    out[os.path.basename(f)] = int(json.load(fh)["epoch"])
-            except (OSError, ValueError, KeyError):
-                continue  # fsck reports unreadable tags
+                    out[base] = int(json.load(fh)["epoch"])
+            except (OSError, ValueError, KeyError) as ex:
+                if strict:
+                    raise RuntimeError(f"unreadable tag file {base!r}: {ex}") from ex
+                continue
         return out
 
     def resolve_tag(self, name: str) -> int:
@@ -2361,7 +2389,10 @@ class LakeTable:
 
     def delete_tag(self, name: str) -> bool:
         """Remove a tag (the epoch becomes gc-able again). Under the
-        writer lock for the same reason tag() is."""
+        writer lock for the same reason tag() is. Validates the name —
+        an unvalidated os.remove(join(dir, name)) would be a
+        path-traversal file deleter ('../CURRENT')."""
+        self._check_tag_name(name)
         lock = self._acquire_lock()
         try:
             p = M.paths(self.table_dir)
@@ -2483,9 +2514,16 @@ class LakeTable:
         )
         if stale_tmp:
             warnings.append(f"{len(stale_tmp)} stale staging/tmp file(s)")
-        # tags must resolve to retained manifests (gc pins tagged epochs,
-        # so a dangler means manual deletion or external corruption)
-        for tname, tepoch in self.tags().items():
+        # tags must parse and resolve to retained manifests (gc pins
+        # tagged epochs, so a dangler means manual deletion or external
+        # corruption; an unreadable tag file is corruption too — the
+        # non-strict read would hide it AND gc refuses to run over it)
+        try:
+            tag_map = self.tags(strict=True)
+        except RuntimeError as ex:
+            errors.append(str(ex))
+            tag_map = self.tags()
+        for tname, tepoch in tag_map.items():
             if self.manifest_at(tepoch) is None:
                 errors.append(
                     f"tag {tname!r} points at epoch {tepoch} with no retained manifest"
@@ -2552,8 +2590,9 @@ class LakeTable:
             pass
         # tagged epochs are pinned: every manifest file of a tagged
         # epoch stays (base + maintenance variants), so state_table_at
-        # keeps replaying it until the tag is deleted
-        tagged = set(self.tags().values())
+        # keeps replaying it until the tag is deleted. STRICT read: an
+        # unreadable tag must abort gc, not silently unpin its epoch.
+        tagged = set(self.tags(strict=True).values())
         if tagged:
             for mf in manifests:
                 if _recency(mf)[0] in tagged and mf not in keep:

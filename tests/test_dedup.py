@@ -580,3 +580,21 @@ def test_minhash_candidates_from_persisted_signatures(planted_docs):
     assert minhash_signature_build(sf_dir) == idx
     assert os.path.getmtime(os.path.join(idx, "INDEX.json")) == mtime
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_minhash_index_empty_corpus(tmp_path):
+    """Empty corpus: the artifact publishes with zero row files and the
+    index read path returns an empty typed stream, not a crash (and the
+    cached artifact keeps working on later calls)."""
+    import shutil
+
+    from laketide.functions.dedup import _minhash_index_dir, minhash_lsh_candidates
+
+    t = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    shutil.rmtree(_minhash_index_dir(str(tmp_path)), ignore_errors=True)
+    assert minhash_lsh_candidates(str(tmp_path), from_index=True).count() == 0
+    assert minhash_lsh_candidates(str(tmp_path), from_index=True).count() == 0
+    shutil.rmtree(_minhash_index_dir(str(tmp_path)), ignore_errors=True)

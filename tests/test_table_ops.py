@@ -1824,3 +1824,53 @@ def test_tag_cli(changelog, tmp_path):
     with redirect_stdout(buf):
         assert main(["tag", "--table", t.table_dir, "--name", "v1", "--delete"]) == 0
     assert json.loads(buf.getvalue()) == {"deleted": True}
+
+
+def test_tag_hardening(changelog, tmp_path):
+    """Review regressions: delete_tag must not path-traverse; corrupt
+    tag files abort gc (not silently unpin) and surface in fsck; .tmp
+    names are rejected; tagging works when only a maintenance manifest
+    remains for the live epoch (compact + gc)."""
+    import laketide.state.manifest as M
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    for f in changelog:
+        t.apply_epoch(f)
+    # path traversal refused (CURRENT must survive)
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.delete_tag("../CURRENT")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.delete_tag("/etc/passwd")
+    with pytest.raises(ValueError, match="invalid tag name"):
+        t.tag("snap.tmp")
+    # compact + gc leaves only the maintenance manifest for the live
+    # epoch: tagging and time travel must still resolve it
+    t.compact()
+    t.gc(keep_last=1)
+    snap = t.state_table()
+    t.tag("release")
+    assert t.state_table_at(tag="release").equals(snap)
+    # corrupt tag file: gc refuses, fsck reports
+    tag_dir = M.paths(t.table_dir)["tags"]
+    with open(os.path.join(tag_dir, "broken"), "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(RuntimeError, match="unreadable tag"):
+        t.gc(keep_last=1)
+    rep = t.fsck()
+    assert not rep["ok"] and any("unreadable tag" in e for e in rep["errors"])
+    os.remove(os.path.join(tag_dir, "broken"))
+    assert t.fsck()["ok"]
+
+
+def test_tag_cli_refuses_delete_without_name(changelog, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+
+    from laketide.__main__ import main
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t.apply_epoch(changelog[0])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        assert main(["tag", "--table", t.table_dir, "--delete"]) == 2
+    assert "error" in json.loads(buf.getvalue())
