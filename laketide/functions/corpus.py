@@ -405,9 +405,9 @@ def prepare_corpus_llm(
         n_bench,
         lambda grams: pc.is_in(grams, value_set=ray.get(bench_bc)),
         out_columns=("doc_id", "text", "lang"),
-    ).materialize()  # consumed by BOTH span-dedup branches: without
-    # this the trigram decontamination scan (the dominant corpus pass)
-    # re-executes on the totals-marker branch
+    )  # single-consumer: the span-dedup pipeline emits segment rows
+    # and totals markers in ONE pass, so the decontamination scan
+    # (the dominant corpus pass) runs exactly once, fully streaming
     deduped = _span_dedup_pipeline(clean_docs, carry_lang=True)
 
     def score_gate(t: pa.Table) -> pa.Table:

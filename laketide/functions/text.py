@@ -1806,9 +1806,9 @@ def _segment_rows(t: pa.Table) -> pa.Table:
 def _span_dedup_pipeline(docs: rd.Dataset, carry_lang: bool = False) -> rd.Dataset:
     """Core of ``dedup_text_segments``, reusable over ANY (doc_id, text
     [, lang]) Dataset (the composed corpus pipeline feeds it a
-    decontaminated corpus). ``docs`` is consumed by two branches
-    (segment rows + per-doc totals markers) — both re-execute the
-    upstream plan, so keep it a cheap deterministic filter over a read.
+    decontaminated corpus). ONE pass over ``docs``: segment rows and
+    the per-doc totals markers (pos = -1) ride the same map, so an
+    expensive upstream (decontamination) is never re-executed.
     Returns (doc_id[, lang], n_segments, n_kept, cleaned_text)."""
     from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
     from laketide.functions.relational import _key_hash_u64
@@ -1834,24 +1834,41 @@ def _span_dedup_pipeline(docs: rd.Dataset, carry_lang: bool = False) -> rd.Datas
     out_schema = pa.schema(out_fields)
 
     def seg_part(t: pa.Table) -> pa.Table:
+        # ONE corpus pass: segment rows AND the per-doc (pos=-1) totals
+        # marker ride the same map — segment rows co-locate by
+        # segment-hash (first-occurrence dedup needs it), markers by
+        # doc-hash (they skip dedup, and keying them on their seg=""
+        # would funnel every marker into one hot partition)
         rows = _segment_rows(t)
         if carry_lang:
             rows = rows.append_column("lang", pa.nulls(rows.num_rows, pa.string()))
         part = _coarse_parts(_key_hash_u64(rows["seg"]), n_parts=n_parts)
-        return rows.append_column("_cpart", pa.array(part, pa.int64()))
+        rows = rows.append_column("_cpart", pa.array(part, pa.int64()))
+        markers = totals(t)
+        mpart = _coarse_parts(_key_hash_u64(markers["doc_id"]), n_parts=n_parts)
+        markers = markers.append_column("_cpart", pa.array(mpart, pa.int64()))
+        return pa.concat_tables([rows, markers])
 
     def first_per_seg(t: pa.Table) -> pa.Table:
         # all occurrences of a segment share this partition: the local
-        # first occurrence by (doc_id, pos) is the global one
+        # first occurrence by (doc_id, pos) is the global one. Marker
+        # rows (pos = -1) pass through unconditionally.
         if t.num_rows == 0:
             return row_schema.empty_table()
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        seg_mask = pos >= 0
+        markers = t.filter(pa.array(~seg_mask))
+        t = t.filter(pa.array(seg_mask))
+        if t.num_rows == 0:
+            return markers
         seg = t["seg"].combine_chunks().to_numpy(zero_copy_only=False)
         codes, _ = pd.factorize(seg, sort=False)
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
         pos = t["pos"].to_numpy(zero_copy_only=False)
         order = np.lexsort((pos, doc))
         first = ~pd.Series(codes[order]).duplicated().to_numpy()
-        return t.take(pa.array(np.sort(order[first]), pa.int64()))
+        kept = t.take(pa.array(np.sort(order[first]), pa.int64()))
+        return pa.concat_tables([kept, markers])
 
     def doc_part(t: pa.Table) -> pa.Table:
         part = _coarse_parts(_key_hash_u64(t["doc_id"]), n_parts=n_parts)
@@ -1906,17 +1923,13 @@ def _span_dedup_pipeline(docs: rd.Dataset, carry_lang: bool = False) -> rd.Datas
             cols["lang"] = pc.cast(t["lang"], pa.string())
         return pa.table(cols)
 
-    kept = (
+    return (
         docs.map_batches(seg_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_cpart")
         .map_groups(
             lambda g: first_per_seg(g.drop_columns(["_cpart"])),
             batch_format="pyarrow",
         )
-    )
-    marker = docs.map_batches(totals, batch_format="pyarrow", zero_copy_batch=True)
-    return (
-        kept.union(marker)
         .map_batches(doc_part, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("_cpart")
         .map_groups(
