@@ -47,6 +47,7 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument(
         "--fmt", choices=("parquet", "csv", "jsonl"), default="parquet"
     )
+    sp.add_argument("--tag", help="export a pinned named snapshot instead of HEAD")
 
     sp = sub.add_parser("gc", help="drop superseded manifests/data files")
     sp.add_argument("--table", required=True)
@@ -260,7 +261,7 @@ def main(argv: list[str] | None = None) -> int:
                 )
         elif args.cmd == "export":
             t = LakeTable(args.table)
-            print(json.dumps(t.export_snapshot(args.out, fmt=args.fmt)))
+            print(json.dumps(t.export_snapshot(args.out, fmt=args.fmt, tag=args.tag)))
         elif args.cmd == "gc":
             t = LakeTable(args.table)
             print(json.dumps(t.gc(keep_last=args.keep)))

@@ -2032,7 +2032,9 @@ class LakeTable:
         mask = pc.and_(pc.equal(t["repo"], repo), pc.equal(t["path"], path))
         return t.filter(mask)
 
-    def export_snapshot(self, export_dir: str, fmt: str = "parquet") -> dict[str, Any]:
+    def export_snapshot(
+        self, export_dir: str, fmt: str = "parquet", tag: str | None = None
+    ) -> dict[str, Any]:
         """Versioned snapshot export with checksum manifest (reference
         S10: the ``exports`` table —
         /root/reference/migrations/001_initial_schema.up.sql:95-108; the
@@ -2054,7 +2056,14 @@ class LakeTable:
 
         if fmt not in ("parquet", "csv", "jsonl"):
             raise ValueError(f"unsupported export format: {fmt!r}")
-        man = M.load_current(self.table_dir)
+        if tag is not None:
+            # export a PINNED named snapshot (gc keeps its manifest and
+            # files alive, so the export is reproducible indefinitely)
+            man = self.manifest_at(self.resolve_tag(tag))
+            if not man:
+                raise ValueError(f"tag {tag!r} epoch not retained")
+        else:
+            man = M.load_current(self.table_dir)
         if not man:
             raise ValueError("nothing committed to export")
         # parquet keeps the unsuffixed name (back-compat with existing

@@ -1874,3 +1874,31 @@ def test_tag_cli_refuses_delete_without_name(changelog, tmp_path):
     with redirect_stdout(buf):
         assert main(["tag", "--table", t.table_dir, "--delete"]) == 2
     assert "error" in json.loads(buf.getvalue())
+
+
+def test_export_tagged_snapshot(changelog, tmp_path):
+    """export_snapshot(tag=...) exports the PINNED epoch's state, not
+    HEAD — reproducible release exports long after the table moved on
+    (and after gc, since the tag pins the manifest)."""
+    import pyarrow.parquet as _pq
+
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t.apply_epoch(changelog[0])
+    t.tag("rel1")
+    snap1 = t.state_table()
+    for f in changelog[1:]:
+        t.apply_epoch(f)
+    t.gc(keep_last=1)
+    r = t.export_snapshot(str(tmp_path / "ex"), tag="rel1")
+    assert r["version"] == 1
+    snap_dir = str(tmp_path / "ex" / "snapshot-000001")
+    got = pa.concat_tables(
+        _pq.read_table(os.path.join(snap_dir, f))
+        for f in sorted(os.listdir(snap_dir))
+        if f.endswith(".parquet")
+    )
+    key = lambda tbl: sorted(zip(tbl["repo"].to_pylist(), tbl["path"].to_pylist(), tbl["content"].to_pylist()))
+    assert key(got) == key(snap1)
+    # head export still works alongside
+    r2 = t.export_snapshot(str(tmp_path / "ex"))
+    assert r2["version"] == t.current_epoch() and r2["version"] != 1
