@@ -507,6 +507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_ngram_share": text.duplicated_ngram_share,
         "decontaminate_docs": text.decontaminate_docs,
         "corpus_prepared_llm": _lazy("corpus", "prepare_corpus_llm"),
+        "shuffle_positions": _lazy("corpus", "shuffle_positions"),
         # rows-only BY CONSTRUCTION: bloom false positives may drop a
         # few extra docs (one-sided; pytest bounds it vs the exact
         # filter) — the fixed-size-broadcast scale path
@@ -1495,6 +1496,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ct.doc_id, ct.lang, sc.n_tokens, sc.nll_micro, "
             "sc.avg_nll_micro, ct.cleaned_text "
             "FROM ct JOIN sc USING (doc_id) WHERE sc.avg_nll_micro <= 3407000.0"
+        ),
+        # deterministic training-order permutation: rank under the
+        # Knuth-multiplicative hash (doc_id tiebreak), 0-based
+        "shuffle_positions": (
+            "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+            "CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS shuffle_key, "
+            "CAST(row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, "
+            "doc_id) - 1 AS BIGINT) AS position "
+            "FROM documents WHERE doc_id IS NOT NULL"
         ),
         "dedup_text_segments": (
             # C4-style global duplicate-span removal over fixed 10-token

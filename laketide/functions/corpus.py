@@ -441,3 +441,80 @@ def prepare_corpus_llm(
     return deduped.map_batches(
         score_gate, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def shuffle_positions(sf_dir: str) -> rd.Dataset:
+    """Deterministic global corpus shuffle — the training-order
+    permutation step of a pretraining run: every doc gets a
+    pseudo-random but REPRODUCIBLE position (rank under a
+    Knuth-multiplicative hash of doc_id, doc_id tiebreak), identical
+    across runs, cluster sizes and block layouts — the property that
+    makes a resumed/re-sharded training job see the same data order.
+    Returns (doc_id, shuffle_key, position).
+
+    Scale shape: one distributed ``Dataset.sort`` on the 16-byte
+    (key, doc_id) rows (text never moves), then global positions via
+    the ``pack_sequences`` two-pass prefix-sum scheme — per-block row
+    counts to the driver (O(blocks) ints), exclusive carries back, each
+    block labels locally."""
+    import ray
+
+    from laketide.functions.reads import collect_block_refs
+    from laketide.functions.text import _docs
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("shuffle_key", pa.int64()),
+            ("position", pa.int64()),
+        ]
+    )
+
+    def key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["doc_id"]))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        k = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "shuffle_key": pa.array(k.astype(np.int64), pa.int64()),
+            }
+        )
+
+    keyed = (
+        _docs(sf_dir, columns=["doc_id"])
+        .map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["shuffle_key", "doc_id"])
+    )
+    refs = collect_block_refs(keyed)
+
+    def _tbl(t) -> pa.Table:
+        if not isinstance(t, pa.Table):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        return t
+
+    @ray.remote
+    def block_count(t) -> int:
+        t = _tbl(t)
+        return t.num_rows if "doc_id" in t.column_names else 0
+
+    @ray.remote
+    def block_label(t, carry: int) -> pa.Table:
+        t = _tbl(t)
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return out_schema.empty_table()
+        pos = carry + np.arange(t.num_rows, dtype=np.int64)
+        return t.append_column("position", pa.array(pos, pa.int64()))
+
+    counts = ray.get([block_count.remote(r) for r in refs])
+    carry, offsets = 0, []
+    for c in counts:
+        offsets.append(carry)
+        carry += c
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    # stays distributed: labeled blocks become a Dataset via refs — the
+    # driver only ever held the per-block row counts
+    return rd.from_arrow_refs(
+        [block_label.remote(r, off) for r, off in zip(refs, offsets)]
+    )
