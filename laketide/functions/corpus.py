@@ -35,6 +35,14 @@ import ray
 import ray.data as rd
 
 
+def _tbl(t) -> pa.Table:
+    """Coerce a fanned-out block (Arrow or pandas) to an Arrow table —
+    shared by the per-block remote tasks of the prefix-sum schemes."""
+    if not isinstance(t, pa.Table):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    return t
+
+
 def prepare_corpus(
     sf_dir: str,
     min_tokens: int = 20,
@@ -310,11 +318,6 @@ def pack_sequences(sf_dir: str, budget: int = 256) -> pa.Table:
     )
     refs = collect_block_refs(per_doc)
 
-    def _tbl(t) -> pa.Table:
-        if not isinstance(t, pa.Table):
-            t = pa.Table.from_pandas(t, preserve_index=False)
-        return t
-
     @ray.remote
     def block_stats(t) -> int:
         t = _tbl(t)
@@ -459,7 +462,7 @@ def shuffle_positions(sf_dir: str) -> rd.Dataset:
     block labels locally."""
     import ray
 
-    from laketide.functions.reads import collect_block_refs
+    from laketide.functions.reads import collect_block_refs_with_counts
     from laketide.functions.text import _docs
 
     out_schema = pa.schema(
@@ -471,9 +474,17 @@ def shuffle_positions(sf_dir: str) -> rd.Dataset:
     )
 
     def key(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["doc_id"]))
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        k = (ids * np.uint64(2654435761)) % np.uint64(1 << 32)
+        t = t.filter(
+            pc.and_kleene(
+                pc.is_valid(t["doc_id"]), pc.greater_equal(t["doc_id"], 0)
+            )
+        )
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= (1 << 31):
+            # uint64 wraparound vs the oracle's signed BIGINT modulo —
+            # refuse ids outside the domain where both agree
+            raise ValueError("shuffle_positions requires doc_id < 2^31")
+        k = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
         return pa.table(
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
@@ -486,17 +497,9 @@ def shuffle_positions(sf_dir: str) -> rd.Dataset:
         .map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["shuffle_key", "doc_id"])
     )
-    refs = collect_block_refs(keyed)
-
-    def _tbl(t) -> pa.Table:
-        if not isinstance(t, pa.Table):
-            t = pa.Table.from_pandas(t, preserve_index=False)
-        return t
-
-    @ray.remote
-    def block_count(t) -> int:
-        t = _tbl(t)
-        return t.num_rows if "doc_id" in t.column_names else 0
+    # per-block row counts come from the RefBundle metadata — no extra
+    # counting pass touches the blocks
+    refs, counts = collect_block_refs_with_counts(keyed)
 
     @ray.remote
     def block_label(t, carry: int) -> pa.Table:
@@ -506,13 +509,12 @@ def shuffle_positions(sf_dir: str) -> rd.Dataset:
         pos = carry + np.arange(t.num_rows, dtype=np.int64)
         return t.append_column("position", pa.array(pos, pa.int64()))
 
-    counts = ray.get([block_count.remote(r) for r in refs])
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
     carry, offsets = 0, []
     for c in counts:
         offsets.append(carry)
         carry += c
-    if not refs:
-        return rd.from_arrow(out_schema.empty_table())
     # stays distributed: labeled blocks become a Dataset via refs — the
     # driver only ever held the per-block row counts
     return rd.from_arrow_refs(

@@ -57,3 +57,15 @@ def collect_block_refs(ds: rd.Dataset) -> list:
     rationale as ``collect_tables``: streams internal ref bundles to
     skip to_arrow_refs' MaterializedDataset overhead."""
     return [r for b in ds.iter_internal_ref_bundles() for r in b.block_refs]
+
+
+def collect_block_refs_with_counts(ds: rd.Dataset) -> tuple[list, list[int]]:
+    """(block refs, per-block row counts) — the counts come FREE from
+    the RefBundle block metadata, so prefix-sum position/label schemes
+    need no extra per-block counting pass over the cluster."""
+    refs, counts = [], []
+    for b in ds.iter_internal_ref_bundles():
+        for ref, meta in b.blocks:
+            refs.append(ref)
+            counts.append(int(meta.num_rows or 0))
+    return refs, counts
