@@ -636,3 +636,38 @@ def test_bloom_partial_bitmaps_merge_associatively():
     other = rng.randint(0, 2**63, size=2000).astype(np.uint64)
     fpr = float(_bloom_test(full, other).mean())
     assert fpr < 0.01, fpr
+
+
+def test_shuffle_positions_domain_guard(tmp_path):
+    """uint64-wrap vs signed-modulo divergence guard: negative doc_ids
+    are filtered (like the oracle's WHERE doc_id >= 0), ids >= 2^31
+    refuse loudly, and positions are a 0..n-1 permutation."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from laketide.functions.corpus import shuffle_positions
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([5, -3, 0, 17, None], pa.int64()),
+            "text": pa.array(["a", "b", "c", "d", "e"], pa.string()),
+            "lang": pa.array(["en"] * 5, pa.string()),
+            "source": pa.array(["s"] * 5, pa.string()),
+            "n_chars": pa.array([1] * 5, pa.int64()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = shuffle_positions(str(tmp_path)).to_pandas()
+    assert set(out["doc_id"]) == {0, 5, 17}
+    assert sorted(out["position"]) == [0, 1, 2]
+    big = pa.table(
+        {
+            "doc_id": pa.array([1 << 31], pa.int64()),
+            "text": pa.array(["x"], pa.string()),
+        }
+    )
+    d2 = tmp_path / "big"
+    d2.mkdir()
+    pq.write_table(big, str(d2 / "documents.parquet"))
+    with pytest.raises(Exception, match="2\\^31"):
+        shuffle_positions(str(d2)).to_pandas()
