@@ -513,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # filter) — the fixed-size-broadcast scale path
         "decontaminate_docs_bloom": text.decontaminate_docs_bloom,
         "dedup_text_segments": text.dedup_text_segments,
+        "source_quality_summary": text.source_quality_summary,
         "unigram_logppl": text.unigram_logppl,
         "doc_chunk_windows": text.doc_chunk_windows,
         "pii_redact": text.pii_redact,
@@ -1884,6 +1885,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         "blob_meta": (
             "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents"
+        ),
+        # per-source curation dashboard: exact integer sums + two final
+        # single-division means (no float accumulation on either side)
+        "source_quality_summary": (
+            "WITH q AS (SELECT source, "
+            "coalesce(length(text), 0) AS nc, "
+            "coalesce(len(string_split(text, ' ')), 0) AS nt, "
+            "coalesce(length(text) - length(regexp_replace(text, '[,.;:!?]', '', 'g')), 0) AS np, "
+            "coalesce(list_sum(list_transform(string_split(text, ' '), x -> CASE WHEN x IN "
+            "('the','a','of','and','is','to','in','for','on','with') THEN 1 ELSE 0 END)), 0) AS ns "
+            "FROM documents WHERE source IS NOT NULL) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(nc) AS BIGINT) AS sum_chars, "
+            "CAST(sum(nt) AS BIGINT) AS sum_tokens, "
+            "CAST(sum(np) AS BIGINT) AS sum_punct, "
+            "CAST(sum(ns) AS BIGINT) AS sum_stop, "
+            "CAST(sum(nt) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_tokens, "
+            "CAST(sum(ns) AS DOUBLE)/CAST(GREATEST(sum(nt), 1) AS DOUBLE) AS stop_share "
+            "FROM q GROUP BY source"
         ),
         # MATERIALIZED fence: DuckDB's list kernels reject null-containing
         # column batches even under a plain WHERE embedding IS NOT NULL;

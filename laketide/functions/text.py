@@ -2209,3 +2209,86 @@ def decontaminate_docs_bloom(sf_dir: str, n_bench: int = 20) -> rd.Dataset:
         n_bench,
         lambda grams: pa.array(_bloom_test(ray.get(bc), _key_hash_u64(grams))),
     )
+
+
+def source_quality_summary(sf_dir: str) -> rd.Dataset:
+    """Per-SOURCE quality dashboard — the rollup a data curator reads
+    before deciding mixture weights: doc counts and exact integer sums
+    of the ``doc_quality`` features per source, plus two derived means
+    (single final divisions — no float accumulation anywhere, so the
+    distributed fold is hash-exact). Per-batch grouped partials, one
+    dimension-scale shuffle."""
+    from laketide.functions.dedup import _segment_sums
+
+    ds = _docs(sf_dir, columns=["source", "text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["source"]))
+        txt = t["text"]
+        nc = pc.fill_null(pc.cast(pc.utf8_length(txt), pa.int64()), 0)
+        toks = pc.split_pattern(pc.fill_null(txt, ""), " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        # null text has no tokens, matching the oracle's coalesce(...,0)
+        valid = pc.is_valid(txt).to_numpy(zero_copy_only=False)
+        nt = np.where(valid, lens, 0)
+        stripped = pc.replace_substring_regex(pc.fill_null(txt, ""), _PUNCT_RE, "")
+        npunct = pc.fill_null(
+            pc.subtract(nc, pc.cast(pc.utf8_length(stripped), pa.int64())), 0
+        )
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+            zero_copy_only=False
+        )
+        ns = np.where(valid, _segment_sums(is_stop.astype(np.int64), lens), 0)
+        g = (
+            pa.table(
+                {
+                    "source": t["source"],
+                    "nc": nc,
+                    "nt": pa.array(nt, pa.int64()),
+                    "np": npunct,
+                    "ns": pa.array(ns, pa.int64()),
+                }
+            )
+            .group_by(["source"])
+            .aggregate([("nc", "sum"), ("nt", "sum"), ("np", "sum"), ("ns", "sum"), ([], "count_all")])
+        )
+        return g.rename_columns(["source", "nc", "nt", "np", "ns", "n"])
+
+    agg = (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(
+            Sum("nc", alias_name="sum_chars"),
+            Sum("nt", alias_name="sum_tokens"),
+            Sum("np", alias_name="sum_punct"),
+            Sum("ns", alias_name="sum_stop"),
+            Sum("n", alias_name="n_docs"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = pc.cast(t["n_docs"], pa.int64()).to_numpy(zero_copy_only=False)
+        st = pc.cast(t["sum_tokens"], pa.int64()).to_numpy(zero_copy_only=False)
+        ss = pc.cast(t["sum_stop"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": t["source"],
+                "n_docs": pa.array(n, pa.int64()),
+                "sum_chars": pc.cast(t["sum_chars"], pa.int64()),
+                "sum_tokens": pa.array(st, pa.int64()),
+                "sum_punct": pc.cast(t["sum_punct"], pa.int64()),
+                "sum_stop": pa.array(ss, pa.int64()),
+                "avg_tokens": pa.array(
+                    st.astype(np.float64) / n.astype(np.float64), pa.float64()
+                ),
+                "stop_share": pa.array(
+                    ss.astype(np.float64) / np.maximum(st, 1).astype(np.float64),
+                    pa.float64(),
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
