@@ -1505,7 +1505,7 @@ def oracle_sql() -> dict[str, str]:
             "CAST((doc_id * 2654435761) % 4294967296 AS BIGINT) AS shuffle_key, "
             "CAST(row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, "
             "doc_id) - 1 AS BIGINT) AS position "
-            "FROM documents WHERE doc_id IS NOT NULL"
+            "FROM documents WHERE doc_id >= 0"
         ),
         "dedup_text_segments": (
             # C4-style global duplicate-span removal over fixed 10-token

@@ -1637,23 +1637,11 @@ def minhash_signature_build(sf_dir: str, index_dir: str | None = None) -> str:
     if os.path.exists(os.path.join(final, "INDEX.json")):
         return final
     n_parts = _coarse_n_parts()
-    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    hasher = MinHasher()
-
-    def band_with_part(t: pa.Table) -> pa.Table:
-        out = hasher(t)
-        part = _coarse_parts(
-            out["band"].to_numpy(zero_copy_only=False),
-            out["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64),
-            n_parts=n_parts,
-        )
-        return out.append_column("bucket_part", pa.array(part, pa.int64()))
-
     tmp = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
     os.makedirs(os.path.join(tmp, "rows"), exist_ok=True)
-    docs.map_batches(
-        band_with_part, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(os.path.join(tmp, "rows"))
+    # ONE banding implementation: the artifact persists exactly what the
+    # direct path computes, so the equal-output guarantee is structural
+    _banded_rows(sf_dir, from_index=False).write_parquet(os.path.join(tmp, "rows"))
     with open(os.path.join(tmp, "INDEX.json"), "w") as fh:
         fh.write(
             _json.dumps(
@@ -1665,8 +1653,13 @@ def minhash_signature_build(sf_dir: str, index_dir: str | None = None) -> str:
     try:
         os.replace(tmp, final)
     except OSError:
-        # a concurrent build published first: theirs is equivalent
         _sh.rmtree(tmp, ignore_errors=True)
+        # only a concurrent build that actually PUBLISHED is benign: any
+        # other os.replace failure (permissions, final exists as a plain
+        # file) would otherwise return a path the read side silently
+        # treats as an empty corpus
+        if not os.path.exists(os.path.join(final, "INDEX.json")):
+            raise
     return final
 
 

@@ -62,10 +62,28 @@ def collect_block_refs(ds: rd.Dataset) -> list:
 def collect_block_refs_with_counts(ds: rd.Dataset) -> tuple[list, list[int]]:
     """(block refs, per-block row counts) — the counts come FREE from
     the RefBundle block metadata, so prefix-sum position/label schemes
-    need no extra per-block counting pass over the cluster."""
+    need no extra per-block counting pass over the cluster. Blocks
+    whose metadata lacks a row count (Ray does not guarantee it for
+    every operator) fall back to ONE counting task each — coercing an
+    unknown to 0 would silently corrupt a prefix sum."""
+    import ray
+
     refs, counts = [], []
+    unknown = []
     for b in ds.iter_internal_ref_bundles():
         for ref, meta in b.blocks:
             refs.append(ref)
-            counts.append(int(meta.num_rows or 0))
+            n = meta.num_rows
+            counts.append(-1 if n is None else int(n))
+            if n is None:
+                unknown.append(len(refs) - 1)
+    if unknown:
+
+        @ray.remote
+        def _count(t) -> int:
+            return len(t)  # rows for both Arrow tables and DataFrames
+
+        got = ray.get([_count.remote(refs[i]) for i in unknown])
+        for i, n in zip(unknown, got):
+            counts[i] = int(n)
     return refs, counts

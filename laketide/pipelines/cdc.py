@@ -1073,10 +1073,13 @@ class LakeTable:
         variants = _glob.glob(
             os.path.join(p["manifests"], f"manifest-{epoch:06d}-*.json")
         )
-        if not variants:
-            return None
-        newest = max(variants, key=os.path.getmtime)
+        # readers take no lock: a concurrent gc can delete a variant
+        # between the glob and the stat/open — treat the whole fallback
+        # as "not retained" on any vanishing file
         try:
+            if not variants:
+                return None
+            newest = max(variants, key=os.path.getmtime)
             with open(newest) as fh:
                 return M.Manifest.from_json(fh.read())
         except FileNotFoundError:
@@ -1656,7 +1659,7 @@ class LakeTable:
         pass
 
     # ------------------------------------------------------------ writer lock
-    def _acquire_lock(self):
+    def _acquire_lock(self, name: str = "_LOCK"):
         """Single-writer advisory lock (the reference's single sync-job
         analog): O_EXCL lock file holding the writer pid; a lock whose
         pid is dead is stale and stolen. A LIVE contender raises by
@@ -1666,7 +1669,7 @@ class LakeTable:
         writers are serialized, not failed."""
         import time as _time
 
-        path = os.path.join(self.table_dir, "_LOCK")
+        path = os.path.join(self.table_dir, name)
         # Publish by hardlink: the pid is fully written to a private tmp
         # BEFORE the name appears, so no contender can ever observe an
         # empty lock file (the O_EXCL+write scheme had a window where a

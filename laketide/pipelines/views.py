@@ -502,9 +502,14 @@ class DerivedJoinView:
         import hashlib
         import io
 
+        # canonicalize first: sort by the join key and strip schema
+        # metadata so a logically identical dim (different row order,
+        # pandas metadata, chunking) cannot trigger a spurious
+        # full re-enrich
+        dim = self.dim.sort_by(self.on).replace_schema_metadata(None)
         sink = io.BytesIO()
-        with pa.ipc.new_stream(sink, self.dim.schema) as w:
-            w.write_table(self.dim)
+        with pa.ipc.new_stream(sink, dim.schema) as w:
+            w.write_table(dim)
         return hashlib.sha256(sink.getvalue()).hexdigest()[:12]
 
     def _applied(self) -> tuple[int, int, str | None] | None:
@@ -694,6 +699,20 @@ class DerivedJoinView:
         the watermark commits atomically with the epoch, and a
         double-applied span converges because apply keeps exactly the
         newer-versioned row per key."""
+        # the whole read-watermark -> build-version -> apply sequence
+        # runs under a per-target REFRESH lock (distinct from the
+        # table's writer lock, which apply_epoch takes internally): two
+        # unserialized refreshers would read the same generation, build
+        # EQUAL view versions, and the loser's watermark (possibly
+        # carrying a different dim fingerprint) would commit over rows
+        # it never applied
+        rlock = self.target._acquire_lock("_VIEWLOCK")
+        try:
+            return self._refresh_locked()
+        finally:
+            self.target._release_lock(rlock)
+
+    def _refresh_locked(self) -> dict:
         man = self.base.current_manifest()
         cur = man.epoch if man else 0
         cur_parts = man.num_partitions if man else self.base.num_partitions
