@@ -514,3 +514,34 @@ def test_derived_join_view_payload_keyed_dim_bootstrap_deletes(tmp_path):
     assert r["mode"] == "bootstrap"
     got = {(r["repo"], r["path"]): r["family"] for r in view.state().to_pylist()}
     assert got == {("r/a", "p1"): "scripting", ("r/b", "p3"): "scripting"}
+
+
+def test_derived_join_view_refresh_serialized_by_viewlock(tmp_path):
+    """The per-target refresh lock: while one refresher holds
+    _VIEWLOCK, a second live refresher raises instead of proceeding to
+    read a stale generation (the equal-version watermark race)."""
+    import ray.data as rd
+
+    from laketide.pipelines.views import DerivedJoinView
+
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=2)
+    t.apply_epoch(
+        rd.from_items(
+            [{"repo": "r/a", "path": "p", "commit": "c1", "seq": 1,
+              "op": "insert", "content": "x"}]
+        )
+    )
+    dim = pa.table({"repo": pa.array(["r/a"]), "owner": pa.array(["r"])})
+    view = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    view.refresh()
+    held = view.target._acquire_lock("_VIEWLOCK")
+    try:
+        view_b = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+        import pytest
+
+        with pytest.raises(RuntimeError, match="locked by live writer"):
+            view_b.refresh()
+    finally:
+        view.target._release_lock(held)
+    # released: refresh proceeds normally (noop — nothing new)
+    assert view.refresh()["mode"] == "noop"
