@@ -1103,6 +1103,10 @@ def embedding_dup_components(
     sf_dir: str,
     threshold_sq: tuple[int, int] = (49, 400),
     driver_budget_rows: int = 2_000_000,
+    path: str = "auto",
+    broadcast_budget_rows: int = 500_000,
+    n_centroids: int = 16,
+    assign_probes: int = 2,
 ) -> "pa.Table | rd.Dataset":
     """SemDeDup-style semantic-dedup clustering: connected components
     over EXACT cosine-similarity edges (cos >= 0.35 by default, as the
@@ -1114,13 +1118,49 @@ def embedding_dup_components(
     Returns (vec_id, component = min vec_id in the cluster) for every
     vector with at least one semantic near-duplicate.
 
-    Scale shape: the quantized matrix broadcasts once via ``ray.put``
-    (int64 x dim per vector); each batch computes ONE integer matmul
-    row-block against it and ships only passing (i < j) edges. Beyond
-    broadcast budgets the scale path is the ``knn_ivf`` bucketing —
-    probe same-bucket pairs only. Clustering reuses the adaptive
-    ``dup_components`` core: driver min-label fixpoint under the edge
-    budget, large-star/small-star contraction above it."""
+    Two execution paths sharing one quantization and one clustering
+    core, selected by ``path`` ("auto" picks by corpus size vs
+    ``broadcast_budget_rows``):
+
+    - **broadcast** (the oracle regime): the quantized matrix broadcasts
+      once via ``ray.put`` (int64 x dim per vector); each batch computes
+      ONE integer matmul row-block against it and ships only passing
+      (i < j) edges. Complete — every qualifying pair is found — but
+      O(N^2) compute and O(N*dim) driver/broadcast residency, so it is
+      gated behind the row budget.
+    - **bucketed** (the scale path): a seeded k-means coarse quantizer
+      (the ``knn_ivf`` trainer) assigns every vector to its
+      ``assign_probes`` nearest centroids; the exact int64 edge test
+      runs WITHIN each bucket group only (row-blocked matmul inside
+      ``groupby("bucket").map_groups``), and a pair co-assigned to
+      several buckets is emitted exactly once — by the bucket equal to
+      the MIN of the two probe-sets' intersection, computable in-group
+      because each row carries its probe list. Nothing corpus-sized
+      ever lands on the driver: the shuffle ships ``assign_probes`` x
+      (quantized vector + probe list) per row, buckets are
+      ~N/n_centroids rows (size n_centroids to the corpus so a bucket
+      fits a worker), and compute drops from O(N^2) to
+      O(sum_b m_b^2).
+
+      Recall statement: the bucketed path finds a pair iff the two
+      vectors share at least one of their ``assign_probes`` nearest
+      centroids. Near-duplicates (cos >= ~0.9 — the SemDeDup regime)
+      co-assign with probability ~1 (their centroid rankings agree);
+      planted-corpus recall is 1.0 in
+      ``test_embedding_dup_components_bucketed_matches_broadcast``.
+      Pairs barely above a LOW threshold (e.g. the 0.35 default) that
+      straddle a centroid boundary can be missed — multi-probe
+      (``assign_probes`` >= 2) recovers boundary pairs whose
+      second-nearest centroids overlap. The broadcast path remains the
+      complete/oracle-exact reference and the equivalence test pins the
+      two paths equal on planted near-duplicate data.
+
+    Clustering reuses the adaptive ``dup_components`` core either way:
+    driver min-label fixpoint under ``driver_budget_rows`` edges,
+    large-star/small-star contraction above it (both tolerate — and the
+    bucketed emitter avoids — duplicate edges)."""
+    if path not in ("auto", "broadcast", "bucketed"):
+        raise ValueError(f"unknown path {path!r}")
     num, den = threshold_sq
     base = _emb(sf_dir, columns=["vec_id", "embedding"])
 
@@ -1147,29 +1187,53 @@ def embedding_dup_components(
             {"vec_id": pc.cast(t["vec_id"], pa.int64()), "iv": lists}
         )
 
-    # quantize ONCE: the materialized dataset serves both the driver
-    # broadcast collect and the edge pass (no second parquet read or
-    # round/cast over the corpus)
+    # quantize ONCE: the materialized dataset serves the overflow guard,
+    # and then either the driver broadcast collect (small regime) or the
+    # bucketed edge pass (no second parquet read or round/cast over the
+    # corpus)
     qds = base.map_batches(
         quantize, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    parts = collect_tables(qds)
 
     out_schema = pa.schema([("vec_id", pa.int64()), ("component", pa.int64())])
-    if not parts:
-        return out_schema.empty_table()
-    qt = pa.concat_tables(parts)
+
     # overflow guard BEFORE any int64 norm/dot math (norms computed from
     # already-wrapped elements could pass a post-hoc check exactly in
     # the cases it exists to catch): bound everything from the max
     # element magnitude in exact Python ints. The bound also keeps
     # every element far below 2^53, so the float64 list round-trip in
-    # _embed_matrix stays exact.
-    flat_iv = pc.list_flatten(qt["iv"].combine_chunks())
-    max_el = (
-        int(pc.max(pc.abs(flat_iv)).as_py() or 0) if len(flat_iv) else 0
+    # _embed_matrix stays exact. Computed as per-batch partials (one
+    # tiny row each) so the guard never collects the corpus.
+    guard_schema = pa.schema(
+        [("max_el", pa.int64()), ("dim", pa.int64()), ("n", pa.int64())]
     )
-    dim = _embed_matrix(qt["iv"].slice(0, 1)).shape[1] if qt.num_rows else 0
+
+    def guard_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return guard_schema.empty_table()
+        iv = t["iv"].combine_chunks()
+        flat = pc.list_flatten(iv)
+        max_el = int(pc.max(pc.abs(flat)).as_py() or 0) if len(flat) else 0
+        dim = int(pc.max(pc.list_value_length(iv)).as_py() or 0)
+        return pa.table(
+            {
+                "max_el": pa.array([max_el], pa.int64()),
+                "dim": pa.array([dim], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    gparts = collect_tables(
+        qds.map_batches(guard_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if not gparts:
+        return out_schema.empty_table()
+    gt = pa.concat_tables([p.cast(guard_schema) for p in gparts])
+    total_rows = int(pc.sum(gt["n"]).as_py() or 0)
+    if total_rows == 0:
+        return out_schema.empty_table()
+    max_el = int(pc.max(gt["max_el"]).as_py() or 0)
+    dim = int(pc.max(gt["dim"]).as_py() or 0)
     nn_bound = dim * max_el * max_el  # exact: Python ints don't wrap
     if max(num, den) * nn_bound * nn_bound >= 2**63:
         raise ValueError(
@@ -1177,36 +1241,65 @@ def embedding_dup_components(
             f"(max |component| = {max_el}, dim {dim}); lower the "
             "quantization scale"
         )
-    # deterministic layout: block arrival order is nondeterministic
-    qt = qt.sort_by([("vec_id", "ascending")])
-    ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    mat = _embed_matrix(qt["iv"]).astype(np.int64)
-    norms = (mat * mat).sum(axis=1)
-    bc = ray.put((ids, mat, norms))
 
     edge_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 
-    def edges_of(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return edge_schema.empty_table()
-        all_ids, all_mat, all_n = ray.get(bc)
-        rid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        rmat = _embed_matrix(t["iv"]).astype(np.int64)
-        rn = (rmat * rmat).sum(axis=1)
-        dots = rmat @ all_mat.T  # exact int64
-        ok = (dots > 0) & (den * dots * dots >= num * np.outer(rn, all_n))
-        ok &= rid[:, None] < all_ids[None, :]
-        ri, ci = np.nonzero(ok)
-        return pa.table(
-            {
-                "doc_a": pa.array(rid[ri], pa.int64()),
-                "doc_b": pa.array(all_ids[ci], pa.int64()),
-            }
-        )
+    def _edge_mask(
+        rid: np.ndarray,
+        rmat: np.ndarray,
+        rn: np.ndarray,
+        cid: np.ndarray,
+        cmat: np.ndarray,
+        cn: np.ndarray,
+    ) -> np.ndarray:
+        """The exact integer edge predicate for a (rows x cols) block:
+        dot > 0 and den*dot^2 >= num*|a|^2*|b|^2, ordered rid < cid.
+        Shared verbatim by both paths so they cannot drift."""
+        dots = rmat @ cmat.T  # exact int64 (guarded above)
+        ok = (dots > 0) & (den * dots * dots >= num * np.outer(rn, cn))
+        ok &= rid[:, None] < cid[None, :]
+        return ok
 
-    edges = qds.map_batches(
-        edges_of, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()
+    edges: rd.Dataset | None = None
+    if path == "bucketed" or (path == "auto" and total_rows > broadcast_budget_rows):
+        cent = _train_centroids(sf_dir, n_centroids)
+        # empty quantizer (degenerate tiny corpus whose ids all miss the
+        # training sample): fall through to the broadcast path below
+        if len(cent):
+            edges = _bucketed_semantic_edges(
+                qds, cent, assign_probes, _edge_mask, edge_schema
+            ).materialize()
+    if edges is None:
+        parts = collect_tables(qds)
+        if not parts:
+            return out_schema.empty_table()
+        qt = pa.concat_tables(parts)
+        # deterministic layout: block arrival order is nondeterministic
+        qt = qt.sort_by([("vec_id", "ascending")])
+        ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _embed_matrix(qt["iv"]).astype(np.int64)
+        norms = (mat * mat).sum(axis=1)
+        bc = ray.put((ids, mat, norms))
+
+        def edges_of(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return edge_schema.empty_table()
+            all_ids, all_mat, all_n = ray.get(bc)
+            rid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            rmat = _embed_matrix(t["iv"]).astype(np.int64)
+            rn = (rmat * rmat).sum(axis=1)
+            ok = _edge_mask(rid, rmat, rn, all_ids, all_mat, all_n)
+            ri, ci = np.nonzero(ok)
+            return pa.table(
+                {
+                    "doc_a": pa.array(rid[ri], pa.int64()),
+                    "doc_b": pa.array(all_ids[ci], pa.int64()),
+                }
+            )
+
+        edges = qds.map_batches(
+            edges_of, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
 
     def _rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["vec_id", "component"])
@@ -1220,4 +1313,112 @@ def embedding_dup_components(
         return _rename(_components_minlabel(pa.concat_tables(eparts)))
     return _components_star(edges).map_batches(
         _rename, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _bucketed_semantic_edges(
+    qds: rd.Dataset,
+    cent: np.ndarray,
+    assign_probes: int,
+    edge_mask,
+    edge_schema: pa.Schema,
+    row_block: int = 4096,
+) -> rd.Dataset:
+    """IVF-bucketed candidate generation for ``embedding_dup_components``:
+    each quantized vector fans out to its ``assign_probes`` nearest
+    centroid buckets (carrying its probe list), a bucket-keyed shuffle
+    co-locates candidates, and the exact int64 edge test runs within
+    each bucket only — row-blocked so a (row_block x bucket) int64
+    matmul bounds peak memory regardless of bucket size. A pair sharing
+    several buckets is emitted exactly once: only by the bucket equal to
+    min(probes_a & probes_b), which both sides can compute in-group.
+
+    Partitioning assumption (documented contract): one bucket's rows fit
+    a worker — size ``n_centroids`` ~ corpus_rows / target_bucket_rows.
+    The shuffle ships assign_probes x (quantized vector + probe list)
+    rows; nothing corpus-sized touches the driver."""
+    p = max(1, int(assign_probes))
+    p = min(p, len(cent))
+    cent_ref = ray.put(cent)
+
+    def fan_out(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "iv": pa.array([], pa.list_(pa.int64())),
+                    "probes": pa.array([], pa.list_(pa.int64())),
+                }
+            )
+        cent_v = ray.get(cent_ref)
+        mat = _embed_matrix(t["iv"])  # float64 view of the int lists
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        sims = (mat / norms[:, None]) @ cent_v.T
+        # top-p centroids per row, ordered ascending by centroid id for a
+        # deterministic probe list (ranking order is irrelevant to the
+        # min-intersection rule)
+        top = np.argpartition(-sims, p - 1, axis=1)[:, :p].astype(np.int64)
+        top = np.sort(top, axis=1)
+        n = t.num_rows
+        probe_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(n + 1, dtype=np.int32) * p), pa.array(top.reshape(-1))
+        )
+        rep = np.repeat(np.arange(n), p)
+        out = pa.table(
+            {
+                "bucket": pa.array(top.reshape(-1), pa.int64()),
+                "vec_id": pc.cast(t["vec_id"], pa.int64()).take(pa.array(rep)),
+                "iv": t["iv"].combine_chunks().take(pa.array(rep)),
+                "probes": probe_list.take(pa.array(rep)),
+            }
+        )
+        return out
+
+    def bucket_edges(g: pa.Table) -> pa.Table:
+        if g.num_rows < 2:
+            return edge_schema.empty_table()
+        bucket = int(g["bucket"][0].as_py())
+        ids = g["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _embed_matrix(g["iv"]).astype(np.int64)
+        nrm = (mat * mat).sum(axis=1)
+        probes = _embed_matrix(g["probes"]).astype(np.int64)  # (m, p)
+        m = len(ids)
+        big = np.iinfo(np.int64).max
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for lo in range(0, m, row_block):
+            hi = min(lo + row_block, m)
+            ok = edge_mask(ids[lo:hi], mat[lo:hi], nrm[lo:hi], ids, mat, nrm)
+            if not ok.any():
+                continue
+            # exactly-once emission: this bucket owns the pair iff it is
+            # the MIN of the two probe sets' intersection
+            shared = np.full((hi - lo, m), big, dtype=np.int64)
+            for s in range(probes.shape[1]):
+                for u in range(probes.shape[1]):
+                    mask = probes[lo:hi, s][:, None] == probes[:, u][None, :]
+                    np.minimum(
+                        shared,
+                        np.where(mask, probes[lo:hi, s][:, None], big),
+                        out=shared,
+                    )
+            ok &= shared == bucket
+            ri, ci = np.nonzero(ok)
+            if len(ri):
+                out_a.append(ids[lo:hi][ri])
+                out_b.append(ids[ci])
+        if not out_a:
+            return edge_schema.empty_table()
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
+        )
+
+    return (
+        qds.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(bucket_edges, batch_format="pyarrow")
     )

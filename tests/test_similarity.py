@@ -223,3 +223,58 @@ def test_embedding_dup_components_planted(tmp_path):
     out = embedding_dup_components(str(tmp_path))
     comp = {r["vec_id"]: r["component"] for r in out.to_pylist()}
     assert comp == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+def test_embedding_dup_components_bucketed_matches_broadcast(tmp_path):
+    """Broadcast-vs-bucketed equivalence on a planted near-dup corpus:
+    4 tight clusters (cos ~0.999 within) + isolated vectors + a null.
+    The bucketed path (IVF co-assignment + in-bucket exact int64 edge
+    tests + min-shared-bucket exactly-once emission) must produce the
+    SAME components as the complete broadcast path — recall 1.0 in the
+    near-duplicate regime the scale path is built for."""
+    from laketide.functions.similarity import embedding_dup_components
+
+    rng = np.random.RandomState(7)
+    dim = S.EMBED_DIM
+    vecs: list = []
+    expected: dict[int, int] = {}
+    vid = 0
+    for c in range(4):
+        center = rng.standard_normal(dim)
+        center /= np.linalg.norm(center)
+        first = vid
+        for _ in range(8):
+            w = center + 0.01 * rng.standard_normal(dim)
+            vecs.append((w / np.linalg.norm(w)).astype(np.float64))
+            expected[vid] = first
+            vid += 1
+    for _ in range(5):  # isolated: orthogonal-ish noise, below threshold
+        vecs.append((rng.standard_normal(dim) / 50.0).astype(np.float64))
+        vid += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(vecs) + 1)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs] + [None], pa.list_(pa.float64())
+            ),
+            "label": pa.array([0] * (len(vecs) + 1), pa.int32()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    broad = embedding_dup_components(str(tmp_path), path="broadcast")
+    buck = embedding_dup_components(
+        str(tmp_path), path="bucketed", n_centroids=4, assign_probes=2
+    )
+    bd = {r["vec_id"]: r["component"] for r in broad.to_pylist()}
+    bk = {r["vec_id"]: r["component"] for r in buck.to_pylist()}
+    # isolated vectors are too short to pass the 0.35 threshold against
+    # anything, so only the planted clusters appear — and identically
+    assert bd == expected
+    assert bk == bd
+    # auto switches to the bucketed path above the broadcast budget and
+    # still agrees
+    auto = embedding_dup_components(
+        str(tmp_path), path="auto", broadcast_budget_rows=4, n_centroids=4
+    )
+    assert {r["vec_id"]: r["component"] for r in auto.to_pylist()} == bd
