@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_value_sums": _incremental_value_sums,
         "cdc_join_view": _cdc_join_view,
         "cdc_coalesce_fieldwise": R.cdc_coalesce_fieldwise,
+        "cdc_priority_fieldwise": R.cdc_priority_fieldwise,
         "lookup_join_overlap": R.lookup_join_overlap,
         "asof_join_events_orders": _asof_join,
         "range_join_order_events": _range_join,
@@ -673,6 +674,28 @@ def oracle_sql() -> dict[str, str]:
             "IGNORE NULLS) OVER w AS last_value_cents, "
             "last_value(CASE WHEN length(props) > 40 THEN props END IGNORE NULLS) OVER w AS last_props "
             "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
+        ),
+        # merge='priority' (reference R2 literal): the rank CASE is the
+        # OSV>GitLab>CVE source-priority analog on event_type; per fold
+        # column the winner is the first non-null by (rank ASC, ts DESC,
+        # event_id DESC) — expressed as last_value IGNORE NULLS over the
+        # REVERSED order (rank DESC, ts ASC, event_id ASC) so DuckDB's
+        # ASC NULLS-LAST ts ordering matches the engine's
+        # version-ascending sort exactly; version columns still advance
+        # to the newest event
+        "cdc_priority_fieldwise": (
+            "SELECT user_id, last_value(ts) OVER w AS ts, "
+            "last_value(event_id) OVER w AS event_id, "
+            "last_value(CASE WHEN event_type <> 'view' THEN CAST(ROUND(value*100) AS BIGINT) END "
+            "IGNORE NULLS) OVER p AS best_value_cents, "
+            "last_value(CASE WHEN length(props) > 40 THEN props END IGNORE NULLS) OVER p AS best_props "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), "
+            "p AS (PARTITION BY user_id ORDER BY "
+            "(CASE event_type WHEN 'purchase' THEN 1 WHEN 'click' THEN 2 "
+            "WHEN 'view' THEN 3 ELSE 999 END) DESC, ts, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
             "QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1"
         ),

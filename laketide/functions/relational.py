@@ -2014,6 +2014,115 @@ def cdc_coalesce_fieldwise(sf_dir: str) -> rd.Dataset:
     )
 
 
+def cdc_priority_fieldwise(sf_dir: str) -> rd.Dataset:
+    """Priority merge (the reference R2 literal, merger.go:124-228)
+    surfaced as a query: per user_id, a fixed rank on event_type
+    (purchase=1 > click=2 > view=3, else 999 — the OSV>GitLab>CVE
+    analog) decides each field's winner REGARDLESS of arrival: per
+    fold column the first non-null value by (rank asc, ts desc,
+    event_id desc) wins, while the version columns (ts, event_id)
+    still advance to the newest event — the same fold the engine's
+    merge='priority' strategy applies per key.
+
+    Same associative shape as ``cdc_coalesce_fieldwise``: the
+    per-batch pre-reduce keeps REAL rows only — the newest row per key
+    plus, per fold column, the best-(rank, version)-ranked non-null
+    row (min over an encoded score, associative under any split)."""
+    from laketide.stages.apply import _best_field_idx
+
+    ds = _read(sf_dir, "events")
+
+    def derive(t: pa.Table) -> pa.Table:
+        rank = pc.case_when(
+            pc.make_struct(
+                pc.equal(t["event_type"], "purchase"),
+                pc.equal(t["event_type"], "click"),
+                pc.equal(t["event_type"], "view"),
+            ),
+            1, 2, 3, 999,
+        )
+        v = pc.if_else(
+            pc.not_equal(t["event_type"], "view"),
+            _cents(t["value"]),
+            pa.scalar(None, pa.int64()),
+        )
+        p = pc.if_else(
+            pc.greater(pc.utf8_length(t["props"]), 40),
+            t["props"],
+            pa.scalar(None, pa.string()),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "rank": pc.cast(pc.fill_null(rank, 999), pa.int64()),
+                "best_value_cents": v,
+                "best_props": p,
+            }
+        )
+
+    fold_cols = ["best_value_cents", "best_props"]
+
+    def _layout(t: pa.Table):
+        import numpy as np
+
+        n = t.num_rows
+        same = _adjacent_same(t["user_id"].combine_chunks())
+        starts = np.concatenate([[0], np.flatnonzero(~same) + 1]).astype(np.int64)
+        ends = np.append(starts[1:], n) - 1
+        return starts, ends
+
+    def _fold(t: pa.Table, keep_only: bool) -> pa.Table:
+        import numpy as np
+
+        if keep_only and t.num_rows <= 1:
+            return t
+        if t.num_rows == 0:
+            return t.select(["user_id", "ts", "event_id"] + fold_cols)
+        if t.num_rows == 1:
+            return t.select(["user_id", "ts", "event_id"] + fold_cols)
+        # version-ascending sort: position idx encodes (ts, event_id)
+        # order, so the shared _best_field_idx score (rank asc, idx
+        # desc) IS (rank asc, ts desc, event_id desc)
+        t = t.sort_by(
+            [("user_id", "ascending"), ("ts", "ascending"), ("event_id", "ascending")]
+        )
+        starts, ends = _layout(t)
+        ranks = t["rank"].combine_chunks().to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        idx = np.arange(t.num_rows, dtype=np.int64)
+        if keep_only:
+            keep = np.zeros(t.num_rows, dtype=bool)
+            keep[ends] = True
+            for name in fold_cols:
+                valid = pc.is_valid(t[name].combine_chunks()).to_numpy(
+                    zero_copy_only=False
+                )
+                best = _best_field_idx(valid, idx, starts, ranks)
+                keep[best[best >= 0]] = True
+            return t.filter(pa.array(keep))
+        cols = {}
+        for name in ("user_id", "ts", "event_id"):
+            cols[name] = t[name].combine_chunks().take(pa.array(ends))
+        for name in fold_cols:
+            col = t[name].combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            best = _best_field_idx(valid, idx, starts, ranks)
+            cols[name] = col.take(
+                pa.array([int(b) if b >= 0 else None for b in best], pa.int64())
+            )
+        return pa.table(cols)
+
+    return (
+        ds.map_batches(derive, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda t: _fold(t, True), batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(lambda t: _fold(t, False), batch_format="pyarrow")
+    )
+
+
 def session_counts(sf_dir: str, gap_minutes: int = 30) -> rd.Dataset:
     """Session windows (streaming-shaped op): per user, consecutive
     events within ``gap_minutes`` belong to one session. Returns

@@ -960,9 +960,13 @@ class LakeTable:
         dlq: bool = False,
     ):
         """``merge``: pluggable merge strategy (reference E4) — "lww"
-        (version order, R2 analog) or "longest" (longer content wins,
-        R6 analog). Pinned in the manifest on first commit; a mismatch
-        on an existing table raises.
+        (version order), "longest" (longer content wins, R6 analog),
+        "coalesce" (field-wise newest-non-null + list union, R4/R5),
+        or "priority" (the R2 literal: fixed source rank OSV>GitLab>CVE
+        decides field-wise winners regardless of arrival,
+        merger.go:124-228; ranks in stages/apply.py SOURCE_RANKS).
+        Pinned in the manifest on first commit; a mismatch on an
+        existing table raises.
 
         ``layout``: "cow" rewrites a partition file per epoch (simple,
         read-optimal); "mor" (merge-on-read) appends per-epoch DELTA
@@ -1361,6 +1365,16 @@ class LakeTable:
         import time as _time
 
         t_start = _time.perf_counter()
+        # merge='priority': events from DIFFERENT sources are not
+        # version-ordered across epochs (a later OSV sync legitimately
+        # carries older commits than an earlier GitLab sync), so the
+        # row-level HWM watermark would drop exactly the rows priority
+        # exists to arbitrate. Epoch-id replay detection still applies,
+        # and the priority fold itself is idempotent (re-merging a
+        # delivered event changes no stored field), so exactly-once
+        # convergence is preserved without the watermark.
+        if self.merge == "priority":
+            hwm_filter = False
         # The manifest load, epoch-id assignment and HWM snapshot all
         # happen INSIDE the single-writer lock: loading before acquiring
         # would let a concurrent committer slip a manifest in between,

@@ -159,7 +159,78 @@ def _version_newer(
 #   guarantee replay/tail provide); under arbitrary cross-epoch
 #   reordering a stale row is dropped whole, same caveat class as the
 #   reference's priority merge.
-MERGE_STRATEGIES = ("lww", "longest", "coalesce")
+# "priority": the reference R2 LITERAL (merger.go:124-228): a fixed
+#   per-source rank (SOURCE_RANKS; min over the row's `sources` list,
+#   unknown/missing -> 999, getSourcePriority merger.go:206-217)
+#   decides field-wise winners REGARDLESS of version/arrival — per
+#   scalar column the first non-null value by (rank asc, version desc)
+#   wins: rank arbitrates BETWEEN sources (the R2 literal); within a
+#   rank the newest value is that source's current truth (the
+#   reference replaces same-source rows upstream of its merger);
+#   list columns union-dedup (mergeSourceArrays);
+#   the version still advances to the newest (commit, seq) so HWM /
+#   replay semantics are unchanged. Cross-epoch, the stored row acts
+#   as one accumulated event ranked by min(sources) — the reference's
+#   pairwise accumulate, which (like the reference) is arrival-
+#   dependent only in the corner where a low-rank field value was
+#   absorbed into a higher-min-rank merged row before a mid-rank
+#   source arrived.
+MERGE_STRATEGIES = ("lww", "longest", "coalesce", "priority")
+
+# Reference source ranks (lower = higher priority): OSV=1 > GitLab=2 >
+# CVE=3, unknown=999 (merger.go:206-217 + constants). Module-level so
+# every reduce/apply site shares one table; override in-process for
+# custom source sets.
+SOURCE_RANKS: dict[str, int] = {"osv": 1, "gitlab": 2, "cve": 3}
+UNKNOWN_SOURCE_RANK = 999
+_POS_SHIFT = np.int64(1) << np.int64(40)
+
+
+def _source_ranks(col, n: int) -> np.ndarray:
+    """min source rank per row over a `sources` list<string> column
+    (getSourcePriority: contains the best-ranked source). Missing
+    column / null / empty list -> UNKNOWN_SOURCE_RANK. Vectorized:
+    flatten + index_in against the rank table + scatter-min."""
+    out = np.full(n, UNKNOWN_SOURCE_RANK, dtype=np.int64)
+    if col is None or n == 0:
+        return out
+    col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
+        return out
+    lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+    if not lens.sum():
+        return out
+    parents = np.repeat(np.arange(n, dtype=np.int64), lens)
+    keys = pa.array(list(SOURCE_RANKS.keys()), pa.string())
+    vals = np.asarray(list(SOURCE_RANKS.values()), dtype=np.int64)
+    pos = (
+        pc.fill_null(pc.index_in(pc.list_flatten(col), keys), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    r = np.where(pos >= 0, vals[np.clip(pos, 0, len(vals) - 1)], UNKNOWN_SOURCE_RANK)
+    np.minimum.at(out, parents, r)
+    return out
+
+
+def _best_field_idx(
+    valid: np.ndarray, idx: np.ndarray, starts: np.ndarray, ranks: np.ndarray | None
+) -> np.ndarray:
+    """Per-group winning row index for one field: the NEWEST valid row
+    (ranks=None — coalesce order) or the first valid row by (source
+    rank asc, version desc) (merge='priority': rank arbitrates BETWEEN
+    sources; within a rank the newest value is that source's current
+    truth). Rows arrive version-sorted, so position encodes version
+    order. -1 = no valid row."""
+    if ranks is None:
+        return np.maximum.reduceat(np.where(valid, idx, np.int64(-1)), starts)
+    big = np.iinfo(np.int64).max
+    n = np.int64(len(idx))
+    score = np.where(valid, ranks * _POS_SHIFT + (n - 1 - idx), big)
+    best = np.minimum.reduceat(score, starts)
+    return np.where(best == big, np.int64(-1), n - 1 - (best % _POS_SHIFT))
 
 
 def _content_rank(t: pa.Table) -> pa.ChunkedArray:
@@ -181,6 +252,8 @@ def reduce_events(
         return ev
     if strategy == "coalesce":
         return _reduce_events_coalesce(ev, metrics)
+    if strategy == "priority":
+        return _reduce_events_coalesce(ev, metrics, priority=True)
     if strategy == "longest":
         ev = ev.append_column("_rank", _content_rank(ev))
         ev = ev.sort_by(
@@ -215,15 +288,20 @@ def _bool(mask) -> pa.ChunkedArray:
     return pc.fill_null(mask, False)
 
 
-def _reduce_events_coalesce(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
-    """Field-wise fold per key (merge='coalesce', R4/R5 analog).
+def _reduce_events_coalesce(
+    ev: pa.Table, metrics: ApplyMetrics, priority: bool = False
+) -> pa.Table:
+    """Field-wise fold per key (merge='coalesce', R4/R5 analog; with
+    ``priority=True``, merge='priority', the R2 literal).
 
     Events sort by (key, commit, seq); exact duplicate replays drop; then
     per key the winner row is CONSTRUCTED: core version columns from the
     newest event, each scalar payload column = newest non-null value
-    after the last tombstone, each list payload column = union-dedup of
-    values after the last tombstone. A key whose newest event is a
-    delete keeps that delete row whole (tombstone clears state)."""
+    after the last tombstone (coalesce) or the first non-null by
+    (source rank asc, version desc) (priority), each list payload column
+    = union-dedup of values after the last tombstone. A key whose
+    newest event is a delete keeps that delete row whole (tombstone
+    clears state)."""
     ev = ev.sort_by(
         [("repo", "ascending"), ("path", "ascending"), ("commit", "ascending"), ("seq", "ascending")]
     )
@@ -249,6 +327,15 @@ def _reduce_events_coalesce(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
     n_groups = len(starts)
     group_of = np.repeat(np.arange(n_groups, dtype=np.int64), np.diff(np.append(starts, n)))
 
+    # merge='priority': per-row min source rank orders the field fold;
+    # computed AFTER the duplicate filter so positions line up
+    ranks = (
+        _source_ranks(
+            ev["sources"] if "sources" in ev.column_names else None, n
+        )
+        if priority
+        else None
+    )
     is_del = _bool(pc.equal(ev[S.OP_COLUMN], "delete")).to_numpy(zero_copy_only=False)
     idx = np.arange(n, dtype=np.int64)
     del_idx = np.where(is_del, idx, np.int64(-1))
@@ -267,7 +354,7 @@ def _reduce_events_coalesce(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
     if "content" in ev.column_names and S.SHA_COLUMN in ev.column_names:
         ccol = ev["content"].combine_chunks()
         cvalid = pc.is_valid(ccol).to_numpy(zero_copy_only=False) & eligible
-        cbest = np.maximum.reduceat(np.where(cvalid, idx, np.int64(-1)), starts)
+        cbest = _best_field_idx(cvalid, idx, starts, ranks)
         content_best = pa.array(
             [int(b) if b >= 0 else None for b in cbest], pa.int64()
         )
@@ -285,8 +372,7 @@ def _reduce_events_coalesce(ev: pa.Table, metrics: ApplyMetrics) -> pa.Table:
             cols.append(col.take(content_best))
             continue
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False) & eligible
-        cand = np.where(valid, idx, np.int64(-1))
-        best = np.maximum.reduceat(cand, starts)
+        best = _best_field_idx(valid, idx, starts, ranks)
         take_idx = pa.array(
             [int(b) if b >= 0 else None for b in best], pa.int64()
         )
@@ -533,6 +619,47 @@ def apply_partition(
     take_ev = newer
     stale = pc.and_(has_ev, pc.invert(newer))
 
+    # Field-merge only live-onto-live: a winner whose epoch history had a
+    # tombstone (_reset), or a stored row that is itself a tombstone,
+    # REPLACES instead of coalescing.
+    reset = (
+        _bool(j[S.RESET_COLUMN])
+        if S.RESET_COLUMN in j.column_names
+        else pa.chunked_array([pa.nulls(j.num_rows, pa.bool_())]).combine_chunks()
+    )
+    reset = _bool(reset)
+    ev_primary = None
+    if strategy == "priority":
+        # Which side is the field-wise base (merger.go:144-162): the
+        # lower min-source-rank; on equal ranks the version-newer side
+        # (within a rank the newest value is that source's current
+        # truth — and this makes re-merging a replayed older event a
+        # strict no-op, the idempotency the skipped HWM row filter
+        # relies on).
+        n_j = j.num_rows
+        ev_r = _source_ranks(
+            j["sources"] if "sources" in j.column_names else None, n_j
+        )
+        cur_r = _source_ranks(
+            j["sources_cur"] if "sources_cur" in j.column_names else None, n_j
+        )
+        ev_primary = pc.or_(
+            pa.array(ev_r < cur_r),
+            pc.and_(pa.array(ev_r == cur_r), _bool(version_newer)),
+        )
+        # priority merges REGARDLESS of version order — an older event
+        # from a higher-ranked source must still win its fields
+        # ("priority, not arrival, wins"); deletes and the version
+        # advance stay version-ordered.
+        merge_upd = pc.and_(
+            pc.and_(has_ev, pc.invert(is_del)), pc.and_(cur_live, pc.invert(reset))
+        )
+        stale = pc.and_(stale, pc.invert(merge_upd))
+    else:
+        merge_upd = pc.and_(
+            pc.and_(take_ev, pc.invert(is_del)), pc.and_(cur_live, pc.invert(reset))
+        )
+
     metrics.inserts += int(
         pc.sum(pc.and_(pc.and_(take_ev, pc.invert(is_del)), pc.invert(cur_live))).as_py() or 0
     )
@@ -550,18 +677,13 @@ def apply_partition(
     metrics.stale_dropped += int(pc.sum(stale).as_py() or 0)
 
     new_deleted = pc.if_else(take_ev, is_del, cur_deleted)
-    fieldwise = strategy == "coalesce"
-    # Field-merge only live-onto-live: a winner whose epoch history had a
-    # tombstone (_reset), or a stored row that is itself a tombstone,
-    # REPLACES instead of coalescing.
-    reset = (
-        _bool(j[S.RESET_COLUMN])
-        if S.RESET_COLUMN in j.column_names
-        else pa.chunked_array([pa.nulls(j.num_rows, pa.bool_())]).combine_chunks()
-    )
-    reset = _bool(reset)
-    merge_upd = pc.and_(
-        pc.and_(take_ev, pc.invert(is_del)), pc.and_(cur_live, pc.invert(reset))
+    fieldwise = strategy in ("coalesce", "priority")
+    # priority change tracking: a version-older event that merges must
+    # count as an update (and advance applied_epoch) ONLY when it
+    # actually altered a stored field — that keeps replayed epochs
+    # byte-stable (no file rewrite) without the HWM row filter.
+    prio_changed = (
+        np.zeros(j.num_rows, dtype=bool) if ev_primary is not None else None
     )
     cols = []
     for fld in snap_schema:
@@ -582,18 +704,54 @@ def apply_partition(
         ):
             # R4 array-union: winner row unions its list with the
             # current row's; a tombstone takes the event's (null) value
-            col = _select_rows(
-                _row_union(j[name], j[name + "_cur"]),
-                j[name],
-                j[name + "_cur"],
-                merge_upd,
-                take_ev,
-            )
+            u = _row_union(j[name], j[name + "_cur"])
+            col = _select_rows(u, j[name], j[name + "_cur"], merge_upd, take_ev)
+            if prio_changed is not None:
+                # the union only grows over the stored SET, so a length
+                # mismatch is exactly "this merge changed the list"
+                # (stored null counts as length -1; stored dup-carrying
+                # lists shrink once, then stabilize)
+                cur_l = j[name + "_cur"].combine_chunks()
+                if pa.types.is_list(cur_l.type) or pa.types.is_large_list(cur_l.type):
+                    clen = pc.fill_null(
+                        pc.cast(pc.list_value_length(cur_l), pa.int64()), -1
+                    ).to_numpy(zero_copy_only=False)
+                else:
+                    clen = np.full(j.num_rows, -1, dtype=np.int64)
+                ulen = (
+                    pc.cast(pc.list_value_length(u), pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
+                prio_changed |= ulen != clen
         elif fieldwise and is_payload:
-            # R5 primary-wins coalesce: newest non-null field value
+            if ev_primary is not None:
+                # R2 priority: the higher-ranked side's non-null value
+                # wins, regardless of which side is version-newer —
+                # priority, not arrival, decides the field
+                merged = pc.if_else(
+                    ev_primary,
+                    pc.coalesce(j[name], j[name + "_cur"]),
+                    pc.coalesce(j[name + "_cur"], j[name]),
+                )
+                cur_col = j[name + "_cur"]
+                diff = pc.and_(
+                    pc.is_valid(merged),
+                    pc.fill_null(
+                        pc.or_kleene(
+                            pc.is_null(cur_col), pc.not_equal(merged, cur_col)
+                        ),
+                        True,
+                    ),
+                )
+                prio_changed |= pc.fill_null(diff, False).to_numpy(
+                    zero_copy_only=False
+                )
+            else:
+                # R5 primary-wins coalesce: newest non-null field value
+                merged = pc.coalesce(j[name], j[name + "_cur"])
             col = pc.if_else(
                 merge_upd,
-                pc.coalesce(j[name], j[name + "_cur"]),
+                merged,
                 pc.if_else(take_ev, j[name], j[name + "_cur"]),
             )
         else:
@@ -602,6 +760,28 @@ def apply_partition(
             col = col.cast(fld.type)
         cols.append(col)
     out = pa.Table.from_arrays([c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols], schema=snap_schema)
+    if prio_changed is not None:
+        # version-older events that actually changed a field: count as
+        # updates and stamp applied_epoch (the CDF observable) — a pure
+        # replay flips nothing, so the epoch stays unchanged on disk
+        extra = (
+            pc.fill_null(pc.and_(merge_upd, pc.invert(take_ev)), False)
+            .to_numpy(zero_copy_only=False)
+            & prio_changed
+        )
+        n_extra = int(extra.sum())
+        if n_extra:
+            metrics.updates += n_extra
+            ae = out.column_names.index(S.APPLIED_EPOCH_COLUMN)
+            out = out.set_column(
+                ae,
+                S.APPLIED_EPOCH_COLUMN,
+                pc.if_else(
+                    pa.array(extra),
+                    pa.scalar(epoch_id, pa.int64()),
+                    out[S.APPLIED_EPOCH_COLUMN],
+                ),
+            )
     return out.sort_by([("repo", "ascending"), ("path", "ascending")])
 
 

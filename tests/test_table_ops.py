@@ -1902,3 +1902,96 @@ def test_export_tagged_snapshot(changelog, tmp_path):
     # head export still works alongside
     r2 = t.export_snapshot(str(tmp_path / "ex"))
     assert r2["version"] == t.current_epoch() and r2["version"] != 1
+
+
+def test_reduce_events_priority_rank_beats_version():
+    """merge='priority' (reference R2 literal): the field winner is the
+    first non-null by (source rank asc, version desc) — a NEWER CVE
+    value loses the content field to an older OSV value; within one
+    rank the newest wins; the version columns still advance to the
+    newest (commit, seq); sources union-dedup."""
+    from laketide.stages.apply import ApplyMetrics, reduce_events
+
+    ev = pa.table(
+        {
+            "repo": pa.array(["r"] * 4),
+            "path": pa.array(["p"] * 4),
+            "commit": pa.array(["c1", "c2", "c3", "c4"]),
+            "seq": pa.array([1, 2, 3, 4], pa.int64()),
+            "op": pa.array(["update"] * 4),
+            "content": pa.array(["osv-old", "osv-new", None, "cve-newest"]),
+            "lang": pa.array([None, None, "go", None]),
+            "sources": pa.array(
+                [["osv"], ["osv"], ["cve"], ["cve"]], pa.list_(pa.string())
+            ),
+        }
+    )
+    m = ApplyMetrics()
+    out = reduce_events(ev, m, "priority")
+    assert out.num_rows == 1
+    r = out.to_pylist()[0]
+    # rank 1 (osv) beats rank 3 (cve) despite cve being newest; within
+    # osv the NEWER of the two wins
+    assert r["content"] == "osv-new"
+    # osv rows have null lang -> the cve value fills it
+    assert r["lang"] == "go"
+    # version advances to the newest event regardless of field winners
+    assert (r["commit"], r["seq"]) == ("c4", 4)
+    assert sorted(r["sources"]) == ["cve", "osv"]
+
+
+def test_sync_sources_priority_not_arrival_wins(tmp_path):
+    """Two-source sync under merge='priority': the gitlab advisory for
+    the overlapping key arrives LATER with a newer version, but the
+    OSV content still wins (rank 1 < 2) — priority, not arrival,
+    decides; the reversed arrival order converges to the same fields.
+    Non-overlapping keys pass through, sources union on the merged
+    key, and the version advances to the newest event (HWM intact)."""
+    osv_recs = [
+        {
+            "id": "OSV-1",
+            "modified": "2024-02-01T00:00:00Z",
+            "details": "overflow in frob",
+            "affected": [
+                {"package": {"ecosystem": "pypi", "name": "frob"},
+                 "ranges": [{"events": [{"introduced": "0"}]}]}
+            ],
+        },
+    ]
+    gl_recs = [
+        {"identifier": "GL-1", "package_slug": "pypi/frob",
+         "description": "Frob advisory.", "date": "2024-03-01"},
+        {"identifier": "GL-2", "package_slug": "go/gadget",
+         "description": "Gadget advisory.", "date": "2024-03-02"},
+    ]
+    osv_path = str(tmp_path / "osv.jsonl")
+    gl_path = str(tmp_path / "gl.jsonl")
+    with open(osv_path, "w") as fh:
+        fh.writelines(json.dumps(r) + "\n" for r in osv_recs)
+    with open(gl_path, "w") as fh:
+        fh.writelines(json.dumps(r) + "\n" for r in gl_recs)
+
+    def final_state(jobs):
+        t = LakeTable(
+            str(tmp_path / ("t-" + "-".join(n for n, _ in jobs))),
+            num_partitions=4,
+            merge="priority",
+        )
+        t.sync_sources(jobs)
+        return {
+            (r["repo"], r["path"]): (r["content"], sorted(r["sources"]), r["commit"])
+            for r in t.state_table().to_pylist()
+        }
+
+    fwd = final_state([("osv-jsonl", osv_path), ("gitlab-jsonl", gl_path)])
+    rev = final_state([("gitlab-jsonl", gl_path), ("osv-jsonl", osv_path)])
+    # overlapping key: OSV content wins in BOTH arrival orders
+    assert fwd[("pypi", "frob")][0] == "overflow in frob"
+    assert rev[("pypi", "frob")][0] == "overflow in frob"
+    assert fwd[("pypi", "frob")][1] == ["gitlab", "osv"]
+    # the stored version is the newest of the two events either way
+    # (gitlab's 2024-03 commit string sorts above osv's 2024-02)
+    assert fwd[("pypi", "frob")][2] == rev[("pypi", "frob")][2]
+    # non-overlapping gitlab-only key passes through untouched
+    assert fwd[("go", "gadget")][0] == "Gadget advisory."
+    assert fwd == rev
