@@ -1507,8 +1507,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents), "
             "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token), "
             "ntot AS (SELECT count(*) AS n FROM tok), "
-            "cost AS (SELECT token, CAST(floor(-ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) "
-            "* 1000000.0) AS BIGINT) AS cost FROM tf, ntot), "
+            "rare AS (SELECT coalesce(sum(c), 0) AS r FROM tf WHERE c < 2), "
+            "cost AS (SELECT token, CAST(floor(-ln("
+            "CAST(CASE WHEN c >= 2 THEN c ELSE r END AS DOUBLE)/CAST(n AS DOUBLE)) "
+            "* 1000000.0) AS BIGINT) AS cost FROM tf, ntot, rare), "
             "ct AS (SELECT a.doc_id, cd.lang, a.cleaned_text FROM agg a "
             "JOIN cd USING (doc_id)), "
             "ctok AS (SELECT doc_id, unnest(string_split(cleaned_text, ' ')) AS token "
@@ -1553,13 +1555,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "unigram_logppl": (
             # integer micro-nat token costs: floor(-ln(tf/N)*1e6) sums
-            # exactly in any order; ln() is libm on both engines
+            # exactly in any order; ln() is libm on both engines.
+            # KenLM-style frequency floor: tokens with tf < 2 share the
+            # pooled <unk> cost floor(-ln(rare/N)*1e6) — the same floor
+            # the engine's bounded vocabulary applies
             "WITH tok AS (SELECT doc_id, "
             "unnest(string_split(coalesce(text,''),' ')) AS token FROM documents), "
             "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token), "
             "n AS (SELECT count(*) AS n FROM tok), "
-            "cost AS (SELECT token, CAST(floor(-ln(CAST(c AS DOUBLE)/CAST(n AS DOUBLE)) "
-            "* 1000000.0) AS BIGINT) AS cost FROM tf, n) "
+            "rare AS (SELECT coalesce(sum(c), 0) AS r FROM tf WHERE c < 2), "
+            "cost AS (SELECT token, CAST(floor(-ln("
+            "CAST(CASE WHEN c >= 2 THEN c ELSE r END AS DOUBLE)/CAST(n AS DOUBLE)) "
+            "* 1000000.0) AS BIGINT) AS cost FROM tf, n, rare) "
             "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(c2.cost) AS BIGINT) AS nll_micro, "
             "CAST(sum(c2.cost) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_nll_micro "

@@ -385,6 +385,7 @@ def prepare_corpus_llm(
         _decontaminate_pass,
         _span_dedup_pipeline,
         _unigram_cost_table,
+        _unigram_token_costs,
     )
 
     out_schema = pa.schema(
@@ -417,15 +418,14 @@ def prepare_corpus_llm(
         t = t.filter(pc.greater(t["n_kept"], 0))
         if t.num_rows == 0:
             return out_schema.empty_table()
-        tok_bc, cost_np = ray.get(cost_bc)
+        tok_bc, cost_np, unk_cost = ray.get(cost_bc)
         toks = pc.split_pattern(t["cleaned_text"], " ")
         lens = (
             pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
         )
         flat = pc.list_flatten(toks).combine_chunks()
-        # every cleaned token came from the original corpus vocabulary
-        idx = pc.fill_null(pc.index_in(flat, value_set=tok_bc), 0)
-        costs = cost_np[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        # below-floor tokens miss the kept vocabulary -> pooled <unk>
+        costs = _unigram_token_costs(flat, tok_bc, cost_np, unk_cost)
         starts = np.cumsum(lens) - lens
         nll = np.add.reduceat(costs, starts).astype(np.int64)
         avg = nll.astype(np.float64) / lens.astype(np.float64)

@@ -1984,25 +1984,80 @@ def _tf_counts(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _unigram_cost_table(sf_dir: str) -> "tuple[pa.Array, np.ndarray] | None":
-    """(vocab tokens, per-token integer micro-nat costs) trained on the
-    FULL corpus — floor(-ln(tf/N)*1e6) via ``math.log`` (libm, the
-    DuckDB-ln-parity requirement). None on an empty corpus."""
+def _unigram_cost_table(
+    sf_dir: str, min_tf: int = 2
+) -> "tuple[pa.Array, np.ndarray, int] | None":
+    """(vocab tokens, per-token integer micro-nat costs, <unk> cost)
+    trained on the FULL corpus — floor(-ln(tf/N)*1e6) via ``math.log``
+    (libm, the DuckDB-ln-parity requirement). None on an empty corpus.
+
+    BOUNDED vocabulary (the standard KenLM frequency floor): tokens
+    with tf < ``min_tf`` collapse into one ``<unk>`` bucket whose cost
+    is the POOLED below-floor mass, floor(-ln(rare/N)*1e6). At web
+    scale the distinct-token set (typos, URLs) grows without bound but
+    the driver only ever collects tokens AT/ABOVE the floor — the
+    below-floor mass arrives as per-block (n, rare) partial sums — so
+    both the driver fold and the ``ray.put`` broadcast stop growing
+    with corpus size."""
     import math
 
-    parts = collect_tables(_tf_counts(sf_dir))
-    if not parts:
+    agg = _tf_counts(sf_dir).materialize()
+
+    def kept_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["c"], min_tf))
+
+    def mass_partial(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["c"], pa.int64())
+        rare = pc.if_else(pc.less(c, min_tf), c, pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "n": pa.array([int(pc.sum(c).as_py() or 0)], pa.int64()),
+                "rare": pa.array([int(pc.sum(rare).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    mass = collect_tables(
+        agg.map_batches(mass_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    n_total = sum(int(pc.sum(p["n"]).as_py() or 0) for p in mass)
+    rare_total = sum(int(pc.sum(p["rare"]).as_py() or 0) for p in mass)
+    if n_total == 0:
         return None
-    tf = pa.concat_tables(parts)
-    tok_arr = tf["token"].combine_chunks()
-    c_np = pc.cast(tf["c"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-    n_total = int(c_np.sum())
+    parts = collect_tables(
+        agg.map_batches(kept_only, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if parts:
+        tf = pa.concat_tables(parts)
+        tok_arr = tf["token"].combine_chunks()
+        c_np = (
+            pc.cast(tf["c"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+    else:
+        tok_arr = pa.array([], pa.string())
+        c_np = np.zeros(0, dtype=np.int64)
     cost_np = np.fromiter(
         (math.floor(-math.log(c / n_total) * 1e6) for c in c_np.tolist()),
         np.int64,
         len(c_np),
     )
-    return tok_arr, cost_np
+    unk_cost = (
+        math.floor(-math.log(rare_total / n_total) * 1e6) if rare_total else 0
+    )
+    return tok_arr, cost_np, unk_cost
+
+
+def _unigram_token_costs(
+    flat: pa.Array, tok_bc: pa.Array, cost_bc: np.ndarray, unk_cost: int
+) -> np.ndarray:
+    """Per-token integer costs for a flat token array: vocabulary
+    lookup via one index_in, below-floor misses priced at the pooled
+    <unk> cost. Shared by unigram_logppl and the composed pipeline so
+    the floor semantics cannot drift."""
+    idx = pc.index_in(flat, value_set=tok_bc)
+    hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+    pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+    base = cost_bc[pos] if len(cost_bc) else np.zeros(len(pos), dtype=np.int64)
+    return np.where(hit, base, np.int64(unk_cost))
 
 
 def unigram_logppl(sf_dir: str) -> rd.Dataset:
@@ -2043,15 +2098,14 @@ def unigram_logppl(sf_dir: str) -> rd.Dataset:
     def score(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return out_schema.empty_table()
-        tok_bc, cost_bc = ray.get(bc)
+        tok_bc, cost_bc, unk_cost = ray.get(bc)
         toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
         lens = (
             pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
         )
         flat = pc.list_flatten(toks).combine_chunks()
-        # every scanned token is in the pass-1 vocabulary by construction
-        idx = pc.fill_null(pc.index_in(flat, value_set=tok_bc), 0)
-        costs = cost_bc[idx.to_numpy(zero_copy_only=False).astype(np.int64)]
+        # below-floor tokens miss the kept vocabulary -> pooled <unk>
+        costs = _unigram_token_costs(flat, tok_bc, cost_bc, unk_cost)
         starts = np.cumsum(lens) - lens  # lens >= 1 per doc
         nll = np.add.reduceat(costs, starts).astype(np.int64)
         return pa.table(

@@ -503,15 +503,18 @@ def test_dedup_text_segments_planted(tmp_path):
     assert out.loc[3, "n_kept"] == 2
 
 
-def test_unigram_logppl_planted(tmp_path):
-    """Rarer tokens cost more: a doc of corpus-unique tokens scores a
-    strictly higher mean NLL than a doc of repeated common tokens, and
-    the micro-nat sum equals the hand-computed per-token costs."""
+def test_unigram_logppl_planted_floor_engages(tmp_path):
+    """Rarer tokens cost more, AND the KenLM frequency floor engages:
+    the three corpus-singleton tokens fall below min_tf=2, so each is
+    priced at the POOLED <unk> cost floor(-ln(rare_mass/N)*1e6) — one
+    shared cost for all of them (cheaper per token than a true
+    singleton cost, bounding the vocabulary the driver holds) — while
+    the common token keeps its exact tf-based cost."""
     import math
 
     import pyarrow.parquet as pq
 
-    from laketide.functions.text import unigram_logppl
+    from laketide.functions.text import _unigram_cost_table, unigram_logppl
 
     texts = ["common common common common", "common rare1 rare2 rare3"]
     t = pa.table(
@@ -524,11 +527,17 @@ def test_unigram_logppl_planted(tmp_path):
     out = unigram_logppl(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
     n = 8
     c_common = math.floor(-math.log(5 / n) * 1e6)
-    c_rare = math.floor(-math.log(1 / n) * 1e6)
+    c_unk = math.floor(-math.log(3 / n) * 1e6)  # pooled rare mass = 3
     assert out.loc[0, "nll_micro"] == 4 * c_common
-    assert out.loc[1, "nll_micro"] == c_common + 3 * c_rare
+    # all three singletons share the ONE pooled <unk> cost
+    assert out.loc[1, "nll_micro"] == c_common + 3 * c_unk
     assert out.loc[1, "avg_nll_micro"] > out.loc[0, "avg_nll_micro"]
     assert (out["n_tokens"] == 4).all()
+    # the floor actually engaged: the kept vocabulary holds ONLY the
+    # above-floor token — the driver never collected the singletons
+    tok_arr, cost_np, unk_cost = _unigram_cost_table(str(tmp_path))
+    assert tok_arr.to_pylist() == ["common"]
+    assert unk_cost == c_unk
 
 
 def test_doc_chunk_windows_overlap(tmp_path):
