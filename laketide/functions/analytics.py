@@ -597,16 +597,20 @@ def cms_token_counts(sf_dir: str, check_tokens: tuple = ("the", "data", "ray")) 
         sketch[r["cell"]] = r["c"]
         n_stream += int(r["ns"] or 0)
     out_tok, out_est = [], []
-    for tok in check_tokens:
-        h = np.uint64(
-            pd.util.hash_array(np.array([tok], dtype=object), categorize=False)[0]
-        )
-        est = min(
-            int(sketch[r * _CMS_W + int((h * mults[r]) >> np.uint64(64 - 13))])
-            for r in range(_CMS_D)
-        )
-        out_tok.append(tok)
-        out_est.append(est)
+    # mod-2^64 wraparound in h * mults[r] is the CMS row-hash BY DESIGN
+    # (multiply-shift hashing); suppress only here so a genuine overflow
+    # elsewhere still warns
+    with np.errstate(over="ignore"):
+        for tok in check_tokens:
+            h = np.uint64(
+                pd.util.hash_array(np.array([tok], dtype=object), categorize=False)[0]
+            )
+            est = min(
+                int(sketch[r * _CMS_W + int((h * mults[r]) >> np.uint64(64 - 13))])
+                for r in range(_CMS_D)
+            )
+            out_tok.append(tok)
+            out_est.append(est)
     return pa.table(
         {
             "token": pa.array(out_tok, pa.string()),

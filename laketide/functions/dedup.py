@@ -1616,7 +1616,9 @@ def _minhash_index_dir(sf_dir: str) -> str:
         f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
         f"|b{_BANDS}r{_ROWS_PER_BAND}k{_SHINGLE_K}p{_N_PERM}s12345".encode()
     ).hexdigest()[:16]
-    return os.path.join("/tmp", "laketide_minhash_index", f"mh-{fp}")
+    from laketide.functions.artifacts import artifact_root
+
+    return os.path.join(artifact_root("minhash"), f"mh-{fp}")
 
 
 def minhash_signature_build(sf_dir: str, index_dir: str | None = None) -> str:

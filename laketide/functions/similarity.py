@@ -268,7 +268,9 @@ def _ivf_index_dir(sf_dir: str, n_centroids: int) -> str:
     fp = hashlib.sha256(
         f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|c{n_centroids}".encode()
     ).hexdigest()[:16]
-    return os.path.join("/tmp", "laketide_ann_index", f"ivf-{fp}")
+    from laketide.functions.artifacts import artifact_root
+
+    return os.path.join(artifact_root("ivf"), f"ivf-{fp}")
 
 
 def ivf_index_build(

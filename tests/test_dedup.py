@@ -202,12 +202,15 @@ def test_gram_hash_kernel_vectorized_matches_reference():
         out = []
         if L == 0:
             return out
-        for s in range(max(L - 2, 1)):
-            g = np.uint64(0)
-            for j in range(3):
-                v = h[s + j] if s + j < L else np.uint64(0)
-                g += v * dedup._K[j]
-            out.append(int(g))
+        # the scalar reference intentionally wraps mod 2^64, like the
+        # vectorized kernel it checks
+        with np.errstate(over="ignore"):
+            for s in range(max(L - 2, 1)):
+                g = np.uint64(0)
+                for j in range(3):
+                    v = h[s + j] if s + j < L else np.uint64(0)
+                    g += v * dedup._K[j]
+                out.append(int(g))
         return out
 
     for i, text in enumerate(texts):

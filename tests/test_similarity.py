@@ -278,3 +278,53 @@ def test_embedding_dup_components_bucketed_matches_broadcast(tmp_path):
         str(tmp_path), path="auto", broadcast_budget_rows=4, n_centroids=4
     )
     assert {r["vec_id"]: r["component"] for r in auto.to_pylist()} == bd
+
+
+def test_artifact_root_rejects_untrusted_dirs(tmp_path, monkeypatch):
+    """The artifact cache root must be per-user 0700 and never trust a
+    squatted path: a plain file, a foreign-looking permission set
+    (group/other-writable), or a symlink in its place raises instead of
+    silently serving attacker-controlled artifacts; the env override
+    wins for managed setups."""
+    import os
+    import stat
+
+    from laketide.functions.artifacts import _ensure_private_dir, artifact_root
+
+    monkeypatch.setenv("TMPDIR", str(tmp_path))
+    import tempfile
+
+    tempfile.tempdir = None  # re-read TMPDIR
+    try:
+        root = artifact_root("minhash")
+        base = os.path.dirname(root)
+        assert base.startswith(str(tmp_path))
+        assert stat.S_IMODE(os.stat(base).st_mode) == 0o700
+        # idempotent reuse of our own private dir
+        assert artifact_root("minhash") == root
+
+        # squatted plain file
+        f = tmp_path / "squat-file"
+        f.write_text("x")
+        with pytest.raises(RuntimeError, match="not a directory"):
+            _ensure_private_dir(str(f))
+        # group/other-writable dir
+        d = tmp_path / "loose"
+        d.mkdir()
+        os.chmod(str(d), 0o777)
+        with pytest.raises(RuntimeError, match="writable"):
+            _ensure_private_dir(str(d))
+        # symlink to elsewhere
+        target = tmp_path / "target"
+        target.mkdir()
+        link = tmp_path / "link"
+        os.symlink(str(target), str(link))
+        with pytest.raises(RuntimeError, match="not a directory"):
+            _ensure_private_dir(str(link))
+
+        # operator override bypasses the per-user policy
+        managed = tmp_path / "managed"
+        monkeypatch.setenv("LAKETIDE_INDEX_DIR", str(managed))
+        assert artifact_root("ivf") == str(managed / "ivf")
+    finally:
+        tempfile.tempdir = None
