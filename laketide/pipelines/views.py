@@ -476,6 +476,22 @@ class DerivedJoinView:
 
         if on not in dim.column_names:
             raise ValueError(f"join key {on!r} not in dim columns {dim.column_names}")
+        # duplicate join-key values make the view ambiguous TWICE over:
+        # _enrich's pc.index_in lookup serves whichever duplicate occurs
+        # first in arrival order, while _dim_fp canonicalizes with a
+        # stable sort — so two dims could serve different attributes yet
+        # fingerprint identically and skip a needed re-enrich. Reject at
+        # construction (null keys can never match a base row either).
+        key = dim.column(on)
+        if key.null_count:
+            raise ValueError(f"dim join key {on!r} contains {key.null_count} null(s)")
+        n_distinct = pc.count_distinct(key).as_py()
+        if n_distinct != dim.num_rows:
+            raise ValueError(
+                f"dim join key {on!r} has duplicate values "
+                f"({dim.num_rows - n_distinct} extra row(s)) — a lookup dim "
+                "must be unique per key"
+            )
         self.attrs = [c for c in dim.column_names if c != on]
         reserved = set(S.CORE_COLUMNS) | {
             S.SHA_COLUMN,
@@ -718,12 +734,12 @@ class DerivedJoinView:
         cur_parts = man.num_partitions if man else self.base.num_partitions
         fp = self._dim_fp()
         st = self._applied()
-        if (
-            st is not None
-            and st[0] == cur
-            and st[1] == cur_parts
-            and (st[2] is None or st[2] == fp)
-        ):
+        # a pre-fingerprint watermark (st[2] is None) must NOT noop: the
+        # dim may have changed while the view ran an older build, and
+        # "unknown" matching "anything" would persist stale attributes
+        # until the next base epoch. One forced re-enrich stamps the
+        # current fingerprint and the upgraded view converges.
+        if st is not None and st[0] == cur and st[1] == cur_parts and st[2] == fp:
             return {"mode": "noop", "from_epoch": cur, "to_epoch": cur}
         # view version = (base epoch, refresh generation): the generation
         # makes a dim-change re-enrich at an UNCHANGED base epoch still
@@ -733,7 +749,10 @@ class DerivedJoinView:
         gen = self.target.current_epoch() + 1
         commit_view = f"v{cur:018d}-{gen:06d}"
         ev_schema = self._event_schema(man)
-        dim_changed = st is not None and st[2] is not None and st[2] != fp
+        # fingerprint-unknown (pre-fingerprint stamp) is treated as
+        # changed: an empty incremental would stamp the new fp WITHOUT
+        # reapplying attributes, freezing whatever the old build served
+        dim_changed = st is not None and st[2] != fp
         mode, ds = "incremental", None
         if (
             st is None

@@ -475,6 +475,79 @@ def test_derived_join_view_rejects_colliding_attrs(tmp_path):
         DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
 
 
+def test_derived_join_view_rejects_duplicate_or_null_dim_keys(tmp_path):
+    """Duplicate join-key values are ambiguous (index_in serves the first
+    occurrence while the fingerprint canonicalizes by sort — two dims
+    could serve different attributes yet hash identically); null keys can
+    never match. Both must raise at construction."""
+    import pytest
+
+    from laketide.pipelines.views import DerivedJoinView
+
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=2)
+    dup = pa.table(
+        {
+            "repo": pa.array(["r/a", "r/a"], pa.string()),
+            "owner": pa.array(["first", "second"], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        DerivedJoinView(t, str(tmp_path / "view"), dup, on="repo")
+    nullkey = pa.table(
+        {
+            "repo": pa.array(["r/a", None], pa.string()),
+            "owner": pa.array(["x", "y"], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="null"):
+        DerivedJoinView(t, str(tmp_path / "view"), nullkey, on="repo")
+
+
+def test_derived_join_view_pre_fingerprint_watermark_reenriches(tmp_path):
+    """A watermark that predates dim fingerprinting (dim_fp=None) must
+    not be treated as matching any dim: the refresh forces one re-enrich
+    (stamping the current fingerprint) so a dim change that happened
+    while the view ran an older build converges instead of silently
+    persisting stale attributes."""
+    import pyarrow.compute as _pc
+
+    from laketide.pipelines.views import DerivedJoinView
+
+    files = laketide.generate_changelog(
+        str(tmp_path / "log"), n_events=800, n_epochs=2, seed=17
+    )
+    t = laketide.LakeTable(str(tmp_path / "table"), num_partitions=4)
+    dim = _mk_dim(files)
+    view = DerivedJoinView(t, str(tmp_path / "view"), dim, on="repo")
+    for f in files:
+        t.apply_epoch(f)
+    view.refresh()
+    st = view._applied()
+    # the dim changed while the view was on a pre-fingerprint build
+    dim2 = dim.set_column(
+        dim.column_names.index("owner"),
+        "owner",
+        _pc.binary_join_element_wise(dim["owner"].combine_chunks(), "-v2", ""),
+    )
+    view_b = DerivedJoinView(t, str(tmp_path / "view"), dim2, on="repo")
+    view_b._applied = lambda: (st[0], st[1], None)  # legacy stamp
+    r = view_b.refresh()
+    assert r["mode"] == "re-enrich"
+    got = _join_got(view_b)
+    assert got == _join_expected(t, dim2)
+    assert all(v[3].endswith("-v2") for v in got.values())
+    # the re-enrich stamped the real fingerprint: a fresh handle noops
+    view_c = DerivedJoinView(t, str(tmp_path / "view"), dim2, on="repo")
+    assert view_c.refresh()["mode"] == "noop"
+    # and an UNCHANGED dim on a legacy stamp also converges in one pass
+    view_d = DerivedJoinView(t, str(tmp_path / "view"), dim2, on="repo")
+    view_d._applied = lambda: (st[0], st[1], None)
+    assert view_d.refresh()["mode"] == "re-enrich"
+    view_e = DerivedJoinView(t, str(tmp_path / "view"), dim2, on="repo")
+    assert view_e.refresh()["mode"] == "noop"
+    assert _join_got(view_e) == _join_expected(t, dim2)
+
+
 def test_derived_join_view_payload_keyed_dim_bootstrap_deletes(tmp_path):
     """Dim keyed on a PAYLOAD column (lang): bootstrap delete-key rows
     carry only (repo, path), so the enrich path must null the lookup
