@@ -1537,7 +1537,7 @@ def oracle_sql() -> dict[str, str]:
             # segments: global first occurrence wins (doc_id, pos order),
             # text rebuilt from kept segments in document order
             "WITH l AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks "
-            "FROM documents), "
+            "FROM documents WHERE doc_id IS NOT NULL), "
             "e AS (SELECT doc_id, toks, len(toks) AS n, "
             "unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pos FROM l), "
             "s AS (SELECT doc_id, pos, "
@@ -1570,12 +1570,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
             "CAST(sum(c2.cost) AS BIGINT) AS nll_micro, "
             "CAST(sum(c2.cost) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_nll_micro "
-            "FROM tok t JOIN cost c2 USING (token) GROUP BY t.doc_id"
+            # training (tf/n/rare) stays on the FULL corpus; only the
+            # scored groups drop null doc_id, same as the engine
+            "FROM tok t JOIN cost c2 USING (token) "
+            "WHERE t.doc_id IS NOT NULL GROUP BY t.doc_id"
         ),
         "doc_chunk_windows": (
             # 64-token windows every 48 tokens (1-based inclusive slices)
             "WITH l AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks "
-            "FROM documents), "
+            "FROM documents WHERE doc_id IS NOT NULL), "
             "e AS (SELECT doc_id, toks, len(toks) AS n, "
             "unnest(range(0, CAST(ceil(len(toks)/48.0) AS BIGINT))) AS i FROM l) "
             "SELECT doc_id, CAST(i AS BIGINT) AS chunk_id, "

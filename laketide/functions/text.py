@@ -1842,7 +1842,11 @@ def _span_dedup_pipeline(docs: rd.Dataset, carry_lang: bool = False) -> rd.Datas
         # marker ride the same map — segment rows co-locate by
         # segment-hash (first-occurrence dedup needs it), markers by
         # doc-hash (they skip dedup, and keying them on their seg=""
-        # would funnel every marker into one hot partition)
+        # would funnel every marker into one hot partition).
+        # NULL doc_id rows are dropped up front (the oracle's
+        # WHERE doc_id IS NOT NULL): to_numpy would otherwise coerce
+        # NULL -> NaN -> an arbitrary int64 group the oracle never has
+        t = t.filter(pc.is_valid(t["doc_id"]))
         rows = _segment_rows(t)
         if carry_lang:
             rows = rows.append_column("lang", pa.nulls(rows.num_rows, pa.string()))
@@ -2100,6 +2104,10 @@ def unigram_logppl(sf_dir: str) -> rd.Dataset:
     bc = ray.put(built)
 
     def score(t: pa.Table) -> pa.Table:
+        # NULL doc_id rows can't be scored to a real group — drop them
+        # like the oracle's WHERE doc_id IS NOT NULL (their text still
+        # counted toward the training distribution, on both sides)
+        t = t.filter(pc.is_valid(t["doc_id"]))
         if t.num_rows == 0:
             return out_schema.empty_table()
         tok_bc, cost_bc, unk_cost = ray.get(bc)
@@ -2150,6 +2158,9 @@ def doc_chunk_windows(sf_dir: str, width: int = 64, stride: int = 48) -> rd.Data
     )
 
     def f(t: pa.Table) -> pa.Table:
+        # NULL doc_id -> dropped (oracle: WHERE doc_id IS NOT NULL);
+        # to_numpy would otherwise alias NaN to an arbitrary int64 doc
+        t = t.filter(pc.is_valid(t["doc_id"]))
         if t.num_rows == 0:
             return out_schema.empty_table()
         toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")

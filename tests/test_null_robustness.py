@@ -227,6 +227,45 @@ def test_query_matches_oracle_with_nulls(name, nullable_sf_dir):
     pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name)
 
 
+@pytest.mark.parametrize(
+    "name", ["dedup_text_segments", "unigram_logppl", "doc_chunk_windows"]
+)
+def test_null_doc_id_groups_dropped_like_oracle(name, tmp_path):
+    """doc_id NULL rows must be DROPPED, not NaN-coerced to an arbitrary
+    int64 group (r4 advisory): these ops' to_numpy fast paths would
+    otherwise emit a group the oracle never has. The shared nullable
+    fixture keeps doc_id non-null, so this corpus plants null doc_ids
+    directly — including duplicate segments so the dedup is non-vacuous
+    and the null doc's tokens still count toward the LM training mass on
+    both sides."""
+    rng = np.random.RandomState(7)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = [" ".join(rng.choice(words, size=25)) for _ in range(40)]
+    texts[5] = texts[3]  # duplicate spans across docs (incl. a null doc)
+    texts[9] = texts[3]
+    doc_id = pd.array(
+        [None if i % 7 == 3 else i for i in range(40)], dtype="Int64"
+    )
+    docs = pa.Table.from_pandas(
+        pd.DataFrame({"doc_id": doc_id, "text": texts}), preserve_index=False
+    )
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(docs, str(d / "documents.parquet"))
+    ray_df = QUERIES[name](str(d))
+    if not isinstance(ray_df, pd.DataFrame):
+        ray_df = ray_df.to_pandas()
+    assert not ray_df["doc_id"].isna().any()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    duck_df = con.execute(ORACLES[name]).df()
+    assert len(ray_df) == len(duck_df), f"{name}: rows {len(ray_df)} vs {len(duck_df)}"
+    a, b = _canon(ray_df), _canon(duck_df)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True, obj=name)
+
+
 def test_osv_normalizer_survives_malformed_shapes(tmp_path):
     """I6: odd 'affected' shapes yield zero events (or drop the odd
     record), never a KeyError/ArrowTypeError that kills the sync."""
