@@ -19,6 +19,8 @@ import os
 import stat as _stat
 import tempfile
 
+import pyarrow as pa
+
 
 def artifact_root(kind: str) -> str:
     """Return (creating if needed) the trusted cache root for ``kind``
@@ -37,6 +39,55 @@ def artifact_root(kind: str) -> str:
     root = os.path.join(base, kind)
     _ensure_private_dir(root)
     return root
+
+
+def publish_rows_artifact(final: str, ds_factory, meta: dict) -> str:
+    """Persist a Ray Dataset of signature rows as a parquet directory
+    plus an ``INDEX.json`` manifest, published with the lake's
+    atomic-publish discipline (write into a staging dir, ONE
+    ``os.replace``). ``ds_factory`` is called only on a cache miss, so
+    the (expensive) signature pass never runs when a published artifact
+    already exists. Shared by the MinHash, SimHash and embedding-LSH
+    signature caches so the staging/crash semantics cannot drift."""
+    import json as _json
+    import shutil as _sh
+    import uuid
+
+    if os.path.exists(os.path.join(final, "INDEX.json")):
+        return final
+    tmp = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+    os.makedirs(os.path.join(tmp, "rows"), exist_ok=True)
+    ds_factory().write_parquet(os.path.join(tmp, "rows"))
+    with open(os.path.join(tmp, "INDEX.json"), "w") as fh:
+        fh.write(_json.dumps(meta, sort_keys=True))
+    os.makedirs(os.path.dirname(final), exist_ok=True)
+    try:
+        os.replace(tmp, final)
+    except OSError:
+        _sh.rmtree(tmp, ignore_errors=True)
+        # only a concurrent build that actually PUBLISHED is benign: any
+        # other os.replace failure (permissions, final exists as a plain
+        # file) would otherwise return a path the read side silently
+        # treats as an empty corpus
+        if not os.path.exists(os.path.join(final, "INDEX.json")):
+            raise
+    return final
+
+
+def read_rows_artifact(index_dir: str, empty_schema: pa.Schema):
+    """Streaming Dataset over a published artifact's signature rows.
+    An empty corpus publishes no parquet files (Ray's write_parquet
+    emits nothing at 0 rows) — fall back to the typed empty table.
+    Ray-written parquet carries no pandas schema metadata, so the plain
+    read is already scrub-clean."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    files = _glob.glob(os.path.join(index_dir, "rows", "*.parquet"))
+    if not files:
+        return rd.from_arrow(empty_schema.empty_table())
+    return rd.read_parquet(files)
 
 
 def _ensure_private_dir(path: str) -> None:

@@ -1098,13 +1098,60 @@ class SimHasher:
         )
 
 
-def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
-    """Near-dup pairs whose 64-bit SimHashes differ by <= max_hamming bits;
-    candidates generated by 16-bit band collision (any band equal).
-    Hot buckets are capped: all-pairs within the first ``_MAX_BUCKET``
-    members plus representative-vs-rest, with the drop logged."""
-    import ray as _ray
+def _simhash_index_dir(sf_dir: str) -> str:
+    """Cache location + source fingerprint for the persisted SimHash
+    signature artifact: keyed on the documents file identity (path,
+    size, mtime_ns) and every constant that shapes the signature, so a
+    changed corpus or banding can never serve stale rows."""
+    import hashlib
+    import os
 
+    from laketide.functions.artifacts import artifact_root
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|sim64b4x16".encode()
+    ).hexdigest()[:16]
+    return os.path.join(artifact_root("simhash"), f"sh-{fp}")
+
+
+def simhash_signature_build(sf_dir: str, index_dir: str | None = None) -> str:
+    """Build (or reuse) the persisted SimHash signature artifact —
+    (doc_id, band, band_val, simhash, bucket_part) parquet rows plus an
+    INDEX.json manifest, published atomically (staging dir -> one
+    ``os.replace``; the minhash artifact discipline). The token-hash +
+    bit-vote pass over the raw text dominates every simhash query; the
+    persisted rows are fixed-width and corpus-row-bounded (x4 bands)."""
+    from laketide.functions.artifacts import publish_rows_artifact
+
+    return publish_rows_artifact(
+        index_dir or _simhash_index_dir(sf_dir),
+        lambda: _simhash_rows(sf_dir, from_index=False),
+        {"bits": 64, "bands": 4, "bits_per_band": 16, "n_parts": _coarse_n_parts()},
+    )
+
+
+def _simhash_rows(sf_dir: str, from_index: bool) -> "rd.Dataset":
+    """Banded (doc_id, band, band_val, simhash, bucket_part) rows —
+    computed from the corpus, or read back from the persisted artifact
+    (``from_index=True``; builds it on first use). ONE implementation
+    feeds both paths, so equal output is structural."""
+    if from_index:
+        from laketide.functions.artifacts import read_rows_artifact
+
+        return read_rows_artifact(
+            simhash_signature_build(sf_dir),
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("band", pa.int64()),
+                    ("band_val", pa.int64()),
+                    ("simhash", pa.uint64()),
+                    ("bucket_part", pa.int64()),
+                ]
+            ),
+        )
     docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     n_parts = _coarse_n_parts()
     hasher = SimHasher()
@@ -1118,9 +1165,20 @@ def simhash_dedup(sf_dir: str, max_hamming: int = 6) -> rd.Dataset:
         )
         return out.append_column("bucket_part", pa.array(part, pa.int64()))
 
-    banded = docs.map_batches(
-        band_with_part, batch_format="pyarrow", zero_copy_batch=True
-    )
+    return docs.map_batches(band_with_part, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_dedup(
+    sf_dir: str, max_hamming: int = 6, from_index: bool = False
+) -> rd.Dataset:
+    """Near-dup pairs whose 64-bit SimHashes differ by <= max_hamming bits;
+    candidates generated by 16-bit band collision (any band equal).
+    Hot buckets are capped: all-pairs within the first ``_MAX_BUCKET``
+    members plus representative-vs-rest, with the drop logged.
+    ``from_index=True`` serves the banded signatures from the persisted
+    artifact (built on first use) instead of re-hashing the corpus."""
+    n_parts = _coarse_n_parts()
+    banded = _simhash_rows(sf_dir, from_index)
 
     def bucket_pairs(ids: np.ndarray, hs: np.ndarray) -> tuple:
         n = len(ids)
@@ -1630,39 +1688,19 @@ def minhash_signature_build(sf_dir: str, index_dir: str | None = None) -> str:
     query; persisting the banded rows turns each subsequent candidate /
     stats / verify call into a scan of the (tiny, fixed-width)
     signature table instead of the corpus."""
-    import json as _json
-    import os
-    import shutil as _sh
-    import uuid
+    from laketide.functions.artifacts import publish_rows_artifact
 
-    final = index_dir or _minhash_index_dir(sf_dir)
-    if os.path.exists(os.path.join(final, "INDEX.json")):
-        return final
-    n_parts = _coarse_n_parts()
-    tmp = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    os.makedirs(os.path.join(tmp, "rows"), exist_ok=True)
     # ONE banding implementation: the artifact persists exactly what the
     # direct path computes, so the equal-output guarantee is structural
-    _banded_rows(sf_dir, from_index=False).write_parquet(os.path.join(tmp, "rows"))
-    with open(os.path.join(tmp, "INDEX.json"), "w") as fh:
-        fh.write(
-            _json.dumps(
-                {"bands": _BANDS, "rows_per_band": _ROWS_PER_BAND, "n_parts": n_parts},
-                sort_keys=True,
-            )
-        )
-    os.makedirs(os.path.dirname(final), exist_ok=True)
-    try:
-        os.replace(tmp, final)
-    except OSError:
-        _sh.rmtree(tmp, ignore_errors=True)
-        # only a concurrent build that actually PUBLISHED is benign: any
-        # other os.replace failure (permissions, final exists as a plain
-        # file) would otherwise return a path the read side silently
-        # treats as an empty corpus
-        if not os.path.exists(os.path.join(final, "INDEX.json")):
-            raise
-    return final
+    return publish_rows_artifact(
+        index_dir or _minhash_index_dir(sf_dir),
+        lambda: _banded_rows(sf_dir, from_index=False),
+        {
+            "bands": _BANDS,
+            "rows_per_band": _ROWS_PER_BAND,
+            "n_parts": _coarse_n_parts(),
+        },
+    )
 
 
 def _banded_rows(sf_dir: str, from_index: bool) -> "rd.Dataset":
@@ -1670,29 +1708,19 @@ def _banded_rows(sf_dir: str, from_index: bool) -> "rd.Dataset":
     from the corpus, or read back from the persisted signature artifact
     (``from_index=True``; builds it on first use)."""
     if from_index:
-        import glob as _glob
-        import os
+        from laketide.functions.artifacts import read_rows_artifact
 
-        import ray.data as _rd
-
-        idx = minhash_signature_build(sf_dir)
-        files = _glob.glob(os.path.join(idx, "rows", "*.parquet"))
-        if not files:
-            # empty corpus: Ray write_parquet emits no files at 0 rows
-            return _rd.from_arrow(
-                pa.schema(
-                    [
-                        ("doc_id", pa.int64()),
-                        ("band", pa.int64()),
-                        ("band_hash", pa.int64()),
-                        ("bucket_part", pa.int64()),
-                    ]
-                ).empty_table()
-            )
-        # Ray-written parquet carries no pandas schema metadata, so the
-        # plain read is already scrub-clean (scrubbed_read's
-        # pq.read_schema cannot open a directory)
-        return _rd.read_parquet(files)
+        return read_rows_artifact(
+            minhash_signature_build(sf_dir),
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("band", pa.int64()),
+                    ("band_hash", pa.int64()),
+                    ("bucket_part", pa.int64()),
+                ]
+            ),
+        )
     n_parts = _coarse_n_parts()
     docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     hasher = MinHasher()

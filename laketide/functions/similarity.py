@@ -517,34 +517,72 @@ class _UnitVectors:
         )
 
 
-def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
-    """Embedding-cosine near-duplicate pairs: BANDED random-hyperplane
-    LSH (4 bands x 8 planes) buckets candidate vectors — a pair of
-    near-dups collides in >=1 band with high probability (recall ~0.9 at
-    cos 0.95, ~1.0 above 0.99), unlike single-signature collision.
+def _emblsh_index_dir(sf_dir: str) -> str:
+    """Cache location + source fingerprint for the persisted
+    embedding-LSH signature artifact: keyed on the embeddings file
+    identity (path, size, mtime_ns) and every constant shaping the
+    signatures (bands, planes per band, plane seed, dim)."""
+    import hashlib
+    import os
 
-    Scale shape (r2 verdict fix): the bucketing shuffle carries ONLY
-    (band, band_val, vec_id) — 24-byte rows — instead of replicating
-    each serialized unit vector x4 bands through the exchange. Buckets
-    emit candidate id pairs (hot buckets capped, logged); the pairs then
-    REJOIN the unit vectors (packed binary, computed once per candidate
-    id) via Dataset hash joins — the minhash-verify pattern — and exact
-    cosine verifies per batch. Deterministic (seeded planes)."""
-    import logging
+    from laketide.functions.artifacts import artifact_root
 
-    import pyarrow.compute as pc
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
+        f"|b{_ND_BANDS}p{_ND_PLANES_PER_BAND}s4242d{EMBED_DIM}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(artifact_root("emblsh"), f"el-{fp}")
 
-    logger = logging.getLogger(__name__)
-    rng = np.random.RandomState(4242)
-    planes = rng.standard_normal((_ND_BANDS * _ND_PLANES_PER_BAND, EMBED_DIM))
-    planes_ref = ray.put(planes)
-    empty = pa.table(
+
+def embedding_lsh_signature_build(sf_dir: str, index_dir: str | None = None) -> str:
+    """Build (or reuse) the persisted embedding-LSH signature artifact —
+    (band, band_val, vec_id, bucket_part) parquet rows plus INDEX.json,
+    published atomically (staging dir -> one ``os.replace``; the minhash
+    artifact discipline). The matmul against the hyperplanes over every
+    stored vector dominates each near-dup call's bucketing phase; the
+    persisted rows are 32 bytes x 4 bands per vector."""
+    from laketide.functions.artifacts import publish_rows_artifact
+    from laketide.functions.dedup import _coarse_n_parts
+
+    return publish_rows_artifact(
+        index_dir or _emblsh_index_dir(sf_dir),
+        lambda: _emblsh_rows(sf_dir, from_index=False),
         {
-            "vec_a": pa.array([], pa.int64()),
-            "vec_b": pa.array([], pa.int64()),
-            "cosine": pa.array([], pa.float64()),
-        }
+            "bands": _ND_BANDS,
+            "planes_per_band": _ND_PLANES_PER_BAND,
+            "seed": 4242,
+            "dim": EMBED_DIM,
+            "n_parts": _coarse_n_parts(),
+        },
     )
+
+
+def _emblsh_rows(sf_dir: str, from_index: bool) -> "rd.Dataset":
+    """Banded (band, band_val, vec_id, bucket_part) hyperplane-signature
+    rows — computed from the embeddings, or read back from the persisted
+    artifact (``from_index=True``; builds it on first use). ONE signing
+    implementation feeds both paths, so equal output is structural."""
+    if from_index:
+        from laketide.functions.artifacts import read_rows_artifact
+
+        return read_rows_artifact(
+            embedding_lsh_signature_build(sf_dir),
+            pa.schema(
+                [
+                    ("band", pa.int64()),
+                    ("band_val", pa.int64()),
+                    ("vec_id", pa.int64()),
+                    ("bucket_part", pa.int64()),
+                ]
+            ),
+        )
+    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
+
+    n_parts = _coarse_n_parts()
+    rng = np.random.RandomState(4242)
+    planes_ref = ray.put(rng.standard_normal((_ND_BANDS * _ND_PLANES_PER_BAND, EMBED_DIM)))
 
     def sign(t: pa.Table) -> pa.Table:
         t = _drop_null_embeddings(t)
@@ -574,10 +612,6 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
             }
         )
 
-    from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
-
-    n_parts = _coarse_n_parts()
-
     def sign_with_part(t: pa.Table) -> pa.Table:
         out = sign(t)
         part = _coarse_parts(
@@ -586,6 +620,41 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
             n_parts=n_parts,
         )
         return out.append_column("bucket_part", pa.array(part, pa.int64()))
+
+    return _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        sign_with_part, batch_format="pyarrow"
+    )
+
+
+def embedding_near_dup(
+    sf_dir: str, threshold: float = 0.92, from_index: bool = False
+) -> pa.Table:
+    """Embedding-cosine near-duplicate pairs: BANDED random-hyperplane
+    LSH (4 bands x 8 planes) buckets candidate vectors — a pair of
+    near-dups collides in >=1 band with high probability (recall ~0.9 at
+    cos 0.95, ~1.0 above 0.99), unlike single-signature collision.
+
+    Scale shape (r2 verdict fix): the bucketing shuffle carries ONLY
+    (band, band_val, vec_id) — 24-byte rows — instead of replicating
+    each serialized unit vector x4 bands through the exchange. Buckets
+    emit candidate id pairs (hot buckets capped, logged); the pairs then
+    REJOIN the unit vectors (packed binary, computed once per candidate
+    id) via Dataset hash joins — the minhash-verify pattern — and exact
+    cosine verifies per batch. Deterministic (seeded planes).
+    ``from_index=True`` serves the banded signatures from the persisted
+    artifact (built on first use) instead of re-signing every vector."""
+    import logging
+
+    import pyarrow.compute as pc
+
+    logger = logging.getLogger(__name__)
+    empty = pa.table(
+        {
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64()),
+        }
+    )
 
     from laketide.functions.dedup import _int64_table, _iter_buckets
 
@@ -615,9 +684,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.92) -> pa.Table:
             acc.append(np.stack([ids[iu[0]], ids[iu[1]]], axis=1))
         return _int64_table(acc, cols)
 
-    signed = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
-        sign_with_part, batch_format="pyarrow"
-    )
+    signed = _emblsh_rows(sf_dir, from_index)
     from laketide.functions.dedup import _gather_nonempty_blocks
 
     cand_blocks = _gather_nonempty_blocks(

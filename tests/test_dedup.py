@@ -601,3 +601,36 @@ def test_minhash_index_empty_corpus(tmp_path):
     assert minhash_lsh_candidates(str(tmp_path), from_index=True).count() == 0
     assert minhash_lsh_candidates(str(tmp_path), from_index=True).count() == 0
     shutil.rmtree(_minhash_index_dir(str(tmp_path)), ignore_errors=True)
+
+
+def test_simhash_signature_artifact_equal_output(planted_docs):
+    """simhash_dedup(from_index=True) serves the banded signatures from
+    the persisted artifact and must return exactly the direct path's
+    pairs (ONE signing implementation feeds both); the rebuild call
+    reuses the published artifact untouched."""
+    import os
+    import shutil
+
+    from laketide.functions.dedup import (
+        _simhash_index_dir,
+        simhash_dedup,
+        simhash_signature_build,
+    )
+
+    sf_dir, _ = planted_docs
+    shutil.rmtree(_simhash_index_dir(sf_dir), ignore_errors=True)
+    direct = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_dedup(sf_dir).take_all()
+    }
+    idx = simhash_signature_build(sf_dir)
+    assert os.path.exists(os.path.join(idx, "INDEX.json"))
+    mtime = os.path.getmtime(os.path.join(idx, "INDEX.json"))
+    via_index = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in simhash_dedup(sf_dir, from_index=True).take_all()
+    }
+    assert via_index == direct and direct
+    assert simhash_signature_build(sf_dir) == idx
+    assert os.path.getmtime(os.path.join(idx, "INDEX.json")) == mtime
+    shutil.rmtree(idx, ignore_errors=True)

@@ -328,3 +328,40 @@ def test_artifact_root_rejects_untrusted_dirs(tmp_path, monkeypatch):
         assert artifact_root("ivf") == str(managed / "ivf")
     finally:
         tempfile.tempdir = None
+
+
+def test_embedding_lsh_signature_artifact_equal_output(planted_embeddings):
+    """embedding_near_dup(from_index=True) serves the hyperplane
+    signatures from the persisted artifact and must return exactly the
+    direct path's pairs (non-vacuous: the planted corpus produces
+    near-dups); the rebuild call reuses the published artifact."""
+    import shutil
+
+    from laketide.functions.similarity import (
+        _emblsh_index_dir,
+        embedding_lsh_signature_build,
+    )
+
+    sf_dir, plants, _ = planted_embeddings
+    shutil.rmtree(_emblsh_index_dir(sf_dir), ignore_errors=True)
+    direct = {
+        (a, b, c)
+        for a, b, c in zip(
+            *[S.embedding_near_dup(sf_dir, threshold=0.95)[k].to_pylist()
+              for k in ("vec_a", "vec_b", "cosine")]
+        )
+    }
+    idx = embedding_lsh_signature_build(sf_dir)
+    assert os.path.exists(os.path.join(idx, "INDEX.json"))
+    mtime = os.path.getmtime(os.path.join(idx, "INDEX.json"))
+    via_index = {
+        (a, b, c)
+        for a, b, c in zip(
+            *[S.embedding_near_dup(sf_dir, threshold=0.95, from_index=True)[k].to_pylist()
+              for k in ("vec_a", "vec_b", "cosine")]
+        )
+    }
+    assert via_index == direct and direct
+    assert embedding_lsh_signature_build(sf_dir) == idx
+    assert os.path.getmtime(os.path.join(idx, "INDEX.json")) == mtime
+    shutil.rmtree(idx, ignore_errors=True)
