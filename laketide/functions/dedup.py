@@ -31,7 +31,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from laketide.functions.reads import collect_tables, scrubbed_read
+from laketide.functions.reads import collect_tables, cpu_min_blocks, scrubbed_read
 
 logger = logging.getLogger(__name__)
 
@@ -413,7 +413,11 @@ def minhash_lsh_stats(sf_dir: str) -> pa.Table:
     the complete banded pair set. Same banding + coarse shuffle as the
     candidate pipeline; the per-bucket counters come from
     ``_pair_budget`` — the exact arithmetic ``_emit_pairs`` uses."""
-    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_min_blocks(),
+    )
     n_parts = _coarse_n_parts()
     hasher = MinHasher()
     cap = _MAX_BUCKET  # captured driver-side: workers see one consistent cap
@@ -586,7 +590,11 @@ def _verify_pairs_exact(
     )
     need_ref = ray.put(need)
 
-    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_min_blocks(),
+    )
     # task-based stage (no reserved actors), computed ONCE and reused by
     # both join sides
     shingles = docs.map_batches(
@@ -999,7 +1007,11 @@ def ngram_jaccard_join(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     import ray
 
     thr = float(threshold)
-    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_min_blocks(),
+    )
     n_parts = _coarse_n_parts()
     # frequency pre-pass -> bounded common-gram table, broadcast ONCE
     # via ray.put and read from the local object store in every map task
@@ -1152,7 +1164,11 @@ def _simhash_rows(sf_dir: str, from_index: bool) -> "rd.Dataset":
                 ]
             ),
         )
-    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_min_blocks(),
+    )
     n_parts = _coarse_n_parts()
     hasher = SimHasher()
 
@@ -1475,7 +1491,11 @@ def dedup_keep_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     drop_ids = np.sort(drop["doc_id"].to_numpy(zero_copy_only=False))
     drop_ref = ray.put(drop_ids)
 
-    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    docs = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang"],
+        min_blocks=cpu_min_blocks(),
+    )
 
     def keep(t: pa.Table) -> pa.Table:
         hit, _ = _sorted_member(ray.get(drop_ref), t["doc_id"].combine_chunks())
@@ -1548,7 +1568,9 @@ def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
     from laketide.functions.relational import _key_hash_u64, _segments
 
     out_schema = pa.schema([("name_a", pa.string()), ("name_b", pa.string())])
-    names = scrubbed_read(f"{sf_dir}/customer.parquet", columns=["c_name"])
+    names = scrubbed_read(
+        f"{sf_dir}/customer.parquet", columns=["c_name"], min_blocks=cpu_min_blocks()
+    )
 
     def distinct_pre(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_valid(t["c_name"]))
@@ -1722,7 +1744,11 @@ def _banded_rows(sf_dir: str, from_index: bool) -> "rd.Dataset":
             ),
         )
     n_parts = _coarse_n_parts()
-    docs = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_min_blocks(),
+    )
     hasher = MinHasher()
 
     def band_with_part(t: pa.Table) -> pa.Table:

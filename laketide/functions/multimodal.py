@@ -19,7 +19,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-from laketide.functions.reads import scrubbed_read
+from laketide.functions.reads import cpu_min_blocks, scrubbed_read
 
 FEATURE_DIM = 16
 
@@ -41,7 +41,11 @@ def _binary_buffers(col: pa.Array) -> tuple[np.ndarray, memoryview]:
 def blob_table(sf_dir: str) -> rd.Dataset:
     """documents -> (doc_id, payload: binary, n_bytes) — the opaque-blob
     column layout used for image/audio payloads."""
-    ds = scrubbed_read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_min_blocks(),
+    )
 
     def f(t: pa.Table) -> pa.Table:
         payload = pc.cast(t["text"], pa.binary())

@@ -16,12 +16,49 @@ import pyarrow.parquet as pq
 import ray.data as rd
 
 
-def scrubbed_read(path: str, columns: list[str] | None = None) -> rd.Dataset:
+# Compressed bytes per read block. Ray's read planner targets its
+# parallelism heuristic (~200 tasks) rather than block SIZE, so a 2 MB
+# table shatters into 64 ~1500-row blocks — and every downstream
+# sort-shuffle inherits that width, paying a 64x64 task exchange to
+# move kilobytes (~1.5-2 s of pure scheduling per query at 32 CPUs,
+# measured). Sizing blocks by bytes instead is scale-safe by
+# construction: block count GROWS with input bytes (8 MiB compressed
+# ~ 30-60 MiB in heap), it never caps parallelism on big data.
+_READ_BLOCK_BYTES = 8 * 1024 * 1024
+
+
+def scrubbed_read(
+    path: str, columns: list[str] | None = None, min_blocks: int | None = None
+) -> rd.Dataset:
+    """Metadata-scrubbed, SIZE-partitioned parquet read.
+
+    ``min_blocks`` keeps map parallelism for callers whose per-row
+    kernels are CPU-heavy (shingling, hashing, matmuls): a 600 KB
+    documents table is one I/O block but still wants cluster-wide
+    compute, so those readers pass ``min_blocks=<cluster CPUs>``.
+    Relational/analytic readers leave it unset — their per-batch Arrow
+    kernels are microseconds, so the shuffle width IS the cost."""
+    import math
+    import os
+
     full = pq.read_schema(path).remove_metadata()
     schema = (
         pa.schema([full.field(c) for c in columns]) if columns is not None else full
     )
-    return rd.read_parquet(path, schema=schema, columns=columns)
+    nb = max(min_blocks or 1, math.ceil(os.path.getsize(path) / _READ_BLOCK_BYTES))
+    # never split below ~1 row per block (tiny dimension tables)
+    nb = min(nb, max(1, pq.ParquetFile(path).metadata.num_rows))
+    return rd.read_parquet(path, schema=schema, columns=columns, override_num_blocks=nb)
+
+
+def cpu_min_blocks() -> int:
+    """min_blocks for CPU-heavy readers: the cluster CPU count (falls
+    back to 8 before ray.init)."""
+    import ray
+
+    if not ray.is_initialized():
+        return 8
+    return max(8, int(ray.cluster_resources().get("CPU", 8)))
 
 
 def collect_tables(ds: rd.Dataset) -> list[pa.Table]:

@@ -37,9 +37,11 @@ def query_vector_sql_literal(dim: int = EMBED_DIM, seed: int = _QUERY_SEED) -> s
 
 
 def _emb(sf_dir: str, columns: list[str] | None = None) -> rd.Dataset:
-    from laketide.functions.reads import scrubbed_read
+    from laketide.functions.reads import cpu_min_blocks, scrubbed_read
 
-    return scrubbed_read(f"{sf_dir}/embeddings.parquet", columns=columns)
+    return scrubbed_read(
+        f"{sf_dir}/embeddings.parquet", columns=columns, min_blocks=cpu_min_blocks()
+    )
 
 
 def _embed_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:

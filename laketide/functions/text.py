@@ -24,9 +24,11 @@ from laketide.stages.normalize import sha256_hex_column
 
 
 def _docs(sf_dir: str, columns=None) -> rd.Dataset:
-    from laketide.functions.reads import scrubbed_read
+    from laketide.functions.reads import cpu_min_blocks, scrubbed_read
 
-    return scrubbed_read(f"{sf_dir}/documents.parquet", columns=columns)
+    return scrubbed_read(
+        f"{sf_dir}/documents.parquet", columns=columns, min_blocks=cpu_min_blocks()
+    )
 
 
 def doc_sha256(sf_dir: str) -> rd.Dataset:
