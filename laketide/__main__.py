@@ -117,6 +117,14 @@ def main(argv: list[str] | None = None) -> int:
         '"cadence"? (@always/@hourly/@daily/@weekly/<N>s|m|h|d), '
         '"partitions"?, "merge"?}, ...]',
     )
+    sp.add_argument(
+        "--max-concurrent",
+        type=int,
+        default=1,
+        help="epochs of DIFFERENT tables applied simultaneously "
+        "(per-table order always serial); the reference runs 10 "
+        "concurrent workers",
+    )
 
     sp = sub.add_parser("tail", help="follow a changelog dir, applying new epochs")
     sp.add_argument("--table", required=True)
@@ -229,7 +237,7 @@ def main(argv: list[str] | None = None) -> int:
                         cadence=spec.get("cadence", "@always"),
                     )
                 )
-            print(json.dumps(run_schedule(jobs)))
+            print(json.dumps(run_schedule(jobs, max_concurrent=args.max_concurrent)))
         elif args.cmd == "sync":
             jobs = []
             for spec in args.job:

@@ -8,10 +8,18 @@ critical table's backlog is never starved behind a bulk low-priority
 backfill, and a low-priority job still makes progress every cycle
 (weights, not preemption).
 
-Execution shape: ONE epoch applies at a time (each ``apply_epoch`` is
-already cluster-parallel inside — two concurrent epoch applies would
-fight for the same CPUs and the writer locks serialize per table
-anyway); priority decides the ORDER epochs drain in. Each applied epoch
+Execution shape: by default ONE epoch applies at a time (each
+``apply_epoch`` is already cluster-parallel inside); priority decides
+the ORDER epochs drain in. ``max_concurrent=k`` allows k epochs from
+DIFFERENT tables in flight simultaneously — the reference runs 10
+concurrent asynq workers (/root/reference/internal/jobs/server.go:64-79)
+and on a large cluster two small tables' applies each leave CPUs idle.
+Per-table serialization is structural (one serial drain chain per
+table, epochs in order), so the per-table writer lock is never
+contended by this scheduler; the CPU share is arbitrated by Ray's
+streaming executor, which backpressures the k concurrent Dataset
+executions against the shared CPU pool (no static split — an apply
+that stalls on I/O donates its CPUs to the others). Each applied epoch
 carries a ``job:<name>`` lineage stamp via the apply path's source tag,
 so ``LakeTable.source_stats()`` reconstructs per-job processing stats
 after the fact.
@@ -105,7 +113,10 @@ class ReplayJob:
 
 
 def run_schedule(
-    jobs: list[ReplayJob], max_cycles: int = 1000, now: float | None = None
+    jobs: list[ReplayJob],
+    max_cycles: int = 1000,
+    now: float | None = None,
+    max_concurrent: int = 1,
 ) -> dict[str, Any]:
     """Drain every DUE job's pending epochs by weighted round-robin:
     each cycle grants each job ``weight`` epoch-application credits,
@@ -116,7 +127,18 @@ def run_schedule(
     (/root/reference/internal/config/config.go:94-108). ``now`` is
     injectable for deterministic tests; defaults to wall clock. Returns
     the global apply ORDER (the testable contract) plus per-job
-    totals."""
+    totals.
+
+    ``max_concurrent > 1`` applies up to that many epochs from
+    DIFFERENT tables simultaneously (one driver thread per job drains
+    that job's epochs strictly in order, a semaphore bounds how many
+    applies hold a slot at once, and higher-priority jobs start first).
+    The global ``order`` then records DISPATCH order with
+    started/finished timestamps instead of a serial total order —
+    per-job epoch order is still strictly increasing, which is the
+    correctness contract (per-table serialization is structural, so the
+    writer lock never sees two writers for one table from this
+    scheduler)."""
     import time as _time
 
     if now is None:
@@ -138,24 +160,28 @@ def run_schedule(
     by_weight = sorted(
         jobs, key=lambda j: -PRIORITY_WEIGHTS[j.priority]
     )  # stable: ties keep list order
-    for _ in range(max_cycles):
-        progressed = False
-        for job in by_weight:
-            credits = PRIORITY_WEIGHTS[job.priority]
-            q = queues[job.name]
-            while credits > 0 and q:
-                epoch_id, path = q.pop(0)
-                r = job.table.apply_epoch(
-                    path, epoch_id=epoch_id, source=f"job:{job.name}"
-                )
-                job.applied.append(r)
-                order.append(
-                    {"job": job.name, "epoch": epoch_id, "priority": job.priority}
-                )
-                credits -= 1
-                progressed = True
-        if not progressed:
-            break
+    if max_concurrent > 1:
+        _drain_concurrent(by_weight, queues, order, max_concurrent)
+    else:
+        for _ in range(max_cycles):
+            progressed = False
+            for job in by_weight:
+                credits = PRIORITY_WEIGHTS[job.priority]
+                q = queues[job.name]
+                while credits > 0 and q:
+                    epoch_id, path = q.pop(0)
+                    r = job.table.apply_epoch(
+                        path, epoch_id=epoch_id, source=f"job:{job.name}"
+                    )
+                    job.applied.append(r)
+                    order.append(
+                        {"job": job.name, "epoch": epoch_id, "priority": job.priority}
+                    )
+                    credits -= 1
+                    progressed = True
+            if not progressed:
+                break
+    _raise_first_drain_error(order)
     report = {
         j.name: {
             "priority": j.priority,
@@ -172,3 +198,115 @@ def run_schedule(
     for name, wait in skipped.items():
         report[name] = {"skipped": "not_due", "next_due_in": wait}
     return {"order": order, "jobs": report}
+
+
+def _drain_concurrent(
+    by_weight: list[ReplayJob],
+    queues: dict[str, list[tuple[int, str]]],
+    order: list[dict],
+    max_concurrent: int,
+) -> None:
+    """One serial drain thread per job (epochs strictly in order; the
+    per-table writer lock is never contended), at most ``max_concurrent``
+    applies holding a slot at once. Higher-priority jobs' threads start
+    first, so when slots contend the critical backlog gets them first.
+    A failed apply stops ITS job's chain (later epochs of that table
+    must not skip a hole) and is re-raised by the caller; other tables
+    keep draining."""
+    import threading
+    import time as _time
+
+    _settle_fsspec_http_import()
+    slots = threading.Semaphore(max_concurrent)
+    out_lock = threading.Lock()
+
+    def drain(job: ReplayJob) -> None:
+        for epoch_id, path in queues[job.name]:
+            with slots:
+                started = _time.monotonic()
+                try:
+                    r = job.table.apply_epoch(
+                        path, epoch_id=epoch_id, source=f"job:{job.name}"
+                    )
+                except BaseException as e:  # noqa: BLE001 — re-raised by caller
+                    with out_lock:
+                        order.append(
+                            {"job": job.name, "epoch": epoch_id,
+                             "priority": job.priority, "error": e}
+                        )
+                    return
+                finished = _time.monotonic()
+            with out_lock:
+                job.applied.append(r)
+                order.append(
+                    {
+                        "job": job.name,
+                        "epoch": epoch_id,
+                        "priority": job.priority,
+                        "started": started,
+                        "finished": finished,
+                    }
+                )
+
+    threads = [
+        threading.Thread(target=drain, args=(j,), name=f"laketide-drain-{j.name}")
+        for j in by_weight
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+
+
+def _settle_fsspec_http_import() -> None:
+    """Make the ``fsspec.implementations.http`` import idempotent before
+    forking drain threads. Ray's per-path ``_is_http_filesystem`` does
+    ``from fsspec.implementations.http import HTTPFileSystem`` guarded
+    only by ``except ModuleNotFoundError`` — and when aiohttp is absent
+    that import FAILS and is evicted from sys.modules, so every path
+    resolution retries it. Two driver threads racing the retry can
+    observe each other's partially-initialized module and get a plain
+    ``ImportError`` ("cannot import name 'HTTPFileSystem'") that escapes
+    Ray's guard and kills an apply. A sentinel module whose
+    HTTPFileSystem can never be instantiated settles the import ONCE:
+    the isinstance guard keeps returning False for real filesystems, and
+    local-path reads (the only kind here — no network in scope) never
+    construct it."""
+    try:
+        import fsspec.implementations.http  # noqa: F401
+
+        return
+    except ModuleNotFoundError:
+        pass
+    except ImportError:  # partially-initialized module from another thread
+        return
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations as _fi
+    except Exception:
+        return
+
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel: isinstance-safe, never constructible
+        def __init__(self, *a, **k):
+            raise ModuleNotFoundError(
+                "HTTPFileSystem requires aiohttp, which is not installed"
+            )
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod
+    _fi.http = mod
+
+
+def _raise_first_drain_error(order: list[dict]) -> None:
+    """Surface a concurrent drain failure AFTER every other table's
+    chain finished (partial progress is durable — each applied epoch
+    already committed its manifest)."""
+    for rec in order:
+        if "error" in rec:
+            raise RuntimeError(
+                f"job {rec['job']!r} epoch {rec['epoch']} failed"
+            ) from rec["error"]
