@@ -41,13 +41,14 @@ def scrubbed_read(
     import math
     import os
 
-    full = pq.read_schema(path).remove_metadata()
+    meta = pq.ParquetFile(path)  # one footer read serves schema AND row count
+    full = meta.schema_arrow.remove_metadata()
     schema = (
         pa.schema([full.field(c) for c in columns]) if columns is not None else full
     )
     nb = max(min_blocks or 1, math.ceil(os.path.getsize(path) / _READ_BLOCK_BYTES))
     # never split below ~1 row per block (tiny dimension tables)
-    nb = min(nb, max(1, pq.ParquetFile(path).metadata.num_rows))
+    nb = min(nb, max(1, meta.metadata.num_rows))
     return rd.read_parquet(path, schema=schema, columns=columns, override_num_blocks=nb)
 
 

@@ -40,6 +40,10 @@ MALFORMED_COLUMN = "_malformed"
 # tombstone this epoch, so it REPLACES the stored row instead of
 # field-merging with it (write-side only, never persisted).
 RESET_COLUMN = "_reset"
+# merge='priority' reduce markers: one `_prio_r_<field>` int64 per scalar
+# payload fold column = the rank of the source that supplied that field's
+# winning value this epoch (write-side only, never persisted).
+PRIO_RANK_PREFIX = "_prio_r_"
 HELPER_COLUMNS = (PART_COLUMN, MALFORMED_COLUMN, RESET_COLUMN)
 
 VALID_OPS = ("insert", "update", "delete")
@@ -81,7 +85,11 @@ def payload_columns_of(schema: pa.Schema) -> dict[str, pa.DataType]:
     column arriving in the event stream is simply a new payload column.
     """
     skip = set(CORE_COLUMNS) | set(HELPER_COLUMNS) | {SHA_COLUMN, APPLIED_EPOCH_COLUMN, DELETED_COLUMN}
-    return {f.name: f.type for f in schema if f.name not in skip}
+    return {
+        f.name: f.type
+        for f in schema
+        if f.name not in skip and not f.name.startswith(PRIO_RANK_PREFIX)
+    }
 
 
 def _is_listish(t: pa.DataType) -> bool:

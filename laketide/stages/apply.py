@@ -185,6 +185,17 @@ SOURCE_RANKS: dict[str, int] = {"osv": 1, "gitlab": 2, "cve": 3}
 UNKNOWN_SOURCE_RANK = 999
 _POS_SHIFT = np.int64(1) << np.int64(40)
 
+# Per-field supplier-rank helper columns (merge='priority' only): the
+# within-epoch fold picks each field's winner by (rank asc, version
+# desc), but the folded winner row keeps only the UNIONED sources list —
+# whose min rank would let a low-rank field value "launder" through a
+# bundled high-rank event when merged onto stored state. The fold
+# therefore emits `_prio_r_<field>` (the winning supplier's rank, int64,
+# UNKNOWN when the field is null) alongside each scalar fold column;
+# apply_partition consumes them for the per-field stored-state compare
+# and drops them at snapshot conform (never persisted).
+PRIO_RANK_PREFIX = S.PRIO_RANK_PREFIX
+
 
 def _source_ranks(col, n: int) -> np.ndarray:
     """min source rank per row over a `sources` list<string> column
@@ -359,6 +370,11 @@ def _reduce_events_coalesce(
             [int(b) if b >= 0 else None for b in cbest], pa.int64()
         )
     cols = []
+    # merge='priority': record each scalar fold field's winning supplier
+    # rank so the apply-side stored-state compare stays per-field (a
+    # bundled low-rank value must not inherit the union's min rank); sha
+    # is paired with content, list unions have no single supplier
+    prio_helpers: list[tuple[str, np.ndarray]] = []
     for fld in ev.schema:
         name = fld.name
         col = ev[name].combine_chunks()
@@ -377,6 +393,14 @@ def _reduce_events_coalesce(
             [int(b) if b >= 0 else None for b in best], pa.int64()
         )
         cols.append(col.take(take_idx))
+        if ranks is not None:
+            prio_helpers.append(
+                (
+                    PRIO_RANK_PREFIX + name,
+                    np.where(best >= 0, ranks[np.clip(best, 0, n - 1)],
+                             np.int64(UNKNOWN_SOURCE_RANK)),
+                )
+            )
     out = pa.Table.from_arrays(
         [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c for c in cols],
         schema=ev.schema,
@@ -384,11 +408,19 @@ def _reduce_events_coalesce(
     # A mid-epoch tombstone means the winner must REPLACE (not merge
     # with) the pre-epoch row — carry that as the _reset helper column.
     out = out.append_column(S.RESET_COLUMN, pa.array(last_del >= 0))
+    for hname, hvals in prio_helpers:
+        out = out.append_column(hname, pa.array(hvals, pa.int64()))
     # groups whose newest event is the tombstone keep the raw delete row
     if del_wins.any():
         del_rows = ev.take(pa.array(ends[del_wins])).append_column(
             S.RESET_COLUMN, pa.array(np.ones(int(del_wins.sum()), dtype=bool))
         )
+        n_del = int(del_wins.sum())
+        for hname, _ in prio_helpers:
+            # a tombstone winner replaces state whole; field ranks moot
+            del_rows = del_rows.append_column(
+                hname, pa.array(np.full(n_del, UNKNOWN_SOURCE_RANK, np.int64))
+            )
         keep_mask = pa.array(~del_wins)
         out = pa.concat_tables([out.filter(keep_mask), del_rows]).sort_by(
             [("repo", "ascending"), ("path", "ascending")]
@@ -528,6 +560,13 @@ def apply_partition(
     )
     if S.RESET_COLUMN in winners.column_names:
         ev_schema = ev_schema.append(pa.field(S.RESET_COLUMN, pa.bool_()))
+    # per-field supplier ranks from the priority fold ride into the join
+    # (dropped at snapshot conform below — never persisted)
+    prio_rank_cols = [
+        c for c in winners.column_names if c.startswith(PRIO_RANK_PREFIX)
+    ]
+    for c in prio_rank_cols:
+        ev_schema = ev_schema.append(pa.field(c, pa.int64()))
     ev = S.conform(winners, ev_schema)
 
     # Arrow's hash join cannot carry list-typed payload columns — detach
@@ -629,13 +668,20 @@ def apply_partition(
     )
     reset = _bool(reset)
     ev_primary = None
+    prio_field_primary: dict[str, pa.Array] = {}
     if strategy == "priority":
         # Which side is the field-wise base (merger.go:144-162): the
-        # lower min-source-rank; on equal ranks the version-newer side
+        # lower source rank; on equal ranks the version-newer side
         # (within a rank the newest value is that source's current
         # truth — and this makes re-merging a replayed older event a
         # strict no-op, the idempotency the skipped HWM row filter
-        # relies on).
+        # relies on). The EVENT side's rank is PER FIELD (the fold's
+        # _prio_r_<field> helper = the rank of the source that supplied
+        # that field's value): without it, a low-rank value bundled in
+        # the same epoch as a high-rank event would inherit the union's
+        # min rank and overwrite a mid-rank stored value. The stored
+        # side keeps row granularity (min over its sources union) — the
+        # documented accumulate approximation.
         n_j = j.num_rows
         ev_r = _source_ranks(
             j["sources"] if "sources" in j.column_names else None, n_j
@@ -643,10 +689,23 @@ def apply_partition(
         cur_r = _source_ranks(
             j["sources_cur"] if "sources_cur" in j.column_names else None, n_j
         )
-        ev_primary = pc.or_(
-            pa.array(ev_r < cur_r),
-            pc.and_(pa.array(ev_r == cur_r), _bool(version_newer)),
-        )
+        vn = _bool(version_newer).to_numpy(zero_copy_only=False)
+
+        def _primary(er: np.ndarray) -> pa.Array:
+            return pa.array((er < cur_r) | ((er == cur_r) & vn))
+
+        ev_primary = _primary(ev_r)
+        for c in prio_rank_cols:
+            er = (
+                pc.fill_null(j[c], UNKNOWN_SOURCE_RANK)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            prio_field_primary[c[len(PRIO_RANK_PREFIX):]] = _primary(er)
+        # the derived sha must follow content's winner, not its own rank
+        if "content" in prio_field_primary:
+            prio_field_primary[S.SHA_COLUMN] = prio_field_primary["content"]
         # priority merges REGARDLESS of version order — an older event
         # from a higher-ranked source must still win its fields
         # ("priority, not arrival, wins"); deletes and the version
@@ -727,9 +786,12 @@ def apply_partition(
             if ev_primary is not None:
                 # R2 priority: the higher-ranked side's non-null value
                 # wins, regardless of which side is version-newer —
-                # priority, not arrival, decides the field
+                # priority, not arrival, decides the field. Per-field
+                # supplier rank when the fold recorded one; the row-level
+                # min rank only as fallback (raw winners from callers
+                # that bypassed the fold).
                 merged = pc.if_else(
-                    ev_primary,
+                    prio_field_primary.get(name, ev_primary),
                     pc.coalesce(j[name], j[name + "_cur"]),
                     pc.coalesce(j[name + "_cur"], j[name]),
                 )

@@ -1940,6 +1940,54 @@ def test_reduce_events_priority_rank_beats_version():
     assert sorted(r["sources"]) == ["cve", "osv"]
 
 
+def test_priority_field_rank_no_laundering_through_bundled_epoch():
+    """A low-rank field value folded into the same epoch as a high-rank
+    event must NOT inherit the fold's union min rank when merged onto
+    stored state: epoch 1 stores gitlab content (rank 2); epoch 2
+    bundles an osv event (rank 1, null content, lang='go') with a cve
+    event (rank 3, content). The folded winner's sources-union min rank
+    is 1, but the cve content (per-field rank 3) must still LOSE to the
+    stored rank-2 content, while lang (supplied by osv, rank 1) fills.
+    The _prio_r_ helper columns never persist."""
+    from laketide.stages.apply import ApplyMetrics, apply_partition, reduce_events
+
+    def ev_tbl(rows):
+        return pa.table(
+            {
+                "repo": pa.array([r[0] for r in rows]),
+                "path": pa.array([r[1] for r in rows]),
+                "commit": pa.array([r[2] for r in rows]),
+                "seq": pa.array([r[3] for r in rows], pa.int64()),
+                "op": pa.array(["update"] * len(rows)),
+                "content": pa.array([r[4] for r in rows], pa.string()),
+                "lang": pa.array([r[5] for r in rows], pa.string()),
+                "sources": pa.array([r[6] for r in rows], pa.list_(pa.string())),
+            }
+        )
+
+    m = ApplyMetrics()
+    e1 = ev_tbl([("r", "p", "c1", 1, "gl-content", None, ["gitlab"])])
+    cur = apply_partition(None, reduce_events(e1, m, "priority"), 1, m, "priority")
+    e2 = ev_tbl(
+        [
+            ("r", "p", "c2", 2, None, "go", ["osv"]),
+            ("r", "p", "c3", 3, "cve-content", None, ["cve"]),
+        ]
+    )
+    cur = apply_partition(cur, reduce_events(e2, m, "priority"), 2, m, "priority")
+    assert cur.num_rows == 1
+    row = cur.to_pylist()[0]
+    # stored rank-2 content survives the bundled rank-3 value
+    assert row["content"] == "gl-content"
+    # the rank-1 osv lang fills the stored null
+    assert row["lang"] == "go"
+    assert sorted(row["sources"]) == ["cve", "gitlab", "osv"]
+    # version still advances to the epoch's newest event
+    assert (row["commit"], row["seq"]) == ("c3", 3)
+    # helper columns are write-side only
+    assert not [c for c in cur.column_names if c.startswith("_prio_r_")]
+
+
 def test_sync_sources_priority_not_arrival_wins(tmp_path):
     """Two-source sync under merge='priority': the gitlab advisory for
     the overlapping key arrives LATER with a newer version, but the
