@@ -129,6 +129,18 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
     import ray.data as _rd
 
     def _warm(b):
+        # import every module the suite's UDF closures reference, so no
+        # timed query pays a worker's first-import of its module
+        import laketide.functions.analytics  # noqa: F401
+        import laketide.functions.asof  # noqa: F401
+        import laketide.functions.corpus  # noqa: F401
+        import laketide.functions.dedup  # noqa: F401
+        import laketide.functions.multimodal  # noqa: F401
+        import laketide.functions.relational  # noqa: F401
+        import laketide.functions.similarity  # noqa: F401
+        import laketide.functions.text  # noqa: F401
+        import laketide.functions.tpch  # noqa: F401
+        import laketide.functions.tpch2  # noqa: F401
         import laketide.stages.apply  # noqa: F401
 
         return b

@@ -87,7 +87,16 @@ def read_rows_artifact(index_dir: str, empty_schema: pa.Schema):
     files = _glob.glob(os.path.join(index_dir, "rows", "*.parquet"))
     if not files:
         return rd.from_arrow(empty_schema.empty_table())
-    return rd.read_parquet(files)
+    # SIZE-based block count (reads._READ_BLOCK_BYTES rationale): Ray's
+    # default parallelism heuristic shatters a sub-MB artifact into
+    # hundreds of blocks, and the downstream bucket groupby inherits
+    # that width (sort num_outputs = input blocks)
+    from laketide.functions.reads import _READ_BLOCK_BYTES
+    import math
+
+    total = sum(os.path.getsize(f) for f in files)
+    nb = max(1, math.ceil(total / _READ_BLOCK_BYTES))
+    return rd.read_parquet(files, override_num_blocks=nb)
 
 
 def _ensure_private_dir(path: str) -> None:

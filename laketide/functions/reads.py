@@ -25,6 +25,15 @@ import ray.data as rd
 # construction: block count GROWS with input bytes (8 MiB compressed
 # ~ 30-60 MiB in heap), it never caps parallelism on big data.
 _READ_BLOCK_BYTES = 8 * 1024 * 1024
+# A forced CPU fan-out (min_blocks) only pays when each block carries
+# enough rows to amortize a task AND the downstream shuffle width it
+# creates: Ray's sort shuffle sets num_outputs = input block count and
+# samples boundaries with one task PER block, so a 5k-row corpus split
+# 32 ways costs ~1.3 s of scheduling per groupby to move kilobytes
+# (measured; capping it to rows/512 cut ngram_jaccard_join 2.9->1.2 s,
+# bigram_pmi 1.6->0.6 s at sf0.1/32 CPUs with identical results). At
+# scale the size-based term dominates long before this floor binds.
+_MIN_SPLIT_ROWS = 512
 
 
 def scrubbed_read(
@@ -37,7 +46,10 @@ def scrubbed_read(
     documents table is one I/O block but still wants cluster-wide
     compute, so those readers pass ``min_blocks=<cluster CPUs>``.
     Relational/analytic readers leave it unset — their per-batch Arrow
-    kernels are microseconds, so the shuffle width IS the cost."""
+    kernels are microseconds, so the shuffle width IS the cost. The
+    forced fan-out is capped at one block per ``_MIN_SPLIT_ROWS`` rows
+    — sub-MB inputs must not inherit a CPU-count split into every
+    downstream sort shuffle."""
     import math
     import os
 
@@ -46,9 +58,11 @@ def scrubbed_read(
     schema = (
         pa.schema([full.field(c) for c in columns]) if columns is not None else full
     )
-    nb = max(min_blocks or 1, math.ceil(os.path.getsize(path) / _READ_BLOCK_BYTES))
+    n_rows = meta.metadata.num_rows
+    floor = min(min_blocks or 1, max(1, math.ceil(n_rows / _MIN_SPLIT_ROWS)))
+    nb = max(floor, math.ceil(os.path.getsize(path) / _READ_BLOCK_BYTES))
     # never split below ~1 row per block (tiny dimension tables)
-    nb = min(nb, max(1, meta.metadata.num_rows))
+    nb = min(nb, max(1, n_rows))
     return rd.read_parquet(path, schema=schema, columns=columns, override_num_blocks=nb)
 
 

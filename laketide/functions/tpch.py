@@ -27,6 +27,8 @@ can never flip the oracle's value hash.
 
 from __future__ import annotations
 
+import functools
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -49,19 +51,35 @@ def _collect(ds: rd.Dataset, schema: pa.Schema) -> pa.Table:
     )
 
 
+def _file_key(path: str) -> tuple:
+    """(path, mtime_ns, size) — the session-cache key: a rewritten file
+    (tests regenerate fixtures in reused tmp paths) invalidates."""
+    import os
+
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=256)
+def _dim_cached(key: tuple, cols: tuple) -> pa.Table:
+    import pyarrow.parquet as pq
+
+    return (
+        pq.read_table(key[0], columns=list(cols))
+        .replace_schema_metadata(None)
+        .combine_chunks()
+    )
+
+
 def _dim(sf_dir: str, name: str, cols: list[str]) -> pa.Table:
     """Read a dimension table (supplier/nation/region/part — fixed
     small cardinality) DIRECTLY on the driver for broadcast: a
     distributed Ray scan costs ~0.5s of fixed execution overhead per
     dimension (measured: 1.5s for three dims at sf0.1) for tables the
-    broadcast pattern needs driver-side anyway."""
-    import pyarrow.parquet as pq
-
-    return (
-        pq.read_table(f"{sf_dir}/{name}.parquet", columns=cols)
-        .replace_schema_metadata(None)
-        .combine_chunks()
-    )
+    broadcast pattern needs driver-side anyway. Session-cached keyed on
+    (path, mtime, size) — a 58-query bench suite re-reads the same five
+    dimension files dozens of times."""
+    return _dim_cached(_file_key(f"{sf_dir}/{name}.parquet"), tuple(cols))
 
 
 def _map_arrays(t: pa.Table, key: str, *vals: str):
@@ -137,12 +155,10 @@ def _orders_map_or_none(
 def _cust_map(sf_dir: str):
     """Under-budget customer nation map, read DIRECTLY on the driver
     (two int columns; same rationale as _dim — the distributed scan's
-    fixed overhead dwarfs the read)."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
-    ).replace_schema_metadata(None)
+    fixed overhead dwarfs the read). Session-cached via _dim_cached."""
+    t = _dim_cached(
+        _file_key(f"{sf_dir}/customer.parquet"), ("c_custkey", "c_nationkey")
+    )
     return _map_arrays(
         pa.table(
             {
@@ -155,13 +171,19 @@ def _cust_map(sf_dir: str):
     )
 
 
+@functools.lru_cache(maxsize=1024)
+def _table_rows_cached(key: tuple) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(key[0]).metadata.num_rows
+
+
 def _table_rows(sf_dir: str, name: str) -> int:
     """Row count from the parquet FOOTER — the broadcast-budget decision
     must not cost a full table scan (cust.count() executed the whole
-    projection once just to pick a path)."""
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(f"{sf_dir}/{name}.parquet").metadata.num_rows
+    projection once just to pick a path). Footer cached per (path,
+    mtime, size)."""
+    return _table_rows_cached(_file_key(f"{sf_dir}/{name}.parquet"))
 
 
 def _attach_by_key(
