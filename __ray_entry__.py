@@ -560,6 +560,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact budget on a planted >cap bucket)
         "minhash_lsh_stats": dedup.minhash_lsh_stats,
         "minhash_dedup_verified": dedup.minhash_dedup_verified,
+        # ingest-time incremental near-dup: the doc_id % 20 == 0 slice
+        # plays a newly-arrived batch probed against the persisted
+        # signature artifact (candidates rows-only; the verified variant
+        # below is exact-oracle-checked)
+        "minhash_lsh_incremental": dedup.minhash_lsh_candidates_incremental,
+        "minhash_dedup_incremental": dedup.minhash_dedup_incremental,
         "ngram_jaccard_join": dedup.ngram_jaccard_join,
         "dup_components": dedup.dup_components,
         "dedup_keep_canonical": dedup.dedup_keep_canonical,
@@ -2016,6 +2022,12 @@ def oracle_sql() -> dict[str, str]:
         # members) is star-capped, which preserves dedup components but
         # not the exact pair listing — no such bucket exists at sf0.01.
         "minhash_dedup_verified": _trigram_jaccard_oracle(0.7),
+        # incremental ingest variant: same exact ground truth restricted
+        # to pairs with >=1 arrival-slice member (doc_id % 20 == 0);
+        # identical recall argument (pairs sit at J >= 0.95)
+        "minhash_dedup_incremental": _trigram_jaccard_oracle(
+            0.7, arrival_mod=20
+        ),
         # ngram_jaccard_join is EXACT by construction (prefix filtering
         # is complete — dedup._prefix_rows docstring has the proof), so
         # the brute-force all-pairs oracle matches with no recall caveat
@@ -2055,7 +2067,7 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-def _trigram_jaccard_oracle(threshold: float) -> str:
+def _trigram_jaccard_oracle(threshold: float, arrival_mod: int | None = None) -> str:
     """Exact ground truth for the trigram-set-Jaccard pair queries:
     string word-trigram sets + set Jaccard (no hashing). The Ray
     kernels' hashed-shingle Jaccard equals the string-set Jaccard
@@ -2067,11 +2079,16 @@ def _trigram_jaccard_oracle(threshold: float) -> str:
     LSH bucket (> LAKETIDE_MAX_LSH_BUCKET members) would be star-capped
     — no such bucket exists at sf0.01; ngram_jaccard_join is exact by
     construction (complete prefix filter, uncapped by default)."""
+    arrival = (
+        f"(a.doc_id % {arrival_mod} = 0 OR b.doc_id % {arrival_mod} = 0) AND "
+        if arrival_mod
+        else ""
+    )
     return (
         f"WITH {_TRIGRAM_GRAMS_CTE} "
         f"SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_TRIGRAM_JAC_EXPR} AS jaccard "
         "FROM g a JOIN g b ON a.doc_id < b.doc_id "
-        f"WHERE {_TRIGRAM_JAC_EXPR} >= {threshold}"
+        f"WHERE {arrival}{_TRIGRAM_JAC_EXPR} >= {threshold}"
     )
 
 

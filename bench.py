@@ -237,6 +237,10 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
             "minhash_sig_index_warm",
             lambda sf: dedup.minhash_lsh_candidates(sf, from_index=True),
         )
+        # ingest-time incremental near-dup: arrival slice probed against
+        # the (already-built) artifact — the per-batch ingest cost,
+        # vs minhash_lsh_candidates' full-corpus recompute above
+        timed("minhash_incremental", dedup.minhash_lsh_candidates_incremental)
         timed("ngram_jaccard_join", dedup.ngram_jaccard_join)
 
         # persisted simhash / embedding-LSH signature artifacts: cold leg

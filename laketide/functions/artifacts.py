@@ -74,6 +74,17 @@ def publish_rows_artifact(final: str, ds_factory, meta: dict) -> str:
     return final
 
 
+def read_artifact_meta(index_dir: str) -> dict:
+    """The INDEX.json manifest of a published artifact — the shaping
+    constants (n_parts, bands, ...) a reader must match when it combines
+    fresh rows with persisted ones (e.g. incremental ingest banding new
+    docs into the artifact's bucket_part scheme)."""
+    import json as _json
+
+    with open(os.path.join(index_dir, "INDEX.json")) as fh:
+        return _json.loads(fh.read())
+
+
 def read_rows_artifact(index_dir: str, empty_schema: pa.Schema):
     """Streaming Dataset over a published artifact's signature rows.
     An empty corpus publishes no parquet files (Ray's write_parquet

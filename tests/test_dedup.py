@@ -634,3 +634,65 @@ def test_simhash_signature_artifact_equal_output(planted_docs):
     assert simhash_signature_build(sf_dir) == idx
     assert os.path.getmtime(os.path.join(idx, "INDEX.json")) == mtime
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_minhash_incremental_matches_restricted_direct(planted_docs):
+    """Incremental ingest candidates (arrival slice = doc_id % 20 == 0
+    probed against the persisted artifact) equal the DIRECT full-corpus
+    candidate set restricted to pairs with >=1 arrival member — and the
+    verified variant finds the planted arrival-slice near-dup."""
+    import shutil
+
+    from laketide.functions.dedup import (
+        _minhash_index_dir,
+        minhash_dedup_incremental,
+        minhash_lsh_candidates,
+        minhash_lsh_candidates_incremental,
+    )
+
+    sf_dir, plants = planted_docs
+    shutil.rmtree(_minhash_index_dir(sf_dir), ignore_errors=True)
+    direct = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates(sf_dir).take_all()
+    }
+    expect = {(a, b) for a, b in direct if a % 20 == 0 or b % 20 == 0}
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_candidates_incremental(sf_dir).take_all()
+    }
+    assert inc == expect and inc
+    # plant (0, 200): both ends are arrival-slice docs; the verified
+    # incremental stream must confirm it with exact Jaccard
+    v = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_dedup_incremental(sf_dir).take_all()
+    }
+    assert (0, 200) in v
+    shutil.rmtree(_minhash_index_dir(sf_dir), ignore_errors=True)
+
+
+def test_minhash_incremental_uses_artifact_n_parts(planted_docs, monkeypatch):
+    """The new-arrival rows must band into the ARTIFACT'S bucket_part
+    scheme (n_parts pinned in INDEX.json): with a drifted cluster-derived
+    n_parts, pairs would silently de-co-locate. Build at the real
+    n_parts, then drift _coarse_n_parts and assert the pair set is
+    unchanged."""
+    import shutil
+
+    from laketide.functions import dedup as D
+
+    sf_dir, _ = planted_docs
+    shutil.rmtree(D._minhash_index_dir(sf_dir), ignore_errors=True)
+    before = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates_incremental(sf_dir).take_all()
+    }
+    assert before
+    monkeypatch.setattr(D, "_coarse_n_parts", lambda: 7)
+    after = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.minhash_lsh_candidates_incremental(sf_dir).take_all()
+    }
+    assert after == before
+    shutil.rmtree(D._minhash_index_dir(sf_dir), ignore_errors=True)
