@@ -488,6 +488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_by_source": text.docs_by_source,
         "doc_sample_hash": text.doc_sample_hash,
         "temperature_sample": text.temperature_sample,
+        "mixture_sample": text.mixture_sample,
         "length_quantiles_by_lang": text.length_quantiles_by_lang,
         "stratified_sample_docs": text.stratified_sample_docs,
         "doc_summary": text.doc_summary,
@@ -1407,6 +1408,21 @@ def oracle_sql() -> dict[str, str]:
             "r AS (SELECT lang, CAST(floor(sqrt(CAST((SELECT n_min FROM m) "
             "AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS thr FROM c) "
             "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+            "WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) "
+            "% 18446744073709551616 % 1000000 < r.thr"
+        ),
+        # target-mixture data mixing: integer source weights (benchmark
+        # default class 1 + ascii(last char) % 3), docs-per-weight-unit
+        # m = min(n/W), threshold floor(m * W / n * 1e6) — one division
+        # + multiply chain in the SAME association order both sides
+        "mixture_sample": (
+            "WITH c AS (SELECT source, count(*) AS n, "
+            "CASE WHEN source = '' THEN 1 ELSE 1 + ascii(right(source, 1)) % 3 END AS w "
+            "FROM documents WHERE source IS NOT NULL GROUP BY source), "
+            "m AS (SELECT min(CAST(n AS DOUBLE) / CAST(w AS DOUBLE)) AS mv FROM c), "
+            "r AS (SELECT source, CAST(floor((SELECT mv FROM m) * CAST(w AS DOUBLE) "
+            "/ CAST(n AS DOUBLE) * 1000000) AS BIGINT) AS thr FROM c) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN r USING (source) "
             "WHERE (CAST(d.doc_id AS HUGEINT) * 2654435761) "
             "% 18446744073709551616 % 1000000 < r.thr"
         ),

@@ -1768,6 +1768,76 @@ def temperature_sample(sf_dir: str, alpha: float = 0.5) -> rd.Dataset:
     )
 
 
+def mixture_sample(
+    sf_dir: str, weights: dict[str, int] | None = None
+) -> rd.Dataset:
+    """Target-mixture corpus sampling (the data-mixing step of a
+    training-data pipeline: combine sources at chosen proportions, e.g.
+    web 50% / wiki 30% / books 20%). Given integer source weights
+    ``W_s``, the sample realizes shares ``W_s / sum(W)`` at the maximal
+    total size that needs NO upsampling: docs-per-weight-unit
+    ``m = min_s(n_s / W_s)``, per-source keep rate ``W_s * m / n_s``
+    (the scarcest source relative to its weight keeps 100%). A doc
+    keeps iff its Knuth-hash bucket < ``floor(m * W_s / n_s * 1e6)`` —
+    the same INTEGER-threshold discipline as ``temperature_sample``, so
+    the DuckDB oracle is exact (one division, one multiply chain,
+    identical association order in both engines).
+
+    ``weights=None`` uses the benchmark default — weight class
+    ``1 + ascii(last char of source) % 3`` — purely so the fixed test
+    tables exercise a non-uniform mixture; real pipelines pass explicit
+    weights. Scale: pass 1 is a per-batch (source, count) partial
+    collected on the driver (source-vocabulary scale — bytes); pass 2
+    streams with the tiny threshold map in the closure. No shuffle."""
+
+    def source_counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["source"]))
+        g = t.group_by(["source"]).aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n"])
+
+    parts = collect_tables(
+        _docs(sf_dir, columns=["source"]).map_batches(
+            source_counts, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    totals: dict[str, int] = {}
+    for p in parts:
+        for src, n in zip(p["source"].to_pylist(), p["n"].to_pylist()):
+            totals[src] = totals.get(src, 0) + int(n)
+
+    def weight_of(src: str) -> int:
+        if weights is not None:
+            return int(weights.get(src, 0))
+        return 1 + (ord(src[-1]) % 3) if src else 1
+
+    thr: dict[str, int] = {}
+    pairs = [(s, weight_of(s)) for s in totals if weight_of(s) > 0]
+    if pairs:
+        m = min(np.float64(totals[s]) / np.float64(w) for s, w in pairs)
+        thr = {
+            s: int(np.floor(m * np.float64(w) / np.float64(totals[s]) * 1e6))
+            for s, w in pairs
+        }
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["source"]))
+        ids = t["doc_id"].to_numpy().astype(np.uint64)
+        bucket = (ids * np.uint64(2654435761)) % np.uint64(1_000_000)
+        limits = np.array(
+            [thr.get(s, 0) for s in t["source"].to_pylist()], np.uint64
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "source": t["source"],
+            }
+        ).filter(pa.array(bucket < limits))
+
+    return _docs(sf_dir, columns=["doc_id", "source"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # ------------------------------------------------------------------
 # C4-style duplicate-span removal, unigram LM scoring, chunking
 # ------------------------------------------------------------------

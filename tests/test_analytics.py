@@ -680,3 +680,45 @@ def test_shuffle_positions_domain_guard(tmp_path):
     pq.write_table(big, str(d2 / "documents.parquet"))
     with pytest.raises(Exception, match="2\\^31"):
         shuffle_positions(str(d2)).to_pandas()
+
+
+def test_mixture_sample_explicit_weights(tmp_path):
+    """Explicit-weights data mixing: realized shares track W_s/sum(W)
+    within hash noise, the scarcest-relative source keeps 100% (its
+    threshold saturates — no upsampling ever), and a zero-weight source
+    is excluded entirely."""
+    import pyarrow.parquet as pq
+
+    from laketide.functions.text import mixture_sample
+
+    n = {"web": 6000, "wiki": 1500, "books": 500, "junk": 800}
+    ids, srcs = [], []
+    i = 0
+    for s, k in n.items():
+        for _ in range(k):
+            ids.append(i)
+            srcs.append(s)
+            i += 1
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "source": pa.array(srcs, pa.string()),
+            "text": pa.array(["x"] * len(ids), pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    w = {"web": 5, "wiki": 3, "books": 2, "junk": 0}
+    out = mixture_sample(str(tmp_path), weights=w).to_pandas()
+    got = out.groupby("source").size().to_dict()
+    assert got.get("junk", 0) == 0
+    # scarcest source per weight unit: books 500/2=250 < wiki 500 < web
+    # 1200 -> books keeps everything
+    assert got["books"] == 500
+    total = sum(got.values())
+    for s, ws in (("web", 5), ("wiki", 3), ("books", 2)):
+        share = got[s] / total
+        target = ws / 10
+        assert abs(share - target) < 0.05, (s, share, target)
+    # deterministic: a second run returns the identical id set
+    out2 = mixture_sample(str(tmp_path), weights=w).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
