@@ -452,6 +452,9 @@ def stratified_sample_docs(sf_dir: str, per_10k: int = 10_000) -> rd.Dataset:
     ds = _docs(sf_dir, columns=["doc_id", "lang"])
 
     def f(t: pa.Table) -> pa.Table:
+        # null doc_id would NaN-cast to an arbitrary uint64 bucket; the
+        # SQL oracle's NULL comparison drops the row — filter to agree
+        t = t.filter(pc.is_valid(t["doc_id"]))
         ids = t["doc_id"].to_numpy().astype(np.uint64)
         h = (ids * np.uint64(2654435761)) % np.uint64(per_10k)
         # vectorized per-stratum threshold: one boolean mask per lang
@@ -1750,7 +1753,9 @@ def temperature_sample(sf_dir: str, alpha: float = 0.5) -> rd.Dataset:
         thr = {}
 
     def f(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["lang"]))
+        # null doc_id would NaN-cast to an arbitrary uint64 bucket; the
+        # SQL oracle's NULL comparison drops the row — filter to agree
+        t = t.filter(pc.and_(pc.is_valid(t["lang"]), pc.is_valid(t["doc_id"])))
         ids = t["doc_id"].to_numpy().astype(np.uint64)
         bucket = (ids * np.uint64(2654435761)) % np.uint64(1_000_000)
         limits = np.array(
@@ -1820,7 +1825,9 @@ def mixture_sample(
         }
 
     def f(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["source"]))
+        # null doc_id would NaN-cast to an arbitrary uint64 bucket; the
+        # SQL oracle's NULL comparison drops the row — filter to agree
+        t = t.filter(pc.and_(pc.is_valid(t["source"]), pc.is_valid(t["doc_id"])))
         ids = t["doc_id"].to_numpy().astype(np.uint64)
         bucket = (ids * np.uint64(2654435761)) % np.uint64(1_000_000)
         limits = np.array(

@@ -60,7 +60,11 @@ def _file_key(path: str) -> tuple:
     return (path, st.st_mtime_ns, st.st_size)
 
 
-@functools.lru_cache(maxsize=256)
+# maxsize bounds driver residency: every cached entry is a broadcast-
+# budget-sized table (callers gate on _table_rows first), but a
+# long-lived driver touching many sf dirs / regenerated fixtures must
+# not pin hundreds of dead tables
+@functools.lru_cache(maxsize=32)
 def _dim_cached(key: tuple, cols: tuple) -> pa.Table:
     import pyarrow.parquet as pq
 

@@ -1451,7 +1451,19 @@ class LakeTable:
         else:
             ds = events
 
-        payload = S.payload_columns_of(ds.schema().base_schema)
+        base_schema = ds.schema().base_schema
+        # the _prio_r_* namespace is reserved for the priority fold's
+        # write-side helpers (payload_columns_of skips the prefix) — an
+        # event stream using it must fail LOUDLY, not lose the column
+        reserved = [
+            n for n in base_schema.names if n.startswith(S.PRIO_RANK_PREFIX)
+        ]
+        if reserved:
+            raise ValueError(
+                f"event columns {reserved} use the reserved "
+                f"'{S.PRIO_RANK_PREFIX}' helper prefix; rename them"
+            )
+        payload = S.payload_columns_of(base_schema)
         norm = ds.map_batches(
             NormalizeEvents(self.num_partitions, payload),
             batch_format="pyarrow",

@@ -130,11 +130,13 @@ def run_schedule(
     totals.
 
     ``max_concurrent > 1`` applies up to that many epochs from
-    DIFFERENT tables simultaneously (one driver thread per job drains
-    that job's epochs strictly in order, a semaphore bounds how many
-    applies hold a slot at once, and higher-priority jobs start first).
-    The global ``order`` then records DISPATCH order with
-    started/finished timestamps instead of a serial total order —
+    DIFFERENT tables simultaneously: a worker pool consumes the SAME
+    weighted round-robin credit schedule the serial path walks (so
+    weights shape the interleaving under slot contention — a bulk
+    low-priority backfill cannot monopolize a slot — and ``max_cycles``
+    bounds per-job applies identically), with at most one in-flight
+    epoch per table. The global ``order`` then records COMPLETION order
+    with started/finished timestamps instead of a serial total order —
     per-job epoch order is still strictly increasing, which is the
     correctness contract (per-table serialization is structural, so the
     writer lock never sees two writers for one table from this
@@ -161,7 +163,7 @@ def run_schedule(
         jobs, key=lambda j: -PRIORITY_WEIGHTS[j.priority]
     )  # stable: ties keep list order
     if max_concurrent > 1:
-        _drain_concurrent(by_weight, queues, order, max_concurrent)
+        _drain_concurrent(by_weight, queues, order, max_concurrent, max_cycles)
     else:
         for _ in range(max_cycles):
             progressed = False
@@ -200,57 +202,128 @@ def run_schedule(
     return {"order": order, "jobs": report}
 
 
+def _weighted_dispatch(
+    by_weight: list[ReplayJob],
+    queues: dict[str, list[tuple[int, str]]],
+    max_cycles: int,
+) -> list[ReplayJob]:
+    """The weighted round-robin DISPATCH schedule — the same credit walk
+    the serial path executes (cycle = ``weight`` credits per job, at
+    most ``max_cycles`` cycles), flattened into a list of job slots.
+    Consuming this list in order is what makes the concurrent mode keep
+    the module's fairness contract: under slot contention a critical
+    job gets ~6 of every 10 dispatches, a bulk low-priority backfill
+    cannot monopolize a slot for its whole queue, and ``max_cycles``
+    bounds per-job applies exactly like the serial path."""
+    budget = {
+        j.name: min(len(queues[j.name]), PRIORITY_WEIGHTS[j.priority] * max_cycles)
+        for j in by_weight
+    }
+    counted = {j.name: 0 for j in by_weight}
+    dispatch: list[ReplayJob] = []
+    progressed = True
+    while progressed:
+        progressed = False
+        for j in by_weight:
+            take = min(
+                PRIORITY_WEIGHTS[j.priority], budget[j.name] - counted[j.name]
+            )
+            if take > 0:
+                dispatch.extend([j] * take)
+                counted[j.name] += take
+                progressed = True
+    return dispatch
+
+
 def _drain_concurrent(
     by_weight: list[ReplayJob],
     queues: dict[str, list[tuple[int, str]]],
     order: list[dict],
     max_concurrent: int,
+    max_cycles: int,
 ) -> None:
-    """One serial drain thread per job (epochs strictly in order; the
-    per-table writer lock is never contended), at most ``max_concurrent``
-    applies holding a slot at once. Higher-priority jobs' threads start
-    first, so when slots contend the critical backlog gets them first.
-    A failed apply stops ITS job's chain (later epochs of that table
-    must not skip a hole) and is re-raised by the caller; other tables
-    keep draining."""
+    """A pool of ``max_concurrent`` workers consuming the weighted
+    dispatch schedule: a worker claims the EARLIEST unclaimed slot whose
+    job is not currently mid-apply (per-table serialization is
+    structural — one in-flight epoch per table, epochs strictly in
+    order, so the writer lock is never contended), applies that job's
+    next epoch, and loops. Weights therefore shape the INTERLEAVING
+    under contention, not just thread start order, and ``max_cycles``
+    bounds per-job applies exactly like the serial path. A failed apply
+    stops ITS job's chain (later epochs of that table must not skip a
+    hole) and is re-raised by the caller; other tables keep draining."""
     import threading
     import time as _time
 
     _settle_fsspec_http_import()
-    slots = threading.Semaphore(max_concurrent)
-    out_lock = threading.Lock()
+    dispatch = _weighted_dispatch(by_weight, queues, max_cycles)
+    claimed = [False] * len(dispatch)
+    busy: set[str] = set()
+    failed: set[str] = set()
+    cv = threading.Condition()
 
-    def drain(job: ReplayJob) -> None:
-        for epoch_id, path in queues[job.name]:
-            with slots:
-                started = _time.monotonic()
-                try:
-                    r = job.table.apply_epoch(
-                        path, epoch_id=epoch_id, source=f"job:{job.name}"
-                    )
-                except BaseException as e:  # noqa: BLE001 — re-raised by caller
-                    with out_lock:
-                        order.append(
-                            {"job": job.name, "epoch": epoch_id,
-                             "priority": job.priority, "error": e}
-                        )
-                    return
-                finished = _time.monotonic()
-            with out_lock:
-                job.applied.append(r)
-                order.append(
-                    {
-                        "job": job.name,
-                        "epoch": epoch_id,
-                        "priority": job.priority,
-                        "started": started,
-                        "finished": finished,
-                    }
+    def _claim() -> tuple[int, ReplayJob] | None:
+        # under cv: earliest unclaimed runnable slot; failed jobs' slots
+        # are dropped in passing so the pool can terminate
+        for i, j in enumerate(dispatch):
+            if claimed[i]:
+                continue
+            if j.name in failed or not queues[j.name]:
+                claimed[i] = True
+                continue
+            if j.name in busy:
+                continue
+            claimed[i] = True
+            busy.add(j.name)
+            return i, j
+        return None
+
+    def worker() -> None:
+        while True:
+            with cv:
+                got = _claim()
+                while got is None:
+                    if all(claimed):
+                        cv.notify_all()
+                        return
+                    cv.wait()
+                    got = _claim()
+                _, job = got
+                epoch_id, path = queues[job.name].pop(0)
+            started = _time.monotonic()
+            err: BaseException | None = None
+            r = None
+            try:
+                r = job.table.apply_epoch(
+                    path, epoch_id=epoch_id, source=f"job:{job.name}"
                 )
+            except BaseException as e:  # noqa: BLE001 — re-raised by caller
+                err = e
+            finished = _time.monotonic()
+            with cv:
+                busy.discard(job.name)
+                if err is not None:
+                    failed.add(job.name)
+                    order.append(
+                        {"job": job.name, "epoch": epoch_id,
+                         "priority": job.priority, "error": err}
+                    )
+                else:
+                    job.applied.append(r)
+                    order.append(
+                        {
+                            "job": job.name,
+                            "epoch": epoch_id,
+                            "priority": job.priority,
+                            "started": started,
+                            "finished": finished,
+                        }
+                    )
+                cv.notify_all()
 
     threads = [
-        threading.Thread(target=drain, args=(j,), name=f"laketide-drain-{j.name}")
-        for j in by_weight
+        threading.Thread(target=worker, name=f"laketide-apply-{i}")
+        for i in range(max_concurrent)
     ]
     for t in threads:
         t.start()

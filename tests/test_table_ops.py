@@ -2100,3 +2100,50 @@ def test_concurrent_multi_table_schedule_overlaps_and_converges(tmp_path):
     # idempotent re-run: everything already applied -> no new epochs
     r2 = run_schedule(jobs, max_concurrent=2)
     assert r2["order"] == []
+
+
+def test_concurrent_schedule_honors_cycles_and_weights(tmp_path):
+    """The concurrent drain consumes the SAME weighted credit schedule
+    as the serial path: max_cycles=1 grants each job exactly `weight`
+    applies (critical 6, low 1) even with slots to spare, and the
+    dispatch schedule interleaves by weight so a bulk low-priority
+    backfill cannot monopolize a slot."""
+    from laketide.pipelines.scheduler import (
+        PRIORITY_WEIGHTS,
+        ReplayJob,
+        _weighted_dispatch,
+        run_schedule,
+    )
+
+    files_c = generate_changelog(
+        str(tmp_path / "log_c"), n_events=1600, n_epochs=8, seed=31
+    )
+    files_l = generate_changelog(
+        str(tmp_path / "log_l"), n_events=600, n_epochs=3, seed=32
+    )
+    tc = LakeTable(str(tmp_path / "tc"), num_partitions=4)
+    tl = LakeTable(str(tmp_path / "tl"), num_partitions=4)
+    jobs = [
+        ReplayJob("hot", tc, str(tmp_path / "log_c"), priority="critical"),
+        ReplayJob("bulk", tl, str(tmp_path / "log_l"), priority="low"),
+    ]
+    r = run_schedule(jobs, max_cycles=1, max_concurrent=2)
+    per_job = {
+        n: len([o for o in r["order"] if o["job"] == n]) for n in ("hot", "bulk")
+    }
+    # one cycle: critical spends its 6 credits (8 pending), low spends 1
+    assert per_job == {"hot": 6, "bulk": 1}
+    # the dispatch schedule itself is the serial credit walk: 6 hot,
+    # 1 bulk, then the remainder in later cycles
+    qs = {"hot": [(i, "") for i in range(8)], "bulk": [(i, "") for i in range(3)]}
+    sched = [j.name for j in _weighted_dispatch(jobs, qs, max_cycles=1000)]
+    assert sched[:7] == ["hot"] * 6 + ["bulk"]
+    assert len([s for s in sched if s == "hot"]) == 8
+    assert len([s for s in sched if s == "bulk"]) == 3
+    assert PRIORITY_WEIGHTS["critical"] == 6 and PRIORITY_WEIGHTS["low"] == 1
+    # a second run (no max_cycles bound) drains the remainder in order
+    r2 = run_schedule(jobs, max_concurrent=2)
+    eps = [o["epoch"] for o in r2["order"] if o["job"] == "hot"]
+    assert eps == [7, 8]
+    assert tc.current_epoch() == 8 and tl.current_epoch() == 3
+    del files_c, files_l
