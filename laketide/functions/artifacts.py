@@ -41,6 +41,23 @@ def artifact_root(kind: str) -> str:
     return root
 
 
+def fingerprint_dir(kind: str, prefix: str, src_path: str, salt: str) -> str:
+    """Cache location + source fingerprint for a persisted artifact —
+    THE one keying policy (source file identity = abspath|size|mtime_ns,
+    plus ``salt`` carrying every constant that shapes the rows, so a
+    changed corpus or a code-changed shaping constant can never serve
+    stale rows). Shared by the MinHash / SimHash / embedding-LSH / IVF
+    caches so a future key-policy change happens once."""
+    import hashlib
+
+    src = os.path.abspath(src_path)
+    st = os.stat(src)
+    fp = hashlib.sha256(
+        f"{src}|{st.st_size}|{st.st_mtime_ns}|{salt}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(artifact_root(kind), f"{prefix}-{fp}")
+
+
 def publish_rows_artifact(final: str, ds_factory, meta: dict) -> str:
     """Persist a Ray Dataset of signature rows as a parquet directory
     plus an ``INDEX.json`` manifest, published with the lake's

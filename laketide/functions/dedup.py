@@ -1117,21 +1117,16 @@ class SimHasher:
 
 
 def _simhash_index_dir(sf_dir: str) -> str:
-    """Cache location + source fingerprint for the persisted SimHash
-    signature artifact: keyed on the documents file identity (path,
-    size, mtime_ns) and every constant that shapes the signature, so a
-    changed corpus or banding can never serve stale rows."""
-    import hashlib
+    """Persisted SimHash signature artifact location (shared keying
+    policy: ``artifacts.fingerprint_dir``; salt = the signature-shaping
+    constants)."""
     import os
 
-    from laketide.functions.artifacts import artifact_root
+    from laketide.functions.artifacts import fingerprint_dir
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    fp = hashlib.sha256(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|sim64b4x16".encode()
-    ).hexdigest()[:16]
-    return os.path.join(artifact_root("simhash"), f"sh-{fp}")
+    return fingerprint_dir(
+        "simhash", "sh", os.path.join(sf_dir, "documents.parquet"), "sim64b4x16"
+    )
 
 
 def simhash_signature_build(sf_dir: str, index_dir: str | None = None) -> str:
@@ -1687,24 +1682,20 @@ def fuzzy_name_pairs(sf_dir: str) -> pa.Table:
 
 
 def _minhash_index_dir(sf_dir: str) -> str:
-    """Cache location + source fingerprint for the persisted banded
-    MinHash signature artifact: keyed on the documents file identity
-    (path, size, mtime_ns) and the banding constants, so a changed
-    corpus or banding can never serve stale signatures."""
-    import hashlib
+    """Persisted banded MinHash signature artifact location (shared
+    keying policy: ``artifacts.fingerprint_dir``; salt = every constant
+    that shapes the signatures — shingling, permutations, seeding — so
+    a code change there must miss the cache)."""
     import os
 
-    src = os.path.join(sf_dir, "documents.parquet")
-    st = os.stat(src)
-    # every constant that shapes the signatures is in the key: a code
-    # change to shingling / permutations / seeding must miss the cache
-    fp = hashlib.sha256(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
-        f"|b{_BANDS}r{_ROWS_PER_BAND}k{_SHINGLE_K}p{_N_PERM}s12345".encode()
-    ).hexdigest()[:16]
-    from laketide.functions.artifacts import artifact_root
+    from laketide.functions.artifacts import fingerprint_dir
 
-    return os.path.join(artifact_root("minhash"), f"mh-{fp}")
+    return fingerprint_dir(
+        "minhash",
+        "mh",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"b{_BANDS}r{_ROWS_PER_BAND}k{_SHINGLE_K}p{_N_PERM}s12345",
+    )
 
 
 def minhash_signature_build(sf_dir: str, index_dir: str | None = None) -> str:

@@ -259,20 +259,18 @@ def _train_centroids(
 
 
 def _ivf_index_dir(sf_dir: str, n_centroids: int) -> str:
-    """Cache location + source fingerprint for the persisted IVF index:
-    keyed on the embeddings file identity (path, size, mtime_ns), so a
-    changed corpus can never serve a stale index."""
-    import hashlib
+    """Persisted IVF index location (shared keying policy:
+    ``artifacts.fingerprint_dir``; salt = the centroid count)."""
     import os
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    fp = hashlib.sha256(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}|c{n_centroids}".encode()
-    ).hexdigest()[:16]
-    from laketide.functions.artifacts import artifact_root
+    from laketide.functions.artifacts import fingerprint_dir
 
-    return os.path.join(artifact_root("ivf"), f"ivf-{fp}")
+    return fingerprint_dir(
+        "ivf",
+        "ivf",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"c{n_centroids}",
+    )
 
 
 def ivf_index_build(
@@ -520,22 +518,20 @@ class _UnitVectors:
 
 
 def _emblsh_index_dir(sf_dir: str) -> str:
-    """Cache location + source fingerprint for the persisted
-    embedding-LSH signature artifact: keyed on the embeddings file
-    identity (path, size, mtime_ns) and every constant shaping the
-    signatures (bands, planes per band, plane seed, dim)."""
-    import hashlib
+    """Persisted embedding-LSH signature artifact location (shared
+    keying policy: ``artifacts.fingerprint_dir``; salt = the
+    signature-shaping constants — bands, planes per band, plane seed,
+    dim)."""
     import os
 
-    from laketide.functions.artifacts import artifact_root
+    from laketide.functions.artifacts import fingerprint_dir
 
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    st = os.stat(src)
-    fp = hashlib.sha256(
-        f"{os.path.abspath(src)}|{st.st_size}|{st.st_mtime_ns}"
-        f"|b{_ND_BANDS}p{_ND_PLANES_PER_BAND}s4242d{EMBED_DIM}".encode()
-    ).hexdigest()[:16]
-    return os.path.join(artifact_root("emblsh"), f"el-{fp}")
+    return fingerprint_dir(
+        "emblsh",
+        "el",
+        os.path.join(sf_dir, "embeddings.parquet"),
+        f"b{_ND_BANDS}p{_ND_PLANES_PER_BAND}s4242d{EMBED_DIM}",
+    )
 
 
 def embedding_lsh_signature_build(sf_dir: str, index_dir: str | None = None) -> str:
@@ -1333,6 +1329,20 @@ def embedding_dup_components(
 
     edges: rd.Dataset | None = None
     if path == "bucketed" or (path == "auto" and total_rows > broadcast_budget_rows):
+        if path == "auto":
+            # the cutover trades completeness for scale: pairs barely
+            # above a LOW threshold that straddle every shared probe
+            # centroid can be missed (docstring recall statement) — make
+            # the silent switch visible to the caller
+            import logging as _logging
+
+            _logging.getLogger(__name__).warning(
+                "embedding_dup_components: %d rows > broadcast budget %d; "
+                "auto-switching to the IVF-bucketed path (complete for "
+                "near-duplicates; borderline low-threshold pairs may be "
+                "missed — pass path='broadcast' to force completeness)",
+                total_rows, broadcast_budget_rows,
+            )
         cent = _train_centroids(sf_dir, n_centroids)
         # empty quantizer (degenerate tiny corpus whose ids all miss the
         # training sample): fall through to the broadcast path below

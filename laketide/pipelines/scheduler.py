@@ -255,26 +255,40 @@ def _drain_concurrent(
     import threading
     import time as _time
 
+    import os as _os
+
     _settle_fsspec_http_import()
     dispatch = _weighted_dispatch(by_weight, queues, max_cycles)
     claimed = [False] * len(dispatch)
+    # serialization key = the TABLE, not the job name: two due jobs can
+    # target one table dir (different changelogs), and concurrent
+    # applies there would contend the single-writer lock and fail
+    table_of = {
+        j.name: _os.path.abspath(j.table.table_dir) for j in by_weight
+    }
     busy: set[str] = set()
     failed: set[str] = set()
+    cursor = [0]  # first possibly-unclaimed slot; scans start here
     cv = threading.Condition()
 
     def _claim() -> tuple[int, ReplayJob] | None:
         # under cv: earliest unclaimed runnable slot; failed jobs' slots
-        # are dropped in passing so the pool can terminate
-        for i, j in enumerate(dispatch):
+        # are dropped in passing so the pool can terminate. The cursor
+        # skips the permanently-claimed prefix so a long backlog's drain
+        # stays O(total_epochs), not O(total_epochs^2).
+        while cursor[0] < len(dispatch) and claimed[cursor[0]]:
+            cursor[0] += 1
+        for i in range(cursor[0], len(dispatch)):
+            j = dispatch[i]
             if claimed[i]:
                 continue
             if j.name in failed or not queues[j.name]:
                 claimed[i] = True
                 continue
-            if j.name in busy:
+            if table_of[j.name] in busy:
                 continue
             claimed[i] = True
-            busy.add(j.name)
+            busy.add(table_of[j.name])
             return i, j
         return None
 
@@ -301,7 +315,7 @@ def _drain_concurrent(
                 err = e
             finished = _time.monotonic()
             with cv:
-                busy.discard(job.name)
+                busy.discard(table_of[job.name])
                 if err is not None:
                     failed.add(job.name)
                     order.append(

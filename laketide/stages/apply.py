@@ -457,37 +457,58 @@ def _union_lists_per_group(
 ) -> pa.Array:
     """Union-dedup a list column per key group (R4 array-union analog):
     flatten once, tag every flat value with its parent's group, unique on
-    (group, value) — no per-row Python in the fold."""
+    (group, value) — no per-row Python in the fold. A group whose
+    eligible history is ALL NULL stays NULL (DuckDB's ``list(x) FILTER
+    (WHERE x IS NOT NULL)`` over an all-null history is NULL, and the
+    apply-side replay no-op check relies on null-in null-out); an
+    eligible non-null EMPTY list still yields []."""
     lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
     parents = np.repeat(np.arange(len(col), dtype=np.int64), lens)
     keep = eligible[parents]
     values = pc.list_flatten(col).to_numpy(zero_copy_only=False)
-    return _build_list_union(
+    u = _build_list_union(
         group_of[parents][keep], values[keep], n_groups, typ.value_type
     )
+    valid_rows = pc.is_valid(col).to_numpy(zero_copy_only=False) & eligible
+    group_has = np.zeros(n_groups, dtype=bool)
+    group_has[group_of[valid_rows]] = True
+    if bool(group_has.all()):
+        return u
+    idx = pa.array(np.arange(n_groups, dtype=np.int64), mask=~group_has)
+    return u.take(idx)
 
 
 def _row_union(a, b):
     """Row-wise list union-dedup of two equal-length list columns (R4):
     flatten both with parent row ids, then the shared union core. Rows
-    where both sides are null yield an empty list."""
+    where BOTH sides are null stay NULL (no information is not an empty
+    set — the DuckDB fold oracle's list() over an all-null history is
+    NULL, and a both-null merge must not flip a stored NULL to [] on a
+    pure replay)."""
     a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
     b = b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b
     m = len(a)
     typ = a.type if pa.types.is_list(a.type) or pa.types.is_large_list(a.type) else b.type
     rows = []
     vals = []
+    any_valid = np.zeros(m, dtype=bool)
     for col in (a, b):
         if not (pa.types.is_list(col.type) or pa.types.is_large_list(col.type)):
             continue
+        any_valid |= pc.is_valid(col).to_numpy(zero_copy_only=False)
         counts = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
         rows.append(np.repeat(np.arange(m, dtype=np.int64), counts))
         vals.append(pc.list_flatten(col).to_numpy(zero_copy_only=False))
-    return _build_list_union(
+    u = _build_list_union(
         np.concatenate(rows), np.concatenate(vals), m, typ.value_type
     )
+    if bool(any_valid.all()):
+        return u
+    # null out the no-information rows (take with null indices)
+    idx = pa.array(np.arange(m, dtype=np.int64), mask=~any_valid)
+    return u.take(idx)
 
 
 def _select_rows(u, ev_col, cur_col, use_union, use_ev):
@@ -777,10 +798,11 @@ def apply_partition(
                     ).to_numpy(zero_copy_only=False)
                 else:
                     clen = np.full(j.num_rows, -1, dtype=np.int64)
-                ulen = (
-                    pc.cast(pc.list_value_length(u), pa.int64())
-                    .to_numpy(zero_copy_only=False)
-                )
+                # u is NULL where both sides were null -> -1 == stored
+                # null's -1, so a both-null replay row is NOT a change
+                ulen = pc.fill_null(
+                    pc.cast(pc.list_value_length(u), pa.int64()), -1
+                ).to_numpy(zero_copy_only=False)
                 prio_changed |= ulen != clen
         elif fieldwise and is_payload:
             if ev_primary is not None:

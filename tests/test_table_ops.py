@@ -2147,3 +2147,69 @@ def test_concurrent_schedule_honors_cycles_and_weights(tmp_path):
     assert eps == [7, 8]
     assert tc.current_epoch() == 8 and tl.current_epoch() == 3
     del files_c, files_l
+
+
+def test_concurrent_schedule_serializes_same_table(tmp_path):
+    """Two due jobs pointing at the SAME table dir (a config that drains
+    fine serially) must never hold two in-flight applies on that table:
+    serialization keys on the table identity, not the job name — before
+    the fix the second apply hit the single-writer lock, failed, and
+    run_schedule raised. The duplicate job's epochs resolve as
+    already-applied no-ops and the final state is oracle-exact."""
+    from laketide.pipelines.scheduler import ReplayJob, run_schedule
+    from laketide.sources.changelog import expected_state
+
+    files = generate_changelog(
+        str(tmp_path / "log"), n_events=1800, n_epochs=3, seed=41
+    )
+    t = LakeTable(str(tmp_path / "t"), num_partitions=4)
+    t2 = LakeTable(str(tmp_path / "t"), num_partitions=4)  # second handle
+    jobs = [
+        ReplayJob("a", t, str(tmp_path / "log"), priority="critical"),
+        ReplayJob("b", t2, str(tmp_path / "log"), priority="default"),
+    ]
+    r = run_schedule(jobs, max_concurrent=2)
+    assert not any("error" in o for o in r["order"])
+    exp = {(x["repo"], x["path"]): x["content"] for x in expected_state(files).to_pylist()}
+    got = {(x["repo"], x["path"]): x["content"] for x in t.state_table().to_pylist()}
+    assert got == exp
+    assert t.current_epoch() == 3
+
+
+def test_priority_replay_null_list_stays_null_and_noop():
+    """A re-delivered duplicate event whose list column is null (e.g. a
+    schema-evolution column) must be a PURE no-op against a stored null:
+    before the fix _row_union turned both-null into [] which flagged a
+    change, restamped applied_epoch, and flipped stored NULL -> [] on
+    every replay (the invariant that justifies disabling the HWM row
+    filter for merge='priority')."""
+    from laketide.stages.apply import ApplyMetrics, apply_partition, reduce_events
+
+    def ev_tbl(with_tags: bool):
+        cols = {
+            "repo": pa.array(["r"]),
+            "path": pa.array(["p"]),
+            "commit": pa.array(["c1"]),
+            "seq": pa.array([1], pa.int64()),
+            "op": pa.array(["update"]),
+            "content": pa.array(["x"], pa.string()),
+            "sources": pa.array([["osv"]], pa.list_(pa.string())),
+        }
+        if with_tags:
+            cols["tags"] = pa.array([None], pa.list_(pa.string()))
+        return pa.table(cols)
+
+    m = ApplyMetrics()
+    # epoch 1 predates the tags column — the stored row gets NULL tags
+    # by schema-evolution conform when epoch 2 introduces the column
+    cur = apply_partition(
+        None, reduce_events(ev_tbl(False), m, "priority"), 1, m, "priority"
+    )
+    m2 = ApplyMetrics()
+    cur2 = apply_partition(
+        cur, reduce_events(ev_tbl(True), m2, "priority"), 2, m2, "priority"
+    )
+    row = cur2.to_pylist()[0]
+    assert row["tags"] is None, "both-null union must stay NULL"
+    assert row["applied_epoch"] == 1, "pure replay must not restamp"
+    assert m2.updates == 0 and m2.inserts == 0 and m2.deletes == 0
