@@ -579,6 +579,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_count": similarity.embedding_label_count,
         "embedding_near_dup": similarity.embedding_near_dup,
         "embedding_dup_components": similarity.embedding_dup_components,
+        "embedding_dup_edges_incremental": similarity.embedding_dup_edges_incremental,
         # --- multimodal ---
         "blob_meta": multimodal.blob_meta,
         "multimodal_decode": multimodal.multimodal_decode,
@@ -1974,6 +1975,22 @@ def oracle_sql() -> dict[str, str]:
         # the edge test is exact integer arithmetic (HUGEINT here, int64
         # in the engine), so the component structure cannot drift on a
         # borderline float cosine
+        # ingest-time EXACT semantic edges: same integer predicate,
+        # restricted to pairs with >=1 arrival-slice member — the
+        # arrival matrix broadcasts whole, so no LSH recall caveat
+        "embedding_dup_edges_incremental": (
+            "WITH v AS (SELECT vec_id, list_transform(embedding, "
+            "x -> ROUND(CAST(x AS DOUBLE) * 1000.0)) AS iv "
+            "FROM embeddings WHERE embedding IS NOT NULL), "
+            "n AS (SELECT vec_id, CAST(list_dot_product(iv, iv) AS HUGEINT) AS nn FROM v), "
+            "p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, "
+            "CAST(list_dot_product(a.iv, b.iv) AS HUGEINT) AS dot "
+            "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "WHERE a.vec_id % 20 = 0 OR b.vec_id % 20 = 0) "
+            "SELECT vec_a, vec_b FROM p "
+            "JOIN n na ON p.vec_a = na.vec_id JOIN n nb ON p.vec_b = nb.vec_id "
+            "WHERE dot > 0 AND 400 * dot * dot >= 49 * na.nn * nb.nn"
+        ),
         "embedding_dup_components": (
             "WITH RECURSIVE "
             "v AS (SELECT vec_id, list_transform(embedding, "

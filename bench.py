@@ -261,6 +261,11 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
             return similarity.embedding_near_dup(sf, from_index=True)
 
         timed("embedding_near_dup", similarity.embedding_near_dup)
+        # ingest-time exact semantic edges: arrival matrix broadcast,
+        # one int64 matmul block per corpus batch (O(|new| x N))
+        timed(
+            "embedding_inc_edges", similarity.embedding_dup_edges_incremental
+        )
         timed("emblsh_sig_build_cold", _el_cold)
         timed(
             "emblsh_sig_index_warm",

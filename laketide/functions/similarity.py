@@ -1166,6 +1166,163 @@ def embedding_centroid_by_label(sf_dir: str) -> pa.Table:
     return pa.table(out).cast(out_schema).sort_by([("label", "ascending")])
 
 
+def _quantize_milli(t: pa.Table) -> pa.Table:
+    """Milli-unit integer quantization of the embedding column —
+    IDENTICAL expression to the oracle: ROUND(CAST(x AS DOUBLE) * 1000.0)
+    with half-away-from-zero rounding. Shared by the semantic-dedup
+    component clustering and the incremental edge scan so the two can
+    never drift."""
+    t = _drop_null_embeddings(t)
+    if t.num_rows == 0:
+        return pa.schema(
+            [("vec_id", pa.int64()), ("iv", pa.list_(pa.int64()))]
+        ).empty_table()
+    col = t["embedding"].combine_chunks()
+    flat = pc.list_flatten(col)
+    q = pc.cast(
+        pc.round(
+            pc.multiply(pc.cast(flat, pa.float64()), 1000.0),
+            ndigits=0,
+            round_mode="half_towards_infinity",
+        ),
+        pa.int64(),
+    )
+    lists = pa.ListArray.from_arrays(col.offsets, q)
+    return pa.table({"vec_id": pc.cast(t["vec_id"], pa.int64()), "iv": lists})
+
+
+def _quant_guard_stats(qds: rd.Dataset, num: int, den: int) -> tuple[int, int, int]:
+    """(total_rows, max_el, dim) of a quantized dataset, raising BEFORE
+    any int64 norm/dot math if the exact edge test could wrap (norms
+    computed from already-wrapped elements could pass a post-hoc check
+    exactly in the cases the guard exists to catch); the bound also
+    keeps every element far below 2^53, so float64 list round-trips
+    stay exact. Per-batch partials (one tiny row each) — the guard
+    never collects the corpus."""
+    guard_schema = pa.schema(
+        [("max_el", pa.int64()), ("dim", pa.int64()), ("n", pa.int64())]
+    )
+
+    def guard_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return guard_schema.empty_table()
+        iv = t["iv"].combine_chunks()
+        flat = pc.list_flatten(iv)
+        max_el = int(pc.max(pc.abs(flat)).as_py() or 0) if len(flat) else 0
+        dim = int(pc.max(pc.list_value_length(iv)).as_py() or 0)
+        return pa.table(
+            {
+                "max_el": pa.array([max_el], pa.int64()),
+                "dim": pa.array([dim], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    gparts = collect_tables(
+        qds.map_batches(guard_partial, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if not gparts:
+        return 0, 0, 0
+    gt = pa.concat_tables([p.cast(guard_schema) for p in gparts])
+    total_rows = int(pc.sum(gt["n"]).as_py() or 0)
+    if total_rows == 0:
+        return 0, 0, 0
+    max_el = int(pc.max(gt["max_el"]).as_py() or 0)
+    dim = int(pc.max(gt["dim"]).as_py() or 0)
+    nn_bound = dim * max_el * max_el  # exact: Python ints don't wrap
+    if max(num, den) * nn_bound * nn_bound >= 2**63:
+        raise ValueError(
+            f"quantized elements too large for exact int64 edge tests "
+            f"(max |component| = {max_el}, dim {dim}); lower the "
+            "quantization scale"
+        )
+    return total_rows, max_el, dim
+
+
+def embedding_dup_edges_incremental(
+    sf_dir: str,
+    threshold_sq: tuple[int, int] = (49, 400),
+    mod: int = 20,
+) -> rd.Dataset:
+    """EXACT semantic-dedup edges for an ingest batch: every cosine
+    edge (same integer predicate as ``embedding_dup_components``) with
+    at least one ARRIVAL-slice member (``vec_id % mod == 0`` — the
+    deterministic benchmark stand-in for a newly-arrived batch). This
+    is the ingest-time shape where exactness is affordable: the arrival
+    matrix is batch-sized, so it broadcasts whole via ``ray.put`` and
+    every corpus batch computes ONE int64 matmul block against it —
+    O(|new| x N) compute streaming over the corpus, never O(N^2), and
+    nothing corpus-sized on the driver. Completeness has NO recall
+    caveat (unlike the LSH candidate streams): the arrival side is
+    exhaustively compared. Exactly-once emission: a corpus-side row
+    that is itself an arrival pairs only when broadcast_id < batch_id
+    (new x new would otherwise appear from both directions); new x old
+    pairs exist in one direction only. Oracle: the HUGEINT all-pairs
+    edge SQL restricted to arrival pairs."""
+    num, den = threshold_sq
+    qds = _emb(sf_dir, columns=["vec_id", "embedding"]).map_batches(
+        _quantize_milli, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    edge_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+    total_rows, _, _ = _quant_guard_stats(qds, num, den)
+    if total_rows == 0:
+        return rd.from_arrow(edge_schema.empty_table())
+
+    # arrival slice to the driver (batch-sized by definition), broadcast
+    parts = collect_tables(
+        qds.map_batches(
+            lambda t: t.filter(
+                pa.array(
+                    t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                    % mod
+                    == 0
+                )
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return rd.from_arrow(edge_schema.empty_table())
+    new_t = pa.concat_tables(parts).sort_by([("vec_id", "ascending")])
+    new_ids = new_t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    new_mat = _embed_matrix(new_t["iv"]).astype(np.int64)
+    new_nn = np.einsum("ij,ij->i", new_mat, new_mat)
+    bref = ray.put((new_ids, new_mat, new_nn))
+    modv = np.int64(mod)
+    numv, denv = np.int64(num), np.int64(den)
+
+    def edge_block(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return edge_schema.empty_table()
+        nids, nmat, nnn = ray.get(bref)
+        cid = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cmat = _embed_matrix(t["iv"]).astype(np.int64)
+        cnn = np.einsum("ij,ij->i", cmat, cmat)
+        dots = nmat @ cmat.T  # exact int64 (guarded above)
+        ok = (dots > 0) & (denv * dots * dots >= numv * np.outer(nnn, cnn))
+        # exactly-once: an arrival on the corpus side pairs only with a
+        # smaller broadcast id; a non-arrival pairs in this direction
+        # always (it is never on the broadcast side)
+        batch_is_new = cid % modv == 0
+        ok &= np.where(
+            batch_is_new[None, :],
+            nids[:, None] < cid[None, :],
+            nids[:, None] != cid[None, :],
+        )
+        r, c = np.nonzero(ok)
+        a = np.minimum(nids[r], cid[c])
+        b = np.maximum(nids[r], cid[c])
+        return pa.table(
+            {"vec_a": pa.array(a, pa.int64()), "vec_b": pa.array(b, pa.int64())}
+        )
+
+    return qds.map_batches(
+        edge_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def embedding_dup_components(
     sf_dir: str,
     threshold_sq: tuple[int, int] = (49, 400),
@@ -1230,29 +1387,7 @@ def embedding_dup_components(
         raise ValueError(f"unknown path {path!r}")
     num, den = threshold_sq
     base = _emb(sf_dir, columns=["vec_id", "embedding"])
-
-    def quantize(t: pa.Table) -> pa.Table:
-        t = _drop_null_embeddings(t)
-        if t.num_rows == 0:
-            return pa.schema(
-                [("vec_id", pa.int64()), ("iv", pa.list_(pa.int64()))]
-            ).empty_table()
-        col = t["embedding"].combine_chunks()
-        flat = pc.list_flatten(col)
-        # identical expression to the oracle: ROUND(CAST(x AS DOUBLE)
-        # * 1000.0) with half-away-from-zero rounding
-        q = pc.cast(
-            pc.round(
-                pc.multiply(pc.cast(flat, pa.float64()), 1000.0),
-                ndigits=0,
-                round_mode="half_towards_infinity",
-            ),
-            pa.int64(),
-        )
-        lists = pa.ListArray.from_arrays(col.offsets, q)
-        return pa.table(
-            {"vec_id": pc.cast(t["vec_id"], pa.int64()), "iv": lists}
-        )
+    quantize = _quantize_milli
 
     # quantize ONCE: the materialized dataset serves the overflow guard,
     # and then either the driver broadcast collect (small regime) or the
@@ -1264,50 +1399,9 @@ def embedding_dup_components(
 
     out_schema = pa.schema([("vec_id", pa.int64()), ("component", pa.int64())])
 
-    # overflow guard BEFORE any int64 norm/dot math (norms computed from
-    # already-wrapped elements could pass a post-hoc check exactly in
-    # the cases it exists to catch): bound everything from the max
-    # element magnitude in exact Python ints. The bound also keeps
-    # every element far below 2^53, so the float64 list round-trip in
-    # _embed_matrix stays exact. Computed as per-batch partials (one
-    # tiny row each) so the guard never collects the corpus.
-    guard_schema = pa.schema(
-        [("max_el", pa.int64()), ("dim", pa.int64()), ("n", pa.int64())]
-    )
-
-    def guard_partial(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0:
-            return guard_schema.empty_table()
-        iv = t["iv"].combine_chunks()
-        flat = pc.list_flatten(iv)
-        max_el = int(pc.max(pc.abs(flat)).as_py() or 0) if len(flat) else 0
-        dim = int(pc.max(pc.list_value_length(iv)).as_py() or 0)
-        return pa.table(
-            {
-                "max_el": pa.array([max_el], pa.int64()),
-                "dim": pa.array([dim], pa.int64()),
-                "n": pa.array([t.num_rows], pa.int64()),
-            }
-        )
-
-    gparts = collect_tables(
-        qds.map_batches(guard_partial, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    if not gparts:
-        return out_schema.empty_table()
-    gt = pa.concat_tables([p.cast(guard_schema) for p in gparts])
-    total_rows = int(pc.sum(gt["n"]).as_py() or 0)
+    total_rows, _, _ = _quant_guard_stats(qds, num, den)
     if total_rows == 0:
         return out_schema.empty_table()
-    max_el = int(pc.max(gt["max_el"]).as_py() or 0)
-    dim = int(pc.max(gt["dim"]).as_py() or 0)
-    nn_bound = dim * max_el * max_el  # exact: Python ints don't wrap
-    if max(num, den) * nn_bound * nn_bound >= 2**63:
-        raise ValueError(
-            f"quantized elements too large for exact int64 edge tests "
-            f"(max |component| = {max_el}, dim {dim}); lower the "
-            "quantization scale"
-        )
 
     edge_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
 

@@ -365,3 +365,49 @@ def test_embedding_lsh_signature_artifact_equal_output(planted_embeddings):
     assert embedding_lsh_signature_build(sf_dir) == idx
     assert os.path.getmtime(os.path.join(idx, "INDEX.json")) == mtime
     shutil.rmtree(idx, ignore_errors=True)
+
+
+def test_embedding_dup_edges_incremental_exact_and_once(tmp_path):
+    """The incremental exact edge scan equals a numpy brute-force
+    reference restricted to arrival pairs (>=1 side with vec_id % 20 ==
+    0) — no recall caveat — and each unordered pair is emitted exactly
+    once (new x new pairs are visible from both matmul directions; the
+    broadcast_id < batch_id rule must dedup them)."""
+    import pyarrow.parquet as _pq
+
+    rng = np.random.RandomState(13)
+    base = rng.standard_normal((80, S.EMBED_DIM))
+    vecs = list(base)
+    for p in range(8):
+        vecs.append(base[p * 5] + 0.02 * rng.standard_normal(S.EMBED_DIM))
+    mat = np.stack(vecs)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)  # unit vectors
+    t = pa.table(
+        {
+            "vec_id": pa.array(list(range(len(mat))), pa.int64()),
+            "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float64())),
+            "label": pa.array([i % 4 for i in range(len(mat))], pa.int64()),
+        }
+    )
+    _pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    # engine-identical quantization (half-away-from-zero)
+    iv = (np.sign(mat) * np.floor(np.abs(mat.astype(np.float64) * 1000.0) + 0.5)).astype(np.int64)
+    nn = np.einsum("ij,ij->i", iv, iv)
+    dots = iv @ iv.T
+    n = len(iv)
+    expect = set()
+    for a in range(n):
+        for b in range(a + 1, n):
+            if a % 20 and b % 20:
+                continue
+            d = int(dots[a, b])
+            if d > 0 and 400 * d * d >= 49 * int(nn[a]) * int(nn[b]):
+                expect.add((a, b))
+    got = [
+        (r["vec_a"], r["vec_b"])
+        for r in S.embedding_dup_edges_incremental(str(tmp_path)).take_all()
+    ]
+    assert len(got) == len(set(got)), "duplicate pair emitted"
+    assert set(got) == expect
+    # planted pair (0, 80): both ends arrival-slice, cosine ~0.999
+    assert (0, 80) in set(got)
