@@ -1171,8 +1171,12 @@ def _quantize_milli(t: pa.Table) -> pa.Table:
     IDENTICAL expression to the oracle: ROUND(CAST(x AS DOUBLE) * 1000.0)
     with half-away-from-zero rounding. Shared by the semantic-dedup
     component clustering and the incremental edge scan so the two can
-    never drift."""
+    never drift. Null vec_id rows drop here too: the SQL oracles' NULL
+    comparisons (a.vec_id < b.vec_id, vec_id % mod) exclude them, while
+    a NaN->int64 cast would hand them a garbage id (the doc_id sampler
+    class of bug)."""
     t = _drop_null_embeddings(t)
+    t = t.filter(pc.is_valid(t["vec_id"]))
     if t.num_rows == 0:
         return pa.schema(
             [("vec_id", pa.int64()), ("iv", pa.list_(pa.int64()))]
@@ -1229,14 +1233,20 @@ def _quant_guard_stats(qds: rd.Dataset, num: int, den: int) -> tuple[int, int, i
         return 0, 0, 0
     max_el = int(pc.max(gt["max_el"]).as_py() or 0)
     dim = int(pc.max(gt["dim"]).as_py() or 0)
-    nn_bound = dim * max_el * max_el  # exact: Python ints don't wrap
+    _check_quant_bound(num, den, max_el, dim)
+    return total_rows, max_el, dim
+
+
+def _check_quant_bound(num: int, den: int, max_el: int, dim: int) -> None:
+    """Raise unless the exact int64 edge test provably cannot wrap
+    (bound computed in exact Python ints)."""
+    nn_bound = dim * max_el * max_el
     if max(num, den) * nn_bound * nn_bound >= 2**63:
         raise ValueError(
             f"quantized elements too large for exact int64 edge tests "
             f"(max |component| = {max_el}, dim {dim}); lower the "
             "quantization scale"
         )
-    return total_rows, max_el, dim
 
 
 def embedding_dup_edges_incremental(
@@ -1264,28 +1274,52 @@ def embedding_dup_edges_incremental(
         _quantize_milli, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
     edge_schema = pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
-    total_rows, _, _ = _quant_guard_stats(qds, num, den)
-    if total_rows == 0:
-        return rd.from_arrow(edge_schema.empty_table())
 
-    # arrival slice to the driver (batch-sized by definition), broadcast
+    # ONE fused pass serves both the overflow guard and the arrival
+    # broadcast (this is the per-ingest hot path — a separate stats
+    # scan would be a whole extra pass over the quantized corpus): each
+    # batch emits its arrival rows plus one MARKER row — vec_id NULL
+    # (real null ids dropped at quantize) carrying [max_el, dim, n]
+    def arrivals_and_stats(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        iv = t["iv"].combine_chunks()
+        flat = pc.list_flatten(iv)
+        max_el = int(pc.max(pc.abs(flat)).as_py() or 0) if len(flat) else 0
+        dim = int(pc.max(pc.list_value_length(iv)).as_py() or 0)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = t.filter(pa.array(ids % mod == 0))
+        stats = pa.table(
+            {
+                "vec_id": pa.array([None], pa.int64()),
+                "iv": pa.array([[max_el, dim, t.num_rows]], pa.list_(pa.int64())),
+            }
+        )
+        return pa.concat_tables([arr.cast(stats.schema), stats])
+
     parts = collect_tables(
         qds.map_batches(
-            lambda t: t.filter(
-                pa.array(
-                    t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-                    % mod
-                    == 0
-                )
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
+            arrivals_and_stats, batch_format="pyarrow", zero_copy_batch=True
         )
     )
     parts = [p for p in parts if p.num_rows]
     if not parts:
         return rd.from_arrow(edge_schema.empty_table())
-    new_t = pa.concat_tables(parts).sort_by([("vec_id", "ascending")])
+    both = pa.concat_tables(parts)
+    stats_t = both.filter(pc.is_null(both["vec_id"]))
+    svals = [row for row in stats_t["iv"].to_pylist()]
+    total_rows = sum(int(s[2]) for s in svals)
+    if total_rows == 0:
+        return rd.from_arrow(edge_schema.empty_table())
+    _check_quant_bound(
+        num, den,
+        max(int(s[0]) for s in svals),
+        max(int(s[1]) for s in svals),
+    )
+    new_t = both.filter(pc.is_valid(both["vec_id"]))
+    if new_t.num_rows == 0:
+        return rd.from_arrow(edge_schema.empty_table())
+    new_t = new_t.sort_by([("vec_id", "ascending")])
     new_ids = new_t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     new_mat = _embed_matrix(new_t["iv"]).astype(np.int64)
     new_nn = np.einsum("ij,ij->i", new_mat, new_mat)

@@ -259,50 +259,60 @@ def _drain_concurrent(
 
     _settle_fsspec_http_import()
     dispatch = _weighted_dispatch(by_weight, queues, max_cycles)
-    claimed = [False] * len(dispatch)
     # serialization key = the TABLE, not the job name: two due jobs can
     # target one table dir (different changelogs), and concurrent
     # applies there would contend the single-writer lock and fail
     table_of = {
         j.name: _os.path.abspath(j.table.table_dir) for j in by_weight
     }
+    # per-job ordered slot indices + a per-job cursor: _claim compares
+    # one candidate per job (O(jobs)) instead of rescanning the global
+    # dispatch list past busy-skipped holes (O(total_epochs) per claim)
+    slots_of: dict[str, list[int]] = {j.name: [] for j in by_weight}
+    for i, j in enumerate(dispatch):
+        slots_of[j.name].append(i)
+    next_of = {j.name: 0 for j in by_weight}
+    remaining = [len(dispatch)]
     busy: set[str] = set()
     failed: set[str] = set()
-    cursor = [0]  # first possibly-unclaimed slot; scans start here
     cv = threading.Condition()
 
-    def _claim() -> tuple[int, ReplayJob] | None:
-        # under cv: earliest unclaimed runnable slot; failed jobs' slots
-        # are dropped in passing so the pool can terminate. The cursor
-        # skips the permanently-claimed prefix so a long backlog's drain
-        # stays O(total_epochs), not O(total_epochs^2).
-        while cursor[0] < len(dispatch) and claimed[cursor[0]]:
-            cursor[0] += 1
-        for i in range(cursor[0], len(dispatch)):
-            j = dispatch[i]
-            if claimed[i]:
+    def _claim() -> ReplayJob | None:
+        # under cv: the job holding the EARLIEST runnable dispatch slot
+        # (weighted interleaving preserved); a failed or drained job's
+        # remaining slots are dropped in passing so the pool terminates
+        best_i, best_j = None, None
+        for j in by_weight:
+            k = next_of[j.name]
+            n_slots = len(slots_of[j.name])
+            if k >= n_slots:
                 continue
             if j.name in failed or not queues[j.name]:
-                claimed[i] = True
+                remaining[0] -= n_slots - k
+                next_of[j.name] = n_slots
                 continue
             if table_of[j.name] in busy:
                 continue
-            claimed[i] = True
-            busy.add(table_of[j.name])
-            return i, j
-        return None
+            i = slots_of[j.name][k]
+            if best_i is None or i < best_i:
+                best_i, best_j = i, j
+        if best_j is None:
+            return None
+        next_of[best_j.name] += 1
+        remaining[0] -= 1
+        busy.add(table_of[best_j.name])
+        return best_j
 
     def worker() -> None:
         while True:
             with cv:
-                got = _claim()
-                while got is None:
-                    if all(claimed):
+                job = _claim()
+                while job is None:
+                    if remaining[0] <= 0:
                         cv.notify_all()
                         return
                     cv.wait()
-                    got = _claim()
-                _, job = got
+                    job = _claim()
                 epoch_id, path = queues[job.name].pop(0)
             started = _time.monotonic()
             err: BaseException | None = None
