@@ -228,7 +228,18 @@ def test_query_matches_oracle_with_nulls(name, nullable_sf_dir):
 
 
 @pytest.mark.parametrize(
-    "name", ["dedup_text_segments", "unigram_logppl", "doc_chunk_windows"]
+    "name",
+    [
+        "dedup_text_segments",
+        "unigram_logppl",
+        "doc_chunk_windows",
+        # the hash-threshold samplers share the same NaN-cast exposure:
+        # a null doc_id would bucket by garbage while the oracle's NULL
+        # comparison drops the row
+        "temperature_sample",
+        "stratified_sample_docs",
+        "mixture_sample",
+    ],
 )
 def test_null_doc_id_groups_dropped_like_oracle(name, tmp_path):
     """doc_id NULL rows must be DROPPED, not NaN-coerced to an arbitrary
@@ -247,7 +258,17 @@ def test_null_doc_id_groups_dropped_like_oracle(name, tmp_path):
         [None if i % 7 == 3 else i for i in range(40)], dtype="Int64"
     )
     docs = pa.Table.from_pandas(
-        pd.DataFrame({"doc_id": doc_id, "text": texts}), preserve_index=False
+        pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "text": texts,
+                # lang/source strata for the sampler ops (non-null so the
+                # only null key under test is doc_id)
+                "lang": [["en", "de", "fr"][i % 3] for i in range(40)],
+                "source": [f"src{i % 4}" for i in range(40)],
+            }
+        ),
+        preserve_index=False,
     )
     d = tmp_path / "sf"
     d.mkdir()
