@@ -509,6 +509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "duplicated_ngram_share": text.duplicated_ngram_share,
         "decontaminate_docs": text.decontaminate_docs,
         "corpus_prepared_llm": _lazy("corpus", "prepare_corpus_llm"),
+        "corpus_training_mix": _lazy("corpus", "corpus_training_mix"),
         "shuffle_positions": _lazy("corpus", "shuffle_positions"),
         # rows-only BY CONSTRUCTION: bloom false positives may drop a
         # few extra docs (one-sided; pytest bounds it vs the exact
@@ -1507,44 +1508,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT 1 FROM gg JOIN bench USING (gram) "
             "WHERE gg.doc_id = d.doc_id)"
         ),
-        "corpus_prepared_llm": (
-            # composed LLM pipeline: decontaminate (shared trigram rule)
-            # -> C4 span dedup with reconstruction -> unigram-LM
-            # perplexity gate (costs trained on the FULL corpus)
-            f"WITH {_TRIGRAM_GRAMS_CTE}, "
-            "gg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
-            "bench AS (SELECT DISTINCT gram FROM gg WHERE doc_id < 20), "
-            "cd AS (SELECT d.doc_id, coalesce(d.text, '') AS text, d.lang "
-            "FROM documents d WHERE d.doc_id >= 20 AND NOT EXISTS ("
-            "SELECT 1 FROM gg JOIN bench USING (gram) WHERE gg.doc_id = d.doc_id)), "
-            "l AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM cd), "
-            "e AS (SELECT doc_id, toks, len(toks) AS n, "
-            "unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pos FROM l), "
-            "s AS (SELECT doc_id, pos, "
-            "array_to_string(toks[pos*10+1 : least(pos*10+10, n)], ' ') AS seg FROM e), "
-            "kept AS (SELECT doc_id, pos, seg FROM s "
-            "QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1), "
-            "agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned_text "
-            "FROM kept GROUP BY doc_id), "
-            "tok AS (SELECT unnest(string_split(coalesce(text,''),' ')) AS token "
-            "FROM documents), "
-            "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token), "
-            "ntot AS (SELECT count(*) AS n FROM tok), "
-            "rare AS (SELECT coalesce(sum(c), 0) AS r FROM tf WHERE c < 2), "
-            "cost AS (SELECT token, CAST(floor(-ln("
-            "CAST(CASE WHEN c >= 2 THEN c ELSE r END AS DOUBLE)/CAST(n AS DOUBLE)) "
-            "* 1000000.0) AS BIGINT) AS cost FROM tf, ntot, rare), "
-            "ct AS (SELECT a.doc_id, cd.lang, a.cleaned_text FROM agg a "
-            "JOIN cd USING (doc_id)), "
-            "ctok AS (SELECT doc_id, unnest(string_split(cleaned_text, ' ')) AS token "
-            "FROM ct), "
-            "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
-            "CAST(sum(cost) AS BIGINT) AS nll_micro, "
-            "CAST(sum(cost) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_nll_micro "
-            "FROM ctok JOIN cost USING (token) GROUP BY doc_id) "
-            "SELECT ct.doc_id, ct.lang, sc.n_tokens, sc.nll_micro, "
-            "sc.avg_nll_micro, ct.cleaned_text "
-            "FROM ct JOIN sc USING (doc_id) WHERE sc.avg_nll_micro <= 3407000.0"
+        "corpus_prepared_llm": _corpus_llm_sql(),
+        # round-5 composed pipeline: the prepare chain -> sqrt-rule lang
+        # rebalance over SURVIVORS -> deterministic training order; the
+        # prepare SQL nests verbatim so the two oracles cannot drift
+        "corpus_training_mix": (
+            f"WITH prep AS ({_corpus_llm_sql()}), "
+            "lc AS (SELECT lang, count(*) AS n FROM prep "
+            "WHERE lang IS NOT NULL GROUP BY lang), "
+            "m AS (SELECT min(n) AS n_min FROM lc), "
+            "r AS (SELECT lang, CAST(floor(sqrt(CAST((SELECT n_min FROM m) "
+            "AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS thr FROM lc), "
+            "samp AS (SELECT p.doc_id, p.lang, p.n_tokens, p.avg_nll_micro "
+            "FROM prep p JOIN r USING (lang) "
+            "WHERE (CAST(p.doc_id AS HUGEINT) * 2654435761) "
+            "% 18446744073709551616 % 1000000 < r.thr) "
+            "SELECT CAST(row_number() OVER (ORDER BY "
+            "(doc_id * 2654435761) % 4294967296, doc_id) - 1 AS BIGINT) AS position, "
+            "doc_id, lang, n_tokens, avg_nll_micro FROM samp"
         ),
         # deterministic training-order permutation: rank under the
         # Knuth-multiplicative hash (doc_id tiebreak), 0-based
@@ -2128,6 +2109,50 @@ def _trigram_jaccard_oracle(threshold: float, arrival_mod: int | None = None) ->
 # Shared between the pair oracle and the components oracle: the
 # components result is defined over EXACTLY the same edge set, so the
 # gram-building rules must come from one place.
+def _corpus_llm_sql() -> str:
+    """The composed LLM-prepare oracle — decontaminate (shared trigram
+    rule) -> C4 span dedup with reconstruction -> unigram-LM perplexity
+    gate (costs trained on the FULL corpus, KenLM-style freq-2 floor).
+    A function (not inline) so ``corpus_training_mix`` can nest it
+    verbatim as its prep CTE."""
+    return (
+        f"WITH {_TRIGRAM_GRAMS_CTE}, "
+        "gg AS (SELECT doc_id, unnest(grams) AS gram FROM g), "
+        "bench AS (SELECT DISTINCT gram FROM gg WHERE doc_id < 20), "
+        "cd AS (SELECT d.doc_id, coalesce(d.text, '') AS text, d.lang "
+        "FROM documents d WHERE d.doc_id >= 20 AND NOT EXISTS ("
+        "SELECT 1 FROM gg JOIN bench USING (gram) WHERE gg.doc_id = d.doc_id)), "
+        "l AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM cd), "
+        "e AS (SELECT doc_id, toks, len(toks) AS n, "
+        "unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pos FROM l), "
+        "s AS (SELECT doc_id, pos, "
+        "array_to_string(toks[pos*10+1 : least(pos*10+10, n)], ' ') AS seg FROM e), "
+        "kept AS (SELECT doc_id, pos, seg FROM s "
+        "QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1), "
+        "agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned_text "
+        "FROM kept GROUP BY doc_id), "
+        "tok AS (SELECT unnest(string_split(coalesce(text,''),' ')) AS token "
+        "FROM documents), "
+        "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token), "
+        "ntot AS (SELECT count(*) AS n FROM tok), "
+        "rare AS (SELECT coalesce(sum(c), 0) AS r FROM tf WHERE c < 2), "
+        "cost AS (SELECT token, CAST(floor(-ln("
+        "CAST(CASE WHEN c >= 2 THEN c ELSE r END AS DOUBLE)/CAST(n AS DOUBLE)) "
+        "* 1000000.0) AS BIGINT) AS cost FROM tf, ntot, rare), "
+        "ct AS (SELECT a.doc_id, cd.lang, a.cleaned_text FROM agg a "
+        "JOIN cd USING (doc_id)), "
+        "ctok AS (SELECT doc_id, unnest(string_split(cleaned_text, ' ')) AS token "
+        "FROM ct), "
+        "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(cost) AS BIGINT) AS nll_micro, "
+        "CAST(sum(cost) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_nll_micro "
+        "FROM ctok JOIN cost USING (token) GROUP BY doc_id) "
+        "SELECT ct.doc_id, ct.lang, sc.n_tokens, sc.nll_micro, "
+        "sc.avg_nll_micro, ct.cleaned_text "
+        "FROM ct JOIN sc USING (doc_id) WHERE sc.avg_nll_micro <= 3407000.0"
+    )
+
+
 _TRIGRAM_GRAMS_CTE = (
     "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
     "g AS (SELECT doc_id, CASE "

@@ -335,6 +335,10 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         from laketide.functions.corpus import prepare_corpus_llm
 
         timed("corpus_prepared_llm", prepare_corpus_llm)
+
+        from laketide.functions.corpus import corpus_training_mix
+
+        timed("corpus_training_mix", corpus_training_mix)
         timed("unigram_logppl", text.unigram_logppl)
         timed("doc_chunk_windows", text.doc_chunk_windows)
 

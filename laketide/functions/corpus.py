@@ -520,3 +520,110 @@ def shuffle_positions(sf_dir: str) -> rd.Dataset:
     return rd.from_arrow_refs(
         [block_label.remote(r, off) for r, off in zip(refs, offsets)]
     )
+
+
+def corpus_training_mix(
+    sf_dir: str,
+    n_bench: int = 20,
+    max_nll_micro: int = 3_407_000,
+) -> rd.Dataset:
+    """The round-5 composed pipeline — the full training-mix build,
+    chaining FIVE previously oracle-verified operators end-to-end:
+
+    1-3. ``prepare_corpus_llm``: decontaminate -> C4 span dedup with
+       reconstruction -> unigram-LM perplexity gate.
+    4. LANGUAGE REBALANCE over the SURVIVORS: ``temperature_sample``'s
+       sqrt rule applied to the post-gate language counts (rebalancing
+       before the gates would recount docs the gates then drop) —
+       integer-threshold Knuth-hash acceptance, deterministic.
+    5. DETERMINISTIC TRAINING ORDER: ``shuffle_positions``' rank under
+       the Knuth-multiplicative hash (doc_id tiebreak), 0-based.
+
+    Returns (position, doc_id, lang, n_tokens, avg_nll_micro) — the mix
+    MANIFEST. cleaned_text is deliberately excluded: positions come from
+    one distributed sort of 16-byte key rows (text never rides the
+    sort); a shard writer gathers text by doc_id per position range.
+    Scale shape: the prepare stages' two broadcasts + span-dedup shuffle
+    pair, one dimension-scale lang-count partial fold, one skinny-row
+    sort with RefBundle-metadata prefix sums."""
+    import ray
+
+    from laketide.functions.reads import collect_block_refs_with_counts, collect_tables
+
+    out_schema = pa.schema(
+        [
+            ("position", pa.int64()),
+            ("doc_id", pa.int64()),
+            ("lang", pa.string()),
+            ("n_tokens", pa.int64()),
+            ("avg_nll_micro", pa.float64()),
+        ]
+    )
+    base = prepare_corpus_llm(sf_dir, n_bench, max_nll_micro).materialize()
+
+    def lang_counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["lang"]))
+        g = t.group_by(["lang"]).aggregate([([], "count_all")])
+        return g.rename_columns(["lang", "n"])
+
+    parts = collect_tables(
+        base.map_batches(lang_counts, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    totals: dict[str, int] = {}
+    for p in parts:
+        for lang, n in zip(p["lang"].to_pylist(), p["n"].to_pylist()):
+            totals[lang] = totals.get(lang, 0) + int(n)
+    if not totals:
+        return rd.from_arrow(out_schema.empty_table())
+    n_min = min(totals.values())
+    thr = {
+        lang: int(np.floor(np.sqrt(np.float64(n_min) / np.float64(n)) * 1e6))
+        for lang, n in totals.items()
+    }
+
+    def sample_and_key(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_kleene(pc.is_valid(t["lang"]), pc.is_valid(t["doc_id"])))
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(ids) and int(ids.max()) >= (1 << 31):
+            # same domain rule as shuffle_positions: uint64 wraparound
+            # would diverge from the oracle's signed BIGINT modulo
+            raise ValueError("corpus_training_mix requires doc_id < 2^31")
+        bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1_000_000)
+        limits = np.array([thr.get(lang, 0) for lang in t["lang"].to_pylist()], np.uint64)
+        keep = bucket < limits
+        t = t.filter(pa.array(keep))
+        kid = ids[keep]
+        k = (kid.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1 << 32)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "lang": pc.cast(t["lang"], pa.string()),
+                "n_tokens": pc.cast(t["n_tokens"], pa.int64()),
+                "avg_nll_micro": pc.cast(t["avg_nll_micro"], pa.float64()),
+                "shuffle_key": pa.array(k.astype(np.int64), pa.int64()),
+            }
+        )
+
+    keyed = base.map_batches(
+        sample_and_key, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["shuffle_key", "doc_id"])
+    refs, counts = collect_block_refs_with_counts(keyed)
+
+    @ray.remote
+    def block_label(t, carry: int) -> pa.Table:
+        t = _tbl(t)
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            return out_schema.empty_table()
+        pos = carry + np.arange(t.num_rows, dtype=np.int64)
+        t = t.append_column("position", pa.array(pos, pa.int64()))
+        return t.select(out_schema.names)
+
+    if not refs:
+        return rd.from_arrow(out_schema.empty_table())
+    carry, offsets = 0, []
+    for c in counts:
+        offsets.append(carry)
+        carry += c
+    return rd.from_arrow_refs(
+        [block_label.remote(r, off) for r, off in zip(refs, offsets)]
+    )
