@@ -2106,9 +2106,6 @@ def _trigram_jaccard_oracle(threshold: float, arrival_mod: int | None = None) ->
     )
 
 
-# Shared between the pair oracle and the components oracle: the
-# components result is defined over EXACTLY the same edge set, so the
-# gram-building rules must come from one place.
 def _corpus_llm_sql() -> str:
     """The composed LLM-prepare oracle — decontaminate (shared trigram
     rule) -> C4 span dedup with reconstruction -> unigram-LM perplexity
@@ -2153,6 +2150,9 @@ def _corpus_llm_sql() -> str:
     )
 
 
+# Shared between the pair oracle and the components oracle: the
+# components result is defined over EXACTLY the same edge set, so the
+# gram-building rules must come from one place.
 _TRIGRAM_GRAMS_CTE = (
     "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
     "g AS (SELECT doc_id, CASE "

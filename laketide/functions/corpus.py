@@ -460,9 +460,6 @@ def shuffle_positions(sf_dir: str) -> rd.Dataset:
     the ``pack_sequences`` two-pass prefix-sum scheme — per-block row
     counts to the driver (O(blocks) ints), exclusive carries back, each
     block labels locally."""
-    import ray
-
-    from laketide.functions.reads import collect_block_refs_with_counts
     from laketide.functions.text import _docs
 
     out_schema = pa.schema(
@@ -497,8 +494,21 @@ def shuffle_positions(sf_dir: str) -> rd.Dataset:
         .map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
         .sort(["shuffle_key", "doc_id"])
     )
-    # per-block row counts come from the RefBundle metadata — no extra
-    # counting pass touches the blocks
+    return _label_positions(keyed, out_schema)
+
+
+def _label_positions(keyed: rd.Dataset, out_schema: pa.Schema) -> rd.Dataset:
+    """Append a 0-based global ``position`` column to an already-SORTED
+    Dataset via the two-pass prefix-sum scheme: per-block row counts
+    come from the RefBundle metadata (no counting pass touches the
+    blocks), exclusive carries fan back out, each block labels locally
+    and projects to ``out_schema``. Stays distributed — the driver only
+    ever holds the per-block counts. Shared tail of
+    ``shuffle_positions`` and ``corpus_training_mix``."""
+    import ray
+
+    from laketide.functions.reads import collect_block_refs_with_counts
+
     refs, counts = collect_block_refs_with_counts(keyed)
 
     @ray.remote
@@ -507,7 +517,8 @@ def shuffle_positions(sf_dir: str) -> rd.Dataset:
         if t.num_rows == 0 or "doc_id" not in t.column_names:
             return out_schema.empty_table()
         pos = carry + np.arange(t.num_rows, dtype=np.int64)
-        return t.append_column("position", pa.array(pos, pa.int64()))
+        t = t.append_column("position", pa.array(pos, pa.int64()))
+        return t.select(out_schema.names)
 
     if not refs:
         return rd.from_arrow(out_schema.empty_table())
@@ -515,8 +526,6 @@ def shuffle_positions(sf_dir: str) -> rd.Dataset:
     for c in counts:
         offsets.append(carry)
         carry += c
-    # stays distributed: labeled blocks become a Dataset via refs — the
-    # driver only ever held the per-block row counts
     return rd.from_arrow_refs(
         [block_label.remote(r, off) for r, off in zip(refs, offsets)]
     )
@@ -546,9 +555,7 @@ def corpus_training_mix(
     Scale shape: the prepare stages' two broadcasts + span-dedup shuffle
     pair, one dimension-scale lang-count partial fold, one skinny-row
     sort with RefBundle-metadata prefix sums."""
-    import ray
-
-    from laketide.functions.reads import collect_block_refs_with_counts, collect_tables
+    from laketide.functions.text import _sqrt_rule_thresholds
 
     out_schema = pa.schema(
         [
@@ -559,27 +566,19 @@ def corpus_training_mix(
             ("avg_nll_micro", pa.float64()),
         ]
     )
-    base = prepare_corpus_llm(sf_dir, n_bench, max_nll_micro).materialize()
 
-    def lang_counts(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["lang"]))
-        g = t.group_by(["lang"]).aggregate([([], "count_all")])
-        return g.rename_columns(["lang", "n"])
-
-    parts = collect_tables(
-        base.map_batches(lang_counts, batch_format="pyarrow", zero_copy_batch=True)
+    # project the manifest columns BEFORE materializing: cleaned_text is
+    # the dominant bytes of the prep output and neither the lang-count
+    # fold nor the sampler reads it — pinning it in the object store for
+    # the whole mix build would contradict the "text never rides" design
+    base = (
+        prepare_corpus_llm(sf_dir, n_bench, max_nll_micro)
+        .select_columns(["doc_id", "lang", "n_tokens", "avg_nll_micro"])
+        .materialize()
     )
-    totals: dict[str, int] = {}
-    for p in parts:
-        for lang, n in zip(p["lang"].to_pylist(), p["n"].to_pylist()):
-            totals[lang] = totals.get(lang, 0) + int(n)
-    if not totals:
+    thr = _sqrt_rule_thresholds(base, "lang")
+    if thr is None:
         return rd.from_arrow(out_schema.empty_table())
-    n_min = min(totals.values())
-    thr = {
-        lang: int(np.floor(np.sqrt(np.float64(n_min) / np.float64(n)) * 1e6))
-        for lang, n in totals.items()
-    }
 
     def sample_and_key(t: pa.Table) -> pa.Table:
         t = t.filter(pc.and_kleene(pc.is_valid(t["lang"]), pc.is_valid(t["doc_id"])))
@@ -607,23 +606,4 @@ def corpus_training_mix(
     keyed = base.map_batches(
         sample_and_key, batch_format="pyarrow", zero_copy_batch=True
     ).sort(["shuffle_key", "doc_id"])
-    refs, counts = collect_block_refs_with_counts(keyed)
-
-    @ray.remote
-    def block_label(t, carry: int) -> pa.Table:
-        t = _tbl(t)
-        if t.num_rows == 0 or "doc_id" not in t.column_names:
-            return out_schema.empty_table()
-        pos = carry + np.arange(t.num_rows, dtype=np.int64)
-        t = t.append_column("position", pa.array(pos, pa.int64()))
-        return t.select(out_schema.names)
-
-    if not refs:
-        return rd.from_arrow(out_schema.empty_table())
-    carry, offsets = 0, []
-    for c in counts:
-        offsets.append(carry)
-        carry += c
-    return rd.from_arrow_refs(
-        [block_label.remote(r, off) for r, off in zip(refs, offsets)]
-    )
+    return _label_positions(keyed, out_schema)

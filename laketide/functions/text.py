@@ -1728,29 +1728,7 @@ def temperature_sample(sf_dir: str, alpha: float = 0.5) -> rd.Dataset:
     the tiny threshold map in the closure. No shuffle anywhere."""
     if alpha != 0.5:
         raise NotImplementedError("alpha fixed at 0.5 (sqrt rule) for the oracle")
-
-    def lang_counts(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["lang"]))
-        g = t.group_by(["lang"]).aggregate([([], "count_all")])
-        return g.rename_columns(["lang", "n"])
-
-    parts = collect_tables(
-        _docs(sf_dir, columns=["lang"]).map_batches(
-            lang_counts, batch_format="pyarrow", zero_copy_batch=True
-        )
-    )
-    totals: dict[str, int] = {}
-    for p in parts:
-        for lang, n in zip(p["lang"].to_pylist(), p["n"].to_pylist()):
-            totals[lang] = totals.get(lang, 0) + int(n)
-    if totals:
-        n_min = min(totals.values())
-        thr = {
-            lang: int(np.floor(np.sqrt(np.float64(n_min) / np.float64(n)) * 1e6))
-            for lang, n in totals.items()
-        }
-    else:
-        thr = {}
+    thr = _sqrt_rule_thresholds(_docs(sf_dir, columns=["lang"]), "lang") or {}
 
     def f(t: pa.Table) -> pa.Table:
         # null doc_id would NaN-cast to an arbitrary uint64 bucket; the
@@ -1771,6 +1749,35 @@ def temperature_sample(sf_dir: str, alpha: float = 0.5) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id", "lang"]).map_batches(
         f, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _sqrt_rule_thresholds(ds: rd.Dataset, key_col: str) -> dict[str, int] | None:
+    """Per-stratum Knuth-hash acceptance thresholds for the sqrt rule
+    (temperature alpha=0.5): floor(sqrt(n_min / n_stratum) * 1e6), from
+    dimension-scale per-batch count partials folded on the driver.
+    Returns None when the dataset has no non-null strata. Shared by
+    ``temperature_sample`` and ``corpus_training_mix`` — the IEEE
+    expression must stay identical to both DuckDB oracles."""
+
+    def counts(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t[key_col]))
+        g = t.group_by([key_col]).aggregate([([], "count_all")])
+        return g.rename_columns([key_col, "n"])
+
+    parts = collect_tables(
+        ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    totals: dict[str, int] = {}
+    for p in parts:
+        for k, n in zip(p[key_col].to_pylist(), p["n"].to_pylist()):
+            totals[k] = totals.get(k, 0) + int(n)
+    if not totals:
+        return None
+    n_min = min(totals.values())
+    return {
+        k: int(np.floor(np.sqrt(np.float64(n_min) / np.float64(n)) * 1e6))
+        for k, n in totals.items()
+    }
 
 
 def mixture_sample(
