@@ -2213,3 +2213,48 @@ def test_priority_replay_null_list_stays_null_and_noop():
     assert row["tags"] is None, "both-null union must stay NULL"
     assert row["applied_epoch"] == 1, "pure replay must not restamp"
     assert m2.updates == 0 and m2.inserts == 0 and m2.deletes == 0
+
+
+def test_concurrent_schedule_equals_serial_final_state(tmp_path):
+    """Property: for ANY job mix, the concurrent drain must converge to
+    the same final table states and per-job apply counts as the serial
+    weighted drain on an identical copy (concurrency changes wall-clock
+    interleaving, never outcomes). Exercises mixed priorities, unequal
+    backlogs and a shared bounded max_cycles."""
+    from laketide.pipelines.scheduler import ReplayJob, run_schedule
+
+    specs = [
+        ("j0", "critical", 5, 51),
+        ("j1", "default", 3, 52),
+        ("j2", "low", 7, 53),
+    ]
+    logs = {}
+    for name, _, n_epochs, seed in specs:
+        logs[name] = str(tmp_path / f"log_{name}")
+        generate_changelog(logs[name], n_events=n_epochs * 300, n_epochs=n_epochs, seed=seed)
+
+    def run(mode_dir: str, max_concurrent: int, max_cycles: int):
+        tables = {
+            name: LakeTable(str(tmp_path / f"{mode_dir}_{name}"), num_partitions=4)
+            for name, *_ in specs
+        }
+        jobs = [
+            ReplayJob(name, tables[name], logs[name], priority=prio)
+            for name, prio, *_ in specs
+        ]
+        r = run_schedule(jobs, max_cycles=max_cycles, max_concurrent=max_concurrent)
+        counts = {n: len([o for o in r["order"] if o["job"] == n]) for n, *_ in specs}
+        states = {
+            n: sorted(
+                (x["repo"], x["path"], x["content"])
+                for x in tables[n].state_table().to_pylist()
+            )
+            for n, *_ in specs
+        }
+        return counts, states
+
+    for cycles in (1, 1000):
+        c_ser, s_ser = run(f"ser{cycles}", 1, cycles)
+        c_con, s_con = run(f"con{cycles}", 3, cycles)
+        assert c_con == c_ser, (cycles, c_con, c_ser)
+        assert s_con == s_ser, f"state divergence at max_cycles={cycles}"
