@@ -172,9 +172,9 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
     workdir = os.environ.get("GRAFT_BENCH_WORKDIR", "/tmp")
     # the sandbox shares its host: back-to-back identical replays swing
     # ±40% with outside load (BENCH/BASELINE.md disclosure). Run the
-    # headline twice on fresh tables and report the MIN (the run least
-    # polluted by neighbors), with both raw values in the output.
-    n_runs = int(os.environ.get("GRAFT_BENCH_HEADLINE_RUNS", "2"))
+    # headline three times on fresh tables and report the MIN (the run
+    # least polluted by neighbors), with all raw values in the output.
+    n_runs = int(os.environ.get("GRAFT_BENCH_HEADLINE_RUNS", "3"))
     headline_runs = []
     if not skip_headline:
         for _ in range(max(n_runs, 1)):
