@@ -555,7 +555,7 @@ def corpus_training_mix(
     Scale shape: the prepare stages' two broadcasts + span-dedup shuffle
     pair, one dimension-scale lang-count partial fold, one skinny-row
     sort with RefBundle-metadata prefix sums."""
-    from laketide.functions.text import _sqrt_rule_thresholds
+    from laketide.functions.text import _sqrt_rule_thresholds, _threshold_limits
 
     out_schema = pa.schema(
         [
@@ -588,7 +588,7 @@ def corpus_training_mix(
             # would diverge from the oracle's signed BIGINT modulo
             raise ValueError("corpus_training_mix requires doc_id < 2^31")
         bucket = (ids.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(1_000_000)
-        limits = np.array([thr.get(lang, 0) for lang in t["lang"].to_pylist()], np.uint64)
+        limits = _threshold_limits(t["lang"], thr)
         keep = bucket < limits
         t = t.filter(pa.array(keep))
         kid = ids[keep]

@@ -1736,9 +1736,7 @@ def temperature_sample(sf_dir: str, alpha: float = 0.5) -> rd.Dataset:
         t = t.filter(pc.and_(pc.is_valid(t["lang"]), pc.is_valid(t["doc_id"])))
         ids = t["doc_id"].to_numpy().astype(np.uint64)
         bucket = (ids * np.uint64(2654435761)) % np.uint64(1_000_000)
-        limits = np.array(
-            [thr.get(lang, 0) for lang in t["lang"].to_pylist()], np.uint64
-        )
+        limits = _threshold_limits(t["lang"], thr)
         return pa.table(
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
@@ -1778,6 +1776,26 @@ def _sqrt_rule_thresholds(ds: rd.Dataset, key_col: str) -> dict[str, int] | None
         k: int(np.floor(np.sqrt(np.float64(n_min) / np.float64(n)) * 1e6))
         for k, n in totals.items()
     }
+
+
+def _threshold_limits(col, thr: dict[str, int]) -> np.ndarray:
+    """Vectorized stratum→acceptance-threshold lookup for the hash
+    samplers: one ``pc.index_in`` against the (dimension-scale)
+    threshold vocabulary + one numpy gather, instead of a per-row
+    Python dict lookup — the samplers' keep test runs over every
+    surviving corpus row, so the lookup must not be a Python loop.
+    Strata absent from ``thr`` (and nulls) get threshold 0 (never
+    kept), exactly like ``thr.get(s, 0)``."""
+    if not thr:
+        return np.zeros(len(col), np.uint64)
+    keys = pa.array(list(thr.keys()), pa.string())
+    vals = np.fromiter(thr.values(), np.uint64, count=len(thr))
+    idx = (
+        pc.fill_null(pc.index_in(col, value_set=keys), -1)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    return np.where(idx >= 0, vals[np.clip(idx, 0, None)], np.uint64(0))
 
 
 def mixture_sample(
@@ -1837,9 +1855,7 @@ def mixture_sample(
         t = t.filter(pc.and_(pc.is_valid(t["source"]), pc.is_valid(t["doc_id"])))
         ids = t["doc_id"].to_numpy().astype(np.uint64)
         bucket = (ids * np.uint64(2654435761)) % np.uint64(1_000_000)
-        limits = np.array(
-            [thr.get(s, 0) for s in t["source"].to_pylist()], np.uint64
-        )
+        limits = _threshold_limits(t["source"], thr)
         return pa.table(
             {
                 "doc_id": pc.cast(t["doc_id"], pa.int64()),
