@@ -516,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # filter) — the fixed-size-broadcast scale path
         "decontaminate_docs_bloom": text.decontaminate_docs_bloom,
         "dedup_text_segments": text.dedup_text_segments,
+        "remove_boilerplate_segments": text.remove_boilerplate_segments,
         "source_quality_summary": text.source_quality_summary,
         "unigram_logppl": text.unigram_logppl,
         "doc_chunk_windows": text.doc_chunk_windows,
@@ -1548,6 +1549,28 @@ def oracle_sql() -> dict[str, str]:
             "array_to_string(toks[pos*10+1 : least(pos*10+10, n)], ' ') AS seg FROM e), "
             "kept AS (SELECT doc_id, pos, seg FROM s "
             "QUALIFY row_number() OVER (PARTITION BY seg ORDER BY doc_id, pos) = 1), "
+            "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
+            "string_agg(seg, ' ' ORDER BY pos) AS cleaned_text FROM kept GROUP BY doc_id), "
+            "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments "
+            "FROM s GROUP BY doc_id) "
+            "SELECT t.doc_id, t.n_segments, "
+            "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
+            "coalesce(a.cleaned_text, '') AS cleaned_text "
+            "FROM tot t LEFT JOIN agg a USING (doc_id)"
+        ),
+        "remove_boilerplate_segments": (
+            # CCNet/RefinedWeb boilerplate rule on the same 10-token
+            # segments: drop ALL occurrences of any segment in >= 2
+            # distinct documents; keep within-document repeats
+            "WITH l AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS toks "
+            "FROM documents WHERE doc_id IS NOT NULL), "
+            "e AS (SELECT doc_id, toks, len(toks) AS n, "
+            "unnest(range(0, CAST(ceil(len(toks)/10.0) AS BIGINT))) AS pos FROM l), "
+            "s AS (SELECT doc_id, pos, "
+            "array_to_string(toks[pos*10+1 : least(pos*10+10, n)], ' ') AS seg FROM e), "
+            "dc AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM s GROUP BY seg), "
+            "kept AS (SELECT s.doc_id, s.pos, s.seg FROM s "
+            "JOIN dc USING (seg) WHERE dc.nd < 2), "
             "agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept, "
             "string_agg(seg, ' ' ORDER BY pos) AS cleaned_text FROM kept GROUP BY doc_id), "
             "tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments "

@@ -1909,13 +1909,24 @@ def _segment_rows(t: pa.Table) -> pa.Table:
     )
 
 
-def _span_dedup_pipeline(docs: rd.Dataset, carry_lang: bool = False) -> rd.Dataset:
+def _span_dedup_pipeline(
+    docs: rd.Dataset,
+    carry_lang: bool = False,
+    boilerplate_k: "int | None" = None,
+) -> rd.Dataset:
     """Core of ``dedup_text_segments``, reusable over ANY (doc_id, text
     [, lang]) Dataset (the composed corpus pipeline feeds it a
     decontaminated corpus). ONE pass over ``docs``: segment rows and
     the per-doc totals markers (pos = -1) ride the same map, so an
     expensive upstream (decontamination) is never re-executed.
-    Returns (doc_id[, lang], n_segments, n_kept, cleaned_text)."""
+    Returns (doc_id[, lang], n_segments, n_kept, cleaned_text).
+
+    Two keep rules share the plumbing: ``boilerplate_k=None`` keeps the
+    globally FIRST occurrence of every segment (C4 span dedup);
+    ``boilerplate_k=k`` drops ALL occurrences of any segment seen in
+    >= k distinct documents (CCNet/RefinedWeb boilerplate-line removal
+    mapped onto the word-window segments) and keeps everything else,
+    including within-document repeats."""
     from laketide.functions.dedup import _coarse_n_parts, _coarse_parts
     from laketide.functions.relational import _key_hash_u64
 
@@ -1975,6 +1986,17 @@ def _span_dedup_pipeline(docs: rd.Dataset, carry_lang: bool = False) -> rd.Datas
         codes, _ = pd.factorize(seg, sort=False)
         doc = t["doc_id"].to_numpy(zero_copy_only=False)
         pos = t["pos"].to_numpy(zero_copy_only=False)
+        if boilerplate_k is not None:
+            # distinct-doc count per segment code, decided locally (all
+            # occurrences of a segment share this partition): count
+            # (code, doc) boundary transitions in one lexsort
+            order = np.lexsort((doc, codes))
+            c_s = codes[order]
+            d_s = doc[order]
+            new_pair = np.r_[True, (c_s[1:] != c_s[:-1]) | (d_s[1:] != d_s[:-1])]
+            ndocs = np.bincount(c_s[new_pair])
+            kept = t.filter(pa.array(ndocs[codes] < boilerplate_k))
+            return pa.concat_tables([kept, markers])
         order = np.lexsort((pos, doc))
         first = ~pd.Series(codes[order]).duplicated().to_numpy()
         kept = t.take(pa.array(np.sort(order[first]), pa.int64()))
@@ -2069,6 +2091,34 @@ def dedup_text_segments(sf_dir: str) -> rd.Dataset:
     the segment exchange is the inherent cost of a global dedup and
     ships (doc_id, pos, seg) rows only."""
     return _span_dedup_pipeline(_docs(sf_dir, columns=["doc_id", "text"]))
+
+
+# Boilerplate threshold for remove_boilerplate_segments: a segment seen
+# in >= this many DISTINCT documents is dropped everywhere. 2 is the
+# strictest (any cross-document repeat is boilerplate); CCNet uses
+# higher cutoffs on web-scale corpora — it's a parameter, not a law.
+_BOILER_K = 2
+
+
+def remove_boilerplate_segments(sf_dir: str) -> rd.Dataset:
+    """CCNet/RefinedWeb-style boilerplate removal mapped onto the repo's
+    fixed 10-token segments (the corpus has no newlines, so the "line"
+    unit is the same word-window segment ``dedup_text_segments`` uses):
+    drop ALL occurrences of any segment that appears in >=
+    ``_BOILER_K`` DISTINCT documents; keep everything else, including
+    within-document repeats (unlike the C4 first-occurrence rule).
+    Returns (doc_id, n_segments, n_kept, cleaned_text).
+
+    Reference analog: the reference's row-sanitation family (M12,
+    internal/pipeline/process.go) drops known-bad content rows; this is
+    the corpus-level generalisation training-data pipelines use.
+    Scale shape: identical to ``dedup_text_segments`` — segment rows
+    co-locate by segment-hash, the distinct-doc count per segment is
+    decided partition-locally with one lexsort + bincount, then one
+    doc-hash shuffle rebuilds the text. No driver materialization."""
+    return _span_dedup_pipeline(
+        _docs(sf_dir, columns=["doc_id", "text"]), boilerplate_k=_BOILER_K
+    )
 
 
 def _tf_counts(sf_dir: str) -> rd.Dataset:

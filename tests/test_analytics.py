@@ -503,6 +503,42 @@ def test_dedup_text_segments_planted(tmp_path):
     assert out.loc[3, "n_kept"] == 2
 
 
+def test_remove_boilerplate_segments_planted(tmp_path):
+    """Boilerplate rule vs the C4 first-occurrence rule: a segment in
+    >= 2 DISTINCT docs vanishes from BOTH (including the first
+    occurrence), while a within-doc repeat is kept at every position
+    (dedup_text_segments keeps only the first)."""
+    import pyarrow.parquet as pq
+
+    from laketide.functions.text import remove_boilerplate_segments
+
+    seg_a = "a b c d e f g h i j"  # exactly one 10-token segment
+    rep = "u v w x y z aa bb cc dd"
+    texts = [
+        seg_a + " only one owner tail",  # doc 0: loses seg_a too
+        seg_a,  # doc 1: fully boilerplate -> empty
+        rep + " " + rep,  # doc 2: within-doc repeat, kept twice
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        remove_boilerplate_segments(str(tmp_path))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "n_segments"] == 2 and out.loc[0, "n_kept"] == 1
+    assert out.loc[0, "cleaned_text"] == "only one owner tail"
+    assert out.loc[1, "n_kept"] == 0 and out.loc[1, "cleaned_text"] == ""
+    assert out.loc[2, "n_segments"] == 2 and out.loc[2, "n_kept"] == 2
+    assert out.loc[2, "cleaned_text"] == texts[2]
+
+
 def test_unigram_logppl_planted_floor_engages(tmp_path):
     """Rarer tokens cost more, AND the KenLM frequency floor engages:
     the three corpus-singleton tokens fall below min_tf=2, so each is

@@ -75,6 +75,7 @@ _NULLABLE_QUERIES = [
     "orders_price_percent_rank",
     "embedding_centroid_by_label",
     "dedup_text_segments",
+    "remove_boilerplate_segments",
     "unigram_logppl",
     "doc_chunk_windows",
     "entropy_by_event_type",
@@ -231,6 +232,7 @@ def test_query_matches_oracle_with_nulls(name, nullable_sf_dir):
     "name",
     [
         "dedup_text_segments",
+        "remove_boilerplate_segments",
         "unigram_logppl",
         "doc_chunk_windows",
         # the hash-threshold samplers share the same NaN-cast exposure:

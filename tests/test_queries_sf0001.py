@@ -50,6 +50,7 @@ SUBSET = [
     "exact_dedup_docs",
     "dup_components",
     "dedup_text_segments",
+    "remove_boilerplate_segments",
     "minhash_dedup_verified",
     "embedding_dup_components",
     # composed corpus pipelines: every gate on 10x fewer docs
