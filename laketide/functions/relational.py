@@ -1912,6 +1912,29 @@ def lookup_join_overlap(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _fieldwise_fold_inputs(t: pa.Table):
+    """(last_value_cents, last_props) derived fold columns shared by the
+    coalesce- and priority-fieldwise queries: value in integer cents for
+    non-view events else NULL; props kept only when longer than 40 chars
+    else NULL. The null branches are pa.nulls ARRAYS, not
+    pa.scalar(None): pyarrow 16 ``if_else`` emits a corrupt binary array
+    ("First or last binary offset out of bounds") when the string data
+    arg is a non-zero-offset slice (Ray's zero-copy block slices at
+    sf>=0.1) and the else arg is a null SCALAR — regression-tested on a
+    sliced table in tests/test_analytics.py."""
+    v = pc.if_else(
+        pc.not_equal(t["event_type"], "view"),
+        _cents(t["value"]),
+        pa.scalar(None, pa.int64()),
+    )
+    p = pc.if_else(
+        pc.greater(pc.utf8_length(t["props"]), 40),
+        t["props"],
+        pa.nulls(t.num_rows, pa.string()),
+    )
+    return v, p
+
+
 def cdc_coalesce_fieldwise(sf_dir: str) -> rd.Dataset:
     """Field-wise coalesce merge (reference R4/R5, merger.go:231-316)
     surfaced as a query: per user_id in version order (ts, event_id),
@@ -1928,16 +1951,7 @@ def cdc_coalesce_fieldwise(sf_dir: str) -> rd.Dataset:
     ds = _read(sf_dir, "events")
 
     def derive(t: pa.Table) -> pa.Table:
-        v = pc.if_else(
-            pc.not_equal(t["event_type"], "view"),
-            _cents(t["value"]),
-            pa.scalar(None, pa.int64()),
-        )
-        p = pc.if_else(
-            pc.greater(pc.utf8_length(t["props"]), 40),
-            t["props"],
-            pa.scalar(None, pa.string()),
-        )
+        v, p = _fieldwise_fold_inputs(t)
         return pa.table(
             {
                 "user_id": t["user_id"],
@@ -2041,16 +2055,7 @@ def cdc_priority_fieldwise(sf_dir: str) -> rd.Dataset:
             ),
             1, 2, 3, 999,
         )
-        v = pc.if_else(
-            pc.not_equal(t["event_type"], "view"),
-            _cents(t["value"]),
-            pa.scalar(None, pa.int64()),
-        )
-        p = pc.if_else(
-            pc.greater(pc.utf8_length(t["props"]), 40),
-            t["props"],
-            pa.scalar(None, pa.string()),
-        )
+        v, p = _fieldwise_fold_inputs(t)
         return pa.table(
             {
                 "user_id": t["user_id"],

@@ -503,6 +503,36 @@ def test_dedup_text_segments_planted(tmp_path):
     assert out.loc[3, "n_kept"] == 2
 
 
+def test_fieldwise_fold_inputs_survive_sliced_batch():
+    """pyarrow 16 if_else regression: a non-zero-offset string slice +
+    null SCALAR else-branch emits a corrupt binary array ("First or last
+    binary offset out of bounds"), which Ray's zero-copy block slices
+    feed the fieldwise derives at sf>=0.1. The shared helper must
+    produce fully-valid arrays from a sliced input table."""
+    import pyarrow.compute as pc
+
+    from laketide.functions.relational import _fieldwise_fold_inputs
+
+    n = 500
+    t = pa.table(
+        {
+            "event_type": pa.array(["view", "click", "purchase"] * n)[: 3 * n],
+            "value": pa.array([float(i) for i in range(3 * n)]),
+            "props": pa.array(
+                ['{"k": %d}' % i if i % 3 else "x" * 50 for i in range(3 * n)]
+            ),
+        }
+    )
+    s = t.slice(700, 600)  # non-zero offset slice, like a Ray block view
+    assert s["props"].chunk(0).offset > 0
+    v, p = _fieldwise_fold_inputs(s)
+    out = pa.table({"v": v, "p": p})
+    out.validate(full=True)  # raised ArrowInvalid before the fix
+    # spot-check semantics on the slice
+    assert pc.sum(pc.is_valid(p)).as_py() == 200  # every i%3==0 row
+    assert v[0].as_py() is None or s["event_type"][0].as_py() != "view"
+
+
 def test_remove_boilerplate_segments_planted(tmp_path):
     """Boilerplate rule vs the C4 first-occurrence rule: a segment in
     >= 2 DISTINCT docs vanishes from BOTH (including the first
