@@ -517,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_docs_bloom": text.decontaminate_docs_bloom,
         "dedup_text_segments": text.dedup_text_segments,
         "remove_boilerplate_segments": text.remove_boilerplate_segments,
+        "gopher_quality_filter": text.gopher_quality_filter,
         "source_quality_summary": text.source_quality_summary,
         "unigram_logppl": text.unigram_logppl,
         "doc_chunk_windows": text.doc_chunk_windows,
@@ -1557,6 +1558,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
             "coalesce(a.cleaned_text, '') AS cleaned_text "
             "FROM tot t LEFT JOIN agg a USING (doc_id)"
+        ),
+        "gopher_quality_filter": (
+            # Gopher composite quality gate: token-count window, mean
+            # word length floor, >=2 stopword hits; one division each
+            "WITH f AS (SELECT doc_id, "
+            "CAST(len(string_split(coalesce(text,''),' ')) AS BIGINT) AS n_tokens, "
+            "CAST(length(replace(coalesce(text,''),' ','')) AS BIGINT) AS wchars, "
+            "CAST(list_sum(list_transform(string_split(coalesce(text,''),' '), "
+            "x -> CASE WHEN x IN ('the','a','of','and','is','to','in','for','on','with') "
+            "THEN 1 ELSE 0 END)) AS BIGINT) AS n_stop FROM documents) "
+            "SELECT doc_id, n_tokens, "
+            "CAST(wchars AS DOUBLE)/greatest(n_tokens, 1) AS mean_word_len, n_stop, "
+            "(n_tokens BETWEEN 30 AND 90) AS pass_token_count, "
+            "(CAST(wchars AS DOUBLE)/greatest(n_tokens, 1) >= 4.0) AS pass_word_len, "
+            "(n_stop >= 2) AS pass_stopwords, "
+            "((n_tokens BETWEEN 30 AND 90) AND "
+            "(CAST(wchars AS DOUBLE)/greatest(n_tokens, 1) >= 4.0) AND "
+            "(n_stop >= 2)) AS passes FROM f"
         ),
         "remove_boilerplate_segments": (
             # CCNet/RefinedWeb boilerplate rule on the same 10-token

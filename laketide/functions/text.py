@@ -1565,6 +1565,65 @@ def doc_token_diversity(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# Gopher-rule thresholds (Rae et al. 2021 §A1.1), rescaled to the
+# synthetic corpus (10-99 tokens/doc) so every rule is non-vacuous:
+# token-count window, minimum mean word length, minimum stopword hits.
+_GOPHER_MIN_TOKENS = 30
+_GOPHER_MAX_TOKENS = 90
+_GOPHER_MIN_MEAN_WLEN = 4.0
+_GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_filter(sf_dir: str) -> rd.Dataset:
+    """Gopher/MassiveText-style composite quality gate: per document,
+    boolean verdicts for each rule — token count in
+    [``_GOPHER_MIN_TOKENS``, ``_GOPHER_MAX_TOKENS``], mean word length
+    >= ``_GOPHER_MIN_MEAN_WLEN``, at least ``_GOPHER_MIN_STOPWORDS``
+    stopword occurrences — plus the AND of all rules (`passes`).
+    Returns (doc_id, n_tokens, mean_word_len, n_stop, pass_token_count,
+    pass_word_len, pass_stopwords, passes).
+
+    mean_word_len is (chars excluding spaces) / n_tokens computed as ONE
+    integer subtraction + ONE float division, so it is bit-identical to
+    the oracle's division. One shuffle-free map_batches pass; every rule
+    is vectorized Arrow/numpy (stopword membership reuses the
+    ``doc_quality`` segment-sum kernel)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        from laketide.functions.dedup import _segment_sums
+
+        txt = pc.fill_null(t["text"], "")
+        toks = pc.split_pattern(txt, " ")
+        n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
+        n_sp = pc.cast(pc.count_substring(txt, " "), pa.int64())
+        wchars = pc.subtract(pc.cast(pc.utf8_length(txt), pa.int64()), n_sp)
+        nt_np = n_tokens.to_numpy(zero_copy_only=False).astype(np.int64)
+        mean_wlen = wchars.to_numpy(zero_copy_only=False) / np.maximum(nt_np, 1)
+        flat = pc.list_flatten(toks)
+        is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop = _segment_sums(is_stop.astype(np.int64), nt_np)
+        p_tok = (nt_np >= _GOPHER_MIN_TOKENS) & (nt_np <= _GOPHER_MAX_TOKENS)
+        p_wlen = mean_wlen >= _GOPHER_MIN_MEAN_WLEN
+        p_stop = n_stop >= _GOPHER_MIN_STOPWORDS
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": n_tokens,
+                "mean_word_len": pa.array(mean_wlen, pa.float64()),
+                "n_stop": pa.array(n_stop, pa.int64()),
+                "pass_token_count": pa.array(p_tok),
+                "pass_word_len": pa.array(p_wlen),
+                "pass_stopwords": pa.array(p_stop),
+                "passes": pa.array(p_tok & p_wlen & p_stop),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _map_sorted(t: pa.Table, key: str, val: str):
     """(sorted_keys, vals_aligned) numpy pair from an Arrow group_by
     result, for positional gathers back onto the source rows."""

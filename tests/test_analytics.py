@@ -503,6 +503,36 @@ def test_dedup_text_segments_planted(tmp_path):
     assert out.loc[3, "n_kept"] == 2
 
 
+def test_gopher_quality_filter_planted(tmp_path):
+    """Each Gopher rule trips independently: too-short doc fails the
+    token window, digit-soup doc fails... (short words fail the
+    mean-word-length floor), stopword-free doc fails the stopword rule,
+    and a well-formed doc passes all three."""
+    import pyarrow.parquet as pq
+
+    from laketide.functions.text import gopher_quality_filter
+
+    good = " ".join(["the quick brown foxes jumped over lazy dogs of iron"] * 4)  # 40 toks
+    short = "the of tiny doc"  # 4 tokens -> fails token window
+    tiny_words = " ".join(["a of to in is"] * 8)  # 40 toks, mean wlen < 4
+    no_stop = " ".join(["zebra quartz jumbo whisk"] * 10)  # 40 toks, 0 stopwords
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array([good, short, tiny_words, no_stop]),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (
+        gopher_quality_filter(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    )
+    assert bool(out.loc[0, "passes"])
+    assert not out.loc[1, "pass_token_count"] and out.loc[1, "pass_stopwords"]
+    assert not out.loc[2, "pass_word_len"] and out.loc[2, "pass_token_count"]
+    assert not out.loc[3, "pass_stopwords"] and out.loc[3, "pass_word_len"]
+    assert not out.loc[[1, 2, 3], "passes"].any()
+
+
 def test_fieldwise_fold_inputs_survive_sliced_batch():
     """pyarrow 16 if_else regression: a non-zero-offset string slice +
     null SCALAR else-branch emits a corrupt binary array ("First or last

@@ -76,6 +76,7 @@ _NULLABLE_QUERIES = [
     "embedding_centroid_by_label",
     "dedup_text_segments",
     "remove_boilerplate_segments",
+    "gopher_quality_filter",
     "unigram_logppl",
     "doc_chunk_windows",
     "entropy_by_event_type",

@@ -74,6 +74,15 @@ def test_property_remove_boilerplate_vs_duckdb(seed, tmp_path_factory):
 
 @settings(max_examples=8, deadline=None)
 @given(seed=st.integers(min_value=0, max_value=10_000))
+def test_property_gopher_quality_vs_duckdb(seed, tmp_path_factory):
+    rng = np.random.RandomState(seed)
+    d = str(tmp_path_factory.mktemp(f"goph{seed}"))
+    _random_docs(rng, d)
+    _check("gopher_quality_filter", d)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
 def test_property_unigram_logppl_vs_duckdb(seed, tmp_path_factory):
     rng = np.random.RandomState(seed)
     d = str(tmp_path_factory.mktemp(f"ppl{seed}"))
