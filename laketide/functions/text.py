@@ -111,6 +111,21 @@ _PUNCT_RE = r"[,.;:!?]"
 STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "for", "on", "with")
 
 
+def _stopword_counts(toks: "pa.Array | pa.ChunkedArray", lengths: np.ndarray):
+    """Per-document stopword-hit counts from a token-list column: flatten
+    once, vectorized set membership, per-doc segment sums (shared by
+    ``doc_quality`` and ``gopher_quality_filter`` so the two quality
+    queries cannot drift). ``lengths`` must partition the flattened
+    values array (null lists as 0)."""
+    from laketide.functions.dedup import _segment_sums
+
+    flat = pc.list_flatten(toks)
+    is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
+        zero_copy_only=False
+    )
+    return _segment_sums(is_stop.astype(np.int64), lengths)
+
+
 def doc_quality(sf_dir: str) -> rd.Dataset:
     """Quality-scoring features: char/token counts, punctuation count and
     ratio, stopword count and ratio (deterministic int-derived doubles,
@@ -127,14 +142,6 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
             pc.cast(n_punct, pa.float64()),
             pc.cast(pc.max_element_wise(n_chars, pa.scalar(1, pa.int64())), pa.float64()),
         )
-        # stopword count: flatten once, vectorized set membership,
-        # per-doc segment sums (shared kernel)
-        from laketide.functions.dedup import _segment_sums
-
-        flat = pc.list_flatten(toks)
-        is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
-            zero_copy_only=False
-        )
         # null text -> zero segment for the sums, but the OUTPUT stays
         # null (the oracle's list_sum over string_split(NULL) is NULL;
         # the other columns already propagate null through pc kernels)
@@ -144,7 +151,7 @@ def doc_quality(sf_dir: str) -> rd.Dataset:
             .to_numpy(zero_copy_only=False)
             .astype(np.int64)
         )
-        n_stop = _segment_sums(is_stop.astype(np.int64), lengths)
+        n_stop = _stopword_counts(toks, lengths)
         stop_ratio = n_stop / np.maximum(lengths, 1)
         return pa.table(
             {
@@ -1591,8 +1598,6 @@ def gopher_quality_filter(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        from laketide.functions.dedup import _segment_sums
-
         txt = pc.fill_null(t["text"], "")
         toks = pc.split_pattern(txt, " ")
         n_tokens = pc.cast(pc.list_value_length(toks), pa.int64())
@@ -1600,11 +1605,7 @@ def gopher_quality_filter(sf_dir: str) -> rd.Dataset:
         wchars = pc.subtract(pc.cast(pc.utf8_length(txt), pa.int64()), n_sp)
         nt_np = n_tokens.to_numpy(zero_copy_only=False).astype(np.int64)
         mean_wlen = wchars.to_numpy(zero_copy_only=False) / np.maximum(nt_np, 1)
-        flat = pc.list_flatten(toks)
-        is_stop = pc.is_in(flat, value_set=pa.array(STOPWORDS)).to_numpy(
-            zero_copy_only=False
-        )
-        n_stop = _segment_sums(is_stop.astype(np.int64), nt_np)
+        n_stop = _stopword_counts(toks, nt_np)
         p_tok = (nt_np >= _GOPHER_MIN_TOKENS) & (nt_np <= _GOPHER_MAX_TOKENS)
         p_wlen = mean_wlen >= _GOPHER_MIN_MEAN_WLEN
         p_stop = n_stop >= _GOPHER_MIN_STOPWORDS

@@ -560,7 +560,13 @@ def test_fieldwise_fold_inputs_survive_sliced_batch():
     out.validate(full=True)  # raised ArrowInvalid before the fix
     # spot-check semantics on the slice
     assert pc.sum(pc.is_valid(p)).as_py() == 200  # every i%3==0 row
-    assert v[0].as_py() is None or s["event_type"][0].as_py() != "view"
+    # value is null exactly on view rows, cents elsewhere
+    is_view = pc.equal(s["event_type"], "view")
+    assert pc.all(pc.equal(pc.is_null(v), is_view)).as_py()
+    first_nonview = pc.index(is_view, False).as_py()
+    assert v[first_nonview].as_py() == round(
+        s["value"][first_nonview].as_py() * 100
+    )
 
 
 def test_remove_boilerplate_segments_planted(tmp_path):
