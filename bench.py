@@ -341,6 +341,8 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         timed("corpus_training_mix", corpus_training_mix)
         timed("unigram_logppl", text.unigram_logppl)
         timed("doc_chunk_windows", text.doc_chunk_windows)
+        timed("remove_boilerplate_segments", text.remove_boilerplate_segments)
+        timed("gopher_quality_filter", text.gopher_quality_filter)
 
     ray.shutdown()
     return {
