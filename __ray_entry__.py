@@ -573,6 +573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_join": dedup.ngram_jaccard_join,
         "dup_components": dedup.dup_components,
         "dedup_keep_canonical": dedup.dedup_keep_canonical,
+        "winnow_fingerprints": dedup.winnow_fingerprints,
+        "winnow_match_pairs": dedup.winnow_match_pairs,
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
         "simhash_dedup": dedup.simhash_dedup,
         # --- similarity search ---
@@ -2102,6 +2104,10 @@ def oracle_sql() -> dict[str, str]:
             "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "dedup_keep_canonical": _dedup_keep_canonical_oracle(0.5),
+        # winnowing selects by MIN GRAM STRING (not a hash), so the SQL
+        # replays the selection rule exactly — see dedup._winnow_rows
+        "winnow_fingerprints": _winnow_summary_oracle(),
+        "winnow_match_pairs": _winnow_pairs_oracle(),
         # VARCHAR substring == byte slicing here: the documents text is
         # pure ASCII (DuckDB substring does not accept BLOB).
         "frame_sample": (
@@ -2229,6 +2235,51 @@ def _components_cte(threshold: float) -> str:
 
 def _dup_components_oracle(threshold: float) -> str:
     return f"{_components_cte(threshold)} SELECT doc_id, component FROM comp"
+
+
+def _winnow_cte() -> str:
+    """Shared winnowing CTE ending in ``wn(doc_id, grams, fps)`` — built
+    from the ENGINE's k/w constants (laketide.functions.dedup) so the
+    two sides cannot drift. Selection rule mirrored from
+    dedup._winnow_rows: null doc_id/text dropped, docs with < k tokens
+    emit nothing, max(G - w + 1, 1) windows, each window the min gram
+    of grams[s : s+w-1] (DuckDB's inclusive list slice clamps at the
+    list end exactly like the engine's clamped index matrix)."""
+    from laketide.functions.dedup import _WINNOW_K as K, _WINNOW_W as W
+
+    gram_expr = " || ' ' || ".join(f"toks[i+{j}]" for j in range(K))
+    return (
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents "
+        "WHERE text IS NOT NULL AND doc_id IS NOT NULL), "
+        f"g AS (SELECT doc_id, list_transform(range(1, len(toks) - {K} + 2), "
+        f"i -> {gram_expr}) AS grams FROM t WHERE len(toks) >= {K}), "
+        "wn AS (SELECT doc_id, grams, "
+        f"list_transform(range(1, greatest(len(grams) - {W} + 1, 1) + 1), "
+        f"s -> list_aggregate(grams[s : s + {W} - 1], 'min')) AS fps FROM g)"
+    )
+
+
+def _winnow_summary_oracle() -> str:
+    return (
+        f"WITH {_winnow_cte()} "
+        "SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams, "
+        "CAST(len(list_distinct(fps)) AS BIGINT) AS n_fingerprints, "
+        "list_aggregate(fps, 'min') AS min_fp, "
+        "list_aggregate(fps, 'max') AS max_fp FROM wn"
+    )
+
+
+def _winnow_pairs_oracle(max_df: int = 50, min_shared: int = 2) -> str:
+    return (
+        f"WITH {_winnow_cte()}, "
+        "fpr AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM wn), "
+        f"disc AS (SELECT fp FROM fpr GROUP BY fp HAVING count(*) BETWEEN 2 AND {max_df}) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(count(*) AS BIGINT) AS n_shared "
+        "FROM fpr a JOIN fpr b USING (fp) JOIN disc USING (fp) "
+        "WHERE a.doc_id < b.doc_id "
+        f"GROUP BY doc_a, doc_b HAVING count(*) >= {min_shared}"
+    )
 
 
 def _dedup_keep_canonical_oracle(threshold: float) -> str:

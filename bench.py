@@ -287,6 +287,8 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         timed("hll_distinct_users", A.hll_distinct_users)
         timed("promo_revenue_by_brand", A.promo_revenue_by_brand)
         timed("dup_components", dedup.dup_components)
+        timed("winnow_fingerprints", dedup.winnow_fingerprints)
+        timed("winnow_match_pairs", dedup.winnow_match_pairs)
         timed("q3_shipping_priority", R.q3_shipping_priority)
         timed("q18_large_orders", R.q18_large_orders)
         timed("user_retention_7d", A.user_retention_7d)

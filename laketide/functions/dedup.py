@@ -1920,3 +1920,260 @@ def minhash_dedup_incremental(
         sf_dir,
         threshold,
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): the third near-dup family member next to MinHash and SimHash.
+# Guarantee: any shared token run spanning >= w + k - 1 tokens yields at
+# least one SHARED selected fingerprint, so long verbatim overlaps cannot
+# be missed — unlike MinHash (probabilistic) or SimHash (distance bound).
+
+_WINNOW_K = 4  # tokens per gram
+_WINNOW_W = 5  # grams per winnowing window
+_WINNOW_SCHEMA = pa.schema([("doc_id", pa.int64()), ("fp", pa.string())])
+
+
+def _winnow_rows(t: pa.Table, k: int, w: int) -> pa.Table:
+    """Distinct (doc_id, fp) winnowed-fingerprint rows for one batch of
+    whole documents, fully vectorized: k-gram strings are gathered from
+    the flattened token array via a ragged arange (the
+    ``_word_trigram_rows`` pattern), and every winnowing window's
+    lexicographic min is one numpy reduction over a clamped index
+    matrix — no per-doc Python. Selection rule (mirrored verbatim in the
+    SQL oracle): docs with < k tokens emit nothing; a doc with G grams
+    has max(G - w + 1, 1) windows; window s covers grams s..s+w-1
+    clamped to the doc's last gram; the fingerprint is the window's
+    MIN GRAM STRING (byte order == DuckDB varchar order on this ASCII
+    corpus — a hash would need an identical SQL hash to stay
+    oracle-exact; min-gram keeps the winnowing guarantee)."""
+    t = t.filter(pc.and_(pc.is_valid(t["doc_id"]), pc.is_valid(t["text"])))
+    if t.num_rows == 0:
+        return _WINNOW_SCHEMA.empty_table()
+    toks = pc.split_pattern(t["text"], " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_np = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks).combine_chunks()
+    starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+
+    g_n = np.maximum(lens - k + 1, 0)
+    tot = int(g_n.sum())
+    if tot == 0:
+        return _WINNOW_SCHEMA.empty_table()
+    goff = np.concatenate([[0], np.cumsum(g_n)[:-1]]).astype(np.int64)
+    base = (
+        np.arange(tot, dtype=np.int64)
+        - np.repeat(goff, g_n)
+        + np.repeat(starts, g_n)
+    )
+    parts = [flat.take(pa.array(base + j)) for j in range(k)]
+    grams = pc.binary_join_element_wise(*parts, " ")
+    gs = grams.to_numpy(zero_copy_only=False).astype(bytes)
+
+    n_win = np.where(g_n > 0, np.maximum(g_n - w + 1, 1), 0)
+    wtot = int(n_win.sum())
+    woff = np.concatenate([[0], np.cumsum(n_win)[:-1]]).astype(np.int64)
+    wstart = (
+        np.arange(wtot, dtype=np.int64)
+        - np.repeat(woff, n_win)
+        + np.repeat(goff, n_win)
+    )
+    doc_last = np.repeat(goff + g_n - 1, n_win)
+    idx = np.minimum(
+        wstart[:, None] + np.arange(w, dtype=np.int64)[None, :],
+        doc_last[:, None],
+    )
+    # np.minimum has no loop for bytes dtypes — a row-wise np.sort of the
+    # w-wide matrix is the vectorized lexicographic min
+    fps = np.sort(gs[idx], axis=1)[:, 0]
+    out = pa.table(
+        {
+            "doc_id": pa.array(np.repeat(doc_np, n_win), pa.int64()),
+            "fp": pc.cast(pa.array(fps), pa.string()),
+        }
+    )
+    # docs are whole rows, so per-batch distinct IS per-doc distinct
+    return out.group_by(["doc_id", "fp"]).aggregate([])
+
+
+def winnow_fingerprints(
+    sf_dir: str, k: int = _WINNOW_K, w: int = _WINNOW_W
+) -> rd.Dataset:
+    """Per-document winnowing summary: (doc_id, n_grams,
+    n_fingerprints, min_fp, max_fp). n_grams counts the gram SEQUENCE
+    (not distinct); n_fingerprints is the distinct selected set; the
+    extremes pin the set's identity for the exact oracle.
+
+    Scale shape: completely shuffle-free — a document is one row, so
+    every doc's fingerprint set is computed and summarized inside its
+    own batch. Reference analog: the per-record content fingerprint
+    used for change detection (internal/utils/utils.go:21-28), upgraded
+    to a positional fingerprint SET so partial overlap is detectable."""
+    docs = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_min_blocks(),
+    )
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_grams", pa.int64()),
+            ("n_fingerprints", pa.int64()),
+            ("min_fp", pa.string()),
+            ("max_fp", pa.string()),
+        ]
+    )
+
+    def summary(t: pa.Table) -> pa.Table:
+        rows = _winnow_rows(t, k, w)
+        if rows.num_rows == 0:
+            return out_schema.empty_table()
+        g = rows.group_by(["doc_id"]).aggregate(
+            [([], "count_all"), ("fp", "min"), ("fp", "max")]
+        )
+        # gram counts recomputed from the SAME validity rule
+        tt = t.filter(pc.and_(pc.is_valid(t["doc_id"]), pc.is_valid(t["text"])))
+        lens = pc.list_value_length(pc.split_pattern(tt["text"], " "))
+        g_n = np.maximum(
+            lens.to_numpy(zero_copy_only=False).astype(np.int64) - k + 1, 0
+        )
+        doc_np = tt["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = g_n > 0
+        gram_tbl = pa.table(
+            {
+                "doc_id": pa.array(doc_np[keep], pa.int64()),
+                "n_grams": pa.array(g_n[keep], pa.int64()),
+            }
+        )
+        idx = pc.index_in(
+            g["doc_id"].combine_chunks(), value_set=gram_tbl["doc_id"].combine_chunks()
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(g["doc_id"], pa.int64()),
+                "n_grams": gram_tbl["n_grams"].combine_chunks().take(idx),
+                "n_fingerprints": pc.cast(g["count_all"], pa.int64()),
+                "min_fp": g["fp_min"],
+                "max_fp": g["fp_max"],
+            }
+        )
+
+    return docs.map_batches(summary, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def winnow_match_pairs(
+    sf_dir: str,
+    k: int = _WINNOW_K,
+    w: int = _WINNOW_W,
+    max_df: int = 50,
+    min_shared: int = 2,
+) -> rd.Dataset:
+    """MOSS-style match detection: document pairs sharing >= min_shared
+    winnowed fingerprints, counting only DISCRIMINATIVE fingerprints
+    (shared by 2..max_df docs — the MOSS move of ignoring fingerprints
+    common to many documents, which on this corpus are the planted
+    boilerplate segments). Returns (doc_a, doc_b, n_shared).
+
+    Scale shape: one coarse shuffle of the (doc_id, fp) rows keyed on a
+    fp-hash partition (every holder of a fingerprint co-locates, so the
+    per-fp doc list is exact within its partition), pair emission
+    bounded by max_df^2 per fingerprint, then a small pair-keyed coarse
+    reduce summing shared counts; the >= min_shared gate runs AFTER the
+    sum so partials can never drop a qualifying pair."""
+    from laketide.functions.relational import _coarse_key_reduce, _key_hash_u64
+
+    n_parts = _coarse_n_parts()
+    pair_schema = pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64())]
+    )
+    docs = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_min_blocks(),
+    )
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        rows = _winnow_rows(t, k, w)
+        part = _coarse_parts(_key_hash_u64(rows["fp"]), n_parts=n_parts)
+        return rows.append_column("_cpart", pa.array(part, pa.int64()))
+
+    def per_part(t: pa.Table) -> pa.Table:
+        # one co-located partition = many whole fp groups: sort by fp,
+        # keep groups sized 2..max_df, emit all within-group pairs via
+        # a repeat/arange gather — no per-fp Python loop
+        if t.num_rows == 0 or "fp" not in t.column_names:
+            return pair_schema.empty_table()
+        order = pc.sort_indices(
+            t, sort_keys=[("fp", "ascending"), ("doc_id", "ascending")]
+        )
+        fp = t["fp"].take(order).combine_chunks()
+        ids = t["doc_id"].take(order).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(ids)
+        diff = pc.not_equal(fp.slice(1, n - 1), fp.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        bnd = np.flatnonzero(np.concatenate([[True], diff]))
+        sizes = np.diff(np.concatenate([bnd, [n]]))
+        ok = (sizes >= 2) & (sizes <= max_df)
+        if not ok.any():
+            return pair_schema.empty_table()
+        gstart = bnd[ok].astype(np.int64)
+        gsize = sizes[ok].astype(np.int64)
+        # gather the kept groups' members contiguously, then emit every
+        # (i, j<i..s-1) pair with two ragged aranges — ids are sorted
+        # ascending within a group, so doc_a < doc_b by construction
+        sel_tot = int(gsize.sum())
+        soff = np.concatenate([[0], np.cumsum(gsize)[:-1]]).astype(np.int64)
+        member = (
+            np.arange(sel_tot, dtype=np.int64)
+            - np.repeat(soff, gsize)
+            + np.repeat(gstart, gsize)
+        )
+        rank = np.arange(sel_tot, dtype=np.int64) - np.repeat(soff, gsize)
+        c = np.repeat(gsize, gsize) - 1 - rank  # pairs led by each element
+        tot = int(c.sum())
+        if tot == 0:
+            return pair_schema.empty_table()
+        coff = np.concatenate([[0], np.cumsum(c)[:-1]]).astype(np.int64)
+        left = np.repeat(np.arange(sel_tot, dtype=np.int64), c)
+        right = left + (np.arange(tot, dtype=np.int64) - np.repeat(coff, c)) + 1
+        pairs = pa.table(
+            {
+                "doc_a": pa.array(ids[member[left]], pa.int64()),
+                "doc_b": pa.array(ids[member[right]], pa.int64()),
+            }
+        )
+        g = pairs.group_by(["doc_a", "doc_b"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "doc_a": pc.cast(g["doc_a"], pa.int64()),
+                "doc_b": pc.cast(g["doc_b"], pa.int64()),
+                "n_shared": pc.cast(g["count_all"], pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(
+        fp_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("_cpart").map_groups(
+        lambda g: per_part(g.drop_columns(["_cpart"])), batch_format="pyarrow"
+    )
+
+    def fold(t: pa.Table) -> pa.Table:
+        # associative sum only — the >= min_shared gate runs after
+        if t.num_rows == 0 or "doc_a" not in t.column_names:
+            return pair_schema.empty_table()
+        g = t.group_by(["doc_a", "doc_b"]).aggregate([("n_shared", "sum")])
+        return pa.table(
+            {
+                "doc_a": pc.cast(g["doc_a"], pa.int64()),
+                "doc_b": pc.cast(g["doc_b"], pa.int64()),
+                "n_shared": pc.cast(g["n_shared_sum"], pa.int64()),
+            }
+        )
+
+    reduced = _coarse_key_reduce(partials, ["doc_a", "doc_b"], fold)
+    return reduced.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], min_shared)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -696,3 +696,67 @@ def test_minhash_incremental_uses_artifact_n_parts(planted_docs, monkeypatch):
     }
     assert after == before
     shutil.rmtree(D._minhash_index_dir(sf_dir), ignore_errors=True)
+
+
+def test_winnow_planted_guarantee(planted_docs):
+    """The winnowing guarantee (Schleimer et al. §2): two docs sharing a
+    verbatim token run of >= w + k - 1 tokens MUST share at least one
+    selected fingerprint. The planted pairs differ by ONE mid-doc word
+    in 60 tokens, leaving shared runs ~29 tokens on each side — far
+    above the w + k - 1 = 8 token guarantee window — so every plant
+    must surface in winnow_match_pairs."""
+    sf_dir, plants = planted_docs
+    pairs = dedup.winnow_match_pairs(sf_dir).to_pandas()
+    found = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    for a, b in plants:
+        assert (a, b) in found or (b, a) in found, f"planted pair {(a, b)} missed"
+
+
+def test_winnow_fingerprints_shape_and_bounds(planted_docs):
+    sf_dir, _ = planted_docs
+    s = dedup.winnow_fingerprints(sf_dir).to_pandas()
+    assert len(s) == 210  # every doc has >= k tokens
+    # n_fingerprints is bounded by the window count and >= 1
+    n_win = np.maximum(s["n_grams"] - dedup._WINNOW_W + 1, 1)
+    assert (s["n_fingerprints"] >= 1).all()
+    assert (s["n_fingerprints"] <= n_win).all()
+    assert (s["min_fp"] <= s["max_fp"]).all()
+
+
+def test_winnow_short_and_null_docs(tmp_path):
+    """Docs shorter than k tokens emit nothing; a doc with k tokens and
+    fewer than w grams emits exactly ONE fingerprint (the single clamped
+    window = min of all grams); null doc_id/text rows are dropped."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, None], pa.int64()),
+            "text": pa.array(
+                ["a b c", "a b c d", "a b c d e f", None, "a b c d e"],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    s = dedup.winnow_fingerprints(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert set(s.index) == {2, 3}  # doc 1 too short, doc 4 null text, null id dropped
+    assert s.loc[2, "n_grams"] == 1 and s.loc[2, "n_fingerprints"] == 1
+    assert s.loc[3, "n_grams"] == 3 and s.loc[3, "n_fingerprints"] == 1
+    assert s.loc[3, "min_fp"] == "a b c d"  # min of the 3 grams
+
+
+def test_winnow_max_df_excludes_boilerplate(tmp_path):
+    """A fingerprint shared by more than max_df docs is non-discriminative
+    and must not generate pairs (the MOSS common-fingerprint exclusion)."""
+    shared = " ".join(f"t{i}" for i in range(10))
+    texts = [shared] * 6  # same doc 6 times -> every fp shared by 6 docs
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    wide = dedup.winnow_match_pairs(str(tmp_path), max_df=50).to_pandas()
+    assert len(wide) == 15  # all C(6,2) pairs found at the default cap
+    capped = dedup.winnow_match_pairs(str(tmp_path), max_df=5).to_pandas()
+    assert len(capped) == 0  # df=6 > max_df=5: excluded everywhere
