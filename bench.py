@@ -289,6 +289,16 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         timed("dup_components", dedup.dup_components)
         timed("winnow_fingerprints", dedup.winnow_fingerprints)
         timed("winnow_match_pairs", dedup.winnow_match_pairs)
+
+        def _wf_cold(sf):
+            shutil.rmtree(dedup._winnow_index_dir(sf), ignore_errors=True)
+            return dedup.winnow_match_pairs(sf, from_index=True)
+
+        timed("winnow_fp_build_cold", _wf_cold)
+        timed(
+            "winnow_fp_index_warm",
+            lambda sf: dedup.winnow_match_pairs(sf, from_index=True),
+        )
         timed("q3_shipping_priority", R.q3_shipping_priority)
         timed("q18_large_orders", R.q18_large_orders)
         timed("user_retention_7d", A.user_retention_7d)

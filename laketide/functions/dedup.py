@@ -2061,12 +2061,71 @@ def winnow_fingerprints(
     return docs.map_batches(summary, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_WINNOW_ROWS_SCHEMA = pa.schema(
+    [("doc_id", pa.int64()), ("fp", pa.string()), ("bucket_part", pa.int64())]
+)
+
+
+def _winnow_index_dir(sf_dir: str) -> str:
+    """Persisted winnowed-fingerprint artifact location (shared keying
+    policy: ``artifacts.fingerprint_dir``; salt = the k/w selection
+    constants)."""
+    import os
+
+    from laketide.functions.artifacts import fingerprint_dir
+
+    return fingerprint_dir(
+        "winnow",
+        "wf",
+        os.path.join(sf_dir, "documents.parquet"),
+        f"k{_WINNOW_K}w{_WINNOW_W}",
+    )
+
+
+def winnow_index_build(sf_dir: str, index_dir: str | None = None) -> str:
+    """Build (or reuse) the persisted winnowed-fingerprint artifact —
+    (doc_id, fp, bucket_part) parquet rows plus an INDEX.json manifest,
+    published atomically (staging dir -> one ``os.replace``; the
+    minhash artifact discipline). The tokenize + gram-gather + window
+    min pass over the raw text dominates every winnowing query; the
+    persisted rows are O(selected fingerprints), ~1/w of the grams."""
+    from laketide.functions.artifacts import publish_rows_artifact
+
+    return publish_rows_artifact(
+        index_dir or _winnow_index_dir(sf_dir),
+        lambda: _winnow_fp_ds(sf_dir, _WINNOW_K, _WINNOW_W),
+        {"k": _WINNOW_K, "w": _WINNOW_W, "n_parts": _coarse_n_parts()},
+    )
+
+
+def _winnow_fp_ds(sf_dir: str, k: int, w: int) -> rd.Dataset:
+    """Partitioned (doc_id, fp, bucket_part) fingerprint rows computed
+    from the corpus — the one implementation behind both the direct and
+    the artifact-served paths, so equal output is structural."""
+    from laketide.functions.relational import _key_hash_u64
+
+    n_parts = _coarse_n_parts()
+    docs = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        min_blocks=cpu_min_blocks(),
+    )
+
+    def fp_rows(t: pa.Table) -> pa.Table:
+        rows = _winnow_rows(t, k, w)
+        part = _coarse_parts(_key_hash_u64(rows["fp"]), n_parts=n_parts)
+        return rows.append_column("bucket_part", pa.array(part, pa.int64()))
+
+    return docs.map_batches(fp_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def winnow_match_pairs(
     sf_dir: str,
     k: int = _WINNOW_K,
     w: int = _WINNOW_W,
     max_df: int = 50,
     min_shared: int = 2,
+    from_index: bool = False,
 ) -> rd.Dataset:
     """MOSS-style match detection: document pairs sharing >= min_shared
     winnowed fingerprints, counting only DISCRIMINATIVE fingerprints
@@ -2079,23 +2138,27 @@ def winnow_match_pairs(
     per-fp doc list is exact within its partition), pair emission
     bounded by max_df^2 per fingerprint, then a small pair-keyed coarse
     reduce summing shared counts; the >= min_shared gate runs AFTER the
-    sum so partials can never drop a qualifying pair."""
-    from laketide.functions.relational import _coarse_key_reduce, _key_hash_u64
+    sum so partials can never drop a qualifying pair.
 
-    n_parts = _coarse_n_parts()
+    ``from_index=True`` serves the fingerprint rows from the persisted
+    artifact (built on first use) instead of re-tokenizing the corpus —
+    only valid at the artifact's baked k/w constants."""
+    from laketide.functions.relational import _coarse_key_reduce
+
     pair_schema = pa.schema(
         [("doc_a", pa.int64()), ("doc_b", pa.int64()), ("n_shared", pa.int64())]
     )
-    docs = scrubbed_read(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "text"],
-        min_blocks=cpu_min_blocks(),
-    )
+    if from_index:
+        if (k, w) != (_WINNOW_K, _WINNOW_W):
+            raise ValueError(
+                "from_index=True serves the persisted artifact, which is "
+                f"baked at k={_WINNOW_K}, w={_WINNOW_W}"
+            )
+        from laketide.functions.artifacts import read_rows_artifact
 
-    def fp_rows(t: pa.Table) -> pa.Table:
-        rows = _winnow_rows(t, k, w)
-        part = _coarse_parts(_key_hash_u64(rows["fp"]), n_parts=n_parts)
-        return rows.append_column("_cpart", pa.array(part, pa.int64()))
+        rows = read_rows_artifact(winnow_index_build(sf_dir), _WINNOW_ROWS_SCHEMA)
+    else:
+        rows = _winnow_fp_ds(sf_dir, k, w)
 
     def per_part(t: pa.Table) -> pa.Table:
         # one co-located partition = many whole fp groups: sort by fp,
@@ -2152,10 +2215,8 @@ def winnow_match_pairs(
             }
         )
 
-    partials = docs.map_batches(
-        fp_rows, batch_format="pyarrow", zero_copy_batch=True
-    ).groupby("_cpart").map_groups(
-        lambda g: per_part(g.drop_columns(["_cpart"])), batch_format="pyarrow"
+    partials = rows.groupby("bucket_part").map_groups(
+        lambda g: per_part(g.drop_columns(["bucket_part"])), batch_format="pyarrow"
     )
 
     def fold(t: pa.Table) -> pa.Table:

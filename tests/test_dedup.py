@@ -760,3 +760,23 @@ def test_winnow_max_df_excludes_boilerplate(tmp_path):
     assert len(wide) == 15  # all C(6,2) pairs found at the default cap
     capped = dedup.winnow_match_pairs(str(tmp_path), max_df=5).to_pandas()
     assert len(capped) == 0  # df=6 > max_df=5: excluded everywhere
+
+
+def test_winnow_artifact_equal_output(planted_docs, monkeypatch, tmp_path):
+    """winnow_match_pairs(from_index=True) serves the fingerprint rows
+    from the persisted artifact and must be row-identical to the direct
+    path; a second call reuses the published artifact (no rebuild); a
+    non-default k/w with from_index is rejected."""
+    monkeypatch.setenv("LAKETIDE_INDEX_DIR", str(tmp_path))
+    sf_dir, _ = planted_docs
+    canon = lambda df: df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    direct = canon(dedup.winnow_match_pairs(sf_dir).to_pandas())
+    served = canon(dedup.winnow_match_pairs(sf_dir, from_index=True).to_pandas())
+    assert direct.equals(served)
+    idx = dedup.winnow_index_build(sf_dir)
+    assert os.path.exists(os.path.join(idx, "INDEX.json"))
+    assert dedup.winnow_index_build(sf_dir) == idx  # cache hit, no rebuild
+    again = canon(dedup.winnow_match_pairs(sf_dir, from_index=True).to_pandas())
+    assert direct.equals(again)
+    with pytest.raises(ValueError):
+        dedup.winnow_match_pairs(sf_dir, w=9, from_index=True)
