@@ -16,6 +16,24 @@ from laketide.sources import registry
 from laketide.sources.changelog import expected_state, generate_changelog
 
 
+def _cli_json(buf) -> dict:
+    """Parse the CLI's one-line JSON report from captured stdout.
+
+    Ray's log_to_driver thread prints worker log lines (``(_task
+    pid=NNN) ...``) onto the DRIVER's stdout, so an in-process
+    ``redirect_stdout`` capture can interleave them before or after the
+    CLI's JSON line — scan backwards for the last line that parses."""
+    for line in reversed(buf.getvalue().strip().splitlines()):
+        line = line.strip()
+        if not line.startswith("{"):
+            continue
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise AssertionError(f"no JSON line in CLI output: {buf.getvalue()!r}")
+
+
 def test_replay_resumes_from_committed_epoch(changelog, tmp_path):
     d = os.path.dirname(changelog[0])
     t = LakeTable(str(tmp_path / "t"), num_partitions=8)
@@ -441,13 +459,13 @@ def test_cli_end_to_end(tmp_path, changelog):
     buf = io.StringIO()
     with redirect_stdout(buf):
         main(["status", "--table", table])
-    status = json.loads(buf.getvalue())
+    status = _cli_json(buf)
     assert status["epoch"] == 3 and status["rows"] > 0
     assert main(["export", "--table", table, "--out", str(tmp_path / "ex")]) == 0
     buf = io.StringIO()
     with redirect_stdout(buf):
         assert main(["view", "--table", table, "--group", "lang"]) == 0
-    view = json.loads(buf.getvalue())
+    view = _cli_json(buf)
     assert view["epoch"] == 3 and view["mode"] == "bootstrap"
     assert sum(g["n_rows"] for g in view["groups"]) == status["rows"]
     # materialized join view: dim parquet -> derived LakeTable refresh
@@ -478,12 +496,12 @@ def test_cli_end_to_end(tmp_path, changelog):
     buf = io.StringIO()
     with redirect_stdout(buf):
         assert main(jv_args) == 0
-    jv = json.loads(buf.getvalue())
+    jv = _cli_json(buf)
     assert jv["mode"] == "bootstrap" and jv["rows"] > 0
     buf = io.StringIO()
     with redirect_stdout(buf):
         assert main(jv_args) == 0
-    assert json.loads(buf.getvalue())["mode"] == "noop"
+    assert _cli_json(buf)["mode"] == "noop"
     assert main(["gc", "--table", table, "--keep", "1"]) == 0
 
 
@@ -1173,7 +1191,7 @@ def test_cli_diff(tmp_path):
             ]
         )
     assert rc == 0
-    rep = json.loads(buf.getvalue().strip().splitlines()[-1])
+    rep = _cli_json(buf)
     want = _expected_changes(files, 1, 2)
     assert rep["changes"] == len(want)
     assert pq.read_table(out).num_rows == len(want)
@@ -1815,15 +1833,15 @@ def test_tag_cli(changelog, tmp_path):
     buf = io.StringIO()
     with redirect_stdout(buf):
         assert main(["tag", "--table", t.table_dir, "--name", "v1"]) == 0
-    assert json.loads(buf.getvalue()) == {"name": "v1", "epoch": 1}
+    assert _cli_json(buf) == {"name": "v1", "epoch": 1}
     buf = io.StringIO()
     with redirect_stdout(buf):
         assert main(["tag", "--table", t.table_dir]) == 0
-    assert json.loads(buf.getvalue()) == {"tags": {"v1": 1}}
+    assert _cli_json(buf) == {"tags": {"v1": 1}}
     buf = io.StringIO()
     with redirect_stdout(buf):
         assert main(["tag", "--table", t.table_dir, "--name", "v1", "--delete"]) == 0
-    assert json.loads(buf.getvalue()) == {"deleted": True}
+    assert _cli_json(buf) == {"deleted": True}
 
 
 def test_tag_hardening(changelog, tmp_path):
@@ -1873,7 +1891,7 @@ def test_tag_cli_refuses_delete_without_name(changelog, tmp_path):
     buf = io.StringIO()
     with redirect_stdout(buf):
         assert main(["tag", "--table", t.table_dir, "--delete"]) == 2
-    assert "error" in json.loads(buf.getvalue())
+    assert "error" in _cli_json(buf)
 
 
 def test_export_tagged_snapshot(changelog, tmp_path):
