@@ -529,6 +529,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": text.tfidf_top_terms,
         "bigram_pmi": text.bigram_pmi,
         "bm25_search": text.bm25_search,
+        # same query served from the persisted inverted-index artifact:
+        # only the query tokens' posting lists leave storage (footer-
+        # pruned read); bit-equal to the scan path -> full oracle
+        "bm25_search_indexed": lambda sf: text.bm25_search(sf, from_index=True),
         "dataset_split_assign": text.dataset_split_assign,
         "langid_confusion": text.langid_confusion,
         "docs_containing": _lazy_pinned(
@@ -2056,6 +2060,10 @@ def oracle_sql() -> dict[str, str]:
         # (idf * (tf*(k1+1)) / (tf + k1*(1-b+b*(dl/avgdl)))), the term
         # ORDER of the final sum, and every cast point mirror the engine
         "bm25_search": _bm25_oracle(),
+        # the indexed path is bit-equal to the scan path by design
+        # (same integer stats into the same expression tree), so the
+        # SAME oracle checks it end to end
+        "bm25_search_indexed": _bm25_oracle(),
         "dataset_split_assign": (
             "SELECT CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val' "
             "ELSE 'test' END AS split, lang, CAST(count(*) AS BIGINT) AS n "

@@ -241,6 +241,19 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         # the (already-built) artifact — the per-batch ingest cost,
         # vs minhash_lsh_candidates' full-corpus recompute above
         timed("minhash_incremental", dedup.minhash_lsh_candidates_incremental)
+
+        # persisted BM25 inverted index: cold leg tokenizes the corpus +
+        # publishes token-sorted postings, warm leg reads ONLY the query
+        # tokens' posting lists (footer-pruned)
+        def _bm25_cold(sf):
+            shutil.rmtree(text._bm25_index_dir(sf), ignore_errors=True)
+            return text.bm25_search(sf, from_index=True)
+
+        timed("bm25_index_build_cold", _bm25_cold)
+        timed(
+            "bm25_index_warm",
+            lambda sf: text.bm25_search(sf, from_index=True),
+        )
         timed("ngram_jaccard_join", dedup.ngram_jaccard_join)
 
         # persisted simhash / embedding-LSH signature artifacts: cold leg

@@ -66,6 +66,17 @@ def publish_rows_artifact(final: str, ds_factory, meta: dict) -> str:
     the (expensive) signature pass never runs when a published artifact
     already exists. Shared by the MinHash, SimHash and embedding-LSH
     signature caches so the staging/crash semantics cannot drift."""
+    return publish_dirs_artifact(final, {"rows": ds_factory}, meta)
+
+
+def publish_dirs_artifact(final: str, factories: dict, meta: dict) -> str:
+    """Multi-directory variant of :func:`publish_rows_artifact` for
+    artifacts that persist more than one row set (e.g. the BM25 inverted
+    index: ``rows`` = postings, ``doclen`` = per-document lengths).
+    ``factories`` maps subdirectory name -> zero-arg Dataset factory,
+    each called only on a cache miss; all directories and the manifest
+    publish together in ONE ``os.replace`` so a reader can never observe
+    a partial index."""
     import json as _json
     import shutil as _sh
     import uuid
@@ -73,8 +84,9 @@ def publish_rows_artifact(final: str, ds_factory, meta: dict) -> str:
     if os.path.exists(os.path.join(final, "INDEX.json")):
         return final
     tmp = f"{final}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
-    os.makedirs(os.path.join(tmp, "rows"), exist_ok=True)
-    ds_factory().write_parquet(os.path.join(tmp, "rows"))
+    for name, ds_factory in factories.items():
+        os.makedirs(os.path.join(tmp, name), exist_ok=True)
+        ds_factory().write_parquet(os.path.join(tmp, name))
     with open(os.path.join(tmp, "INDEX.json"), "w") as fh:
         fh.write(_json.dumps(meta, sort_keys=True))
     os.makedirs(os.path.dirname(final), exist_ok=True)
@@ -102,19 +114,31 @@ def read_artifact_meta(index_dir: str) -> dict:
         return _json.loads(fh.read())
 
 
-def read_rows_artifact(index_dir: str, empty_schema: pa.Schema):
+def read_rows_artifact(
+    index_dir: str,
+    empty_schema: pa.Schema,
+    subdir: str = "rows",
+    filter=None,
+    columns=None,
+):
     """Streaming Dataset over a published artifact's signature rows.
     An empty corpus publishes no parquet files (Ray's write_parquet
     emits nothing at 0 rows) — fall back to the typed empty table.
     Ray-written parquet carries no pandas schema metadata, so the plain
-    read is already scrub-clean."""
+    read is already scrub-clean. ``filter`` (a pyarrow.dataset
+    expression) pushes row-group pruning into the read — with rows
+    sorted on the filtered column at build time, a probe reads only the
+    row groups whose min/max stats overlap the predicate."""
     import glob as _glob
 
     import ray.data as rd
 
-    files = _glob.glob(os.path.join(index_dir, "rows", "*.parquet"))
+    files = _glob.glob(os.path.join(index_dir, subdir, "*.parquet"))
     if not files:
-        return rd.from_arrow(empty_schema.empty_table())
+        t = empty_schema.empty_table()
+        if columns is not None:
+            t = t.select(columns)
+        return rd.from_arrow(t)
     # SIZE-based block count (reads._READ_BLOCK_BYTES rationale): Ray's
     # default parallelism heuristic shatters a sub-MB artifact into
     # hundreds of blocks, and the downstream bucket groupby inherits
@@ -124,7 +148,12 @@ def read_rows_artifact(index_dir: str, empty_schema: pa.Schema):
 
     total = sum(os.path.getsize(f) for f in files)
     nb = max(1, math.ceil(total / _READ_BLOCK_BYTES))
-    return rd.read_parquet(files, override_num_blocks=nb)
+    kw = {}
+    if filter is not None:
+        kw["filter"] = filter
+    if columns is not None:
+        kw["columns"] = columns
+    return rd.read_parquet(files, override_num_blocks=nb, **kw)
 
 
 def _ensure_private_dir(path: str) -> None:

@@ -1341,7 +1341,7 @@ _BM25_K1, _BM25_B = 1.5, 0.75
 _BM25_QUERY = ("data", "stream", "fast", "join")
 
 
-def bm25_search(sf_dir: str, k: int = 10) -> pa.Table:
+def bm25_search(sf_dir: str, k: int = 10, from_index: bool = False) -> pa.Table:
     """BM25 retrieval (Robertson/Lucene idf variant) of the corpus
     against a fixed token query — the scoring core of a search /
     contamination-lookup pipeline. Two streaming scans: (1) one-row
@@ -1351,22 +1351,25 @@ def bm25_search(sf_dir: str, k: int = 10) -> pa.Table:
     (equality mask + reduceat over the flattened token array), the
     BM25 formula evaluated with the SAME expression tree as the SQL
     oracle (exact integer inputs -> bit-equal doubles), per-batch
-    top-k, driver merge."""
+    top-k, driver merge.
+
+    ``from_index=True`` serves the query from the PERSISTED inverted
+    index (:func:`bm25_index_build`; builds it on first use): only the
+    query tokens' posting lists leave storage instead of the corpus
+    text — the scale path for repeated retrieval over a fixed corpus."""
     import math
 
     import ray
+
+    if from_index:
+        return _bm25_search_indexed(sf_dir, k)
 
     out_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     q_toks = _BM25_QUERY
 
     def stats_pre(t: pa.Table) -> pa.Table:
-        t = t.filter(pc.is_valid(t["text"]))
-        toks = pc.split_pattern(t["text"], " ")
-        lens = (
-            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        flat = pc.list_flatten(toks).combine_chunks()
+        t, lens, flat = _bm25_tokens(t)
         cols = {
             "n_docs": pa.array([t.num_rows], pa.int64()),
             "total_tokens": pa.array([int(lens.sum())], pa.int64()),
@@ -1399,14 +1402,9 @@ def bm25_search(sf_dir: str, k: int = 10) -> pa.Table:
 
     def score(t: pa.Table) -> pa.Table:
         idf_, avgdl_ = ray.get(bc)
-        t = t.filter(pc.is_valid(t["text"]))
+        t, lens, flat = _bm25_tokens(t)
         if t.num_rows == 0:
             return out_schema.empty_table()
-        toks = pc.split_pattern(t["text"], " ")
-        lens = (
-            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        flat = pc.list_flatten(toks).combine_chunks()
         starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
         dl = lens.astype(np.float64)
         sc = np.zeros(t.num_rows, np.float64)
@@ -1436,6 +1434,303 @@ def bm25_search(sf_dir: str, k: int = 10) -> pa.Table:
         .sort_by([("score", "descending"), ("doc_id", "ascending")])
         .slice(0, k)
     )
+
+
+_BM25_POSTINGS_SCHEMA = pa.schema(
+    [
+        ("token", pa.string()),
+        ("doc_id", pa.int64()),
+        ("dl", pa.int64()),
+        ("tf", pa.int64()),
+    ]
+)
+_BM25_DOCLEN_SCHEMA = pa.schema([("doc_id", pa.int64()), ("dl", pa.int64())])
+
+
+def _bm25_index_dir(sf_dir: str) -> str:
+    from laketide.functions.artifacts import fingerprint_dir
+    import os
+
+    return fingerprint_dir(
+        "bm25", "bm", os.path.join(sf_dir, "documents.parquet"), "tok-space-v1"
+    )
+
+
+def _bm25_tokens(t: pa.Table):
+    """Shared tokenizer of the BM25 family (whitespace split on the
+    single-space separator, null text dropped) — build and scan paths
+    MUST tokenize identically or tf/dl diverge. Returns the filtered
+    table, per-doc lengths (int64 numpy) and the flattened token
+    array."""
+    t = t.filter(pc.is_valid(t["text"]))
+    toks = pc.split_pattern(t["text"], " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks).combine_chunks()
+    return t, lens, flat
+
+
+def _bm25_postings(sf_dir: str) -> rd.Dataset:
+    """(token, doc_id, dl, tf) posting rows, one per distinct
+    (token, document) pair, globally SORTED by token so every parquet
+    row group covers a narrow token range and a query's pushed-down
+    ``token IN (...)`` predicate prunes at the footer level. ``dl`` is
+    denormalized into the posting row (one extra int64) so scoring
+    needs no doc-length join at query time."""
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def postings(t: pa.Table) -> pa.Table:
+        t, lens, flat = _bm25_tokens(t)
+        if t.num_rows == 0 or len(flat) == 0:
+            return _BM25_POSTINGS_SCHEMA.empty_table()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        g = (
+            pa.table(
+                {
+                    "token": flat,
+                    "doc_id": pa.array(np.repeat(ids, lens), pa.int64()),
+                    "dl": pa.array(np.repeat(lens, lens), pa.int64()),
+                }
+            )
+            .group_by(["token", "doc_id", "dl"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["token", "doc_id", "dl", "tf"])
+        )
+        # "" tokens (adjacent separators) count toward dl exactly like
+        # the scan path's reduceat, but can never match a query token —
+        # don't store their postings
+        return g.filter(pc.not_equal(g["token"], ""))
+
+    return ds.map_batches(
+        postings, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("token")
+
+
+def _bm25_doclens(sf_dir: str) -> rd.Dataset:
+    """(doc_id, dl) for every valid-text document — the doc universe a
+    query needs only when fewer than k documents match any query token
+    (zero-score fill keeps the indexed path's output identical to the
+    full-corpus scan's)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        t, lens, _ = _bm25_tokens(t)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "dl": pa.array(lens, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bm25_index_build(sf_dir: str, index_dir: str | None = None) -> str:
+    """Build (or reuse) the PERSISTED BM25 inverted-index artifact:
+    token-sorted posting rows plus the doc-length table plus an
+    INDEX.json manifest carrying the exact corpus statistics (n_docs,
+    total_tokens), published with the lake's atomic-publish discipline
+    (staging dir -> one os.replace). At 100 TB the corpus tokenization
+    is the dominant cost of every retrieval call; persisting the
+    postings turns each query into a footer-pruned read of the query
+    tokens' posting lists (reference analog: the alias-cache lookup
+    structure, VULNERABILITY_DATA_FLOW.md 10-100x dedup speedup —
+    precompute once, probe many)."""
+    import os
+
+    from laketide.functions.artifacts import publish_dirs_artifact
+
+    final = index_dir or _bm25_index_dir(sf_dir)
+    if os.path.exists(os.path.join(final, "INDEX.json")):
+        return final
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def stats_pre(t: pa.Table) -> pa.Table:
+        t, lens, _ = _bm25_tokens(t)
+        return pa.table(
+            {
+                "n_docs": pa.array([t.num_rows], pa.int64()),
+                "total_tokens": pa.array([int(lens.sum())], pa.int64()),
+            }
+        )
+
+    stats = ds.map_batches(
+        stats_pre, batch_format="pyarrow", zero_copy_batch=True
+    ).sum(["n_docs", "total_tokens"])
+    n_docs = int((stats or {}).get("sum(n_docs)") or 0)
+    total_tokens = int((stats or {}).get("sum(total_tokens)") or 0)
+    return publish_dirs_artifact(
+        final,
+        {
+            "rows": lambda: _bm25_postings(sf_dir),
+            "doclen": lambda: _bm25_doclens(sf_dir),
+        },
+        {
+            "kind": "bm25",
+            "tokenizer": "tok-space-v1",
+            "n_docs": n_docs,
+            "total_tokens": total_tokens,
+        },
+    )
+
+
+def _bm25_search_indexed(sf_dir: str, k: int) -> pa.Table:
+    """BM25 top-k served from the persisted inverted index. Reads ONLY
+    the query tokens' posting lists (predicate pushed into the parquet
+    read; the build-time token sort makes row-group min/max stats
+    selective), pivots tf per document with an exact integer groupby,
+    then evaluates the SAME float expression tree as the scan path —
+    the two paths are bit-equal, equivalence-tested in
+    tests/test_analytics.py. When fewer than k documents match any query
+    token, the remaining slots are zero-score documents in doc_id
+    order, exactly as the full-corpus scan ranks them."""
+    import math
+
+    import pyarrow.dataset as pads
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    from laketide.functions.artifacts import read_artifact_meta, read_rows_artifact
+
+    out_schema = pa.schema([("doc_id", pa.int64()), ("score", pa.float64())])
+    idx = bm25_index_build(sf_dir)
+    meta = read_artifact_meta(idx)
+    n_docs, total_tokens = int(meta["n_docs"]), int(meta["total_tokens"])
+    if n_docs == 0:
+        return out_schema.empty_table()
+    q_toks = _BM25_QUERY
+    avgdl = float(total_tokens) / float(n_docs)
+
+    def postings_ds():
+        return read_rows_artifact(
+            idx,
+            _BM25_POSTINGS_SCHEMA,
+            filter=pads.field("token").isin(list(q_toks)),
+        )
+
+    # document frequencies: bounded per-batch partials over the pruned
+    # posting read (each (token, doc) posting is unique, so row counts
+    # ARE the dfs the scan path computes)
+    def df_pre(t: pa.Table) -> pa.Table:
+        cols = {}
+        for i, tok in enumerate(q_toks):
+            cols[f"df{i}"] = pa.array(
+                [int(pc.sum(pc.cast(pc.equal(t["token"], tok), pa.int64())).as_py() or 0)],
+                pa.int64(),
+            )
+        return pa.table(cols)
+
+    s = postings_ds().map_batches(
+        df_pre, batch_format="pyarrow", zero_copy_batch=True
+    ).sum([f"df{i}" for i in range(len(q_toks))])
+    dfs = [int((s or {}).get(f"sum(df{i})") or 0) for i in range(len(q_toks))]
+    # identical idf expression to the scan path (exact ints in -> same doubles)
+    idf = [
+        math.log((float(n_docs) - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0)
+        for i in range(len(q_toks))
+    ]
+    bc = ray.put((idf, avgdl))
+
+    # per-doc tf pivot: one-hot partials per batch, exact integer sums
+    # across blocks (a document's different tokens live in different
+    # token-sorted blocks)
+    def pivot_pre(t: pa.Table) -> pa.Table:
+        cols = {"doc_id": pc.cast(t["doc_id"], pa.int64()), "dl": t["dl"]}
+        for i, tok in enumerate(q_toks):
+            cols[f"tf{i}"] = pc.multiply(
+                pc.cast(pc.equal(t["token"], tok), pa.int64()), t["tf"]
+            )
+        return pa.table(cols)
+
+    piv = (
+        postings_ds()
+        .map_batches(pivot_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("doc_id")
+        .aggregate(
+            Max("dl", alias_name="dl"),
+            *[Sum(f"tf{i}", alias_name=f"tf{i}") for i in range(len(q_toks))],
+        )
+    )
+
+    def score_piv(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        idf_, avgdl_ = ray.get(bc)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        sc = np.zeros(t.num_rows, np.float64)
+        denom_base = _BM25_K1 * (1.0 - _BM25_B + _BM25_B * (dl / avgdl_))
+        for i in range(len(q_toks)):
+            tf = t[f"tf{i}"].to_numpy(zero_copy_only=False).astype(np.float64)
+            sc += idf_[i] * (tf * (_BM25_K1 + 1.0)) / (tf + denom_base)
+        out = pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "score": pa.array(sc, pa.float64()),
+            }
+        ).sort_by([("score", "descending"), ("doc_id", "ascending")])
+        return out.slice(0, k)
+
+    parts = [
+        p
+        for p in collect_tables(
+            piv.map_batches(score_piv, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        if p.num_rows
+    ]
+    top = (
+        pa.concat_tables([p.replace_schema_metadata(None) for p in parts])
+        .sort_by([("score", "descending"), ("doc_id", "ascending")])
+        .slice(0, k)
+        if parts
+        else out_schema.empty_table()
+    )
+    # matched docs always score > 0 (idf > 0, tf > 0); the scan path
+    # ranks every OTHER document at exactly 0.0, tie-broken by doc_id —
+    # fill remaining slots from the doc-length table only when needed
+    if top.num_rows < k and top.num_rows < n_docs:
+        need = k - top.num_rows
+        matched = ray.put(np.sort(top["doc_id"].to_numpy(zero_copy_only=False)))
+
+        def min_unmatched(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64())
+            keep = pc.invert(
+                pc.is_in(ids, value_set=pa.array(ray.get(matched), pa.int64()))
+            )
+            sel = ids.filter(keep)
+            return pa.table({"doc_id": sel}).sort_by("doc_id").slice(0, need)
+
+        fill_parts = [
+            p
+            for p in collect_tables(
+                read_rows_artifact(
+                    idx, _BM25_DOCLEN_SCHEMA, subdir="doclen", columns=["doc_id"]
+                ).map_batches(
+                    min_unmatched, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            if p.num_rows
+        ]
+        if fill_parts:
+            fill = (
+                pa.concat_tables([p.replace_schema_metadata(None) for p in fill_parts])
+                .sort_by("doc_id")
+                .slice(0, need)
+            )
+            top = pa.concat_tables(
+                [
+                    top,
+                    pa.table(
+                        {
+                            "doc_id": fill["doc_id"],
+                            "score": pa.array(
+                                np.zeros(fill.num_rows, np.float64), pa.float64()
+                            ),
+                        }
+                    ),
+                ]
+            )
+    return top.sort_by([("score", "descending"), ("doc_id", "ascending")]).slice(0, k)
 
 
 def dataset_split_assign(sf_dir: str) -> rd.Dataset:

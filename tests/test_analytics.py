@@ -824,3 +824,83 @@ def test_mixture_sample_explicit_weights(tmp_path):
     # deterministic: a second run returns the identical id set
     out2 = mixture_sample(str(tmp_path), weights=w).to_pandas()
     assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_bm25_index_matches_scan_and_caches():
+    """bm25_search(from_index=True) serves from the persisted inverted
+    index and is BIT-EQUAL to the full-corpus scan (same idf/tf/dl
+    integers into the same float expression tree); the second build
+    call reuses the published artifact untouched."""
+    import os
+    import shutil
+
+    from laketide.functions import text
+
+    idx_dir = text._bm25_index_dir(SF_DIR)
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    scan = text.bm25_search(SF_DIR)
+    via_index = text.bm25_search(SF_DIR, from_index=True)
+    assert scan.equals(via_index) and scan.num_rows == 10
+    idx = text.bm25_index_build(SF_DIR)
+    mtime = os.path.getmtime(os.path.join(idx, "INDEX.json"))
+    assert text.bm25_index_build(SF_DIR) == idx
+    assert os.path.getmtime(os.path.join(idx, "INDEX.json")) == mtime
+    shutil.rmtree(idx_dir, ignore_errors=True)
+
+
+def test_bm25_index_zero_fill_matches_scan(tmp_path):
+    """Fewer matching docs than k: the indexed path fills the remaining
+    slots with zero-score documents in doc_id order, exactly like the
+    full-corpus scan ranks non-matching documents."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laketide.functions import text
+
+    # 12 docs, only two contain query tokens ("data", "join"); one null text
+    texts = ["alpha beta gamma"] * 12
+    texts[3] = "data join data"
+    texts[7] = "join stream"
+    texts[10] = None
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(100, 112)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    shutil.rmtree(text._bm25_index_dir(str(tmp_path)), ignore_errors=True)
+    scan = text.bm25_search(str(tmp_path))
+    via_index = text.bm25_search(str(tmp_path), from_index=True)
+    assert scan.equals(via_index)
+    assert via_index.num_rows == 10
+    # the two matching docs lead, zero-score docs follow in id order
+    ids = via_index["doc_id"].to_pylist()
+    assert set(ids[:2]) == {103, 107}
+    assert ids[2:] == [100, 101, 102, 104, 105, 106, 108, 109]
+    assert via_index["score"].to_pylist()[2:] == [0.0] * 8
+    shutil.rmtree(text._bm25_index_dir(str(tmp_path)), ignore_errors=True)
+
+
+def test_bm25_index_empty_corpus(tmp_path):
+    """Empty corpus: the artifact publishes with zero row files and the
+    indexed search returns the typed empty result, twice (cached)."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laketide.functions import text
+
+    t = pa.table(
+        {"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())}
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    shutil.rmtree(text._bm25_index_dir(str(tmp_path)), ignore_errors=True)
+    for _ in range(2):
+        out = text.bm25_search(str(tmp_path), from_index=True)
+        assert out.num_rows == 0
+        assert out.schema.names == ["doc_id", "score"]
+    shutil.rmtree(text._bm25_index_dir(str(tmp_path)), ignore_errors=True)
