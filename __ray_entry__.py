@@ -577,6 +577,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_join": dedup.ngram_jaccard_join,
         "dup_components": dedup.dup_components,
         "dedup_keep_canonical": dedup.dedup_keep_canonical,
+        # same removal pass, production selection rule: keep the
+        # LONGEST cluster member (tie-break min doc_id), not the min-id
+        "dedup_keep_best": dedup.dedup_keep_best,
         "winnow_fingerprints": dedup.winnow_fingerprints,
         "winnow_match_pairs": dedup.winnow_match_pairs,
         "fuzzy_name_pairs": dedup.fuzzy_name_pairs,
@@ -2112,6 +2115,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE levenshtein(a.c_name, b.c_name) <= 1"
         ),
         "dedup_keep_canonical": _dedup_keep_canonical_oracle(0.5),
+        "dedup_keep_best": _dedup_keep_best_oracle(0.5),
         # winnowing selects by MIN GRAM STRING (not a hash), so the SQL
         # replays the selection rule exactly — see dedup._winnow_rows
         "winnow_fingerprints": _winnow_summary_oracle(),
@@ -2297,6 +2301,23 @@ def _dedup_keep_canonical_oracle(threshold: float) -> str:
         "SELECT d.doc_id, d.lang FROM documents d "
         "LEFT JOIN comp c ON d.doc_id = c.doc_id "
         "WHERE c.doc_id IS NULL OR c.component = d.doc_id"
+    )
+
+
+def _dedup_keep_best_oracle(threshold: float) -> str:
+    """Keep-best variant: rank cluster members by token count desc,
+    doc_id asc; keep untouched docs plus each cluster's winner."""
+    return (
+        f"{_components_cte(threshold)}, "
+        "q AS (SELECT c.doc_id, c.component, "
+        "len(string_split(d.text, ' ')) AS n_tokens "
+        "FROM comp c JOIN documents d USING (doc_id)), "
+        "win AS (SELECT doc_id FROM q "
+        "QUALIFY row_number() OVER (PARTITION BY component "
+        "ORDER BY n_tokens DESC, doc_id) = 1) "
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "LEFT JOIN comp c ON d.doc_id = c.doc_id "
+        "WHERE c.doc_id IS NULL OR d.doc_id IN (SELECT doc_id FROM win)"
     )
 
 

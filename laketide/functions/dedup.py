@@ -1505,6 +1505,94 @@ def dedup_keep_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
     return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """Near-dup removal keeping the BEST cluster member instead of the
+    min-id one: rank members by token count (descending, tie-break min
+    doc_id) — the selection rule production dedup pipelines actually use
+    (keep the longest / highest-quality near-duplicate, drop the rest).
+
+    Scale shape mirrors ``dedup_keep_canonical``: representative
+    selection runs on the O(near-duplicate docs) component table; member
+    token counts are gathered in ONE column-pruned corpus scan against a
+    broadcast member-id set; the final keep pass anti-filters a
+    broadcast drop set. The corpus itself never shuffles and the driver
+    holds only cluster-member rows (same budget regime the component
+    step already enforces)."""
+    import ray
+
+    from laketide.functions.relational import _sorted_member
+
+    comp = dup_components(sf_dir, threshold)
+    if not isinstance(comp, pa.Table):  # distributed path returned a Dataset
+        parts = collect_tables(comp)
+        comp = pa.concat_tables(parts) if parts else _COMP_SCHEMA.empty_table()
+
+    if comp.num_rows:
+        member_ids = np.sort(comp["doc_id"].to_numpy(zero_copy_only=False))
+        mref = ray.put(member_ids)
+        tok_schema = pa.schema([("doc_id", pa.int64()), ("n_tokens", pa.int64())])
+
+        def member_tokens(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t["doc_id"], pa.int64()).combine_chunks()
+            hit, _ = _sorted_member(ray.get(mref), ids)
+            t = t.filter(pa.array(hit))
+            if t.num_rows == 0:
+                return tok_schema.empty_table()
+            toks = pc.split_pattern(t["text"], " ")
+            return pa.table(
+                {
+                    "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                    "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+                }
+            )
+
+        tparts = [
+            p
+            for p in collect_tables(
+                scrubbed_read(
+                    f"{sf_dir}/documents.parquet",
+                    columns=["doc_id", "text"],
+                    min_blocks=cpu_min_blocks(),
+                ).map_batches(
+                    member_tokens, batch_format="pyarrow", zero_copy_batch=True
+                )
+            )
+            if p.num_rows
+        ]
+        tok = (
+            pa.concat_tables([p.replace_schema_metadata(None) for p in tparts])
+            if tparts
+            else tok_schema.empty_table()
+        )
+        # O(dup docs) winner pick: lexsort by (component, -n_tokens,
+        # doc_id), first row per component wins, everything else drops
+        order = np.argsort(tok["doc_id"].to_numpy(zero_copy_only=False))
+        tok_ids = tok["doc_id"].to_numpy(zero_copy_only=False)[order]
+        tok_n = tok["n_tokens"].to_numpy(zero_copy_only=False)[order]
+        did = comp["doc_id"].to_numpy(zero_copy_only=False)
+        cid = comp["component"].to_numpy(zero_copy_only=False)
+        ntok = tok_n[np.searchsorted(tok_ids, did)]
+        o = np.lexsort((did, -ntok, cid))
+        cid_s, did_s = cid[o], did[o]
+        is_winner = np.concatenate([[True], cid_s[1:] != cid_s[:-1]])
+        drop_ids = np.sort(did_s[~is_winner])
+    else:
+        drop_ids = np.array([], np.int64)
+    drop_ref = ray.put(drop_ids)
+
+    docs = scrubbed_read(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang"],
+        min_blocks=cpu_min_blocks(),
+    )
+
+    def keep(t: pa.Table) -> pa.Table:
+        hit, _ = _sorted_member(ray.get(drop_ref), t["doc_id"].combine_chunks())
+        return t.filter(pa.array(~hit))
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _edit1_mask(a: list, b: list) -> np.ndarray:
     """Vectorized exact Levenshtein<=1 check for candidate string pairs
     (ASCII — codeunits == characters, matching DuckDB ``levenshtein``

@@ -780,3 +780,37 @@ def test_winnow_artifact_equal_output(planted_docs, monkeypatch, tmp_path):
     assert direct.equals(again)
     with pytest.raises(ValueError):
         dedup.winnow_match_pairs(sf_dir, w=9, from_index=True)
+
+
+def test_dedup_keep_best_prefers_longest(tmp_path):
+    """keep-best drops the SHORTER near-duplicate even when it has the
+    smaller doc_id (where keep-canonical would keep it), tie-breaking
+    equal lengths by min doc_id."""
+    from laketide.functions.dedup import dedup_keep_best, dedup_keep_canonical
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 10, 11], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b c d e f g h",            # 8 tokens, cluster A
+                    "a b c d e f g h i j",        # 10 tokens, cluster A winner
+                    "zz yy xx ww vv uu",          # untouched
+                    "p q r s t u v w",            # 8 tokens, cluster B (tie)
+                    "p q r s t u v w",            # 8 tokens, cluster B
+                ],
+                pa.string(),
+            ),
+            "lang": pa.array(["en"] * 5, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    best = sorted(
+        r["doc_id"] for r in dedup_keep_best(str(tmp_path)).take_all()
+    )
+    # cluster A: doc 2 (longest) wins; cluster B: tie -> min doc_id 10
+    assert best == [2, 3, 10]
+    canon = sorted(
+        r["doc_id"] for r in dedup_keep_canonical(str(tmp_path)).take_all()
+    )
+    assert canon == [1, 3, 10]
