@@ -520,6 +520,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_filter": text.gopher_quality_filter,
         "source_quality_summary": text.source_quality_summary,
         "unigram_logppl": text.unigram_logppl,
+        # DSIR-style data selection: target-vs-raw unigram log-
+        # likelihood ratio in exact integer micro-nats
+        "dsir_importance_weights": text.dsir_importance_weights,
         "doc_chunk_windows": text.doc_chunk_windows,
         "pii_redact": text.pii_redact,
         # k-means is iterative/approximate -> rows-only; pytest asserts
@@ -1607,6 +1610,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept, "
             "coalesce(a.cleaned_text, '') AS cleaned_text "
             "FROM tot t LEFT JOIN agg a USING (doc_id)"
+        ),
+        "dsir_importance_weights": (
+            # target (lang=en) vs raw unigram log-likelihood ratio,
+            # Laplace-smoothed, KenLM floor (cr < 2 pools into one unk
+            # bucket on BOTH numerator and denominator); integer
+            # micro-nat weights floor((ln((ct+1)/(T+K)) -
+            # ln((cr+1)/(R+K)))*1e6) sum exactly in any order; ln() is
+            # libm on both engines; K = kept vocab + 1
+            "WITH tok AS (SELECT doc_id, lang, "
+            "unnest(string_split(coalesce(text,''),' ')) AS token FROM documents), "
+            "raw AS (SELECT token, count(*) AS cr FROM tok GROUP BY token), "
+            "tgt AS (SELECT token, count(*) AS ct FROM tok WHERE lang = 'en' "
+            "GROUP BY token), "
+            "rt AS (SELECT count(*) AS r FROM tok), "
+            "tt AS (SELECT count(*) AS t FROM tok WHERE lang = 'en'), "
+            "kk AS (SELECT count(*) + 1 AS k FROM raw WHERE cr >= 2), "
+            "rr AS (SELECT coalesce(sum(cr), 0) AS rrare FROM raw WHERE cr < 2), "
+            "tr AS (SELECT coalesce(sum(tg.ct), 0) AS trare FROM tgt tg "
+            "JOIN raw USING (token) WHERE raw.cr < 2), "
+            "w AS (SELECT raw.token, CAST(floor(("
+            "ln(CAST((CASE WHEN raw.cr >= 2 THEN coalesce(tg.ct, 0) "
+            "ELSE tr.trare END) + 1 AS DOUBLE) / CAST(tt.t + kk.k AS DOUBLE)) "
+            "- ln(CAST((CASE WHEN raw.cr >= 2 THEN raw.cr ELSE rr.rrare END) "
+            "+ 1 AS DOUBLE) / CAST(rt.r + kk.k AS DOUBLE))"
+            ") * 1000000.0) AS BIGINT) AS w "
+            "FROM raw LEFT JOIN tgt tg USING (token), rt, tt, kk, rr, tr) "
+            "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(w.w) AS BIGINT) AS lw_micro "
+            "FROM tok t JOIN w USING (token) "
+            "WHERE t.doc_id IS NOT NULL GROUP BY t.doc_id"
         ),
         "unigram_logppl": (
             # integer micro-nat token costs: floor(-ln(tf/N)*1e6) sums

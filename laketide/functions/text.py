@@ -2476,13 +2476,18 @@ def remove_boilerplate_segments(sf_dir: str) -> rd.Dataset:
     )
 
 
-def _tf_counts(sf_dir: str) -> rd.Dataset:
+def _tf_counts(sf_dir: str, lang: str | None = None) -> rd.Dataset:
     """token -> corpus TERM frequency (every occurrence, unlike
     ``_df_counts``'s per-document frequency): per-batch value_counts
-    partials, one vocabulary-scale shuffle."""
-    ds = _docs(sf_dir, columns=["text"])
+    partials, one vocabulary-scale shuffle. ``lang`` restricts the
+    stream to one language's documents (null lang never matches, like
+    SQL ``WHERE lang = ...``)."""
+    cols = ["text"] if lang is None else ["text", "lang"]
+    ds = _docs(sf_dir, columns=cols)
 
     def pre(t: pa.Table) -> pa.Table:
+        if lang is not None:
+            t = t.filter(pc.equal(t["lang"], lang))
         toks = pc.list_flatten(pc.split_pattern(pc.fill_null(t["text"], ""), " "))
         vc = pc.value_counts(toks)
         return pa.table(
@@ -2635,6 +2640,163 @@ def unigram_logppl(sf_dir: str) -> rd.Dataset:
                 "avg_nll_micro": pa.array(
                     nll.astype(np.float64) / lens.astype(np.float64), pa.float64()
                 ),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def dsir_importance_weights(
+    sf_dir: str, target_lang: str = "en", min_tf: int = 2
+) -> rd.Dataset:
+    """DSIR-style importance weighting for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by the log-likelihood ratio of a
+    TARGET unigram distribution (here: the ``target_lang`` slice, the
+    deterministic stand-in for a curated target corpus) against the RAW
+    pool distribution. Positive ``lw_micro`` = more target-like;
+    resampling/top-k selection composes on top. DSIR's hashed n-gram
+    bucketing is replaced by the repo's bounded-vocabulary discipline
+    (the KenLM frequency floor + pooled ``<unk>``, as in
+    ``unigram_logppl``) so the weights are EXACT and oracle-checkable:
+    per-token integer micro-nat weights
+    ``floor((ln((ct+1)/(T+K)) - ln((cr+1)/(R+K))) * 1e6)`` (Laplace
+    smoothing; K = kept-vocabulary size + 1 for the unk bucket) sum
+    exactly in any order.
+
+    Scale shape: two vocabulary-scale shuffles (raw + target term
+    frequencies), driver folds bounded by the KEPT vocabulary (tokens
+    under the raw floor arrive only as pooled partial sums), one
+    ``ray.put`` broadcast, then a shuffle-free streaming scoring pass
+    (index_in + one reduceat per batch). Per-entry weights use
+    ``math.log`` (libm — bit-identical to DuckDB ``ln()``)."""
+    import math
+
+    import ray
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("lw_micro", pa.int64()),
+        ]
+    )
+    raw = _tf_counts(sf_dir).materialize()
+
+    def kept_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["c"], min_tf))
+
+    def raw_mass(t: pa.Table) -> pa.Table:
+        c = pc.cast(t["c"], pa.int64())
+        rare = pc.if_else(pc.less(c, min_tf), c, pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "n": pa.array([int(pc.sum(c).as_py() or 0)], pa.int64()),
+                "rare": pa.array([int(pc.sum(rare).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    mass = collect_tables(
+        raw.map_batches(raw_mass, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    r_total = sum(int(pc.sum(p["n"]).as_py() or 0) for p in mass)
+    raw_rare = sum(int(pc.sum(p["rare"]).as_py() or 0) for p in mass)
+    if r_total == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    kept_parts = collect_tables(
+        raw.map_batches(kept_only, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    if kept_parts:
+        kt = pa.concat_tables([p.replace_schema_metadata(None) for p in kept_parts])
+        kept_tok = kt["token"].combine_chunks()
+        kept_cr = (
+            pc.cast(kt["c"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+    else:
+        kept_tok = pa.array([], pa.string())
+        kept_cr = np.zeros(0, dtype=np.int64)
+    n_kept = len(kept_cr)
+
+    # target counts: kept-token rows collected (bounded by the kept
+    # vocabulary), below-floor target mass as pooled per-block partials
+    tgt = _tf_counts(sf_dir, lang=target_lang).materialize()
+    kept_ref = ray.put(kept_tok)
+
+    def tgt_split(t: pa.Table) -> pa.Table:
+        hit = pc.is_valid(pc.index_in(t["token"], value_set=ray.get(kept_ref)))
+        return t.filter(hit)
+
+    def tgt_rare_mass(t: pa.Table) -> pa.Table:
+        miss = pc.invert(
+            pc.is_valid(pc.index_in(t["token"], value_set=ray.get(kept_ref)))
+        )
+        c = pc.cast(t["c"], pa.int64())
+        rare = pc.if_else(miss, c, pa.scalar(0, pa.int64()))
+        return pa.table(
+            {
+                "n": pa.array([int(pc.sum(c).as_py() or 0)], pa.int64()),
+                "rare": pa.array([int(pc.sum(rare).as_py() or 0)], pa.int64()),
+            }
+        )
+
+    tmass = collect_tables(
+        tgt.map_batches(tgt_rare_mass, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    t_total = sum(int(pc.sum(p["n"]).as_py() or 0) for p in tmass)
+    tgt_rare = sum(int(pc.sum(p["rare"]).as_py() or 0) for p in tmass)
+    tparts = collect_tables(
+        tgt.map_batches(tgt_split, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    ct = np.zeros(n_kept, dtype=np.int64)
+    if tparts:
+        tt = pa.concat_tables([p.replace_schema_metadata(None) for p in tparts])
+        pos = (
+            pc.index_in(tt["token"].combine_chunks(), value_set=kept_tok)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        ct[pos] = (
+            pc.cast(tt["c"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
+        )
+
+    k_size = n_kept + 1  # + the pooled <unk> bucket
+    tk = float(t_total + k_size)
+    rk = float(r_total + k_size)
+    w = np.fromiter(
+        (
+            math.floor(
+                (math.log((c_t + 1) / tk) - math.log((c_r + 1) / rk)) * 1e6
+            )
+            for c_t, c_r in zip(ct.tolist(), kept_cr.tolist())
+        ),
+        np.int64,
+        n_kept,
+    )
+    unk_w = math.floor(
+        (math.log((tgt_rare + 1) / tk) - math.log((raw_rare + 1) / rk)) * 1e6
+    )
+    bc = ray.put((kept_tok, w, unk_w))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["doc_id"]))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        tok_bc, w_bc, unk = ray.get(bc)
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        flat = pc.list_flatten(toks).combine_chunks()
+        costs = _unigram_token_costs(flat, tok_bc, w_bc, unk)
+        starts = np.cumsum(lens) - lens  # lens >= 1 per doc
+        lw = np.add.reduceat(costs, starts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "lw_micro": pa.array(lw, pa.int64()),
             }
         )
 

@@ -904,3 +904,37 @@ def test_bm25_index_empty_corpus(tmp_path):
         assert out.num_rows == 0
         assert out.schema.names == ["doc_id", "score"]
     shutil.rmtree(text._bm25_index_dir(str(tmp_path)), ignore_errors=True)
+
+
+def test_dsir_weights_separate_target_like_docs(tmp_path):
+    """Docs written in the target language's vocabulary score positive
+    lw_micro, docs in the disjoint other vocabulary score negative, and
+    a sub-floor token (tf < 2) is priced through the pooled unk bucket
+    (the score still computes, no KeyError/zero-prob blowup)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from laketide.functions.text import dsir_importance_weights
+
+    en = "the cat sat on the mat and the dog ran"
+    de = "der hund lief und die katze sass auf der matte"
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": pa.array(
+                [en, en + " again", de, de + " nochmal", "the cat UNIQUETOKEN"],
+                pa.string(),
+            ),
+            "lang": pa.array(["en", "en", "de", "de", None], pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r["lw_micro"]
+        for r in dsir_importance_weights(str(tmp_path)).take_all()
+    }
+    assert len(out) == 5
+    assert out[1] > 0 and out[2] > 0, "target-vocabulary docs score positive"
+    assert out[3] < 0 and out[4] < 0, "raw-only vocabulary docs score negative"
+    # doc 5 contains a tf=1 token -> unk-priced, en words dominate
+    assert out[5] > out[3]

@@ -45,6 +45,7 @@ _NULLABLE_QUERIES = [
     "top_tokens_by_lang",
     "doc_normalize",
     "dedup_keep_canonical",
+    "dedup_keep_best",
     "lookup_join_overlap",
     "token_counts",
     "doc_summary",
@@ -78,6 +79,9 @@ _NULLABLE_QUERIES = [
     "remove_boilerplate_segments",
     "gopher_quality_filter",
     "unigram_logppl",
+    "dsir_importance_weights",
+    "bm25_search",
+    "bm25_search_indexed",
     "doc_chunk_windows",
     "entropy_by_event_type",
     "events_cube",
@@ -235,6 +239,7 @@ def test_query_matches_oracle_with_nulls(name, nullable_sf_dir):
         "dedup_text_segments",
         "remove_boilerplate_segments",
         "unigram_logppl",
+        "dsir_importance_weights",
         "doc_chunk_windows",
         # the hash-threshold samplers share the same NaN-cast exposure:
         # a null doc_id would bucket by garbage while the oracle's NULL
