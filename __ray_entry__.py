@@ -523,6 +523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DSIR-style data selection: target-vs-raw unigram log-
         # likelihood ratio in exact integer micro-nats
         "dsir_importance_weights": text.dsir_importance_weights,
+        # CCNet head/middle/tail thirds by exact integer perplexity
+        "ppl_bucket_docs": text.ppl_bucket_docs,
         "doc_chunk_windows": text.doc_chunk_windows,
         "pii_redact": text.pii_redact,
         # k-means is iterative/approximate -> rows-only; pytest asserts
@@ -1641,27 +1643,31 @@ def oracle_sql() -> dict[str, str]:
             "FROM tok t JOIN w USING (token) "
             "WHERE t.doc_id IS NOT NULL GROUP BY t.doc_id"
         ),
+        # integer micro-nat token costs: floor(-ln(tf/N)*1e6) sums
+        # exactly in any order; ln() is libm on both engines. KenLM-style
+        # frequency floor: tokens with tf < 2 share the pooled <unk> cost
+        # floor(-ln(rare/N)*1e6) — the same floor the engine's bounded
+        # vocabulary applies. Training (tf/n/rare) stays on the FULL
+        # corpus; only the scored groups drop null doc_id, same as the
+        # engine. The CTE is shared with ppl_bucket_docs (one rule).
         "unigram_logppl": (
-            # integer micro-nat token costs: floor(-ln(tf/N)*1e6) sums
-            # exactly in any order; ln() is libm on both engines.
-            # KenLM-style frequency floor: tokens with tf < 2 share the
-            # pooled <unk> cost floor(-ln(rare/N)*1e6) — the same floor
-            # the engine's bounded vocabulary applies
-            "WITH tok AS (SELECT doc_id, "
-            "unnest(string_split(coalesce(text,''),' ')) AS token FROM documents), "
-            "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token), "
-            "n AS (SELECT count(*) AS n FROM tok), "
-            "rare AS (SELECT coalesce(sum(c), 0) AS r FROM tf WHERE c < 2), "
-            "cost AS (SELECT token, CAST(floor(-ln("
-            "CAST(CASE WHEN c >= 2 THEN c ELSE r END AS DOUBLE)/CAST(n AS DOUBLE)) "
-            "* 1000000.0) AS BIGINT) AS cost FROM tf, n, rare) "
-            "SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
-            "CAST(sum(c2.cost) AS BIGINT) AS nll_micro, "
-            "CAST(sum(c2.cost) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_nll_micro "
-            # training (tf/n/rare) stays on the FULL corpus; only the
-            # scored groups drop null doc_id, same as the engine
-            "FROM tok t JOIN cost c2 USING (token) "
-            "WHERE t.doc_id IS NOT NULL GROUP BY t.doc_id"
+            f"WITH {_UNIGRAM_NLL_CTE} "
+            "SELECT doc_id, n_tokens, nll_micro, "
+            "CAST(nll_micro AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_nll_micro "
+            "FROM ppl"
+        ),
+        # CCNet-style head/middle/tail bucketing by exact integer-
+        # micro-nat perplexity terciles (quantile_disc thresholds —
+        # the engine's quantile_read implements the same rank rule)
+        "ppl_bucket_docs": (
+            f"WITH {_UNIGRAM_NLL_CTE}, "
+            "a AS (SELECT doc_id, nll_micro // n_tokens AS avg_nll_int FROM ppl), "
+            "th AS (SELECT quantile_disc(avg_nll_int, 1.0/3) AS q1, "
+            "quantile_disc(avg_nll_int, 2.0/3) AS q2 FROM a) "
+            "SELECT a.doc_id, CAST(a.avg_nll_int AS BIGINT) AS avg_nll_int, "
+            "CASE WHEN a.avg_nll_int <= th.q1 THEN 'head' "
+            "WHEN a.avg_nll_int <= th.q2 THEN 'middle' ELSE 'tail' END AS bucket "
+            "FROM a, th"
         ),
         "doc_chunk_windows": (
             # 64-token windows every 48 tokens (1-based inclusive slices)
@@ -2257,6 +2263,24 @@ _TRIGRAM_GRAMS_CTE = (
 _TRIGRAM_JAC_EXPR = (
     "CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) "
     "/ (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))"
+)
+
+# Shared between unigram_logppl and ppl_bucket_docs: the per-document
+# integer micro-nat NLL (KenLM floor + pooled <unk>) ends in
+# ppl(doc_id, n_tokens, nll_micro) so the LM rule lives in one place.
+_UNIGRAM_NLL_CTE = (
+    "tok AS (SELECT doc_id, "
+    "unnest(string_split(coalesce(text,''),' ')) AS token FROM documents), "
+    "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token), "
+    "n AS (SELECT count(*) AS n FROM tok), "
+    "rare AS (SELECT coalesce(sum(c), 0) AS r FROM tf WHERE c < 2), "
+    "cost AS (SELECT token, CAST(floor(-ln("
+    "CAST(CASE WHEN c >= 2 THEN c ELSE r END AS DOUBLE)/CAST(n AS DOUBLE)) "
+    "* 1000000.0) AS BIGINT) AS cost FROM tf, n, rare), "
+    "ppl AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+    "CAST(sum(c2.cost) AS BIGINT) AS nll_micro "
+    "FROM tok t JOIN cost c2 USING (token) "
+    "WHERE t.doc_id IS NOT NULL GROUP BY t.doc_id)"
 )
 
 

@@ -2648,6 +2648,82 @@ def unigram_logppl(sf_dir: str) -> rd.Dataset:
     )
 
 
+def ppl_bucket_docs(sf_dir: str) -> rd.Dataset:
+    """CCNet-style perplexity bucketing: split the corpus into
+    head / middle / tail thirds by language-model perplexity (CCNet,
+    Wenzek et al. 2020 — the head feeds training, the tail is
+    discarded or down-weighted). Per-document scores come from
+    ``unigram_logppl``'s exact integer micro-nat NLL; the bucket key is
+    the integer ``nll_micro // n_tokens`` so the tercile thresholds are
+    EXACT ``quantile_disc`` values (``quantile_read``'s one shared rank
+    rule) and the assignment is oracle-checkable.
+
+    Scale shape: the per-doc score dataset (24-byte rows) materializes
+    once so the LM scoring pass doesn't run twice; the threshold read
+    is a value-count histogram shuffle (bounded by DISTINCT integer
+    averages, corpus-independent in the limit), then bucket assignment
+    is a shuffle-free map with the two thresholds closed over."""
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("avg_nll_int", pa.int64()),
+            ("bucket", pa.string()),
+        ]
+    )
+
+    def to_avg(t: pa.Table) -> pa.Table:
+        nll = t["nll_micro"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "avg_nll_int": pa.array(nll // n, pa.int64()),
+            }
+        )
+
+    avg = (
+        unigram_logppl(sf_dir)
+        .map_batches(to_avg, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def hist_pre(t: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            t["avg_nll_int"].to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "v": pa.array(vals, pa.int64()),
+                "c": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        avg.map_batches(hist_pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("v")
+        .aggregate(Sum("c", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    if hist.empty:
+        return rd.from_arrow(out_schema.empty_table())
+    th = quantile_read(hist, "v", (1 / 3, 2 / 3))
+    q1, q2 = th["q33"], th["q66"]
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        v = t["avg_nll_int"].to_numpy(zero_copy_only=False)
+        b = np.where(v <= q1, "head", np.where(v <= q2, "middle", "tail"))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "avg_nll_int": t["avg_nll_int"],
+                "bucket": pa.array(b, pa.string()),
+            }
+        )
+
+    return avg.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def dsir_importance_weights(
     sf_dir: str, target_lang: str = "en", min_tf: int = 2
 ) -> rd.Dataset:

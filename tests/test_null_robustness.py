@@ -80,6 +80,7 @@ _NULLABLE_QUERIES = [
     "gopher_quality_filter",
     "unigram_logppl",
     "dsir_importance_weights",
+    "ppl_bucket_docs",
     "bm25_search",
     "bm25_search_indexed",
     "doc_chunk_windows",
@@ -240,6 +241,7 @@ def test_query_matches_oracle_with_nulls(name, nullable_sf_dir):
         "remove_boilerplate_segments",
         "unigram_logppl",
         "dsir_importance_weights",
+        "ppl_bucket_docs",
         "doc_chunk_windows",
         # the hash-threshold samplers share the same NaN-cast exposure:
         # a null doc_id would bucket by garbage while the oracle's NULL
