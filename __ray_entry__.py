@@ -2405,10 +2405,13 @@ def _bm25_oracle(k: int = 10) -> str:
         for i in range(len(_BM25_QUERY))
     )
     return (
+        # null doc_id rows drop on both engine paths (the repo-wide
+        # null-key rule; a NaN-cast would corrupt the indexed postings)
         "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token "
-        "FROM documents WHERE text IS NOT NULL), "
+        "FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL), "
         "dl AS (SELECT doc_id, count(*) AS d FROM tok GROUP BY doc_id), "
-        "st AS (SELECT (SELECT count(*) FROM documents WHERE text IS NOT NULL) AS n, "
+        "st AS (SELECT (SELECT count(*) FROM documents "
+        "WHERE text IS NOT NULL AND doc_id IS NOT NULL) AS n, "
         "(SELECT sum(d) FROM dl) AS tt), "
         f"{df_ctes}, "
         f"tf AS (SELECT doc_id, {tf_cols} FROM tok GROUP BY doc_id) "

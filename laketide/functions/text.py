@@ -1458,11 +1458,12 @@ def _bm25_index_dir(sf_dir: str) -> str:
 
 def _bm25_tokens(t: pa.Table):
     """Shared tokenizer of the BM25 family (whitespace split on the
-    single-space separator, null text dropped) — build and scan paths
-    MUST tokenize identically or tf/dl diverge. Returns the filtered
-    table, per-doc lengths (int64 numpy) and the flattened token
-    array."""
-    t = t.filter(pc.is_valid(t["text"]))
+    single-space separator; null text AND null doc_id rows dropped —
+    the repo-wide null-key rule: a null doc_id would NaN-cast to an
+    arbitrary int64 in the postings build) — build and scan paths MUST
+    tokenize identically or tf/dl diverge. Returns the filtered table,
+    per-doc lengths (int64 numpy) and the flattened token array."""
+    t = t.filter(pc.and_(pc.is_valid(t["text"]), pc.is_valid(t["doc_id"])))
     toks = pc.split_pattern(t["text"], " ")
     lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks).combine_chunks()
@@ -1525,52 +1526,45 @@ def _bm25_doclens(sf_dir: str) -> rd.Dataset:
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def bm25_index_build(sf_dir: str, index_dir: str | None = None) -> str:
+def bm25_index_build(sf_dir: str) -> str:
     """Build (or reuse) the PERSISTED BM25 inverted-index artifact:
     token-sorted posting rows plus the doc-length table plus an
     INDEX.json manifest carrying the exact corpus statistics (n_docs,
     total_tokens), published with the lake's atomic-publish discipline
-    (staging dir -> one os.replace). At 100 TB the corpus tokenization
-    is the dominant cost of every retrieval call; persisting the
-    postings turns each query into a footer-pruned read of the query
-    tokens' posting lists (reference analog: the alias-cache lookup
-    structure, VULNERABILITY_DATA_FLOW.md 10-100x dedup speedup —
-    precompute once, probe many)."""
+    (staging dir -> one os.replace). The cache key is the corpus
+    fingerprint (path|size|mtime + tokenizer salt) ONLY — no caller-
+    supplied location that could serve a stale index after the corpus
+    changes. At 100 TB the corpus tokenization is the dominant cost of
+    every retrieval call; persisting the postings turns each query into
+    a footer-pruned read of the query tokens' posting lists (reference
+    analog: the alias-cache lookup structure,
+    VULNERABILITY_DATA_FLOW.md 10-100x dedup speedup — precompute once,
+    probe many)."""
     import os
 
     from laketide.functions.artifacts import publish_dirs_artifact
 
-    final = index_dir or _bm25_index_dir(sf_dir)
+    final = _bm25_index_dir(sf_dir)
     if os.path.exists(os.path.join(final, "INDEX.json")):
         return final
 
-    ds = _docs(sf_dir, columns=["doc_id", "text"])
-
-    def stats_pre(t: pa.Table) -> pa.Table:
-        t, lens, _ = _bm25_tokens(t)
-        return pa.table(
-            {
-                "n_docs": pa.array([t.num_rows], pa.int64()),
-                "total_tokens": pa.array([int(lens.sum())], pa.int64()),
-            }
-        )
-
-    stats = ds.map_batches(
-        stats_pre, batch_format="pyarrow", zero_copy_batch=True
-    ).sum(["n_docs", "total_tokens"])
-    n_docs = int((stats or {}).get("sum(n_docs)") or 0)
-    total_tokens = int((stats or {}).get("sum(total_tokens)") or 0)
+    # the doc-length dataset is the stats source (n_docs = row count,
+    # total_tokens = sum(dl)) — no separate stats pass; materialized
+    # once (16-byte rows) so the publish factory doesn't re-tokenize
+    dl_ds = _bm25_doclens(sf_dir).materialize()
+    n_docs = dl_ds.count()
+    total = dl_ds.sum("dl") if n_docs else 0
     return publish_dirs_artifact(
         final,
         {
             "rows": lambda: _bm25_postings(sf_dir),
-            "doclen": lambda: _bm25_doclens(sf_dir),
+            "doclen": lambda: dl_ds,
         },
         {
             "kind": "bm25",
             "tokenizer": "tok-space-v1",
-            "n_docs": n_docs,
-            "total_tokens": total_tokens,
+            "n_docs": int(n_docs),
+            "total_tokens": int(total or 0),
         },
     )
 
@@ -1602,39 +1596,12 @@ def _bm25_search_indexed(sf_dir: str, k: int) -> pa.Table:
     q_toks = _BM25_QUERY
     avgdl = float(total_tokens) / float(n_docs)
 
-    def postings_ds():
-        return read_rows_artifact(
-            idx,
-            _BM25_POSTINGS_SCHEMA,
-            filter=pads.field("token").isin(list(q_toks)),
-        )
-
-    # document frequencies: bounded per-batch partials over the pruned
-    # posting read (each (token, doc) posting is unique, so row counts
-    # ARE the dfs the scan path computes)
-    def df_pre(t: pa.Table) -> pa.Table:
-        cols = {}
-        for i, tok in enumerate(q_toks):
-            cols[f"df{i}"] = pa.array(
-                [int(pc.sum(pc.cast(pc.equal(t["token"], tok), pa.int64())).as_py() or 0)],
-                pa.int64(),
-            )
-        return pa.table(cols)
-
-    s = postings_ds().map_batches(
-        df_pre, batch_format="pyarrow", zero_copy_batch=True
-    ).sum([f"df{i}" for i in range(len(q_toks))])
-    dfs = [int((s or {}).get(f"sum(df{i})") or 0) for i in range(len(q_toks))]
-    # identical idf expression to the scan path (exact ints in -> same doubles)
-    idf = [
-        math.log((float(n_docs) - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0)
-        for i in range(len(q_toks))
-    ]
-    bc = ray.put((idf, avgdl))
-
     # per-doc tf pivot: one-hot partials per batch, exact integer sums
     # across blocks (a document's different tokens live in different
-    # token-sorted blocks)
+    # token-sorted blocks). ONE pruned read of the posting lists,
+    # materialized (O(matched docs) skinny rows — the same budget the
+    # posting lists themselves cost) so the df pass below doesn't
+    # re-open the parquet
     def pivot_pre(t: pa.Table) -> pa.Table:
         cols = {"doc_id": pc.cast(t["doc_id"], pa.int64()), "dl": t["dl"]}
         for i, tok in enumerate(q_toks):
@@ -1644,14 +1611,48 @@ def _bm25_search_indexed(sf_dir: str, k: int) -> pa.Table:
         return pa.table(cols)
 
     piv = (
-        postings_ds()
+        read_rows_artifact(
+            idx,
+            _BM25_POSTINGS_SCHEMA,
+            filter=pads.field("token").isin(list(q_toks)),
+        )
         .map_batches(pivot_pre, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("doc_id")
         .aggregate(
             Max("dl", alias_name="dl"),
             *[Sum(f"tf{i}", alias_name=f"tf{i}") for i in range(len(q_toks))],
         )
+        .materialize()
     )
+
+    # document frequencies from the pivot (each (token, doc) posting is
+    # unique, so docs-with-tf_i>0 ARE the dfs the scan path computes)
+    def df_pre(t: pa.Table) -> pa.Table:
+        cols = {}
+        for i in range(len(q_toks)):
+            cols[f"df{i}"] = pa.array(
+                [
+                    int(
+                        pc.sum(
+                            pc.cast(pc.greater(t[f"tf{i}"], 0), pa.int64())
+                        ).as_py()
+                        or 0
+                    )
+                ],
+                pa.int64(),
+            )
+        return pa.table(cols)
+
+    s = piv.map_batches(df_pre, batch_format="pyarrow", zero_copy_batch=True).sum(
+        [f"df{i}" for i in range(len(q_toks))]
+    )
+    dfs = [int((s or {}).get(f"sum(df{i})") or 0) for i in range(len(q_toks))]
+    # identical idf expression to the scan path (exact ints in -> same doubles)
+    idf = [
+        math.log((float(n_docs) - dfs[i] + 0.5) / (dfs[i] + 0.5) + 1.0)
+        for i in range(len(q_toks))
+    ]
+    bc = ray.put((idf, avgdl))
 
     def score_piv(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -2504,24 +2505,17 @@ def _tf_counts(sf_dir: str, lang: str | None = None) -> rd.Dataset:
     )
 
 
-def _unigram_cost_table(
-    sf_dir: str, min_tf: int = 2
-) -> "tuple[pa.Array, np.ndarray, int] | None":
-    """(vocab tokens, per-token integer micro-nat costs, <unk> cost)
-    trained on the FULL corpus — floor(-ln(tf/N)*1e6) via ``math.log``
-    (libm, the DuckDB-ln-parity requirement). None on an empty corpus.
-
-    BOUNDED vocabulary (the standard KenLM frequency floor): tokens
-    with tf < ``min_tf`` collapse into one ``<unk>`` bucket whose cost
-    is the POOLED below-floor mass, floor(-ln(rare/N)*1e6). At web
-    scale the distinct-token set (typos, URLs) grows without bound but
-    the driver only ever collects tokens AT/ABOVE the floor — the
-    below-floor mass arrives as per-block (n, rare) partial sums — so
-    both the driver fold and the ``ray.put`` broadcast stop growing
-    with corpus size."""
-    import math
-
-    agg = _tf_counts(sf_dir).materialize()
+def _bounded_tf_fold(
+    agg: rd.Dataset, min_tf: int
+) -> "tuple[pa.Array, np.ndarray, int, int]":
+    """(kept tokens, kept counts, total mass, below-floor mass) from a
+    materialized (token, c) term-frequency Dataset under the KenLM
+    frequency floor. The driver only ever collects tokens AT/ABOVE the
+    floor — the below-floor mass arrives as per-block (n, rare) partial
+    sums — so the fold stays bounded at web scale where the distinct-
+    token set (typos, URLs) grows without bound. The ONE bounded-
+    vocabulary fold, shared by ``_unigram_cost_table`` and
+    ``dsir_importance_weights`` so the floor semantics cannot drift."""
 
     def kept_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t["c"], min_tf))
@@ -2541,13 +2535,11 @@ def _unigram_cost_table(
     )
     n_total = sum(int(pc.sum(p["n"]).as_py() or 0) for p in mass)
     rare_total = sum(int(pc.sum(p["rare"]).as_py() or 0) for p in mass)
-    if n_total == 0:
-        return None
     parts = collect_tables(
         agg.map_batches(kept_only, batch_format="pyarrow", zero_copy_batch=True)
     )
     if parts:
-        tf = pa.concat_tables(parts)
+        tf = pa.concat_tables([p.replace_schema_metadata(None) for p in parts])
         tok_arr = tf["token"].combine_chunks()
         c_np = (
             pc.cast(tf["c"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
@@ -2555,6 +2547,26 @@ def _unigram_cost_table(
     else:
         tok_arr = pa.array([], pa.string())
         c_np = np.zeros(0, dtype=np.int64)
+    return tok_arr, c_np, n_total, rare_total
+
+
+def _unigram_cost_table(
+    sf_dir: str, min_tf: int = 2
+) -> "tuple[pa.Array, np.ndarray, int] | None":
+    """(vocab tokens, per-token integer micro-nat costs, <unk> cost)
+    trained on the FULL corpus — floor(-ln(tf/N)*1e6) via ``math.log``
+    (libm, the DuckDB-ln-parity requirement). None on an empty corpus.
+    BOUNDED vocabulary (the standard KenLM frequency floor): tokens
+    with tf < ``min_tf`` collapse into one ``<unk>`` bucket whose cost
+    is the POOLED below-floor mass, floor(-ln(rare/N)*1e6); the fold
+    itself is ``_bounded_tf_fold``."""
+    import math
+
+    tok_arr, c_np, n_total, rare_total = _bounded_tf_fold(
+        _tf_counts(sf_dir).materialize(), min_tf
+    )
+    if n_total == 0:
+        return None
     cost_np = np.fromiter(
         (math.floor(-math.log(c / n_total) * 1e6) for c in c_np.tolist()),
         np.int64,
@@ -2759,40 +2771,11 @@ def dsir_importance_weights(
             ("lw_micro", pa.int64()),
         ]
     )
-    raw = _tf_counts(sf_dir).materialize()
-
-    def kept_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t["c"], min_tf))
-
-    def raw_mass(t: pa.Table) -> pa.Table:
-        c = pc.cast(t["c"], pa.int64())
-        rare = pc.if_else(pc.less(c, min_tf), c, pa.scalar(0, pa.int64()))
-        return pa.table(
-            {
-                "n": pa.array([int(pc.sum(c).as_py() or 0)], pa.int64()),
-                "rare": pa.array([int(pc.sum(rare).as_py() or 0)], pa.int64()),
-            }
-        )
-
-    mass = collect_tables(
-        raw.map_batches(raw_mass, batch_format="pyarrow", zero_copy_batch=True)
+    kept_tok, kept_cr, r_total, raw_rare = _bounded_tf_fold(
+        _tf_counts(sf_dir).materialize(), min_tf
     )
-    r_total = sum(int(pc.sum(p["n"]).as_py() or 0) for p in mass)
-    raw_rare = sum(int(pc.sum(p["rare"]).as_py() or 0) for p in mass)
     if r_total == 0:
         return rd.from_arrow(out_schema.empty_table())
-    kept_parts = collect_tables(
-        raw.map_batches(kept_only, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    if kept_parts:
-        kt = pa.concat_tables([p.replace_schema_metadata(None) for p in kept_parts])
-        kept_tok = kt["token"].combine_chunks()
-        kept_cr = (
-            pc.cast(kt["c"], pa.int64()).combine_chunks().to_numpy(zero_copy_only=False)
-        )
-    else:
-        kept_tok = pa.array([], pa.string())
-        kept_cr = np.zeros(0, dtype=np.int64)
     n_kept = len(kept_cr)
 
     # target counts: kept-token rows collected (bounded by the kept

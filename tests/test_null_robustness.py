@@ -242,6 +242,8 @@ def test_query_matches_oracle_with_nulls(name, nullable_sf_dir):
         "unigram_logppl",
         "dsir_importance_weights",
         "ppl_bucket_docs",
+        "bm25_search",
+        "bm25_search_indexed",
         "doc_chunk_windows",
         # the hash-threshold samplers share the same NaN-cast exposure:
         # a null doc_id would bucket by garbage while the oracle's NULL
