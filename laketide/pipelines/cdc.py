@@ -26,6 +26,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+from contextlib import contextmanager
 
 import numpy as np
 from typing import Any
@@ -1687,93 +1688,92 @@ class LakeTable:
     # ------------------------------------------------------------ writer lock
     def _acquire_lock(self, name: str = "_LOCK"):
         """Single-writer advisory lock (the reference's single sync-job
-        analog): O_EXCL lock file holding the writer pid; a lock whose
-        pid is dead is stale and stolen. A LIVE contender raises by
-        default; ``lock_wait_seconds > 0`` (constructor knob) instead
-        retries with backoff until the deadline — the operational mode
-        for a tail daemon coexisting with cron maintenance, where the
-        writers are serialized, not failed."""
+        analog): a lock file holding the writer pid; a lock whose pid is
+        dead is stale and stolen. A LIVE contender raises by default;
+        ``lock_wait_seconds > 0`` (constructor knob) instead retries
+        with backoff until the deadline — the operational mode for a
+        tail daemon coexisting with cron maintenance, where the writers
+        are serialized, not failed.
+
+        Every read-decide-mutate of the lock file runs inside a tiny
+        flock-guarded critical section (``_lock_guard``): the round-5
+        race suite caught the rename-based steal double-winning — a
+        contender that read the OLD stale pid could rename away whatever
+        sat at the path by then, i.e. a NEW live writer's lock (classic
+        TOCTOU: decision from content, action by name). Under the guard
+        the staleness check and the steal are one atomic step, so two
+        holds can never overlap; a process that dies mid-section drops
+        the guard automatically (kernel flock semantics), so the guard
+        itself can never go stale."""
         import time as _time
 
         path = os.path.join(self.table_dir, name)
-        # Publish by hardlink: the pid is fully written to a private tmp
-        # BEFORE the name appears, so no contender can ever observe an
-        # empty lock file (the O_EXCL+write scheme had a window where a
-        # reader parsed the empty file as a stale pid and stole a LIVE
-        # writer's lock).
-        import threading as _threading
-
-        # pid + thread id: two handles in one process must not share the
-        # tmp name, or one acquisition's cleanup deletes the other's
-        # link source mid-retry
-        tmp = f"{path}.tmp-{os.getpid()}-{_threading.get_ident()}"
-        with open(tmp, "w") as fh:
-            fh.write(str(os.getpid()))
         wait = float(getattr(self, "lock_wait_seconds", 0.0) or 0.0)
         deadline = _time.monotonic() + max(0.0, wait)
-        try:
-            while True:
-                try:
-                    os.link(tmp, path)
+        while True:
+            with self._lock_guard(path):
+                holder = self._lock_holder(path)
+                if holder is None:
+                    # absent or stale: (re)claim. The write happens under
+                    # the guard, so no contender can observe a partially
+                    # written pid.
+                    with open(f"{path}.claim", "w") as fh:
+                        fh.write(str(os.getpid()))
+                    os.replace(f"{path}.claim", path)
                     return path
-                except FileExistsError:
-                    try:
-                        self._contend_lock(path)
-                    except RuntimeError:
-                        if _time.monotonic() >= deadline:
-                            raise
-                        _time.sleep(0.05)
-        finally:
-            try:
-                os.remove(tmp)
-            except FileNotFoundError:
-                pass
-
-    def _contend_lock(self, path: str) -> None:
-        """Handle an existing lock file: raise if its writer is alive,
-        steal (by atomic rename — exactly one of several contenders
-        wins the rename; remove-based stealing lets two both 'win') if
-        stale. Returning without raising means 'retry the acquire'."""
-        try:
-            with open(path) as fh:
-                pid = int(fh.read().strip() or "-1")
-        except (FileNotFoundError, ValueError):
-            return  # raced with a release; retry
-        alive = False
-        if pid > 0:
-            try:
-                os.kill(pid, 0)
-                alive = True
-            except ProcessLookupError:
-                alive = False
-            except PermissionError:
-                alive = True  # exists, owned by another uid
-        if alive:
             # own pid included: a live lock bearing OUR pid can only mean
             # another thread of this process holds it — stealing it would
             # run two writers concurrently from the same parent manifest
             # (the exact lost-update the lock exists to prevent)
-            same = " (another thread of this process)" if pid == os.getpid() else ""
-            raise RuntimeError(
-                f"table {self.table_dir} is locked by live writer pid {pid}{same}"
-            )
-        steal = f"{path}.steal-{os.getpid()}"
+            same = " (another thread of this process)" if holder == os.getpid() else ""
+            if _time.monotonic() >= deadline:
+                raise RuntimeError(
+                    f"table {self.table_dir} is locked by live writer pid {holder}{same}"
+                )
+            _time.sleep(0.05)
+
+    @contextmanager
+    def _lock_guard(self, path: str):
+        """flock-serialized critical section for lock-STATE mutations
+        (never held while a writer works — only for the microseconds of
+        check/claim/release). The guard file is created once and never
+        removed: unlinking a flocked file is the classic way two
+        processes end up holding 'the' lock on different inodes."""
+        import fcntl
+
+        fd = os.open(f"{path}.guard", os.O_CREAT | os.O_RDWR, 0o644)
         try:
-            os.rename(path, steal)
-        except FileNotFoundError:
-            return  # lost the steal race; retry
-        # any other OSError (EACCES, EROFS...) must propagate —
-        # swallowing it here would spin the acquire loop forever
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            os.close(fd)  # closing the fd releases the flock
+
+    @staticmethod
+    def _lock_holder(path: str) -> int | None:
+        """pid of the LIVE holder of ``path``, else None (absent lock,
+        unparseable pid, or dead pid — all claimable). Call only under
+        ``_lock_guard``."""
         try:
-            os.remove(steal)
-        except FileNotFoundError:
-            pass
+            with open(path) as fh:
+                pid = int(fh.read().strip() or "-1")
+        except (FileNotFoundError, ValueError):
+            return None
+        if pid <= 0:
+            return None
+        try:
+            os.kill(pid, 0)
+            return pid
+        except ProcessLookupError:
+            return None
+        except PermissionError:
+            return pid  # exists, owned by another uid
 
     def _release_lock(self, path: str) -> None:
-        try:
-            os.remove(path)
-        except FileNotFoundError:
-            pass
+        with self._lock_guard(path):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
 
     def _finalize(
         self,
