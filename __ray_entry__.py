@@ -520,6 +520,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_filter": text.gopher_quality_filter,
         "source_quality_summary": text.source_quality_summary,
         "unigram_logppl": text.unigram_logppl,
+        # Stupid-Backoff bigram LM (Brants et al. 2007) in exact
+        # integer micro-nats; same KenLM floor family as the unigram
+        "bigram_logppl": text.bigram_logppl,
+        # Zipf count-of-counts (Good-Turing / vocabulary-growth input)
+        "token_freq_spectrum": text.token_freq_spectrum,
+        # subword-vs-whitespace fertility per language
+        "tokenizer_fertility_by_lang": text.tokenizer_fertility_by_lang,
         # DSIR-style data selection: target-vs-raw unigram log-
         # likelihood ratio in exact integer micro-nats
         "dsir_importance_weights": text.dsir_importance_weights,
@@ -1655,6 +1662,62 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_tokens, nll_micro, "
             "CAST(nll_micro AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS avg_nll_micro "
             "FROM ppl"
+        ),
+        # Stupid-Backoff bigram LM: kept bigram (c2 >= 2, the same
+        # KenLM floor) costs floor(-ln(c2/c1(w1))*1e6); a below-floor
+        # bigram backs off to floor(-ln(0.4)*1e6) + the unigram table's
+        # pooled-<unk> cost of w2. Training counts stay on the FULL
+        # corpus; scoring drops null doc_id — the unigram family rule.
+        "bigram_logppl": (
+            "WITH lall AS (SELECT doc_id, "
+            "string_split(coalesce(text,''),' ') AS toks FROM documents), "
+            "bi AS (SELECT doc_id, toks, "
+            "unnest(range(0, len(toks)-1)) AS i FROM lall WHERE len(toks) >= 2), "
+            "bg AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2 FROM bi), "
+            "c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2), "
+            "tok AS (SELECT doc_id, "
+            "unnest(string_split(coalesce(text,''),' ')) AS token FROM documents), "
+            "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token), "
+            "n AS (SELECT count(*) AS n FROM tok), "
+            "rare AS (SELECT coalesce(sum(c), 0) AS r FROM tf WHERE c < 2), "
+            "ucost AS (SELECT token, CAST(floor(-ln("
+            "CAST(CASE WHEN c >= 2 THEN c ELSE r END AS DOUBLE)/CAST(n AS DOUBLE)) "
+            "* 1000000.0) AS BIGINT) AS cost FROM tf, n, rare), "
+            "bcost AS (SELECT c2.w1, c2.w2, CAST(floor(-ln("
+            "CAST(c2.c AS DOUBLE)/CAST(tf.c AS DOUBLE)) * 1000000.0) AS BIGINT) "
+            "AS cost FROM c2 JOIN tf ON tf.token = c2.w1 WHERE c2.c >= 2), "
+            "scored AS (SELECT bg.doc_id, coalesce(bc.cost, "
+            "CAST(floor(-ln(0.4) * 1000000.0) AS BIGINT) + uc.cost) AS cost "
+            "FROM bg LEFT JOIN bcost bc ON bg.w1 = bc.w1 AND bg.w2 = bc.w2 "
+            "JOIN ucost uc ON uc.token = bg.w2 "
+            "WHERE bg.doc_id IS NOT NULL) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+            "CAST(sum(cost) AS BIGINT) AS nll2_micro, "
+            "CAST(sum(cost) AS DOUBLE)/CAST(count(*) AS DOUBLE) AS avg_nll2_micro "
+            "FROM scored GROUP BY doc_id"
+        ),
+        # Zipf frequency spectrum: count-of-counts over the corpus
+        # term-frequency table (null doc_id text still counts — the
+        # training-distribution rule)
+        "token_freq_spectrum": (
+            "WITH tok AS (SELECT unnest(string_split(coalesce(text,''),' ')) "
+            "AS token FROM documents), "
+            "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token) "
+            "SELECT CAST(c AS BIGINT) AS tf, "
+            "CAST(count(*) AS BIGINT) AS n_tokens FROM tf GROUP BY c"
+        ),
+        # BPE-regex tokens per whitespace word, per language; exact
+        # integer sums, one double division (null lang = its own group)
+        "tokenizer_fertility_by_lang": (
+            "WITH f AS (SELECT lang, "
+            "CAST(len(string_split(coalesce(text,''),' ')) AS BIGINT) AS ws, "
+            "CAST(len(regexp_extract_all(coalesce(text,''), "
+            "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS bpe FROM documents) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(ws) AS BIGINT) AS n_ws_tokens, "
+            "CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens, "
+            "CAST(sum(bpe) AS DOUBLE)/CAST(sum(ws) AS DOUBLE) AS fertility "
+            "FROM f GROUP BY lang"
         ),
         # CCNet-style head/middle/tail bucketing by exact integer-
         # micro-nat perplexity terciles (quantile_disc thresholds —

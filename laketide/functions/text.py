@@ -3089,3 +3089,268 @@ def source_quality_summary(sf_dir: str) -> rd.Dataset:
         )
 
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def token_freq_spectrum(sf_dir: str) -> rd.Dataset:
+    """Zipf/Heaps frequency-spectrum diagnostic: for each term
+    frequency ``tf``, the number of DISTINCT tokens occurring exactly
+    ``tf`` times in the corpus (the count-of-counts vector — what
+    Zipf-law plots, Good-Turing smoothing and vocabulary-growth
+    estimates are computed from; the standard corpus health check
+    before committing to a tokenizer or an LM frequency floor).
+
+    Scale shape: the vocabulary-scale shuffle is ``_tf_counts``'s
+    (shared with the LM family); each post-shuffle block then collapses
+    to at most |distinct tf values in the block| rows via one
+    ``value_counts`` partial, and the final groupby is spectrum-sized
+    (tens of rows at any corpus size — frequency values repeat), so
+    nothing vocabulary-scale ever reaches the driver.
+
+    Reference analog: the reference's stats views (A4,
+    /root/reference/internal/database/database.go) aggregate corpus
+    shape for operators; this is the token-level equivalent."""
+
+    def spectrum_partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(pc.cast(t["c"], pa.int64()))
+        return pa.table(
+            {
+                "tf": pc.struct_field(vc, "values"),
+                "n_tokens": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
+        )
+
+    return (
+        _tf_counts(sf_dir)
+        .map_batches(spectrum_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("tf")
+        .aggregate(Sum("n_tokens", alias_name="n_tokens"))
+    )
+
+
+def tokenizer_fertility_by_lang(sf_dir: str) -> rd.Dataset:
+    """Tokenizer fertility per language: subword-ish (BPE-regex) token
+    count divided by whitespace word count — the standard check that a
+    tokenizer doesn't explode low-resource languages (fertility ~1 for
+    the language the tokenizer fits, >>1 where it fragments). Exact
+    integer sums per language, ONE double division at the end (the
+    ``source_quality_summary`` discipline), so the distributed fold is
+    hash-stable.
+
+    Scale shape: shuffle-free per-batch grouped partials (two
+    vectorized kernels per batch: one RE2 ``count_substring_regex``,
+    one split-length), then a dimension-scale (|langs|) final groupby.
+    Null text counts as the empty string on both sides; a null lang is
+    its own group (SQL GROUP BY semantics)."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t["text"], "")
+        ws = pc.cast(pc.list_value_length(pc.split_pattern(txt, " ")), pa.int64())
+        bpe = pc.cast(
+            pc.count_substring_regex(txt, BpeishTokenizer.PATTERN), pa.int64()
+        )
+        g = pa.table(
+            {
+                "lang": t["lang"],
+                "d": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                "ws": ws,
+                "bpe": bpe,
+            }
+        ).group_by("lang")
+        a = g.aggregate([("d", "sum"), ("ws", "sum"), ("bpe", "sum")])
+        # select by NAME — pyarrow's aggregate column order differs
+        # across versions (keys first vs last)
+        return pa.table(
+            {
+                "lang": a["lang"],
+                "d": a["d_sum"],
+                "ws": a["ws_sum"],
+                "bpe": a["bpe_sum"],
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, columns=["lang", "text"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(
+            Sum("d", alias_name="n_docs"),
+            Sum("ws", alias_name="n_ws_tokens"),
+            Sum("bpe", alias_name="n_bpe_tokens"),
+        )
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        ws = pc.cast(t["n_ws_tokens"], pa.int64()).to_numpy(zero_copy_only=False)
+        bpe = pc.cast(t["n_bpe_tokens"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "n_ws_tokens": pa.array(ws, pa.int64()),
+                "n_bpe_tokens": pa.array(bpe, pa.int64()),
+                # every doc contributes >= 1 whitespace token ("" splits
+                # to ['']), so ws >= n_docs >= 1 per group: no /0 guard
+                "fertility": pa.array(
+                    bpe.astype(np.float64) / ws.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bigram_counts(sf_dir: str) -> rd.Dataset:
+    """bigram ("w1 w2", space-joined — unambiguous because whitespace
+    tokens can never contain a space) -> corpus frequency. Same shape
+    as ``_tf_counts``: per-batch value_counts partials, one
+    bigram-vocabulary-scale shuffle. Columns named (token, c) so
+    ``_bounded_tf_fold`` applies unchanged."""
+    ds = _docs(sf_dir, columns=["text"])
+
+    def pre(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        offs = np.cumsum(lens)
+        mask = np.ones(int(offs[-1]), dtype=bool)
+        mask[offs - 1] = False  # doc-final token starts no bigram
+        i1 = np.flatnonzero(mask)
+        if len(i1) == 0:
+            return empty
+        flat = pc.list_flatten(toks).combine_chunks()
+        w1 = flat.take(pa.array(i1, pa.int64()))
+        w2 = flat.take(pa.array(i1 + 1, pa.int64()))
+        vc = pc.value_counts(pc.binary_join_element_wise(w1, w2, " "))
+        return pa.table(
+            {
+                "token": pc.struct_field(vc, "values"),
+                "c": pc.cast(pc.struct_field(vc, "counts"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+
+def bigram_logppl(sf_dir: str) -> rd.Dataset:
+    """Bigram language-model scoring with Stupid Backoff (Brants et al.
+    2007 — the web-scale LM rule: no discounting to tune, score
+    s(w2|w1) = c(w1 w2)/c(w1) when the bigram is frequent enough, else
+    0.4 * the unigram probability of w2). The order-1 upgrade of
+    ``unigram_logppl``: a doc full of real words in an impossible ORDER
+    now scores badly too. Per document (>= 2 tokens): n_bigrams, the
+    summed cost in integer MICRO-NATS, and the mean cost per bigram.
+
+    Exactness discipline (the unigram family's): kept-bigram cost =
+    floor(-ln(c2/c1(w1)) * 1e6); backoff cost = floor(-ln(0.4) * 1e6)
+    + the unigram micro-nat cost of w2 (same pooled-<unk> table as
+    ``unigram_logppl``). Integer costs sum exactly in any order;
+    per-entry ``math.log`` keeps libm/DuckDB-``ln()`` bit parity.
+
+    Scale shape: the bigram vocabulary gets the SAME KenLM frequency
+    floor as the unigram table (c2 >= 2 pinned by the oracle; raise
+    ``_bounded_tf_fold``'s floor for web corpora) — a kept bigram's w1
+    occurs >= c2 >= 2 times, so c1 always resolves inside the kept
+    unigram table and the driver never folds an unbounded set. Pass 2
+    is shuffle-free (one index_in against the broadcast bigram table,
+    one against the unigram table for backoff, one reduceat)."""
+    import math
+
+    import ray
+
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("nll2_micro", pa.int64()),
+            ("avg_nll2_micro", pa.float64()),
+        ]
+    )
+    tok_arr, c1_np, n_total, rare_total = _bounded_tf_fold(
+        _tf_counts(sf_dir).materialize(), 2
+    )
+    if n_total == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    ucost = np.fromiter(
+        (math.floor(-math.log(c / n_total) * 1e6) for c in c1_np.tolist()),
+        np.int64,
+        len(c1_np),
+    )
+    unk_cost = (
+        math.floor(-math.log(rare_total / n_total) * 1e6) if rare_total else 0
+    )
+    bg_arr, c2_np, _, _ = _bounded_tf_fold(_bigram_counts(sf_dir).materialize(), 2)
+    if len(c2_np):
+        w1 = pc.list_element(pc.split_pattern(bg_arr, " "), 0)
+        pos1 = pc.index_in(w1, value_set=tok_arr).to_numpy(zero_copy_only=False)
+        c1 = c1_np[pos1.astype(np.int64)]  # always hits: tf(w1) >= c2 >= 2
+        bcost = np.fromiter(
+            (
+                math.floor(-math.log(c2 / c1i) * 1e6)
+                for c2, c1i in zip(c2_np.tolist(), c1.tolist())
+            ),
+            np.int64,
+            len(c2_np),
+        )
+    else:
+        bcost = np.zeros(0, dtype=np.int64)
+    backoff_micro = math.floor(-math.log(0.4) * 1e6)
+    bc = ray.put((bg_arr, bcost, tok_arr, ucost, unk_cost))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["doc_id"]))
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        bg_bc, bcost_bc, tok_bc, ucost_bc, unk = ray.get(bc)
+        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
+        lens = (
+            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        offs = np.cumsum(lens)
+        mask = np.ones(int(offs[-1]), dtype=bool)
+        mask[offs - 1] = False
+        i1 = np.flatnonzero(mask)
+        if len(i1) == 0:
+            return out_schema.empty_table()
+        flat = pc.list_flatten(toks).combine_chunks()
+        w1 = flat.take(pa.array(i1, pa.int64()))
+        w2 = flat.take(pa.array(i1 + 1, pa.int64()))
+        bgs = pc.binary_join_element_wise(w1, w2, " ")
+        idx = pc.index_in(bgs, value_set=bg_bc)
+        hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)
+        pos = pc.fill_null(idx, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        kept = bcost_bc[pos] if len(bcost_bc) else np.zeros(len(pos), dtype=np.int64)
+        back = np.int64(backoff_micro) + _unigram_token_costs(
+            w2, tok_bc, ucost_bc, unk
+        )
+        costs = np.where(hit, kept, back)
+        nb = lens - 1
+        sel = nb > 0
+        nb2 = nb[sel]
+        starts = np.cumsum(nb2) - nb2
+        nll2 = np.add.reduceat(costs, starts).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()).filter(
+                    pa.array(sel)
+                ),
+                "n_bigrams": pa.array(nb2, pa.int64()),
+                "nll2_micro": pa.array(nll2, pa.int64()),
+                "avg_nll2_micro": pa.array(
+                    nll2.astype(np.float64) / nb2.astype(np.float64), pa.float64()
+                ),
+            }
+        )
+
+    return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True
+    )

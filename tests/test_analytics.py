@@ -938,3 +938,39 @@ def test_dsir_weights_separate_target_like_docs(tmp_path):
     assert out[3] < 0 and out[4] < 0, "raw-only vocabulary docs score negative"
     # doc 5 contains a tf=1 token -> unk-priced, en words dominate
     assert out[5] > out[3]
+
+
+def test_bigram_logppl_planted_backoff_and_order(tmp_path):
+    """Kept bigrams (c2 >= 2) price at exact -ln(c2/c1(w1)); a
+    corpus-singleton bigram backs off to floor(-ln(0.4)*1e6) + the
+    unigram <unk>/vocab cost of w2 — and a doc whose tokens appear in
+    an unseen ORDER scores worse than one in the common order (the
+    property the unigram model cannot express)."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from laketide.functions.text import bigram_logppl
+
+    texts = ["x y x y x y", "x z"]
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = bigram_logppl(str(tmp_path)).to_pandas().set_index("doc_id").sort_index()
+    # unigram tf: x=4 y=3 z=1, N=8; bigrams: "x y"=3, "y x"=2, "x z"=1
+    n = 8
+    c_xy = math.floor(-math.log(3 / 4) * 1e6)  # c1(x)=4
+    c_yx = math.floor(-math.log(2 / 3) * 1e6)  # c1(y)=3
+    unk = math.floor(-math.log(1 / n) * 1e6)  # pooled rare mass = z alone
+    backoff = math.floor(-math.log(0.4) * 1e6)
+    assert out.loc[0, "n_bigrams"] == 5
+    assert out.loc[0, "nll2_micro"] == 3 * c_xy + 2 * c_yx
+    assert out.loc[1, "n_bigrams"] == 1
+    assert out.loc[1, "nll2_micro"] == backoff + unk
+    # order sensitivity: the unseen-order doc is strictly more
+    # surprising per bigram than the common-order one
+    assert out.loc[1, "avg_nll2_micro"] > out.loc[0, "avg_nll2_micro"]

@@ -86,6 +86,9 @@ _NULLABLE_QUERIES = [
     "doc_chunk_windows",
     "entropy_by_event_type",
     "events_cube",
+    "bigram_logppl",
+    "token_freq_spectrum",
+    "tokenizer_fertility_by_lang",
 ]
 
 

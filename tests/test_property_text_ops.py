@@ -97,3 +97,30 @@ def test_property_doc_chunk_windows_vs_duckdb(seed, tmp_path_factory):
     d = str(tmp_path_factory.mktemp(f"chw{seed}"))
     _random_docs(rng, d)
     _check("doc_chunk_windows", d)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_property_bigram_logppl_vs_duckdb(seed, tmp_path_factory):
+    rng = np.random.RandomState(seed)
+    d = str(tmp_path_factory.mktemp(f"bppl{seed}"))
+    _random_docs(rng, d)
+    _check("bigram_logppl", d)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_property_token_freq_spectrum_vs_duckdb(seed, tmp_path_factory):
+    rng = np.random.RandomState(seed)
+    d = str(tmp_path_factory.mktemp(f"spec{seed}"))
+    _random_docs(rng, d)
+    _check("token_freq_spectrum", d)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_property_tokenizer_fertility_vs_duckdb(seed, tmp_path_factory):
+    rng = np.random.RandomState(seed)
+    d = str(tmp_path_factory.mktemp(f"fert{seed}"))
+    _random_docs(rng, d)
+    _check("tokenizer_fertility_by_lang", d)
