@@ -2550,23 +2550,24 @@ def _bounded_tf_fold(
     return tok_arr, c_np, n_total, rare_total
 
 
-def _unigram_cost_table(
-    sf_dir: str, min_tf: int = 2
-) -> "tuple[pa.Array, np.ndarray, int] | None":
-    """(vocab tokens, per-token integer micro-nat costs, <unk> cost)
-    trained on the FULL corpus — floor(-ln(tf/N)*1e6) via ``math.log``
-    (libm, the DuckDB-ln-parity requirement). None on an empty corpus.
-    BOUNDED vocabulary (the standard KenLM frequency floor): tokens
-    with tf < ``min_tf`` collapse into one ``<unk>`` bucket whose cost
-    is the POOLED below-floor mass, floor(-ln(rare/N)*1e6); the fold
-    itself is ``_bounded_tf_fold``."""
+# The ONE KenLM frequency floor for the whole LM family (unigram cost
+# table, bigram table, DSIR fold). bigram_logppl's c1 lookup PROVES
+# kept-bigram w1 membership from "tf(w1) >= c2 >= floor" — valid only
+# while the unigram and bigram folds share this constant. The oracles
+# pin the literal 2; change both together.
+_LM_MIN_TF = 2
+
+
+def _micro_nat_costs(
+    c_np: np.ndarray, n_total: int, rare_total: int
+) -> "tuple[np.ndarray, int]":
+    """(per-entry integer micro-nat costs floor(-ln(c/N)*1e6), pooled
+    <unk> cost) — ``math.log`` per entry (libm, the DuckDB-``ln()``
+    bit-parity requirement; numpy's vectorized log is not). The ONE
+    cost rule, shared by the unigram table and the bigram backoff
+    table so the micro-nat math cannot drift."""
     import math
 
-    tok_arr, c_np, n_total, rare_total = _bounded_tf_fold(
-        _tf_counts(sf_dir).materialize(), min_tf
-    )
-    if n_total == 0:
-        return None
     cost_np = np.fromiter(
         (math.floor(-math.log(c / n_total) * 1e6) for c in c_np.tolist()),
         np.int64,
@@ -2575,6 +2576,24 @@ def _unigram_cost_table(
     unk_cost = (
         math.floor(-math.log(rare_total / n_total) * 1e6) if rare_total else 0
     )
+    return cost_np, unk_cost
+
+
+def _unigram_cost_table(
+    sf_dir: str, min_tf: int = _LM_MIN_TF
+) -> "tuple[pa.Array, np.ndarray, int] | None":
+    """(vocab tokens, per-token integer micro-nat costs, <unk> cost)
+    trained on the FULL corpus. None on an empty corpus. BOUNDED
+    vocabulary (the standard KenLM frequency floor): tokens with tf <
+    ``min_tf`` collapse into one ``<unk>`` bucket whose cost is the
+    POOLED below-floor mass, floor(-ln(rare/N)*1e6); the fold itself
+    is ``_bounded_tf_fold``, the cost math ``_micro_nat_costs``."""
+    tok_arr, c_np, n_total, rare_total = _bounded_tf_fold(
+        _tf_counts(sf_dir).materialize(), min_tf
+    )
+    if n_total == 0:
+        return None
+    cost_np, unk_cost = _micro_nat_costs(c_np, n_total, rare_total)
     return tok_arr, cost_np, unk_cost
 
 
@@ -3199,6 +3218,30 @@ def tokenizer_fertility_by_lang(sf_dir: str) -> rd.Dataset:
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _doc_bigrams(
+    texts: "pa.Array | pa.ChunkedArray",
+) -> "tuple[pa.Array, pa.Array, np.ndarray] | None":
+    """(w1, w2, per-doc token lengths) for the within-document
+    consecutive token pairs of a text column; None when the batch has
+    no bigram at all. THE one tokens-to-bigrams rule (split, doc-final
+    mask, flat gather) — training counts and scoring keys both build
+    on it, so the two can never desynchronize."""
+    toks = pc.split_pattern(pc.fill_null(texts, ""), " ")
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(lens) == 0:
+        return None
+    offs = np.cumsum(lens)
+    mask = np.ones(int(offs[-1]), dtype=bool)
+    mask[offs - 1] = False  # doc-final token starts no bigram
+    i1 = np.flatnonzero(mask)
+    if len(i1) == 0:
+        return None
+    flat = pc.list_flatten(toks).combine_chunks()
+    w1 = flat.take(pa.array(i1, pa.int64()))
+    w2 = flat.take(pa.array(i1 + 1, pa.int64()))
+    return w1, w2, lens
+
+
 def _bigram_counts(sf_dir: str) -> rd.Dataset:
     """bigram ("w1 w2", space-joined — unambiguous because whitespace
     tokens can never contain a space) -> corpus frequency. Same shape
@@ -3208,24 +3251,12 @@ def _bigram_counts(sf_dir: str) -> rd.Dataset:
     ds = _docs(sf_dir, columns=["text"])
 
     def pre(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
-        )
-        if t.num_rows == 0:
-            return empty
-        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
-        lens = (
-            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        offs = np.cumsum(lens)
-        mask = np.ones(int(offs[-1]), dtype=bool)
-        mask[offs - 1] = False  # doc-final token starts no bigram
-        i1 = np.flatnonzero(mask)
-        if len(i1) == 0:
-            return empty
-        flat = pc.list_flatten(toks).combine_chunks()
-        w1 = flat.take(pa.array(i1, pa.int64()))
-        w2 = flat.take(pa.array(i1 + 1, pa.int64()))
+        bgs = _doc_bigrams(t["text"])
+        if bgs is None:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        w1, w2, _ = bgs
         vc = pc.value_counts(pc.binary_join_element_wise(w1, w2, " "))
         return pa.table(
             {
@@ -3257,9 +3288,9 @@ def bigram_logppl(sf_dir: str) -> rd.Dataset:
     per-entry ``math.log`` keeps libm/DuckDB-``ln()`` bit parity.
 
     Scale shape: the bigram vocabulary gets the SAME KenLM frequency
-    floor as the unigram table (c2 >= 2 pinned by the oracle; raise
-    ``_bounded_tf_fold``'s floor for web corpora) — a kept bigram's w1
-    occurs >= c2 >= 2 times, so c1 always resolves inside the kept
+    floor as the unigram table (``_LM_MIN_TF``, pinned at 2 by the
+    oracle; raise both together for web corpora) — a kept bigram's w1
+    occurs >= c2 >= floor times, so c1 always resolves inside the kept
     unigram table and the driver never folds an unbounded set. Pass 2
     is shuffle-free (one index_in against the broadcast bigram table,
     one against the unigram table for backoff, one reduceat)."""
@@ -3276,23 +3307,27 @@ def bigram_logppl(sf_dir: str) -> rd.Dataset:
         ]
     )
     tok_arr, c1_np, n_total, rare_total = _bounded_tf_fold(
-        _tf_counts(sf_dir).materialize(), 2
+        _tf_counts(sf_dir).materialize(), _LM_MIN_TF
     )
     if n_total == 0:
         return rd.from_arrow(out_schema.empty_table())
-    ucost = np.fromiter(
-        (math.floor(-math.log(c / n_total) * 1e6) for c in c1_np.tolist()),
-        np.int64,
-        len(c1_np),
+    ucost, unk_cost = _micro_nat_costs(c1_np, n_total, rare_total)
+    bg_arr, c2_np, _, _ = _bounded_tf_fold(
+        _bigram_counts(sf_dir).materialize(), _LM_MIN_TF
     )
-    unk_cost = (
-        math.floor(-math.log(rare_total / n_total) * 1e6) if rare_total else 0
-    )
-    bg_arr, c2_np, _, _ = _bounded_tf_fold(_bigram_counts(sf_dir).materialize(), 2)
     if len(c2_np):
         w1 = pc.list_element(pc.split_pattern(bg_arr, " "), 0)
-        pos1 = pc.index_in(w1, value_set=tok_arr).to_numpy(zero_copy_only=False)
-        c1 = c1_np[pos1.astype(np.int64)]  # always hits: tf(w1) >= c2 >= 2
+        pos1 = pc.index_in(w1, value_set=tok_arr)
+        if pos1.null_count:
+            # tf(w1) >= c2 >= _LM_MIN_TF guarantees membership; a miss
+            # means the two folds ran at different floors — an
+            # unchecked NaN->int64 gather would price bigrams silently
+            # wrong instead
+            raise RuntimeError(
+                "bigram floor diverged from the unigram floor: kept-bigram "
+                "w1 missing from the kept unigram vocabulary"
+            )
+        c1 = c1_np[pos1.to_numpy(zero_copy_only=False).astype(np.int64)]
         bcost = np.fromiter(
             (
                 math.floor(-math.log(c2 / c1i) * 1e6)
@@ -3311,19 +3346,10 @@ def bigram_logppl(sf_dir: str) -> rd.Dataset:
         if t.num_rows == 0:
             return out_schema.empty_table()
         bg_bc, bcost_bc, tok_bc, ucost_bc, unk = ray.get(bc)
-        toks = pc.split_pattern(pc.fill_null(t["text"], ""), " ")
-        lens = (
-            pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-        )
-        offs = np.cumsum(lens)
-        mask = np.ones(int(offs[-1]), dtype=bool)
-        mask[offs - 1] = False
-        i1 = np.flatnonzero(mask)
-        if len(i1) == 0:
+        pairs = _doc_bigrams(t["text"])
+        if pairs is None:
             return out_schema.empty_table()
-        flat = pc.list_flatten(toks).combine_chunks()
-        w1 = flat.take(pa.array(i1, pa.int64()))
-        w2 = flat.take(pa.array(i1 + 1, pa.int64()))
+        w1, w2, lens = pairs
         bgs = pc.binary_join_element_wise(w1, w2, " ")
         idx = pc.index_in(bgs, value_set=bg_bc)
         hit = pc.is_valid(idx).to_numpy(zero_copy_only=False)

@@ -1741,7 +1741,12 @@ class LakeTable:
         processes end up holding 'the' lock on different inodes."""
         import fcntl
 
-        fd = os.open(f"{path}.guard", os.O_CREAT | os.O_RDWR, 0o644)
+        # O_RDONLY + 0o666: flock needs no write access, and a guard
+        # created by one unix user must stay flock-able by another
+        # (the cross-uid contention _lock_holder's PermissionError
+        # branch supports) — O_RDWR on a 0o644 foreign-owned guard
+        # would EACCES before the pid check ever ran
+        fd = os.open(f"{path}.guard", os.O_CREAT | os.O_RDONLY, 0o666)
         try:
             fcntl.flock(fd, fcntl.LOCK_EX)
             yield

@@ -243,6 +243,7 @@ def test_query_matches_oracle_with_nulls(name, nullable_sf_dir):
         "dedup_text_segments",
         "remove_boilerplate_segments",
         "unigram_logppl",
+        "bigram_logppl",
         "dsir_importance_weights",
         "ppl_bucket_docs",
         "bm25_search",

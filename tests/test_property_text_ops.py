@@ -31,7 +31,12 @@ def _random_docs(rng: np.random.RandomState, tmpdir: str) -> None:
         {
             "doc_id": np.arange(n, dtype=np.int64),
             "text": texts,
-            "lang": ["en"] * n,
+            # multi-lang incl. a null group: fertility/lang-grouped ops
+            # must match SQL GROUP BY null semantics, not just 'en'
+            "lang": [
+                rng.choice(["en", "de", "xx"]) if rng.rand() > 0.15 else None
+                for _ in range(n)
+            ],
             "source": ["hyp"] * n,
             "n_chars": [len(t) for t in texts],
         }
