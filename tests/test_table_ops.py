@@ -2276,3 +2276,40 @@ def test_concurrent_schedule_equals_serial_final_state(tmp_path):
         c_con, s_con = run(f"con{cycles}", 3, cycles)
         assert c_con == c_ser, (cycles, c_con, c_ser)
         assert s_con == s_ser, f"state divergence at max_cycles={cycles}"
+
+
+def test_orc_source_matches_parquet(tmp_path):
+    """Same logical events through the ORC source -> identical final
+    state as the parquet source (multi-file dir + single-file glob),
+    incl. the canonical normalizer's op defaulting."""
+    from pyarrow import orc as pa_orc
+
+    rows = [
+        {"repo": "r", "path": "a", "commit": "c0000000001", "seq": 1, "op": "insert", "content": "v1"},
+        {"repo": "r", "path": "a", "commit": "c0000000002", "seq": 2, "op": None, "content": "v2"},
+        {"repo": "r", "path": "b", "commit": "c0000000003", "seq": 3, "op": "insert", "content": "w"},
+    ]
+    t = pa.Table.from_pylist(rows)
+    pq_path = str(tmp_path / "e.parquet")
+    pq.write_table(t, pq_path)
+    orc_dir = tmp_path / "orc"
+    orc_dir.mkdir()
+    # two files: parallelism = file count, like the zip member fan-out
+    pa_orc.write_table(t.slice(0, 2), str(orc_dir / "part0.orc"))
+    pa_orc.write_table(t.slice(2), str(orc_dir / "part1.orc"))
+
+    states = {}
+    for fmt, path in [("parquet", pq_path), ("orc", str(orc_dir))]:
+        ds = registry.read_source(fmt, path)
+        lt = LakeTable(str(tmp_path / f"t_{fmt}"), num_partitions=4)
+        lt.apply_epoch(ds)
+        st = lt.state_table()
+        states[fmt] = {
+            (st["repo"][i].as_py(), st["path"][i].as_py()): st["content_sha256"][i].as_py()
+            for i in range(st.num_rows)
+        }
+    assert states["parquet"] == states["orc"]
+    assert len(states["orc"]) == 2
+    # missing files are a loud error, not an empty dataset
+    with pytest.raises(FileNotFoundError):
+        registry.read_source("orc", str(tmp_path / "nope"))
