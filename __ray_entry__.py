@@ -603,6 +603,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_label_count": similarity.embedding_label_count,
         "embedding_near_dup": similarity.embedding_near_dup,
         "embedding_dup_components": similarity.embedding_dup_components,
+        # semantic decontamination vs the label-0 benchmark set: exact
+        # integer cosine verdicts, benchmark-bounded broadcast
+        "decontaminate_embeddings_semantic": _lazy(
+            "similarity", "decontaminate_embeddings_semantic"
+        ),
         "embedding_dup_edges_incremental": similarity.embedding_dup_edges_incremental,
         # --- multimodal ---
         "blob_meta": multimodal.blob_meta,
@@ -2145,6 +2150,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM reach GROUP BY x"
         ),
         "embedding_label_count": "SELECT label, count(*) AS n FROM embeddings GROUP BY 1",
+        # semantic decontamination: same HUGEINT milli-unit cosine
+        # predicate as embedding_dup_components, corpus (label IS
+        # DISTINCT FROM 0, nulls included) vs the label-0 benchmark set
+        "decontaminate_embeddings_semantic": (
+            "WITH v AS (SELECT vec_id, label, list_transform(embedding, "
+            "x -> ROUND(CAST(x AS DOUBLE) * 1000.0)) AS iv "
+            "FROM embeddings WHERE embedding IS NOT NULL AND vec_id IS NOT NULL), "
+            "n AS (SELECT vec_id, CAST(list_dot_product(iv, iv) AS HUGEINT) AS nn FROM v), "
+            "b AS (SELECT vec_id, iv FROM v WHERE label = 0), "
+            "c AS (SELECT vec_id, iv FROM v WHERE label IS DISTINCT FROM 0), "
+            "hits AS (SELECT c.vec_id, count(*) AS h FROM c JOIN b ON TRUE "
+            "JOIN n nc ON nc.vec_id = c.vec_id JOIN n nb ON nb.vec_id = b.vec_id "
+            "WHERE CAST(list_dot_product(c.iv, b.iv) AS HUGEINT) > 0 "
+            "AND 400 * CAST(list_dot_product(c.iv, b.iv) AS HUGEINT) "
+            "* CAST(list_dot_product(c.iv, b.iv) AS HUGEINT) >= 49 * nc.nn * nb.nn "
+            "GROUP BY c.vec_id) "
+            "SELECT c.vec_id, CAST(coalesce(h.h, 0) AS BIGINT) AS n_bench_hits, "
+            "(h.vec_id IS NOT NULL) AS contaminated "
+            "FROM c LEFT JOIN hits h ON c.vec_id = h.vec_id"
+        ),
         # doc_fingerprint stays rows-only BY DESIGN: the polynomial fold
         # itself is SQL-expressible (HUGEINT hi/lo mulmod-2^64), but its
         # per-token hashes come from pandas' KEYED siphash

@@ -364,6 +364,13 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         from laketide.functions.corpus import corpus_training_mix
 
         timed("corpus_training_mix", corpus_training_mix)
+        from laketide.functions.similarity import (
+            decontaminate_embeddings_semantic,
+        )
+
+        timed(
+            "decontaminate_embeddings_semantic", decontaminate_embeddings_semantic
+        )
         timed("unigram_logppl", text.unigram_logppl)
         timed("bigram_logppl", text.bigram_logppl)
         timed("token_freq_spectrum", text.token_freq_spectrum)

@@ -1631,3 +1631,136 @@ def _bucketed_semantic_edges(
         .groupby("bucket")
         .map_groups(bucket_edges, batch_format="pyarrow")
     )
+
+
+def decontaminate_embeddings_semantic(
+    sf_dir: str, threshold_sq: tuple[int, int] = (49, 400)
+) -> rd.Dataset:
+    """Semantic decontamination — the embedding-space cousin of the
+    n-gram ``decontaminate_docs`` family (SemDeDup / benchmark-leakage
+    sweeps run this before training): every corpus vector is checked
+    against the BENCHMARK set (label 0 — the held-out-eval stand-in in
+    the synthetic table) and flagged when its exact cosine meets the
+    threshold against ANY benchmark vector. Returns per corpus vector
+    (vec_id, n_bench_hits, contaminated) — verdicts stay visible like
+    ``gopher_quality_filter``'s, so the drop is auditable.
+
+    Exactness: the same milli-unit integer predicate as
+    ``embedding_dup_components`` (``_quantize_milli`` + den*dot^2 >=
+    num*nn_a*nn_b with dot > 0), so the oracle is HUGEINT-exact.
+    ``threshold_sq`` defaults to cos >= 0.35 (49/400) — the dup-family
+    threshold, non-vacuous on the synthetic corpus (49/450 corpus
+    vectors flag at sf0.01); production decontamination runs ~0.9+.
+
+    Scale shape (the gram-set decontamination contract): ONE pass
+    collects the benchmark rows (bounded by the BENCHMARK size, the
+    small side by construction — never the corpus) fused with the
+    overflow-guard stats partials; the benchmark matrix broadcasts via
+    ``ray.put``; the verdict pass is shuffle-free — one int64 matmul
+    block per corpus batch, O(corpus x bench) compute spread across the
+    cluster with nothing corpus-scale on the driver. A null label is a
+    CORPUS row (SQL ``label IS DISTINCT FROM 0``), a null vec_id /
+    embedding drops on both sides."""
+    import ray
+
+    from laketide.functions.reads import collect_tables
+
+    num, den = threshold_sq
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("n_bench_hits", pa.int64()),
+            ("contaminated", pa.bool_()),
+        ]
+    )
+    ds = _emb(sf_dir, columns=["vec_id", "embedding", "label"])
+
+    def q_with_label(t: pa.Table) -> pa.Table:
+        # same null drops as _quantize_milli, applied FIRST so the label
+        # column stays row-aligned with the quantized output
+        t = _drop_null_embeddings(t)
+        t = t.filter(pc.is_valid(t["vec_id"]))
+        q = _quantize_milli(t)
+        return q.append_column("label", pc.cast(t["label"], pa.int64()))
+
+    qds = ds.map_batches(
+        q_with_label, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # one pass: benchmark rows + guard-stat partials (the fused
+    # arrivals_and_stats shape from embedding_dup_edges_incremental —
+    # stats ride as vec_id-null marker rows)
+    def bench_and_stats(t: pa.Table) -> pa.Table:
+        bench = t.filter(pc.equal(t["label"], 0))
+        m = _embed_matrix(t["iv"]).astype(np.int64)
+        stats = pa.table(
+            {
+                "vec_id": pa.array([None], pa.int64()),
+                "iv": pa.array(
+                    [
+                        [
+                            int(np.abs(m).max()) if m.size else 0,
+                            int(m.shape[1]) if m.size else 0,
+                            int(t.num_rows),
+                        ]
+                    ],
+                    pa.list_(pa.int64()),
+                ),
+                "label": pa.array([None], pa.int64()),
+            }
+        )
+        return pa.concat_tables([bench.cast(stats.schema), stats])
+
+    parts = [
+        p
+        for p in collect_tables(
+            qds.map_batches(
+                bench_and_stats, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+        if p.num_rows
+    ]
+    if not parts:
+        return rd.from_arrow(out_schema.empty_table())
+    both = pa.concat_tables(parts)
+    svals = both.filter(pc.is_null(both["vec_id"]))["iv"].to_pylist()
+    if sum(int(s[2]) for s in svals) == 0:
+        return rd.from_arrow(out_schema.empty_table())
+    _check_quant_bound(
+        num, den,
+        max(int(s[0]) for s in svals),
+        max(int(s[1]) for s in svals),
+    )
+    bench_t = both.filter(pc.is_valid(both["vec_id"]))
+    bmat = _embed_matrix(bench_t["iv"]).astype(np.int64)
+    bnn = np.einsum("ij,ij->i", bmat, bmat)
+    bref = ray.put((bmat, bnn))
+    numv, denv = np.int64(num), np.int64(den)
+
+    def verdict_block(t: pa.Table) -> pa.Table:
+        # corpus = NOT the benchmark label; null label is corpus
+        t = t.filter(
+            pc.fill_null(pc.not_equal(t["label"], 0), True)
+        )
+        if t.num_rows == 0:
+            return out_schema.empty_table()
+        bm, bn = ray.get(bref)
+        cmat = _embed_matrix(t["iv"]).astype(np.int64)
+        cnn = np.einsum("ij,ij->i", cmat, cmat)
+        if bm.size:
+            dots = cmat @ bm.T  # exact int64 (guarded above)
+            ok = (dots > 0) & (denv * dots * dots >= numv * np.outer(cnn, bn))
+            hits = ok.sum(axis=1).astype(np.int64)
+        else:
+            hits = np.zeros(t.num_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                "n_bench_hits": pa.array(hits, pa.int64()),
+                "contaminated": pa.array(hits > 0),
+            }
+        )
+
+    return qds.map_batches(
+        verdict_block, batch_format="pyarrow", zero_copy_batch=True
+    )

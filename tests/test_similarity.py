@@ -411,3 +411,43 @@ def test_embedding_dup_edges_incremental_exact_and_once(tmp_path):
     assert set(got) == expect
     # planted pair (0, 80): both ends arrival-slice, cosine ~0.999
     assert (0, 80) in set(got)
+
+
+def test_decontaminate_embeddings_semantic_planted(tmp_path):
+    """A corpus vector aligned with a benchmark (label-0) vector flags
+    with the right hit count; an orthogonal one stays clean; a
+    null-label vector is CORPUS (SQL IS DISTINCT FROM), and benchmark
+    rows never appear in the output."""
+    import pyarrow.parquet as _pq
+
+    from laketide.functions.similarity import decontaminate_embeddings_semantic
+
+    rows = [
+        # two identical benchmark vectors along e0
+        {"vec_id": 0, "embedding": [1.0, 0.0, 0.0], "label": 0},
+        {"vec_id": 1, "embedding": [1.0, 0.0, 0.0], "label": 0},
+        # corpus: aligned with the benchmark -> 2 hits
+        {"vec_id": 2, "embedding": [0.9, 0.1, 0.0], "label": 3},
+        # corpus: orthogonal -> clean
+        {"vec_id": 3, "embedding": [0.0, 0.0, 1.0], "label": 3},
+        # null label = corpus; anti-aligned (dot < 0) -> clean
+        {"vec_id": 4, "embedding": [-1.0, 0.0, 0.0], "label": None},
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r["embedding"] for r in rows], pa.list_(pa.float64())
+            ),
+            "label": pa.array([r["label"] for r in rows], pa.int64()),
+        }
+    )
+    _pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = {
+        r["vec_id"]: r
+        for r in decontaminate_embeddings_semantic(str(tmp_path)).take_all()
+    }
+    assert set(out) == {2, 3, 4}  # corpus only, benchmark rows absent
+    assert out[2]["contaminated"] and out[2]["n_bench_hits"] == 2
+    assert not out[3]["contaminated"] and out[3]["n_bench_hits"] == 0
+    assert not out[4]["contaminated"]  # dot < 0 can never flag
