@@ -598,6 +598,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": dedup.simhash_dedup,
         # --- similarity search ---
         "knn_cosine": similarity.knn_cosine,
+        # one corpus pass serves the whole broadcast query matrix
+        "knn_batch_cosine": _lazy("similarity", "knn_batch_cosine"),
         "knn_lsh": similarity.knn_lsh,
         "knn_ivf": similarity.knn_ivf,
         "embedding_label_count": similarity.embedding_label_count,
@@ -2110,6 +2112,9 @@ def oracle_sql() -> dict[str, str]:
             f"ORDER BY list_cosine_similarity(embedding, {qvec}) DESC, vec_id LIMIT 10"
         ),
         "knn_lsh": _knn_lsh_oracle(),
+        # batched retrieval: per-query top-k over the same literal
+        # query family, ids-only (the knn_cosine robustness rule)
+        "knn_batch_cosine": _knn_batch_oracle(),
         # semantic-dedup clustering on milli-unit-quantized embeddings:
         # the edge test is exact integer arithmetic (HUGEINT here, int64
         # in the engine), so the component structure cannot drift on a
@@ -2535,3 +2540,25 @@ def _centroid_oracle() -> str:
         "FROM embeddings WHERE embedding IS NOT NULL "
         "GROUP BY label ORDER BY label"
     )
+
+
+def _knn_batch_oracle(k: int = 10, n_queries: int = 8) -> str:
+    """UNION ALL of one per-query top-k subquery over the SAME
+    deterministic query family the engine broadcasts (float64 repr
+    literals round-trip exactly)."""
+    from laketide.functions.similarity import (
+        _QUERY_SEED,
+        query_vector_sql_literal,
+    )
+
+    parts = []
+    for i in range(n_queries):
+        qv = query_vector_sql_literal(seed=_QUERY_SEED + i)
+        parts.append(
+            f"SELECT CAST({i} AS BIGINT) AS query_id, vec_id FROM ("
+            "SELECT vec_id FROM embeddings "
+            "WHERE embedding IS NOT NULL AND vec_id IS NOT NULL "
+            f"ORDER BY list_cosine_similarity(embedding, {qv}) DESC, vec_id "
+            f"LIMIT {k})"
+        )
+    return " UNION ALL ".join(parts)

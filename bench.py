@@ -214,6 +214,7 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         timed("top_tokens", text.top_tokens)
         timed("exact_dedup_docs", text.exact_dedup_docs)
         timed("knn_cosine", similarity.knn_cosine)
+        timed("knn_batch_cosine", similarity.knn_batch_cosine)
 
         # persisted ANN index: cold leg builds the artifact, warm leg
         # serves the same query from it reading ONLY the probed buckets

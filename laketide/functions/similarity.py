@@ -1764,3 +1764,84 @@ def decontaminate_embeddings_semantic(
     return qds.map_batches(
         verdict_block, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def knn_batch_cosine(
+    sf_dir: str, k: int = 10, n_queries: int = 8
+) -> pa.Table:
+    """Batched brute-force cosine top-k: ONE corpus pass serves a whole
+    query MATRIX (the production retrieval shape — queries arrive in
+    batches, and re-scanning the corpus per query multiplies the read
+    cost by |queries|). Queries are the deterministic
+    ``query_vector(seed=_QUERY_SEED + i)`` family; returns
+    (query_id, vec_id) — ids only, the ``knn_cosine`` robustness rule
+    (float scores are summation-order-sensitive; the id ranking is not,
+    for non-degenerate data).
+
+    Scale shape: the normalized query matrix broadcasts via ``ray.put``
+    (|queries| x dim — bounded by the request batch, never the corpus);
+    each corpus batch computes one (n x Q) matmul and emits at most
+    k rows PER QUERY (the ``_local_topk`` boundary-tie rule per
+    column), so the driver merge folds Q x k x num_blocks tiny rows —
+    no global sort, no per-query rescan."""
+    qmat = np.stack(
+        [query_vector(seed=_QUERY_SEED + i) for i in range(n_queries)]
+    )
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    q_ref = ray.put(qmat)
+
+    empty = {
+        "query_id": pa.array([], pa.int64()),
+        "vec_id": pa.array([], pa.int64()),
+        "score": pa.array([], pa.float64()),
+    }
+
+    def score(t: pa.Table) -> pa.Table:
+        t = _drop_null_embeddings(t)
+        t = t.filter(pc.is_valid(t["vec_id"]))
+        if t.num_rows == 0:
+            return pa.table(empty)
+        qm = ray.get(q_ref)
+        mat = _embed_matrix(t["embedding"])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        scores = (mat @ qm.T) / norms[:, None]  # (n, Q)
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        qcol, icol, scol = [], [], []
+        for qi in range(scores.shape[1]):
+            tids, tsc = _local_topk(ids, scores[:, qi], k)
+            qcol.append(np.full(len(tids), qi, dtype=np.int64))
+            icol.append(tids)
+            scol.append(tsc)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qcol), pa.int64()),
+                "vec_id": pa.array(np.concatenate(icol), pa.int64()),
+                "score": pa.array(np.concatenate(scol), pa.float64()),
+            }
+        )
+
+    scored = _emb(sf_dir, ["vec_id", "embedding"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+    from laketide.functions.dedup import _gather_nonempty_blocks
+
+    parts = _gather_nonempty_blocks(scored.materialize())
+    if not parts:
+        return pa.table({"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64())})
+    t = pa.concat_tables(parts, promote_options="default")
+    qs = t["query_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    sc = t["score"].to_numpy(zero_copy_only=False)
+    out_q, out_i = [], []
+    for qi in range(n_queries):
+        m = qs == qi
+        tids, _ = _local_topk(ids[m], sc[m], k)
+        out_q.append(np.full(len(tids), qi, dtype=np.int64))
+        out_i.append(tids)
+    return pa.table(
+        {
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "vec_id": pa.array(np.concatenate(out_i), pa.int64()),
+        }
+    )

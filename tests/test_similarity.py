@@ -451,3 +451,21 @@ def test_decontaminate_embeddings_semantic_planted(tmp_path):
     assert out[2]["contaminated"] and out[2]["n_bench_hits"] == 2
     assert not out[3]["contaminated"] and out[3]["n_bench_hits"] == 0
     assert not out[4]["contaminated"]  # dot < 0 can never flag
+
+
+def test_knn_batch_cosine_matches_single_query():
+    """query_id 0 of the batched pass IS knn_cosine's query (same seed
+    family) — the one-pass batch must return the identical id ranking;
+    every query returns exactly k ids."""
+    from laketide.functions.similarity import knn_batch_cosine, knn_cosine
+
+    sf = "/root/testdata/sf0.001"
+    k = 7
+    batch = knn_batch_cosine(sf, k=k, n_queries=3)
+    single = knn_cosine(sf, k=k)["vec_id"].to_pylist()
+    per_q = {}
+    for r in batch.to_pylist():
+        per_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert set(per_q) == {0, 1, 2}
+    assert all(len(v) == k for v in per_q.values())
+    assert per_q[0] == single  # ordered identically (score desc, id)
