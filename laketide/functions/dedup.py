@@ -1468,30 +1468,29 @@ def dup_components(
     return _components_star(edges)
 
 
-def dedup_keep_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
-    """The end-to-end near-dup REMOVAL pass: run pair generation +
-    connected components (``dup_components``), keep every document that
-    is either untouched or its cluster's canonical (min doc_id) member.
-    The drop set is O(near-duplicate docs) — broadcast once via ray.put
-    as a sorted id array and anti-filtered inside the map tasks; the
-    corpus itself never shuffles.
+def _collected_components(sf_dir: str, threshold: float) -> pa.Table:
+    """``dup_components`` as ONE driver table — the keep-rule selectors
+    run on O(near-duplicate docs) rows, and the distributed path's
+    output is that same bounded set. Shared by the keep-canonical and
+    keep-best removal passes so the collect/empty-fallback cannot
+    drift."""
+    comp = dup_components(sf_dir, threshold)
+    if not isinstance(comp, pa.Table):  # distributed path returned a Dataset
+        parts = collect_tables(comp)
+        comp = pa.concat_tables(parts) if parts else _COMP_SCHEMA.empty_table()
+    return comp
 
-    Reference analog: the merge step's "withdraw duplicates, keep the
-    canonical record" behavior (internal/merger/merger.go:74-133)."""
+
+def _keep_minus(sf_dir: str, drop_ids: np.ndarray) -> rd.Dataset:
+    """The shared removal tail: one column-pruned corpus scan
+    anti-filtering a broadcast SORTED drop-id array (``_sorted_member``
+    binary search per batch) — the corpus never shuffles and the drop
+    set broadcasts once via ray.put."""
     import ray
 
     from laketide.functions.relational import _sorted_member
 
-    comp = dup_components(sf_dir, threshold)
-    if not isinstance(comp, pa.Table):  # distributed path returned a Dataset
-        parts = collect_tables(comp)
-        comp = (
-            pa.concat_tables(parts) if parts else _COMP_SCHEMA.empty_table()
-        )
-    drop = comp.filter(pc.not_equal(comp["doc_id"], comp["component"]))
-    drop_ids = np.sort(drop["doc_id"].to_numpy(zero_copy_only=False))
-    drop_ref = ray.put(drop_ids)
-
+    drop_ref = ray.put(np.sort(np.asarray(drop_ids, dtype=np.int64)))
     docs = scrubbed_read(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "lang"],
@@ -1503,6 +1502,23 @@ def dedup_keep_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         return t.filter(pa.array(~hit))
 
     return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_keep_canonical(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
+    """The end-to-end near-dup REMOVAL pass: run pair generation +
+    connected components (``dup_components``), keep every document that
+    is either untouched or its cluster's canonical (min doc_id) member.
+    The drop set is O(near-duplicate docs) — broadcast once via ray.put
+    as a sorted id array and anti-filtered inside the map tasks; the
+    corpus itself never shuffles.
+
+    Reference analog: the merge step's "withdraw duplicates, keep the
+    canonical record" behavior (internal/merger/merger.go:74-133)."""
+    comp = _collected_components(sf_dir, threshold)
+    drop = comp.filter(pc.not_equal(comp["doc_id"], comp["component"]))
+    return _keep_minus(
+        sf_dir, drop["doc_id"].to_numpy(zero_copy_only=False)
+    )
 
 
 def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
@@ -1522,10 +1538,7 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
 
     from laketide.functions.relational import _sorted_member
 
-    comp = dup_components(sf_dir, threshold)
-    if not isinstance(comp, pa.Table):  # distributed path returned a Dataset
-        parts = collect_tables(comp)
-        comp = pa.concat_tables(parts) if parts else _COMP_SCHEMA.empty_table()
+    comp = _collected_components(sf_dir, threshold)
 
     if comp.num_rows:
         member_ids = np.sort(comp["doc_id"].to_numpy(zero_copy_only=False))
@@ -1575,22 +1588,10 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
         o = np.lexsort((did, -ntok, cid))
         cid_s, did_s = cid[o], did[o]
         is_winner = np.concatenate([[True], cid_s[1:] != cid_s[:-1]])
-        drop_ids = np.sort(did_s[~is_winner])
+        drop_ids = did_s[~is_winner]
     else:
         drop_ids = np.array([], np.int64)
-    drop_ref = ray.put(drop_ids)
-
-    docs = scrubbed_read(
-        f"{sf_dir}/documents.parquet",
-        columns=["doc_id", "lang"],
-        min_blocks=cpu_min_blocks(),
-    )
-
-    def keep(t: pa.Table) -> pa.Table:
-        hit, _ = _sorted_member(ray.get(drop_ref), t["doc_id"].combine_chunks())
-        return t.filter(pa.array(~hit))
-
-    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return _keep_minus(sf_dir, drop_ids)
 
 
 def _edit1_mask(a: list, b: list) -> np.ndarray:
@@ -2056,7 +2057,12 @@ def _winnow_rows(t: pa.Table, k: int, w: int) -> pa.Table:
     )
     parts = [flat.take(pa.array(base + j)) for j in range(k)]
     grams = pc.binary_join_element_wise(*parts, " ")
-    gs = grams.to_numpy(zero_copy_only=False).astype(bytes)
+    # 'U' (unicode) dtype, NOT bytes: numpy's object->'S' cast encodes
+    # with the ascii codec and raises on any non-ASCII document. numpy
+    # sorts 'U' in code-point order, which equals UTF-8 byte order
+    # (UTF-8 is order-preserving), so the lexicographic-min fingerprint
+    # still matches DuckDB's binary varchar min().
+    gs = grams.to_numpy(zero_copy_only=False).astype(str)
 
     n_win = np.where(g_n > 0, np.maximum(g_n - w + 1, 1), 0)
     wtot = int(n_win.sum())

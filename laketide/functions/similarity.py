@@ -1433,7 +1433,11 @@ def embedding_dup_components(
 
     out_schema = pa.schema([("vec_id", pa.int64()), ("component", pa.int64())])
 
-    total_rows, _, _ = _quant_guard_stats(qds, num, den)
+    # row count from block metadata — no scan. The overflow guard runs
+    # per-branch: a full guard pass here would scan the quantized corpus
+    # a second time on the (default) broadcast path, which collects the
+    # same data to the driver anyway and can check the bound for free.
+    total_rows = qds.count()
     if total_rows == 0:
         return out_schema.empty_table()
 
@@ -1471,6 +1475,11 @@ def embedding_dup_components(
                 "missed — pass path='broadcast' to force completeness)",
                 total_rows, broadcast_budget_rows,
             )
+        # guard BEFORE any distributed int64 math (norms computed from
+        # already-wrapped elements could pass a post-hoc check) — the
+        # scan cost is fine here: the bucketed branch never collects
+        # the corpus, so this is its only full pass over qds
+        _quant_guard_stats(qds, num, den)
         cent = _train_centroids(sf_dir, n_centroids)
         # empty quantizer (degenerate tiny corpus whose ids all miss the
         # training sample): fall through to the broadcast path below
@@ -1487,6 +1496,14 @@ def embedding_dup_components(
         qt = qt.sort_by([("vec_id", "ascending")])
         ids = qt["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         mat = _embed_matrix(qt["iv"]).astype(np.int64)
+        # the guard, from the already-collected table (free): still
+        # BEFORE the first int64 product
+        _check_quant_bound(
+            num,
+            den,
+            int(np.abs(mat).max()) if mat.size else 0,
+            int(mat.shape[1]) if mat.size else 0,
+        )
         norms = (mat * mat).sum(axis=1)
         bc = ray.put((ids, mat, norms))
 

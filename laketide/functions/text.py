@@ -2197,7 +2197,7 @@ def mixture_sample(
         return 1 + (ord(src[-1]) % 3) if src else 1
 
     thr: dict[str, int] = {}
-    pairs = [(s, weight_of(s)) for s in totals if weight_of(s) > 0]
+    pairs = [(s, w) for s in totals if (w := weight_of(s)) > 0]
     if pairs:
         m = min(np.float64(totals[s]) / np.float64(w) for s, w in pairs)
         thr = {
@@ -2802,34 +2802,37 @@ def dsir_importance_weights(
     tgt = _tf_counts(sf_dir, lang=target_lang).materialize()
     kept_ref = ray.put(kept_tok)
 
-    def tgt_split(t: pa.Table) -> pa.Table:
+    def tgt_fused(t: pa.Table) -> pa.Table:
+        # ONE membership probe per block serves both outputs: the kept
+        # rows ride through, and the block's below-floor mass rides as
+        # a single null-token marker row (tf tokens are never null, so
+        # the marker is unambiguous) — no second pass over the target
+        # tf dataset. t_total reconstructs on the driver as
+        # sum(kept c) + sum(marker c).
         hit = pc.is_valid(pc.index_in(t["token"], value_set=ray.get(kept_ref)))
-        return t.filter(hit)
-
-    def tgt_rare_mass(t: pa.Table) -> pa.Table:
-        miss = pc.invert(
-            pc.is_valid(pc.index_in(t["token"], value_set=ray.get(kept_ref)))
-        )
         c = pc.cast(t["c"], pa.int64())
-        rare = pc.if_else(miss, c, pa.scalar(0, pa.int64()))
-        return pa.table(
+        rare = pc.if_else(pc.invert(hit), c, pa.scalar(0, pa.int64()))
+        kept = pa.table({"token": t["token"], "c": c}).filter(hit)
+        marker = pa.table(
             {
-                "n": pa.array([int(pc.sum(c).as_py() or 0)], pa.int64()),
-                "rare": pa.array([int(pc.sum(rare).as_py() or 0)], pa.int64()),
+                "token": pa.array([None], pa.string()),
+                "c": pa.array([int(pc.sum(rare).as_py() or 0)], pa.int64()),
             }
         )
+        return pa.concat_tables([kept, marker])
 
-    tmass = collect_tables(
-        tgt.map_batches(tgt_rare_mass, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    t_total = sum(int(pc.sum(p["n"]).as_py() or 0) for p in tmass)
-    tgt_rare = sum(int(pc.sum(p["rare"]).as_py() or 0) for p in tmass)
     tparts = collect_tables(
-        tgt.map_batches(tgt_split, batch_format="pyarrow", zero_copy_batch=True)
+        tgt.map_batches(tgt_fused, batch_format="pyarrow", zero_copy_batch=True)
     )
     ct = np.zeros(n_kept, dtype=np.int64)
+    t_total, tgt_rare = 0, 0
     if tparts:
-        tt = pa.concat_tables([p.replace_schema_metadata(None) for p in tparts])
+        allt = pa.concat_tables([p.replace_schema_metadata(None) for p in tparts])
+        tgt_rare = int(
+            pc.sum(allt.filter(pc.is_null(allt["token"]))["c"]).as_py() or 0
+        )
+        tt = allt.filter(pc.is_valid(allt["token"]))
+        t_total = tgt_rare + int(pc.sum(tt["c"]).as_py() or 0)
         pos = (
             pc.index_in(tt["token"].combine_chunks(), value_set=kept_tok)
             .to_numpy(zero_copy_only=False)

@@ -814,3 +814,26 @@ def test_dedup_keep_best_prefers_longest(tmp_path):
         r["doc_id"] for r in dedup_keep_canonical(str(tmp_path)).take_all()
     )
     assert canon == [1, 3, 10]
+
+
+def test_winnow_non_ascii_text(tmp_path):
+    """Non-ASCII documents must fingerprint, not crash (the bytes-dtype
+    cast encoded with the ascii codec), and the selected min fingerprint
+    must follow UTF-8 byte order like DuckDB's varchar min()."""
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array(
+                ["café au lait très bon vraiment super bien",
+                 "z zz über straße naïve fiancée déjà vu encore"],
+                pa.string(),
+            ),
+        }
+    )
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    s = dedup.winnow_fingerprints(str(tmp_path)).to_pandas().set_index("doc_id")
+    assert set(s.index) == {1, 2}
+    assert (s["n_fingerprints"] >= 1).all()
+    # code-point (== UTF-8 byte) order: ASCII-leading grams sort below
+    # accented ones, so doc 1's min fp starts with an ASCII token
+    assert s.loc[1, "min_fp"] <= s.loc[1, "max_fp"]
