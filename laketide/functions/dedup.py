@@ -1595,23 +1595,26 @@ def dedup_keep_best(sf_dir: str, threshold: float = 0.5) -> rd.Dataset:
 
 
 def _edit1_mask(a: list, b: list) -> np.ndarray:
-    """Vectorized exact Levenshtein<=1 check for candidate string pairs
-    (ASCII — codeunits == characters, matching DuckDB ``levenshtein``
-    on this corpus). Equal-length pairs: exactly one differing
-    position. Length-diff-1 pairs: the longer string with its first-
-    mismatch character deleted equals the shorter (one padded byte
-    matrix, a shifted equality grid and a suffix-AND — no per-pair
-    Python)."""
+    """Vectorized exact Levenshtein<=1 check for candidate string pairs.
+    'U' (unicode) dtype throughout: one cell per CODE POINT, matching
+    DuckDB ``levenshtein``'s character unit exactly — and the old
+    bytes dtype crashed on any non-ASCII name (numpy's object->'S'
+    cast uses the ascii codec). Equal-length pairs: exactly one
+    differing position. Length-diff-1 pairs: the longer string with
+    its first-mismatch character deleted equals the shorter (one
+    padded char matrix, a shifted equality grid and a suffix-AND — no
+    per-pair Python)."""
     n = len(a)
     if n == 0:
         return np.zeros(0, dtype=bool)
-    aa = np.asarray(a, dtype=bytes)
-    bb = np.asarray(b, dtype=bytes)
+    aa = np.asarray(a, dtype=str)
+    bb = np.asarray(b, dtype=str)
     la = np.char.str_len(aa)
     lb = np.char.str_len(bb)
-    w = max(int(aa.dtype.itemsize), int(bb.dtype.itemsize), 2)
-    A = np.frombuffer(aa.astype(f"S{w}").tobytes(), dtype="S1").reshape(n, w)
-    B = np.frombuffer(bb.astype(f"S{w}").tobytes(), dtype="S1").reshape(n, w)
+    # itemsize is 4 bytes per UCS4 code point for 'U' arrays
+    w = max(int(aa.dtype.itemsize) // 4, int(bb.dtype.itemsize) // 4, 2)
+    A = np.frombuffer(aa.astype(f"U{w}").tobytes(), dtype="U1").reshape(n, w)
+    B = np.frombuffer(bb.astype(f"U{w}").tobytes(), dtype="U1").reshape(n, w)
     out = np.zeros(n, dtype=bool)
 
     same_len = la == lb

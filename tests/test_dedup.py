@@ -837,3 +837,17 @@ def test_winnow_non_ascii_text(tmp_path):
     # code-point (== UTF-8 byte) order: ASCII-leading grams sort below
     # accented ones, so doc 1's min fp starts with an ASCII token
     assert s.loc[1, "min_fp"] <= s.loc[1, "max_fp"]
+
+
+def test_edit1_mask_non_ascii():
+    """The edit-distance kernel must operate on CODE POINTS (DuckDB
+    levenshtein's unit) and not crash on non-ASCII names (the bytes
+    dtype encoded ascii). Substitution/insert/delete of an accented
+    character each count as exactly one edit."""
+    from laketide.functions.dedup import _edit1_mask
+
+    a = ["café", "café", "café", "über", "naïve", "résumé"]
+    b = ["cafe", "cafés", "caf", "uber", "naive", "résumé"]
+    got = _edit1_mask(a, b).tolist()
+    #        sub    ins     del    sub    sub=1? naïve->naive is 1 sub; equal -> False
+    assert got == [True, True, True, True, True, False]
