@@ -2556,9 +2556,15 @@ def _knn_batch_oracle(k: int = 10, n_queries: int = 8) -> str:
         qv = query_vector_sql_literal(seed=_QUERY_SEED + i)
         parts.append(
             f"SELECT CAST({i} AS BIGINT) AS query_id, vec_id FROM ("
-            "SELECT vec_id FROM embeddings "
-            "WHERE embedding IS NOT NULL AND vec_id IS NOT NULL "
+            "SELECT vec_id FROM m "
             f"ORDER BY list_cosine_similarity(embedding, {qv}) DESC, vec_id "
             f"LIMIT {k})"
         )
-    return " UNION ALL ".join(parts)
+    # MATERIALIZED forces the null filter BEFORE the similarity
+    # expression — without it DuckDB may evaluate the ORDER BY kernel on
+    # pre-filter rows and raise on a NULL vector (the knn_cosine rule)
+    return (
+        "WITH m AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings "
+        "WHERE embedding IS NOT NULL AND vec_id IS NOT NULL) "
+        + " UNION ALL ".join(parts)
+    )

@@ -89,6 +89,13 @@ _NULLABLE_QUERIES = [
     "bigram_logppl",
     "token_freq_spectrum",
     "tokenizer_fertility_by_lang",
+    "knn_batch_cosine",
+    # decontaminate_embeddings_semantic is NOT here for the same reason
+    # as its siblings embedding_dup_components / _edges_incremental:
+    # this fixture's unnormalized vectors (milli-quantized |el| ~3500,
+    # dim 64) correctly trip the int64 overflow guard. Null vec_id /
+    # embedding / label handling is covered by the planted test in
+    # tests/test_similarity.py instead.
 ]
 
 

@@ -432,6 +432,9 @@ def test_decontaminate_embeddings_semantic_planted(tmp_path):
         {"vec_id": 3, "embedding": [0.0, 0.0, 1.0], "label": 3},
         # null label = corpus; anti-aligned (dot < 0) -> clean
         {"vec_id": 4, "embedding": [-1.0, 0.0, 0.0], "label": None},
+        # null embedding / null vec_id: dropped on both sides
+        {"vec_id": 5, "embedding": None, "label": 3},
+        {"vec_id": None, "embedding": [1.0, 0.0, 0.0], "label": 3},
     ]
     t = pa.table(
         {
