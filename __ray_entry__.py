@@ -527,6 +527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_freq_spectrum": text.token_freq_spectrum,
         # subword-vs-whitespace fertility per language
         "tokenizer_fertility_by_lang": text.tokenizer_fertility_by_lang,
+        # BPE trainer round one: top-k weighted char-pair merges
+        "bpe_merge_candidates": text.bpe_merge_candidates,
         # DSIR-style data selection: target-vs-raw unigram log-
         # likelihood ratio in exact integer micro-nats
         "dsir_importance_weights": text.dsir_importance_weights,
@@ -1712,6 +1714,18 @@ def oracle_sql() -> dict[str, str]:
             "tf AS (SELECT token, count(*) AS c FROM tok GROUP BY token) "
             "SELECT CAST(c AS BIGINT) AS tf, "
             "CAST(count(*) AS BIGINT) AS n_tokens FROM tf GROUP BY c"
+        ),
+        # BPE round-one merge scoring: adjacent char pairs weighted by
+        # word tf; boundary ties break by pair string on both sides
+        "bpe_merge_candidates": (
+            "WITH tok AS (SELECT unnest(string_split(coalesce(text,''),' ')) "
+            "AS w FROM documents), "
+            "tf AS (SELECT w, count(*) AS c FROM tok GROUP BY w), "
+            "e AS (SELECT w, c, unnest(range(0, length(w)-1)) AS i "
+            "FROM tf WHERE length(w) >= 2), "
+            "p AS (SELECT substring(w, CAST(i+1 AS INT), 2) AS pair, c FROM e) "
+            "SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY pair "
+            "ORDER BY n DESC, pair LIMIT 50"
         ),
         # BPE-regex tokens per whitespace word, per language; exact
         # integer sums, one double division (null lang = its own group)

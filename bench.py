@@ -375,6 +375,7 @@ def _run_bench_inner(skip_headline: bool = False) -> dict:
         timed("unigram_logppl", text.unigram_logppl)
         timed("bigram_logppl", text.bigram_logppl)
         timed("token_freq_spectrum", text.token_freq_spectrum)
+        timed("bpe_merge_candidates", text.bpe_merge_candidates)
         timed("tokenizer_fertility_by_lang", text.tokenizer_fertility_by_lang)
         timed("doc_chunk_windows", text.doc_chunk_windows)
         timed("remove_boilerplate_segments", text.remove_boilerplate_segments)

@@ -3383,3 +3383,63 @@ def bigram_logppl(sf_dir: str) -> rd.Dataset:
     return _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def bpe_merge_candidates(sf_dir: str, k: int = 50) -> pa.Table:
+    """BPE vocabulary induction, round one (Sennrich et al. 2016): the
+    top-k adjacent CHARACTER pairs by corpus frequency — each word
+    weighted by its term frequency — i.e. the first k merge candidates
+    a BPE tokenizer trainer would score. The tokenizer-TRAINING
+    counterpart of ``token_counts_bpe`` (which applies a fixed rule).
+
+    Exactness: integer pair counts; ties at the k boundary break by
+    pair string ascending on both sides (ORDER BY n DESC, pair).
+
+    Scale shape: the heavy lifting happens on the VOCABULARY (the
+    ``_tf_counts`` shuffle output), not the corpus — each tf block
+    explodes its distinct words into weighted char pairs with one 'U1'
+    matrix gather (no Python loop) and pre-groups locally; the final
+    groupby and the driver's top-k sort are PAIR-scale (bounded by
+    |alphabet|^2, corpus-independent)."""
+    out_schema = pa.schema([("pair", pa.string()), ("n", pa.int64())])
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        w = t["token"].to_numpy(zero_copy_only=False).astype(str)
+        c = pc.cast(t["c"], pa.int64()).to_numpy(zero_copy_only=False)
+        lens = np.char.str_len(w)
+        keep = lens >= 2
+        w, c, lens = w[keep], c[keep], lens[keep]
+        if not len(w):
+            return out_schema.empty_table()
+        width = max(w.dtype.itemsize // 4, 2)
+        M = np.frombuffer(
+            w.astype(f"U{width}").tobytes(), dtype="U1"
+        ).reshape(len(w), width)
+        npairs = (lens - 1).astype(np.int64)
+        off = np.cumsum(npairs) - npairs
+        tot = int(npairs.sum())
+        row = np.repeat(np.arange(len(w), dtype=np.int64), npairs)
+        col = np.arange(tot, dtype=np.int64) - np.repeat(off, npairs)
+        pair = np.char.add(M[row, col], M[row, col + 1])
+        weight = np.repeat(c, npairs)
+        uniq, inv = np.unique(pair, return_inverse=True)
+        n = np.bincount(inv, weights=weight).astype(np.int64)
+        return pa.table(
+            {"pair": pa.array(uniq.tolist(), pa.string()), "n": pa.array(n, pa.int64())}
+        )
+
+    agg = (
+        _tf_counts(sf_dir)
+        .map_batches(pairs_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    parts = collect_tables(agg)  # pair-scale: bounded by |alphabet|^2
+    if not parts:
+        return out_schema.empty_table()
+    t = pa.concat_tables([p.replace_schema_metadata(None) for p in parts])
+    t = pa.table({"pair": t["pair"], "n": pc.cast(t["n"], pa.int64())})
+    order = pc.sort_indices(
+        t, sort_keys=[("n", "descending"), ("pair", "ascending")]
+    )
+    return t.take(order.slice(0, k))

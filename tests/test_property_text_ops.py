@@ -129,3 +129,12 @@ def test_property_tokenizer_fertility_vs_duckdb(seed, tmp_path_factory):
     d = str(tmp_path_factory.mktemp(f"fert{seed}"))
     _random_docs(rng, d)
     _check("tokenizer_fertility_by_lang", d)
+
+
+@settings(max_examples=8, deadline=None)
+@given(seed=st.integers(min_value=0, max_value=10_000))
+def test_property_bpe_merge_candidates_vs_duckdb(seed, tmp_path_factory):
+    rng = np.random.RandomState(seed)
+    d = str(tmp_path_factory.mktemp(f"bpe{seed}"))
+    _random_docs(rng, d)
+    _check("bpe_merge_candidates", d)
