@@ -95,6 +95,18 @@ def _schema_to_b64(schema: pa.Schema) -> str:
     return base64.b64encode(schema.serialize().to_pybytes()).decode()
 
 
+def _manifest_recency(path: str) -> "tuple[int, float, str]":
+    """Sort key (epoch, mtime, path) for manifest files — lexicographic
+    name order mis-sorts maintenance manifests ('-' < '.', so
+    manifest-000005-c0 would list BEFORE manifest-000005). ONE shared
+    implementation: gc and history must agree on recency or gc could
+    keep/delete a different set than history displays."""
+    import re as _re
+
+    m = _re.match(r"manifest-(\d+)", os.path.basename(path))
+    return (int(m.group(1)) if m else -1, os.path.getmtime(path), path)
+
+
 def _schema_from_b64(s: str) -> pa.Schema:
     return pa.ipc.read_schema(pa.BufferReader(base64.b64decode(s)))
 
@@ -324,12 +336,31 @@ def _mor_delta(table_dir, base_rel, delta_rels, winners, epoch_id, m):
         m.inserts += winners.num_rows - int(pc.sum(is_del).as_py() or 0)
         applied = winners  # tombstones for unseen keys are retained
     else:
-        j = winners.join(
+        # Arrow's hash join rejects list-typed non-key columns — detach
+        # them from winners with a row-id surrogate and re-attach by
+        # take after the join (cur_idx carries only scalar index
+        # columns). Every row of a LEFT OUTER join has a valid left rid.
+        list_cols = [
+            f.name
+            for f in winners.schema
+            if pa.types.is_list(f.type) or pa.types.is_large_list(f.type)
+        ]
+        w_j = winners
+        if list_cols:
+            w_j = winners.drop_columns(list_cols).append_column(
+                "_ev_rid", pa.array(np.arange(winners.num_rows, dtype=np.int64))
+            )
+        j = w_j.join(
             cur_idx,
             keys=list(S.KEY_COLUMNS),
             join_type="left outer",
             right_suffix="_cur",
         )
+        if list_cols:
+            rid = j["_ev_rid"].combine_chunks()
+            for c in list_cols:
+                j = j.append_column(c, winners[c].combine_chunks().take(rid))
+            j = j.drop_columns(["_ev_rid"])
         has_cur = pc.is_valid(j["commit_cur"])
         ev_c = pc.coalesce(j["commit"], pa.scalar("", pa.string()))
         ev_s = pc.coalesce(j["seq"], pa.scalar(-1, pa.int64()))
@@ -1028,21 +1059,12 @@ class LakeTable:
         """Committed epochs, oldest first (manifest log = time travel)."""
         import glob as _glob
 
-        import os.path as _osp
-        import re as _re2
-
         p = M.paths(self.table_dir)
-
-        def _recency(path: str) -> tuple[int, float, str]:
-            # (epoch, mtime): lexicographic name order mis-sorts
-            # maintenance manifests ('-' < '.', so manifest-000005-c0
-            # would list BEFORE manifest-000005)
-            mt = _re2.match(r"manifest-(\d+)", _osp.basename(path))
-            return (int(mt.group(1)) if mt else -1, os.path.getmtime(path), path)
 
         out = []
         for mf in sorted(
-            _glob.glob(os.path.join(p["manifests"], "manifest-*.json")), key=_recency
+            _glob.glob(os.path.join(p["manifests"], "manifest-*.json")),
+            key=_manifest_recency,
         ):
             with open(mf) as fh:
                 man = M.Manifest.from_json(fh.read())
@@ -1254,7 +1276,7 @@ class LakeTable:
 
     def _changes_across_rescale(
         self, m0: M.Manifest, m1: M.Manifest, schema: pa.Schema
-    ) -> list[pa.Table]:
+    ) -> "ray.data.Dataset":
         """Diff across a partition-count change: skinny old-key rows
         re-keyed under the NEW partition count flow through one Ray Data
         groupby; each group's task loads its new partition and
@@ -1811,7 +1833,11 @@ class LakeTable:
                         "data", f"part-{part:05d}-e{epoch_id:06d}-d.parquet"
                     )
                     os.replace(row["staged_file"], os.path.join(self.table_dir, dst_rel))
-                    entry.setdefault("deltas", []).append(dst_rel)
+                    # COPY the list: entry is a shallow dict() of the
+                    # parent manifest's partition info, so an in-place
+                    # append would alias the child epoch's delta into
+                    # the in-memory parent (and into part_info closures)
+                    entry["deltas"] = list(entry.get("deltas") or []) + [dst_rel]
                     entry["rows"] = int(row["rows_out"])
                 else:
                     dst_rel = os.path.join("data", f"part-{part:05d}-e{epoch_id:06d}.parquet")
@@ -2052,7 +2078,11 @@ class LakeTable:
         if not man:
             return S.snapshot_schema().empty_table()
         h = key_hash(pa.array([repo]), pa.array([path]))[0]
-        part = int(h % np.uint64(self.num_partitions))
+        # the MANIFEST's partition count, not this handle's: after a
+        # cross-process rescale the stale handle would hash into the
+        # old layout and silently miss (the _apply_epoch_locked
+        # re-adoption hazard, read-side)
+        part = int(h % np.uint64(man.num_partitions))
         info = man.partitions.get(str(part))
         if not info or (not info.get("file") and not info.get("deltas")):
             return S.snapshot_schema().empty_table()
@@ -2610,17 +2640,11 @@ class LakeTable:
 
     def _gc_locked(self, keep_last: int) -> dict[str, Any]:
         import glob as _glob
-        import re as _re
-
         p = M.paths(self.table_dir)
 
-        def _recency(path: str) -> tuple[int, float, str]:
-            mt = _re.match(r"manifest-(\d+)", os.path.basename(path))
-            epoch = int(mt.group(1)) if mt else -1
-            return (epoch, os.path.getmtime(path), path)
-
         manifests = sorted(
-            _glob.glob(os.path.join(p["manifests"], "manifest-*.json")), key=_recency
+            _glob.glob(os.path.join(p["manifests"], "manifest-*.json")),
+            key=_manifest_recency,
         )
         keep = manifests[-keep_last:] if keep_last > 0 else manifests[-1:]
         # The live manifest is sacred regardless of keep_last.
@@ -2638,7 +2662,7 @@ class LakeTable:
         tagged = set(self.tags(strict=True).values())
         if tagged:
             for mf in manifests:
-                if _recency(mf)[0] in tagged and mf not in keep:
+                if _manifest_recency(mf)[0] in tagged and mf not in keep:
                     keep.append(mf)
         referenced: set[str] = set()
         for mf in keep:
@@ -2671,7 +2695,9 @@ class LakeTable:
         # long-running tail otherwise grows one JSON per epoch unbounded)
         removed_lineage = 0
         if keep:
-            oldest_kept = min(_recency(mf)[0] for mf in keep)
+            import re as _re
+
+            oldest_kept = min(_manifest_recency(mf)[0] for mf in keep)
             for lf in _glob.glob(os.path.join(p["lineage"], "epoch-*.json")):
                 mt = _re.match(r"epoch-(\d+)", os.path.basename(lf))
                 if mt and int(mt.group(1)) < oldest_kept:

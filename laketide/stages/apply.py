@@ -362,6 +362,7 @@ def _reduce_events_coalesce(
     # event's sha (stale-sha invariant break). Take the sha at content's
     # winning index instead; ensure_sha recomputes any null left behind.
     content_best: pa.Array | None = None
+    cbest = None
     if "content" in ev.column_names and S.SHA_COLUMN in ev.column_names:
         ccol = ev["content"].combine_chunks()
         cvalid = pc.is_valid(ccol).to_numpy(zero_copy_only=False) & eligible
@@ -386,6 +387,23 @@ def _reduce_events_coalesce(
             continue
         if name == S.SHA_COLUMN and content_best is not None:
             cols.append(col.take(content_best))
+            continue
+        if name == "content" and content_best is not None:
+            # reuse the winning index computed above (the sha pairing
+            # already did this work — content is the widest column, no
+            # second reduceat over it)
+            cols.append(col.take(content_best))
+            if ranks is not None:
+                prio_helpers.append(
+                    (
+                        PRIO_RANK_PREFIX + name,
+                        np.where(
+                            cbest >= 0,
+                            ranks[np.clip(cbest, 0, n - 1)],
+                            UNKNOWN_SOURCE_RANK,
+                        ),
+                    )
+                )
             continue
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False) & eligible
         best = _best_field_idx(valid, idx, starts, ranks)
@@ -464,10 +482,16 @@ def _union_lists_per_group(
     eligible non-null EMPTY list still yields []."""
     lens = pc.fill_null(pc.list_value_length(col), 0).to_numpy(zero_copy_only=False)
     parents = np.repeat(np.arange(len(col), dtype=np.int64), lens)
-    keep = eligible[parents]
-    values = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(col)
+    # drop null ELEMENTS in Arrow, before numpy: to_numpy on an int64
+    # array with nulls silently converts to float64 (values above 2^53
+    # corrupt); the union's dropna used to rely on that NaN
+    sel = np.flatnonzero(
+        eligible[parents] & pc.is_valid(flat).to_numpy(zero_copy_only=False)
+    )
+    values = flat.take(pa.array(sel, pa.int64())).to_numpy(zero_copy_only=False)
     u = _build_list_union(
-        group_of[parents][keep], values[keep], n_groups, typ.value_type
+        group_of[parents[sel]], values, n_groups, typ.value_type
     )
     valid_rows = pc.is_valid(col).to_numpy(zero_copy_only=False) & eligible
     group_has = np.zeros(n_groups, dtype=bool)
@@ -499,8 +523,15 @@ def _row_union(a, b):
         counts = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
             zero_copy_only=False
         ).astype(np.int64)
-        rows.append(np.repeat(np.arange(m, dtype=np.int64), counts))
-        vals.append(pc.list_flatten(col).to_numpy(zero_copy_only=False))
+        par = np.repeat(np.arange(m, dtype=np.int64), counts)
+        flat = pc.list_flatten(col)
+        # Arrow-side null-element drop (same rationale as
+        # _union_lists_per_group: int64-with-nulls -> float64 in numpy)
+        sel = np.flatnonzero(pc.is_valid(flat).to_numpy(zero_copy_only=False))
+        rows.append(par[sel])
+        vals.append(
+            flat.take(pa.array(sel, pa.int64())).to_numpy(zero_copy_only=False)
+        )
     u = _build_list_union(
         np.concatenate(rows), np.concatenate(vals), m, typ.value_type
     )

@@ -957,3 +957,104 @@ def test_lock_race_single_winner(tmp_path):
     assert len(spans) == 8
     for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
         assert a1 <= b0, f"overlapping lock holds: {(a0, a1)} vs {(b0, b1)}"
+
+
+def test_mor_apply_with_list_payload_column(tmp_path):
+    """MOR layout + a list payload column across multiple epochs:
+    Arrow's hash join rejects list-typed non-key fields, so the delta
+    classifier must detach/re-attach them (review-found crash: epoch 2
+    died in winners.join(cur_idx))."""
+    import pyarrow.parquet as _pq
+
+    schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
+            ("seq", pa.int64()),
+            ("op", pa.string()),
+            ("content", pa.string()),
+            ("tags", pa.list_(pa.string())),
+        ]
+    )
+    e1 = [
+        {"repo": "r", "path": "a", "commit": "c0000000001", "seq": 1,
+         "op": "insert", "content": "v1", "tags": ["t1"]},
+        {"repo": "r", "path": "b", "commit": "c0000000001", "seq": 2,
+         "op": "insert", "content": "w1", "tags": ["x", "y"]},
+    ]
+    e2 = [
+        {"repo": "r", "path": "a", "commit": "c0000000002", "seq": 3,
+         "op": "update", "content": "v2", "tags": ["t2"]},
+        {"repo": "r", "path": "b", "commit": "c0000000002", "seq": 4,
+         "op": "delete", "content": None, "tags": None},
+    ]
+    for i, rows in enumerate([e1, e2], start=1):
+        _pq.write_table(
+            pa.Table.from_pylist(rows, schema=schema), str(tmp_path / f"e{i}.parquet")
+        )
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2, layout="mor")
+    t.apply_epoch(str(tmp_path / "e1.parquet"))
+    t.apply_epoch(str(tmp_path / "e2.parquet"))  # crashed before the fix
+    st = t.state_table()
+    rows = {r["path"]: r for r in st.to_pylist()}
+    assert set(rows) == {"a"}
+    assert rows["a"]["content"] == "v2" and rows["a"]["tags"] == ["t2"]
+    # noop re-apply still classifies against the (list-carrying) index
+    r = t.apply_epoch(str(tmp_path / "e2.parquet"), epoch_id=2)
+    assert r["already_applied"] is True
+
+
+def test_point_lookup_after_cross_process_rescale(tmp_path):
+    """get() must hash with the MANIFEST's partition count: a stale
+    handle after another process rescaled would otherwise read the
+    wrong partition and return empty for a live key (review-found)."""
+    src = generate_changelog(str(tmp_path / "log"), n_events=1500, n_epochs=2, seed=13)
+    stale = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    stale.apply_epoch(src[0])
+    stale.apply_epoch(src[1])
+    exp = {(r["repo"], r["path"]): r["content"] for r in expected_state(src).to_pylist()}
+    other = LakeTable(str(tmp_path / "t"), num_partitions=8)
+    other.rescale(3)
+    hits = 0
+    for (repo, path), content in list(exp.items())[:20]:
+        got = stale.get(repo, path)
+        assert got.num_rows == 1, f"missing {(repo, path)} after rescale"
+        assert got["content"][0].as_py() == content
+        hits += 1
+    assert hits == 20
+
+
+def test_list_union_null_elements_keep_int64_exact(tmp_path):
+    """A null ELEMENT inside a list<int64> payload must not corrupt the
+    union: numpy converts int64-with-nulls to float64, and values above
+    2^53 silently lose precision (review-found). Null elements drop;
+    big integers survive bit-exact."""
+    import pyarrow.parquet as _pq
+
+    big = 9007199254740993  # 2^53 + 1: unrepresentable in float64
+    schema = pa.schema(
+        [
+            ("repo", pa.string()),
+            ("path", pa.string()),
+            ("commit", pa.string()),
+            ("seq", pa.int64()),
+            ("op", pa.string()),
+            ("content", pa.string()),
+            ("ids", pa.list_(pa.int64())),
+        ]
+    )
+    e1 = [
+        {"repo": "r", "path": "a", "commit": "c0000000001", "seq": 1,
+         "op": "insert", "content": "v1", "ids": [big, None, 7]},
+        {"repo": "r", "path": "a", "commit": "c0000000002", "seq": 2,
+         "op": "update", "content": "v2", "ids": [big + 2]},
+    ]
+    _pq.write_table(
+        pa.Table.from_pylist(e1, schema=schema), str(tmp_path / "e1.parquet")
+    )
+    t = LakeTable(str(tmp_path / "t"), num_partitions=2, merge="coalesce")
+    t.apply_epoch(str(tmp_path / "e1.parquet"))
+    st = t.state_table()
+    row = st.to_pylist()[0]
+    assert sorted(row["ids"]) == [7, big, big + 2]
